@@ -1,0 +1,194 @@
+"""Scalar function namespaces — SURVEY.md §3.9.
+
+Maps the reference's function surface (core executors in
+`[core] executor/function/` plus the `str:`/`math:`/`time:`/`json:`/
+`map:`/`list:`/`regex:` extension namespaces) onto native Catalyst
+expressions. Everything here is a thin Column-builder — JVM-side,
+codegen-friendly, no Python UDFs — so using a "Siddhi function" costs
+exactly what the underlying Spark builtin costs.
+
+Registry keys use the reference's `namespace:name` convention
+(core functions have no namespace).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- core
+# `[core] executor/function/*FunctionExecutor.java`
+
+def if_then_else(cond: Column, a: Column, b: Column) -> Column:
+    return F.when(cond, a).otherwise(b)
+
+
+def default(x: Column, d) -> Column:
+    return F.coalesce(x, F.lit(d))
+
+
+CORE: dict[str, Callable[..., Column]] = {
+    "cast": lambda x, t: x.cast(t),
+    "convert": lambda x, t: x.cast(t),  # lenient convert ≡ try-cast semantics
+    "coalesce": F.coalesce,
+    "ifThenElse": if_then_else,
+    "maximum": F.greatest,
+    "minimum": F.least,
+    "UUID": lambda: F.expr("uuid()"),
+    "currentTimeMillis": lambda: F.unix_millis(F.current_timestamp()),
+    "eventTimestamp": lambda ts_col="ts": F.unix_millis(F.col(ts_col)),
+    "default": default,
+    "createSet": F.collect_set,
+    "sizeOfSet": F.size,
+}
+
+# ---------------------------------------------------------------- str:
+# `[ext:string]` io.siddhi.extension.execution.string.*
+STR: dict[str, Callable[..., Column]] = {
+    "str:concat": F.concat,
+    "str:length": F.length,
+    "str:lower": F.lower,
+    "str:upper": F.upper,
+    "str:trim": F.trim,
+    "str:strcmp": lambda a, b: F.when(a < b, -1).when(a > b, 1).otherwise(0),
+    "str:contains": lambda s, sub: s.contains(sub),
+    "str:startsWith": lambda s, p: s.startswith(p),
+    "str:substr": lambda s, pos, ln: F.substring(s, pos, ln),
+    "str:split": F.split,
+    "str:replaceAll": F.regexp_replace,
+    "str:regexp": lambda s, pat: s.rlike(pat),
+    "str:charAt": lambda s, i: F.substring(s, i + 1, 1),
+    "str:hex": F.hex,
+    "str:unhex": F.unhex,
+    "str:reverse": F.reverse,
+    "str:fillTemplate": F.format_string,
+    "str:groupConcat": lambda c, sep=",": F.array_join(
+        F.sort_array(F.collect_list(c)), sep
+    ),
+    # replaceFirst: anchor at ^ with a lazy prefix group — the whole regex
+    # can then match at most once, so regexp_replace replaces only the
+    # first occurrence of `pat`.
+    "str:replaceFirst": lambda s, pat, rep: F.regexp_replace(
+        s, f"(?s)^(.*?)(?:{pat})", rf"$1{rep}"
+    ),
+}
+
+# --------------------------------------------------------------- math:
+# `[ext:math]` — 1:1 with pyspark.sql.functions
+MATH: dict[str, Callable[..., Column]] = {
+    "math:abs": F.abs,
+    "math:ceil": F.ceil,
+    "math:floor": F.floor,
+    "math:round": F.round,
+    "math:sqrt": F.sqrt,
+    "math:cbrt": F.cbrt,
+    "math:power": F.pow,
+    "math:exp": F.exp,
+    "math:ln": F.log,
+    "math:log": lambda base, x: F.log(base, x),
+    "math:log2": F.log2,
+    "math:log10": F.log10,
+    "math:sin": F.sin,
+    "math:cos": F.cos,
+    "math:tan": F.tan,
+    "math:asin": F.asin,
+    "math:acos": F.acos,
+    "math:atan": F.atan,
+    "math:sinh": F.sinh,
+    "math:cosh": F.cosh,
+    "math:tanh": F.tanh,
+    "math:toDegrees": F.degrees,
+    "math:toRadians": F.radians,
+    "math:rand": F.rand,
+    "math:e": lambda: F.lit(2.718281828459045),
+    "math:pi": lambda: F.lit(3.141592653589793),
+    "math:signum": F.signum,
+    "math:conv": F.conv,
+    "math:bin": F.bin,
+    "math:oct": lambda x: F.conv(x.cast("string"), 10, 8),
+    "math:hex": F.hex,
+    "math:parseInt": lambda s: s.cast("int"),
+    "math:parseLong": lambda s: s.cast("long"),
+    "math:parseFloat": lambda s: s.cast("float"),
+    "math:parseDouble": lambda s: s.cast("double"),
+    "math:getExponent": lambda x: F.floor(F.log2(F.abs(x))),
+    "math:copySign": lambda m, s: F.abs(m) * F.signum(s),
+}
+
+# --------------------------------------------------------------- time:
+# `[ext:time]` — epoch-millis-centric in the reference; TimestampType here
+TIME: dict[str, Callable[..., Column]] = {
+    "time:currentDate": F.current_date,
+    "time:currentTimestamp": F.current_timestamp,
+    "time:utcTimestamp": F.current_timestamp,  # session TZ pinned to UTC
+    "time:date": F.to_date,
+    "time:dateAdd": lambda ts, n, unit: ts + F.expr(f"INTERVAL {n} {unit}"),
+    "time:dateSub": lambda ts, n, unit: ts - F.expr(f"INTERVAL {n} {unit}"),
+    "time:dateDiff": F.datediff,
+    "time:dateFormat": F.date_format,
+    "time:dayOfWeek": F.dayofweek,
+    "time:extract": lambda unit, ts: F.expr(f"extract({unit} FROM {ts})"),
+    "time:timestampInMilliseconds": F.unix_millis,
+}
+
+# --------------------------------------------------------------- json:
+# `[ext:execution-json]`
+JSON: dict[str, Callable[..., Column]] = {
+    "json:getString": F.get_json_object,
+    "json:getInt": lambda j, p: F.get_json_object(j, p).cast("int"),
+    "json:getLong": lambda j, p: F.get_json_object(j, p).cast("long"),
+    "json:getDouble": lambda j, p: F.get_json_object(j, p).cast("double"),
+    "json:getBool": lambda j, p: F.get_json_object(j, p).cast("boolean"),
+    "json:isExists": lambda j, p: F.get_json_object(j, p).isNotNull(),
+    "json:toObject": F.from_json,
+    "json:toString": F.to_json,
+}
+
+# --------------------------------------------------- map: / list: / regex:
+MAP: dict[str, Callable[..., Column]] = {
+    "map:create": F.create_map,
+    "map:put": lambda m, k, v: F.map_concat(m, F.create_map(k, v)),
+    "map:get": F.element_at,
+    "map:containsKey": lambda m, k: F.array_contains(F.map_keys(m), k),
+    "map:keys": F.map_keys,
+    "map:values": F.map_values,
+    "map:size": F.size,
+    "map:combine": F.map_concat,
+    "map:toJSON": F.to_json,
+}
+LIST: dict[str, Callable[..., Column]] = {
+    "list:create": F.array,
+    "list:add": F.array_append,
+    "list:get": F.element_at,
+    "list:remove": F.array_remove,
+    "list:size": F.size,
+    "list:contains": F.array_contains,
+    "list:indexOf": F.array_position,
+    "list:sort": F.array_sort,
+    "list:distinct": F.array_distinct,
+    "list:collect": F.collect_list,
+}
+REGEX: dict[str, Callable[..., Column]] = {
+    "regex:find": lambda s, pat: s.rlike(pat),
+    "regex:matches": lambda s, pat: s.rlike(f"^(?:{pat})$"),
+    "regex:group": lambda s, pat, i: F.regexp_extract(s, pat, i),
+    "regex:lookingAt": lambda s, pat: s.rlike(f"^(?:{pat})"),
+}
+
+REGISTRY: dict[str, Callable[..., Column]] = {
+    **CORE,
+    **STR,
+    **MATH,
+    **TIME,
+    **JSON,
+    **MAP,
+    **LIST,
+    **REGEX,
+}
+
+
+def fn(name: str) -> Callable[..., Column]:
+    """Look up a reference function by `namespace:name`."""
+    return REGISTRY[name]

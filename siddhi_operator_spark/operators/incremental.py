@@ -1,0 +1,120 @@
+"""Incremental (multi-granularity time-series) aggregation —
+SURVEY.md §3.5 (`[core] aggregation/IncrementalExecutor.java`,
+`AggregationParser.java`, `IncrementalAggregateCompileCondition.java`).
+
+Siddhi: `define aggregation A from S select sum(x), avg(x) … aggregate
+by ts every sec…year`, queried with `within <range> per <granularity>`.
+The engine cascades rollups second→minute→hour→day→month→year and only
+*composable* sub-aggregates are stored (avg = sum/count; stdDev = sum of
+squares) — `[core] aggregation/IncrementalAttributeAggregator`
+subclasses.
+
+Spark design: the base granularity is one tumbling aggregation storing
+the composable state (count, sum, sum_sq, min, max); each coarser
+granularity is derived FROM the previous one (never re-reads the raw
+100 TB), so the cascade costs one full scan + five tiny re-aggs.
+Retrieval picks the requested granularity table, applies the `within`
+range as a partition-prunable filter, and finalizes derived measures
+(avg, stddev) from the composable state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRANULARITIES = ("second", "minute", "hour", "day", "month", "year")
+
+_TRUNC_FMT = {
+    # date_trunc fmt per granularity
+    "second": "second",
+    "minute": "minute",
+    "hour": "hour",
+    "day": "day",
+    "month": "month",
+    "year": "year",
+}
+
+
+def base_rollup(df: DataFrame, ts: str, value: str, keys: tuple[str, ...], gran: str) -> DataFrame:
+    """Aggregate raw events to one granularity, storing composable
+    state only (sum/count/sum_sq/min/max)."""
+    return (
+        df.groupBy(
+            F.date_trunc(_TRUNC_FMT[gran], F.col(ts)).alias("bucket_start"), *keys
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value).alias("sum_v"),
+            F.sum(F.col(value) * F.col(value)).alias("sum_sq"),
+            F.min(value).alias("min_v"),
+            F.max(value).alias("max_v"),
+        )
+    )
+
+
+def rollup_up(prev: DataFrame, gran: str, keys: tuple[str, ...]) -> DataFrame:
+    """Derive a coarser granularity from the previous one — composable
+    state merges with sum/sum/sum/min/max (this is the whole trick that
+    makes the cascade one-scan)."""
+    return (
+        prev.groupBy(
+            F.date_trunc(_TRUNC_FMT[gran], F.col("bucket_start")).alias("bucket_start"),
+            *keys,
+        ).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: tuple[str, ...] = (),
+    granularities: tuple[str, ...] = GRANULARITIES,
+    base: str | None = None,
+) -> dict[str, DataFrame]:
+    """Build the full cascade. ``base`` defaults to the finest requested
+    granularity. Returns {granularity: rollup DataFrame}; callers
+    materialize each to partitioned parquet in production (the
+    `@purge`-style retention is then parquet partition deletion)."""
+    grans = [g for g in GRANULARITIES if g in granularities]
+    base = base or grans[0]
+    out: dict[str, DataFrame] = {}
+    prev = base_rollup(df, ts, value, keys, base)
+    out[base] = prev
+    for g in grans[grans.index(base) + 1 :]:
+        prev = rollup_up(prev, g, keys)
+        out[g] = prev
+    return out
+
+
+def finalize(rollup: DataFrame) -> DataFrame:
+    """Finalize derived measures from composable state: avg = sum/cnt,
+    population stddev = sqrt(sum_sq/cnt − (sum/cnt)²) — the same
+    composition the reference's `AvgIncrementalAttributeAggregator` /
+    stdDev incremental aggregator use."""
+    avg = F.col("sum_v") / F.col("cnt")
+    var = F.col("sum_sq") / F.col("cnt") - avg * avg
+    return rollup.withColumn("avg_v", avg).withColumn(
+        "stddev_v", F.sqrt(F.greatest(var, F.lit(0.0)))
+    )
+
+
+def query_within_per(
+    cascade: dict[str, DataFrame],
+    per: str,
+    start,
+    end,
+) -> DataFrame:
+    """`within [start, end) per '<granularity>'` retrieval: pick the
+    granularity table, range-filter the bucket (partition-prunable),
+    finalize."""
+    r = cascade[per].filter(
+        (F.col("bucket_start") >= F.lit(start)) & (F.col("bucket_start") < F.lit(end))
+    )
+    return finalize(r)

@@ -1,0 +1,185 @@
+"""CEP pattern / sequence matching — batch/analytics formulations.
+
+The reference's CEP core (`[core] query/input/stream/state/` —
+`StreamPreStateProcessor.java`, `LogicalPreStateProcessor.java`,
+`CountPreStateProcessor.java`, `AbsentStreamPreStateProcessor.java`;
+SURVEY.md §3.10) matches non-contiguous `->` (followed-by) patterns,
+contiguous sequences, logical and/or, absence (`not … for t`), and
+count quantifiers, always per key, within an optional time budget.
+
+Batch mode maps each construct to relational algebra Catalyst can
+optimize (time-bounded equi-joins, lead/lag analytics); the streaming
+NFA twin lives in ``siddhi_operator_spark.streaming.cep``.
+
+Scale: every formulation joins/partitions on the pattern key, so the
+shuffle is keyed and bounded; the time bound is part of the join
+condition so state/probe ranges stay small and AQE can split skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def followed_by(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    first_pred: Column,
+    second_pred: Column,
+    within_seconds: float,
+    every: bool = True,
+    first_match_only: bool = True,
+) -> DataFrame:
+    """`from every e1=S[p1] -> e2=S[p2] within t` — non-contiguous
+    followed-by (`StreamPreStateProcessor.java`).
+
+    For each e1 (per key), find e2 with e1.ts < e2.ts ≤ e1.ts + t.
+    ``first_match_only`` keeps the earliest e2 per e1 (the reference
+    emits the first completing match per started state machine);
+    ``every=False`` additionally keeps only the first e1 per key.
+
+    Returns columns: key, e1_ts, e1_id, e2_ts, e2_id (+ e1_/e2_ prefixed
+    payload hooks can be added by the caller before/after).
+    """
+    e1 = df.filter(first_pred).select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("e1_ts"),
+        F.col("event_id").alias("e1_id"),
+    )
+    if not every:
+        w = Window.partitionBy("k").orderBy("e1_ts", "e1_id")
+        e1 = e1.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    e2 = df.filter(second_pred).select(
+        F.col(key).alias("k2"),
+        F.col(ts).alias("e2_ts"),
+        F.col("event_id").alias("e2_id"),
+    )
+    joined = e1.join(
+        e2,
+        on=(
+            (F.col("k") == F.col("k2"))
+            & (F.col("e2_ts") > F.col("e1_ts"))
+            & (
+                F.col("e2_ts")
+                <= F.col("e1_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS")
+            )
+        ),
+        how="inner",
+    ).drop("k2")
+    if first_match_only:
+        w = Window.partitionBy("k", "e1_id").orderBy("e2_ts", "e2_id")
+        joined = (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return joined.withColumnRenamed("k", key)
+
+
+def absence(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    first_pred: Column,
+    absent_pred: Column,
+    within_seconds: float,
+) -> DataFrame:
+    """Absence pattern: `e1=S[p1] -> not S[p2] for t`
+    (`AbsentStreamPreStateProcessor.java`) — e1 events with NO p2 event
+    for the same key in (e1.ts, e1.ts + t].
+
+    Batch mapping: time-bounded left-anti join (the reference arms a
+    state timer; the anti-join is its fixed point).
+    """
+    e1 = df.filter(first_pred).select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("e1_ts"),
+        F.col("event_id").alias("e1_id"),
+    )
+    e2 = df.filter(absent_pred).select(
+        F.col(key).alias("k2"), F.col(ts).alias("e2_ts")
+    )
+    return (
+        e1.join(
+            e2,
+            on=(
+                (F.col("k") == F.col("k2"))
+                & (F.col("e2_ts") > F.col("e1_ts"))
+                & (
+                    F.col("e2_ts")
+                    <= F.col("e1_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS")
+                )
+            ),
+            how="left_anti",
+        )
+        .withColumnRenamed("k", key)
+    )
+
+
+def sequence_adjacent(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    order_tiebreak: str,
+    preds: Sequence[tuple[str, Column]],
+) -> DataFrame:
+    """Contiguous sequence: `from e1=S[p1], e2=S[p2], …` — the *next*
+    event (per key, event-time order) must match
+    (`CountPreStateProcessor.java` handles the quantifier variants;
+    strict contiguity per SURVEY.md §3.10).
+
+    Batch mapping: lead() chains — event i matches p_i applied to the
+    i-th lead. ``preds`` is [(name, predicate-over-prefixed-columns)];
+    predicates reference columns as `{name}_{col}`.
+
+    The per-key lead() is one keyed sort — no join, no state blowup.
+    """
+    base_cols = df.columns
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    out = df
+    for i, (name, _) in enumerate(preds):
+        for c in base_cols:
+            out = out.withColumn(f"{name}_{c}", F.lead(F.col(c), i).over(w))
+    cond = None
+    for _, pred in preds:
+        cond = pred if cond is None else (cond & pred)
+    return out.filter(cond).select(
+        key, *[f"{name}_{c}" for name, _ in preds for c in base_cols if c != key]
+    )
+
+
+def logical_and_pattern(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    pred_a: Column,
+    pred_b: Column,
+    within_seconds: float,
+) -> DataFrame:
+    """Logical pattern `e1=S[pa] and e2=S[pb]` within t
+    (`LogicalPreStateProcessor.java`): both must occur (either order)
+    within the budget, per key. Pairs each a-event with the nearest
+    b-event within ±t."""
+    a = df.filter(pred_a).select(
+        F.col(key).alias("k"), F.col(ts).alias("a_ts"), F.col("event_id").alias("a_id")
+    )
+    b = df.filter(pred_b).select(
+        F.col(key).alias("k2"), F.col(ts).alias("b_ts"), F.col("event_id").alias("b_id")
+    )
+    # integer-microsecond arithmetic so the oracle (epoch_us) is exact
+    dist = F.abs(F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts")))
+    j = a.join(
+        b,
+        on=((F.col("k") == F.col("k2")) & (dist <= int(within_seconds * 1_000_000))),
+    ).drop("k2")
+    w = Window.partitionBy("k", "a_id").orderBy(dist, "b_id")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed("k", key)
+    )

@@ -1,0 +1,199 @@
+"""Deduplication operators over a document corpus.
+
+Scale design: every method is "bucket first, compare within bucket".
+Exact/fingerprint dedup is one keyed shuffle. MinHash-LSH generates
+candidate pairs only for band collisions (the standard
+shingle→minhash→band→bucket-join pipeline), so pairwise work is
+O(collisions), not O(n²). Hashes are md5-based — portable across
+engines (the DuckDB oracles run the byte-identical computation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..fpround import r4
+
+TOKEN_SPLIT = r"\s+"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text_col), TOKEN_SPLIT))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: md5(text) → keep min id per group,
+    report group size. One hash-partitioned agg; no pairwise work."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def fingerprint_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bag-of-words fingerprint dedup: md5 of the sorted distinct token
+    list — catches word-order shuffles that exact hashing misses
+    (document fingerprinting per the text-analysis inventory)."""
+    toks = with_tokens(df, text_col)
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("tokens"))), " "))
+    return (
+        toks.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, n_hashes: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures: sig_i = min over tokens of md5(i || '|' ||
+    token). md5 keeps it engine-portable; the min of a uniform hash
+    over the token set is the classic Jaccard estimator. Adds columns
+    sig_0..sig_{n-1}. Computed with array transforms — no explode, no
+    shuffle."""
+    toks = with_tokens(df, text_col)
+
+    # NB: the lambda must take exactly one parameter — PySpark's
+    # transform() passes (element, index) to two-parameter lambdas, so a
+    # `lambda t, i=i:` default-arg closure would silently receive the
+    # array index as `i`.
+    def hasher(seed: int):
+        return lambda t: F.md5(F.concat(F.lit(f"{seed}|"), t))
+
+    out = toks
+    for i in range(n_hashes):
+        out = out.withColumn(
+            f"sig_{i}",
+            F.array_min(F.transform(F.array_distinct(F.col("tokens")), hasher(i))),
+        )
+    return out
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signatures (band hash = md5 of the band's sigs) and
+    self-join per band bucket → candidate pairs (id_a < id_b), with the
+    signature-agreement estimate of Jaccard. The join key is
+    (band_index, band_hash): only colliding docs ever meet — this is
+    the whole scale story."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                *[F.col(f"sig_{i}") for i in range(n_hashes)],
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sum(
+                [
+                    F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0)
+                    for i in range(n_hashes)
+                ]
+            ).alias("n_sig_match"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "jaccard_est", F.col("n_sig_match") / F.lit(float(n_hashes))
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "source",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram(1) Jaccard near-dup pairs within a blocking key:
+    explode distinct tokens, self-join on token (+ block), count
+    shared, jaccard = |∩| / (|A| + |B| − |∩|). The block column bounds
+    the candidate space (at 100 TB you always block — by source,
+    shard, or an LSH band as above)."""
+    toks = with_tokens(df, text_col).select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.explode(F.array_distinct(F.col("tokens"))).alias("token"),
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    join_cond = [F.col("a.token") == F.col("b.token"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col:
+        join_cond.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    shared = (
+        a.join(b, on=join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("id_a", "id_b", "shared", r4("jaccard", 4).alias("jaccard"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over tokens using xxhash64 (JVM-side): per bit,
+    sum of ±1 votes weighted by token presence; sign → bit. Not
+    oracle-portable (DuckDB lacks xxhash64) → registered as a
+    rows-only check. Bit arithmetic stays in Catalyst expressions."""
+    toks = with_tokens(df, text_col).select(
+        "*", F.explode(F.array_distinct(F.col("tokens"))).alias("_tok")
+    )
+    h = F.xxhash64(F.col("_tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return votes.select("doc_id", sim.alias("simhash"))

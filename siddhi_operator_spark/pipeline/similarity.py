@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how you'd serve ANN at 100 TB:
+- brute-force cosine top-k: exact baseline; broadcast the (small) query
+  set against the full corpus — one scan, no shuffle of the corpus.
+- sign-LSH bucketed: axis-aligned random-hyperplane LSH (sign bits of
+  leading dimensions) → candidates meet only within a bucket; the
+  bucket key is the shuffle key, so comparisons scale with bucket
+  occupancy, not corpus².
+
+All vector math is Catalyst array expressions (zip_with/aggregate) in
+double precision — JVM-side, no Python UDF, same arithmetic the DuckDB
+oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..fpround import r4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every corpus
+    row, per-query TopK via row_number (WindowGroupLimit — no global
+    sort). Excludes self-matches."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        corpus.alias("c")
+        .join(F.broadcast(q), on=F.col(f"c.{id_col}") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            cosine(F.col("q_vec"), F.col(f"c.{vec_col}")).alias("cos"),
+        )
+    )
+    # rank on the ROUNDED score: engines may sum in different orders, so
+    # raw-float ordering could flip near-ties; 4-decimal ranking is
+    # deterministic on both sides of the oracle comparison.
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(r4("cos", 4)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", r4("cos", 4).alias("cos"), "rank")
+    )
+
+
+def sign_lsh_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Axis-aligned hyperplane LSH: bucket id from the sign bits of the
+    first n dimensions. Deterministic and engine-portable."""
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bit = F.when(F.element_at(vec, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    k: int = 1,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: compare only within the LSH bucket. The
+    bucket is the join key — shuffle partitions by bucket, pairwise
+    work is sum of bucket², not corpus²."""
+    b = corpus.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), n_bits))
+    qs = b
+    if max_query_id is not None:
+        qs = b.filter(F.col(id_col) < max_query_id)
+    q = qs.select(
+        F.col("bucket"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    scored = b.alias("c").join(
+        q.alias("q"),
+        on=[
+            F.col("c.bucket") == F.col("q.bucket"),
+            F.col(f"c.{id_col}") != F.col("q.query_id"),
+        ],
+    ).select(
+        "query_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cosine(F.col("q_vec"), F.col(f"c.{vec_col}")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(r4("cos", 4)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", r4("cos", 4).alias("cos"), "rank")
+    )

@@ -1,0 +1,93 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID heuristic, shingle statistics. All pure Catalyst
+expressions — at 100 TB these run inside whole-stage codegen over the
+parquet scan with zero shuffles (per-row derivations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..fpround import r4
+
+STOPWORDS_EN = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish proxy
+    (chars/4, the standard rough token estimate) and word-ish regex
+    tokens."""
+    toks = F.split(F.col(text_col), r"\s+")
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length(text_col).alias("n_chars_computed"),
+        F.ceil(F.length(text_col) / 4).alias("n_bpe_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio,
+    type-token ratio — the standard cheap pre-filters for training
+    corpora."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS_EN]))
+    )
+    mean_tok_len = (F.length(text_col) - (n - 1)) / n  # chars minus spaces
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        r4(mean_tok_len, 4).alias("mean_tok_len"),
+        r4(stop_hits / n, 4).alias("stopword_ratio"),
+        r4(uniq / n, 4).alias("type_token_ratio"),
+        r4(
+            (F.lit(1.0) * (uniq / n))
+            * F.when(n >= 20, 1.0).otherwise(n / 20.0),
+            4,
+        ).alias("quality"),
+    )
+
+
+def langid_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: character-class + stopword voting.
+    (On this synthetic corpus every language shares one vocabulary, so
+    the classifier output is degenerate — the operator's value is the
+    deterministic, portable scoring pipeline, mirrored by the oracle.)"""
+    t = F.col(text_col)
+    has_cjk = t.rlike(r"[一-鿿]")
+    has_accents = t.rlike(r"[áéíóúñüäöß]")
+    toks = F.split(t, r"\s+")
+    en_hits = F.size(F.filter(toks, lambda x: x.isin(*[F.lit(s) for s in STOPWORDS_EN])))
+    return df.select(
+        "doc_id",
+        "lang",
+        F.when(has_cjk, "zh")
+        .when(has_accents, "eu")
+        .when(en_hits > 0, "en")
+        .otherwise("unknown")
+        .alias("lang_pred"),
+        en_hits.alias("en_stopword_hits"),
+    )
+
+
+def shingle_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """k-token shingle statistics (the input to fingerprinting /
+    minhash): number of shingles and distinct shingles per doc, via
+    array expressions (sequence + transform + slice), no explode."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(shingles).alias("n_shingles"),
+        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
+    )

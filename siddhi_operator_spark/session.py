@@ -1,0 +1,59 @@
+"""SparkSession construction tuned for this engine.
+
+Defaults chosen for correctness-vs-oracle and for scale:
+- UTC session timezone (parquet timestamps compare bit-identically with
+  DuckDB's UTC-naive timestamps).
+- AQE on (runtime coalesce, skew-join splitting) — at 100 TB the static
+  shuffle-partition number is always wrong; AQE re-plans from runtime
+  stats.
+- Arrow enabled for the pandas-UDF escape hatches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "siddhi-operator-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    On a real cluster ``master``/``shuffle_partitions`` come from the
+    submit environment; locally we default to ``local[N]`` with
+    shuffle partitions ≈ cores so tiny test data isn't shredded into
+    200 empty tasks.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # streaming state: RocksDB scales past heap for big keyed state
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,227 @@
+"""Suite: aggregator inventory (SURVEY.md §3.5 —
+`[core] query/selector/attribute/aggregator/`), plus group-by/having/
+order-by/limit selector semantics (`QuerySelector.java`) and the
+Spark-free extensions (cube/rollup — absent in the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import aggregates as A
+from ..fpround import r4
+from .registry import register
+
+
+@register(
+    "agg_basic",
+    oracle="""
+    SELECT event_type,
+           round(1e-9 + sum(value), 4)        AS sum_v,
+           round(1e-9 + avg(value), 4)        AS avg_v,
+           count(*)                    AS cnt,
+           count(DISTINCT user_id)     AS distinct_users,
+           round(1e-9 + min(value), 4)        AS min_v,
+           round(1e-9 + max(value), 4)        AS max_v,
+           round(1e-9 + stddev_pop(value), 4) AS std_v
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_basic(spark: SparkSession, sf: str) -> DataFrame:
+    """sum/avg/count/distinctCount/min/max/stdDev per group
+    (`SumAttributeAggregatorExecutor` et al.). Reference's stdDev is
+    population → `stddev_pop`."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        r4(F.sum("value"), 4).alias("sum_v"),
+        r4(F.avg("value"), 4).alias("avg_v"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        r4(F.min("value"), 4).alias("min_v"),
+        r4(F.max("value"), 4).alias("max_v"),
+        r4(F.stddev_pop("value"), 4).alias("std_v"),
+    )
+
+
+@register(
+    "agg_forever_extrema",
+    oracle="""
+    SELECT event_id, user_id,
+           round(1e-9 + min(value) OVER w, 4) AS min_forever,
+           round(1e-9 + max(value) OVER w, 4) AS max_forever
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("agg", "forever"),
+)
+def agg_forever_extrema(spark: SparkSession, sf: str) -> DataFrame:
+    """minForever/maxForever (`MinForeverAttributeAggregatorExecutor`):
+    all-time running extrema, never retracted."""
+    e = load(spark, sf, "events")
+    out = A.forever_extrema(e, "value", keys=["user_id"], order=[F.col("ts"), F.col("event_id")])
+    return out.select(
+        "event_id",
+        "user_id",
+        r4(F.col("min_forever"), 4).alias("min_forever"),
+        r4(F.col("max_forever"), 4).alias("max_forever"),
+    )
+
+
+@register(
+    "agg_unionset",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set,
+           count(DISTINCT event_type)                               AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "unionSet"),
+)
+def agg_unionset(spark: SparkSession, sf: str) -> DataFrame:
+    """unionSet/createSet/sizeOfSet
+    (`UnionSetAttributeAggregatorExecutor`): the set of event types per
+    user, rendered sorted for determinism."""
+    e = load(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        A.union_set("event_type").alias("type_set"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+    SELECT user_id,
+           bool_and(value > 5)   AS all_gt5,
+           bool_or(value > 900)  AS any_gt900
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "bool"),
+)
+def agg_bool(spark: SparkSession, sf: str) -> DataFrame:
+    """and/or aggregators (`AndAttributeAggregatorExecutor`,
+    `OrAttributeAggregatorExecutor`)."""
+    e = load(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        A.bool_and(F.col("value") > 5).alias("all_gt5"),
+        A.bool_or(F.col("value") > 900).alias("any_gt900"),
+    )
+
+
+@register(
+    "agg_having_orderby_limit",
+    oracle="""
+    SELECT user_id, round(1e-9 + sum(value), 4) AS total, count(*) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING sum(value) > 1000
+    ORDER BY total DESC, user_id
+    LIMIT 20
+    """,
+    tags=("agg", "having", "orderby", "limit"),
+)
+def agg_having_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """group by + having + order by + limit (`QuerySelector.java` —
+    having is a post-agg filter; order/limit are chunk-scoped in the
+    reference, global here in batch mode). Deterministic tiebreak on
+    user_id so LIMIT is stable on both sides."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(r4(F.sum("value"), 4).alias("total"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("total") > 1000)
+        .orderBy(F.desc("total"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_multikey",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*) AS n, round(1e-9 + avg(value), 4) AS avg_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "groupby"),
+)
+def agg_multikey(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key group by (`GroupByKeyGenerator.java`)."""
+    e = load(spark, sf, "events")
+    return e.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), r4(F.avg("value"), 4).alias("avg_v"))
+
+
+@register(
+    "agg_rollup_cube",
+    oracle="""
+    SELECT event_type, user_id % 5 AS ub,
+           count(*) AS n, round(1e-9 + sum(value), 4) AS sum_v
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 5)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_rollup_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """cube/rollup — absent in the reference (SURVEY.md §3.5), exposed
+    free from Spark as an engine extension."""
+    e = load(spark, sf, "events")
+    return e.cube("event_type", (F.col("user_id") % 5).alias("ub")).agg(
+        F.count(F.lit(1)).alias("n"), r4(F.sum("value"), 4).alias("sum_v")
+    )
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(1e-9 + sum(l_quantity), 4)                                        AS sum_qty,
+           round(1e-9 + sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(1e-9 + avg(l_quantity), 4)                                        AS avg_qty,
+           round(1e-9 + avg(l_extendedprice), 4)                                   AS avg_price,
+           round(1e-9 + avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 — the canonical wide-agg benchmark query; also the
+    BASELINE.md headline. Partial aggregation map-side; scan reads only
+    the 7 referenced columns (check ReadSchema)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity"), 4).alias("sum_qty"),
+            r4(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            r4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            r4(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            r4(F.avg("l_quantity"), 4).alias("avg_qty"),
+            r4(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            r4(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

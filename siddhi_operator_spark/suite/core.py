@@ -1,0 +1,292 @@
+"""Suite: filter / projection / scalar-function layer (SURVEY.md §3.2,
+§3.9). Reference parity: `FilterProcessor.java`, `QuerySelector.java`,
+`executor/math/*`, `executor/condition/*`, `executor/function/*`, and
+the str:/math:/time:/json:/regex: extension namespaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..fpround import r4
+from .registry import register
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT event_id, value
+    FROM events
+    WHERE value > 100
+    """,
+    tags=("filter", "projection"),
+)
+def filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """`from events[value > 100] select event_id, value` —
+    `FilterProcessor.java`. Predicate + projection push down to the
+    parquet scan (verify: PushedFilters in .explain)."""
+    return load(spark, sf, "events").filter(F.col("value") > 100).select("event_id", "value")
+
+
+@register(
+    "filter_compound",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE (event_type IN ('click','purchase') AND value >= 50 AND value < 500
+           AND NOT (user_id % 7 = 0)) OR props IS NULL
+    """,
+    tags=("filter",),
+)
+def filter_compound(spark: SparkSession, sf: str) -> DataFrame:
+    """Compound and/or/not + is-null + in-list —
+    `{And,Or,Not}ConditionExpressionExecutor.java`,
+    `IsNullConditionExpressionExecutor.java`."""
+    e = load(spark, sf, "events")
+    return e.filter(
+        (
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("value") >= 50)
+            & (F.col("value") < 500)
+            & ~(F.col("user_id") % 7 == 0)
+        )
+        | F.col("props").isNull()
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "scalar_str",
+    oracle="""
+    SELECT doc_id,
+           upper(lang)                    AS lang_u,
+           length(text)                   AS txt_len,
+           substring(text, 1, 12)         AS prefix,
+           concat(source, '#', lang)      AS tagged,
+           reverse(lang)                  AS lang_rev,
+           contains(text, 'the')          AS has_the
+    FROM documents
+    """,
+    tags=("functions", "str"),
+)
+def scalar_str(spark: SparkSession, sf: str) -> DataFrame:
+    """str: namespace — upper/length/substr/concat/reverse/contains
+    (`[ext:string]`)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.length("text").alias("txt_len"),
+        F.substring("text", 1, 12).alias("prefix"),
+        F.concat("source", F.lit("#"), "lang").alias("tagged"),
+        F.reverse(F.col("lang")).alias("lang_rev"),
+        F.col("text").contains("the").alias("has_the"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(1e-9 + abs(l_extendedprice * (1 - l_discount)), 4) AS net,
+           round(1e-9 + sqrt(l_quantity), 4)                        AS q_sqrt,
+           ceil(l_quantity)                                  AS q_ceil,
+           floor(l_tax * 100)                                AS tax_pct,
+           round(1e-9 + ln(l_extendedprice + 1), 4)                 AS price_ln,
+           round(1e-9 + pow(l_discount, 2), 4)                      AS disc_sq
+    FROM lineitem
+    """,
+    tags=("functions", "math"),
+)
+def scalar_math(spark: SparkSession, sf: str) -> DataFrame:
+    """math: namespace — abs/sqrt/ceil/floor/ln/power (`[ext:math]`)."""
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("net"),
+        r4(F.sqrt("l_quantity"), 4).alias("q_sqrt"),
+        F.ceil("l_quantity").alias("q_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct"),
+        r4(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        r4(F.pow("l_discount", F.lit(2)), 4).alias("disc_sq"),
+    )
+
+
+@register(
+    "scalar_time",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')        AS od_str,
+           year(o_orderdate)                         AS od_year,
+           month(o_orderdate)                        AS od_month,
+           dayofweek(o_orderdate) + 1                AS od_dow,
+           o_orderdate + INTERVAL 30 DAY             AS due_ts,
+           datediff('day', o_orderdate,
+                    TIMESTAMP '2024-06-01 00:00:00') AS days_to_jun
+    FROM orders
+    """,
+    tags=("functions", "time"),
+)
+def scalar_time(spark: SparkSession, sf: str) -> DataFrame:
+    """time: namespace — dateFormat/extract/dateAdd/dateDiff
+    (`[ext:time]`). Spark dayofweek is 1=Sunday; DuckDB is 0=Sunday —
+    oracle compensates."""
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_str"),
+        F.year("o_orderdate").alias("od_year"),
+        F.month("o_orderdate").alias("od_month"),
+        F.dayofweek("o_orderdate").alias("od_dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.lit("2024-06-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_jun"
+        ),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER) AS k_int,
+           (props->>'$.k') IS NOT NULL    AS k_exists
+    FROM events
+    """,
+    tags=("functions", "json"),
+)
+def scalar_json(spark: SparkSession, sf: str) -> DataFrame:
+    """json: namespace — getInt/isExists over the `props` JSON column
+    (`[ext:execution-json] JsonSourceMapper`-style access)."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.k").isNotNull().alias("k_exists"),
+    )
+
+
+@register(
+    "conditional_fns",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'high'
+                WHEN c_acctbal > 0    THEN 'mid'
+                ELSE 'low' END                       AS tier,
+           coalesce(c_mktsegment, 'UNKNOWN')          AS seg,
+           greatest(c_acctbal, 0.0)                   AS bal_pos,
+           least(CAST(c_nationkey AS BIGINT), c_custkey) AS small_key
+    FROM customer
+    """,
+    tags=("functions", "core"),
+)
+def conditional_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Core executors: ifThenElse / coalesce / maximum / minimum
+    (`IfThenElseFunctionExecutor.java`, `CoalesceFunctionExecutor.java`,
+    `MaximumFunctionExecutor.java`)."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 5000, "high")
+        .when(F.col("c_acctbal") > 0, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("seg"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_pos"),
+        F.least(F.col("c_nationkey").cast("long"), F.col("c_custkey")).alias("small_key"),
+    )
+
+
+@register(
+    "cast_convert",
+    oracle="""
+    SELECT event_id,
+           CAST(trunc(value) AS BIGINT)          AS value_long,
+           CAST(user_id AS VARCHAR)              AS uid_str,
+           CAST(CAST(trunc(value) AS INTEGER) AS DOUBLE) AS value_roundtrip
+    FROM events
+    """,
+    tags=("functions", "core"),
+)
+def cast_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """cast/convert (`CastFunctionExecutor.java`,
+    `ConvertFunctionExecutor.java`). Spark double→integral casts
+    truncate toward zero while DuckDB CAST rounds — the oracle applies
+    trunc() first so both sides express the same (Siddhi/Java) cast."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.col("value").cast("long").alias("value_long"),
+        F.col("user_id").cast("string").alias("uid_str"),
+        F.col("value").cast("int").cast("double").alias("value_roundtrip"),
+    )
+
+
+@register(
+    "regex_fns",
+    oracle="""
+    SELECT doc_id,
+           regexp_matches(text, 'data')                    AS has_data,
+           regexp_extract(text, '([a-z]+)ing', 1)          AS ing_stem,
+           regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled
+    FROM documents
+    """,
+    tags=("functions", "regex"),
+)
+def regex_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """regex: namespace — find/group/replaceAll (`[ext:regex]`)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").rlike("data").alias("has_data"),
+        F.regexp_extract("text", "([a-z]+)ing", 1).alias("ing_stem"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@register(
+    "union_streams",
+    oracle="""
+    SELECT event_id, user_id, 'big_click' AS tag FROM events
+    WHERE event_type = 'click' AND value > 200
+    UNION ALL
+    SELECT event_id, user_id, 'any_error' AS tag FROM events
+    WHERE event_type = 'error'
+    """,
+    tags=("routing",),
+)
+def union_streams(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream routing: two queries `insert into` one shared stream
+    (`InsertIntoStreamCallback.java`) ≡ unionByName of producers."""
+    e = load(spark, sf, "events")
+    a = (
+        e.filter((F.col("event_type") == "click") & (F.col("value") > 200))
+        .select("event_id", "user_id")
+        .withColumn("tag", F.lit("big_click"))
+    )
+    b = (
+        e.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id")
+        .withColumn("tag", F.lit("any_error"))
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "setops_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("setops",),
+)
+def setops_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Set ops (absent as syntax in the reference — SURVEY.md §3.8 —
+    exposed as a Spark-native extension): clickers ∩ purchasers."""
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)

@@ -1,0 +1,105 @@
+"""Suite: incremental (multi-granularity) aggregation
+(SURVEY.md §3.5 — `[core] aggregation/IncrementalExecutor.java`).
+The cascade derives each coarser granularity from the previous one
+(hour→day→month here), so correctness of `month` transitively proves
+the composable-state merge (`sum/cnt/sum_sq/min/max`) — the same trick
+as the reference's `IncrementalAttributeAggregator` subclasses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import incremental as I
+from ..fpround import r4
+from .registry import register
+
+
+def _finalized(spark: SparkSession, sf: str, per: str, start: str, end: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    cascade = I.rollup_cascade(
+        e, "ts", "value", keys=("event_type",), granularities=("hour", "day", "month")
+    )
+    out = I.query_within_per(cascade, per, start, end)
+    return out.select(
+        "bucket_start",
+        "event_type",
+        F.col("cnt").alias("n"),
+        r4(F.col("sum_v"), 4).alias("sum_v"),
+        r4(F.col("avg_v"), 4).alias("avg_v"),
+        r4(F.col("stddev_v"), 4).alias("std_v"),
+        r4(F.col("min_v"), 4).alias("min_v"),
+        r4(F.col("max_v"), 4).alias("max_v"),
+    )
+
+
+@register(
+    "incr_agg_day",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start, event_type,
+           count(*)                    AS n,
+           round(1e-9 + sum(value), 4)        AS sum_v,
+           round(1e-9 + avg(value), 4)        AS avg_v,
+           round(1e-9 + stddev_pop(value), 4) AS std_v,
+           round(1e-9 + min(value), 4)        AS min_v,
+           round(1e-9 + max(value), 4)        AS max_v
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("incremental", "day"),
+)
+def incr_agg_day(spark: SparkSession, sf: str) -> DataFrame:
+    """`define aggregation ... every hour...month` queried
+    `within [Jan 5, Jan 25) per 'days'`. Day table is derived from the
+    hour table, never from raw events — avg/stddev finalized from
+    composable state."""
+    return _finalized(spark, sf, "day", "2024-01-05 00:00:00", "2024-01-25 00:00:00")
+
+
+@register(
+    "incr_agg_month",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start, event_type,
+           count(*)                    AS n,
+           round(1e-9 + sum(value), 4)        AS sum_v,
+           round(1e-9 + avg(value), 4)        AS avg_v,
+           round(1e-9 + stddev_pop(value), 4) AS std_v,
+           round(1e-9 + min(value), 4)        AS min_v,
+           round(1e-9 + max(value), 4)        AS max_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("incremental", "month"),
+)
+def incr_agg_month(spark: SparkSession, sf: str) -> DataFrame:
+    """`per 'months'` over the whole fixture range — exercises two
+    cascade hops (hour→day→month)."""
+    return _finalized(spark, sf, "month", "2020-01-01 00:00:00", "2030-01-01 00:00:00")
+
+
+@register(
+    "incr_agg_hour_slice",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*)                    AS n,
+           round(1e-9 + sum(value), 4)        AS sum_v,
+           round(1e-9 + avg(value), 4)        AS avg_v,
+           round(1e-9 + stddev_pop(value), 4) AS std_v,
+           round(1e-9 + min(value), 4)        AS min_v,
+           round(1e-9 + max(value), 4)        AS max_v
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("incremental", "hour"),
+)
+def incr_agg_hour_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """Narrow `within` slice `per 'hours'` — the retrieval planner
+    range-prunes the bucket column before any join/scan of coarser
+    data (partition pruning at scale)."""
+    return _finalized(spark, sf, "hour", "2024-01-15 00:00:00", "2024-01-16 00:00:00")

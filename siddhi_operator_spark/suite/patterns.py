@@ -1,0 +1,252 @@
+"""Suite: CEP pattern/sequence matching — batch formulations
+(SURVEY.md §3.10; `[core] query/input/stream/state/` —
+`StreamPreStateProcessor`, `LogicalPreStateProcessor`,
+`CountPreStateProcessor`, `AbsentStreamPreStateProcessor`).
+The streaming NFA twin lives in ``..streaming.cep``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import patterns as P
+from .registry import register
+
+
+@register(
+    "pattern_followed_by",
+    oracle="""
+    SELECT user_id, e1_id AS signup_id, e1_ts AS signup_ts,
+           e2_id AS purchase_id, e2_ts AS purchase_ts
+    FROM (
+      SELECT a.user_id, a.event_id AS e1_id, a.ts AS e1_ts,
+             b.event_id AS e2_id, b.ts AS e2_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("pattern", "followed-by"),
+)
+def pattern_followed_by(spark: SparkSession, sf: str) -> DataFrame:
+    """`from every e1=events[signup] -> e2=events[purchase] within 1h`
+    per user (`StreamPreStateProcessor.java`): every signup arms a
+    state machine; first completing purchase emits."""
+    e = load(spark, sf, "events")
+    out = P.followed_by(
+        e,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        F.col("e1_id").alias("signup_id"),
+        F.col("e1_ts").alias("signup_ts"),
+        F.col("e2_id").alias("purchase_id"),
+        F.col("e2_ts").alias("purchase_ts"),
+    )
+
+
+@register(
+    "pattern_absence",
+    oracle="""
+    SELECT a.user_id, a.event_id AS signup_id, a.ts AS signup_ts
+    FROM events a
+    WHERE a.event_type = 'signup'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      )
+    """,
+    tags=("pattern", "absence"),
+)
+def pattern_absence(spark: SparkSession, sf: str) -> DataFrame:
+    """Absence: `e1=events[signup] -> not events[purchase] for 1h`
+    (`AbsentStreamPreStateProcessor.java`) — signups with no purchase
+    inside the budget; time-bounded anti-join."""
+    e = load(spark, sf, "events")
+    out = P.absence(
+        e,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        absent_pred=F.col("event_type") == "purchase",
+        within_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        F.col("e1_id").alias("signup_id"),
+        F.col("e1_ts").alias("signup_ts"),
+    )
+
+
+@register(
+    "pattern_sequence_adjacent",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type, 1) OVER w AS e2_event_type,
+             lead(event_id, 1)  OVER w AS e2_event_id,
+             lead(ts, 1)        OVER w AS e2_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS e1_id, ts AS e1_ts,
+           e2_event_id AS e2_id, e2_ts
+    FROM ordered
+    WHERE event_type = 'click' AND e2_event_type = 'error'
+    """,
+    tags=("sequence",),
+)
+def pattern_sequence_adjacent(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous sequence `from e1=events[click], e2=events[error]` —
+    the *very next* event per user must match (strict contiguity,
+    SURVEY.md §3.10). lead() chain, one keyed sort, no join."""
+    e = load(spark, sf, "events")
+    out = P.sequence_adjacent(
+        e,
+        key="user_id",
+        ts="ts",
+        order_tiebreak="event_id",
+        preds=[
+            ("e1", F.col("e1_event_type") == "click"),
+            ("e2", F.col("e2_event_type") == "error"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.col("e1_event_id").alias("e1_id"),
+        F.col("e1_ts").alias("e1_ts"),
+        F.col("e2_event_id").alias("e2_id"),
+        F.col("e2_ts").alias("e2_ts"),
+    )
+
+
+@register(
+    "pattern_count_quantifier",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3,
+             lead(event_id, 2)  OVER w AS id3,
+             lead(ts, 2)        OVER w AS ts3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS first_id, ts AS first_ts,
+           id3 AS last_id, ts3 AS last_ts
+    FROM ordered
+    WHERE event_type = 'click' AND t2 = 'click' AND t3 = 'click'
+    """,
+    tags=("sequence", "count"),
+)
+def pattern_count_quantifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Count quantifier `e=events[click]<3>` — exactly 3 contiguous
+    clicks (`CountPreStateProcessor.java`); lead-chain formulation."""
+    e = load(spark, sf, "events")
+    out = P.sequence_adjacent(
+        e,
+        key="user_id",
+        ts="ts",
+        order_tiebreak="event_id",
+        preds=[
+            ("e1", F.col("e1_event_type") == "click"),
+            ("e2", F.col("e2_event_type") == "click"),
+            ("e3", F.col("e3_event_type") == "click"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.col("e1_event_id").alias("first_id"),
+        F.col("e1_ts").alias("first_ts"),
+        F.col("e3_event_id").alias("last_id"),
+        F.col("e3_ts").alias("last_ts"),
+    )
+
+
+@register(
+    "pattern_logical_and",
+    oracle="""
+    SELECT user_id, a_id AS error_id, a_ts AS error_ts,
+           b_id AS purchase_id, b_ts AS purchase_ts
+    FROM (
+      SELECT a.user_id, a.event_id AS a_id, a.ts AS a_ts,
+             b.event_id AS b_id, b.ts AS b_ts,
+             row_number() OVER (
+               PARTITION BY a.event_id
+               ORDER BY abs(epoch_us(b.ts) - epoch_us(a.ts)), b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'error' AND b.event_type = 'purchase'
+       AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000
+    ) WHERE rn = 1
+    """,
+    tags=("pattern", "logical"),
+)
+def pattern_logical_and(spark: SparkSession, sf: str) -> DataFrame:
+    """Logical pattern `e1=events[error] and e2=events[purchase]`
+    within ±10 min (`LogicalPreStateProcessor.java`): both present in
+    either order; each error pairs with its nearest purchase."""
+    e = load(spark, sf, "events")
+    out = P.logical_and_pattern(
+        e,
+        key="user_id",
+        ts="ts",
+        pred_a=F.col("event_type") == "error",
+        pred_b=F.col("event_type") == "purchase",
+        within_seconds=600,
+    )
+    return out.select(
+        "user_id",
+        F.col("a_id").alias("error_id"),
+        F.col("a_ts").alias("error_ts"),
+        F.col("b_id").alias("purchase_id"),
+        F.col("b_ts").alias("purchase_ts"),
+    )
+
+
+@register(
+    "pattern_first_match",
+    oracle="""
+    SELECT user_id, e1_id, e1_ts, e2_id, e2_ts
+    FROM (
+      SELECT a.user_id, a.event_id AS e1_id, a.ts AS e1_ts,
+             b.event_id AS e2_id, b.ts AS e2_ts,
+             row_number() OVER (PARTITION BY a.user_id
+                                ORDER BY a.ts, a.event_id, b.ts, b.event_id) AS rn
+      FROM (SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS srn
+            FROM events WHERE event_type = 'signup') a
+      JOIN events b
+        ON a.user_id = b.user_id AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+      WHERE a.srn = 1
+    ) WHERE rn = 1
+    """,
+    tags=("pattern", "non-every"),
+)
+def pattern_first_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Without `every`: only the FIRST signup per user arms the machine
+    (pattern runs once — `StreamPreStateProcessor` non-every mode)."""
+    e = load(spark, sf, "events")
+    out = P.followed_by(
+        e,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=86400,
+        every=False,
+    )
+    return out.select("user_id", "e1_id", "e1_ts", "e2_id", "e2_ts")

@@ -1,0 +1,313 @@
+"""Suite: LLM-training-data pipeline operators (BASELINE.json north
+star): dedup, similarity search, text analysis, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..pipeline import dedup as D
+from ..pipeline import multimodal as M
+from ..pipeline import similarity as S
+from ..pipeline import text as X
+from ..fpround import r4
+from .registry import register
+
+N_HASHES = 8
+BAND_SIZE = 4
+
+# ---- programmatically build the minhash oracle (same hashes as Spark) --
+
+_SIG_EXPRS = ",\n         ".join(
+    f"list_min(list_transform(list_distinct(string_split(text, ' ')), "
+    f"t -> md5('{i}|' || t))) AS sig_{i}"
+    for i in range(N_HASHES)
+)
+_BANDS = []
+for b in range(N_HASHES // BAND_SIZE):
+    cols = " || '|' || ".join(
+        f"sig_{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+    )
+    _BANDS.append(
+        f"SELECT doc_id, {', '.join(f'sig_{i}' for i in range(N_HASHES))}, "
+        f"{b} AS band, md5({cols}) AS band_hash FROM sigs"
+    )
+_BANDED = " UNION ALL ".join(_BANDS)
+_MATCHES = " + ".join(
+    f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+MINHASH_ORACLE = f"""
+    WITH sigs AS (
+      SELECT doc_id,
+         {_SIG_EXPRS}
+      FROM documents
+    ), banded AS ({_BANDED})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           {_MATCHES} AS n_sig_match,
+           ({_MATCHES}) / {float(N_HASHES)} AS jaccard_est
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy — one keyed shuffle."""
+    return D.exact_dedup(load(spark, sf, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup (document fingerprinting)."""
+    return D.fingerprint_dedup(load(spark, sf, "documents"))
+
+
+@register("dedup_minhash_lsh", oracle=MINHASH_ORACLE, tags=("pipeline", "dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates
+    (shingle→minhash→band→bucket-join). md5-based hashes — the oracle
+    runs the byte-identical pipeline in SQL."""
+    docs = load(spark, sf, "documents")
+    sigs = D.minhash_signature(docs, n_hashes=N_HASHES)
+    return D.lsh_candidate_pairs(sigs, n_hashes=N_HASHES, band_size=BAND_SIZE)
+
+
+@register(
+    "neardup_token_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM toks a JOIN toks b
+        ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared,
+           round(1e-9 + shared / (sa.n_tok + sb.n_tok - shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / (sa.n_tok + sb.n_tok - shared) >= 0.5
+    """,
+    tags=("pipeline", "dedup", "jaccard"),
+)
+def neardup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by source
+    (blocking bounds the candidate space at scale)."""
+    return D.token_jaccard_pairs(load(spark, sf, "documents"), min_jaccard=0.5)
+
+
+@register("dedup_simhash", oracle=None, tags=("pipeline", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64-based — JVM-only, so
+    rows-only check; determinism is covered by tests/test_pipeline.py)."""
+    return D.simhash64(load(spark, sf, "documents"))
+
+
+@register(
+    "similarity_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(1e-9 + list_dot_product(q.q_vec, CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])))), 4) AS cos
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("pipeline", "similarity"),
+)
+def similarity_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-3 for query vectors (vec_id < 5): broadcast
+    queries × corpus scan, per-query TopK."""
+    emb = load(spark, sf, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@register(
+    "similarity_lsh",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 128 +
+             (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 64 +
+             (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 32 +
+             (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) * 16 +
+             (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END) * 8 +
+             (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) * 4 +
+             (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END) * 2 +
+             (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(1e-9 + list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+      FROM b c JOIN b q
+        ON c.bucket = q.bucket AND c.vec_id != q.vec_id AND q.vec_id < 100
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 1
+    """,
+    tags=("pipeline", "similarity", "lsh"),
+)
+def similarity_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: nearest in-bucket neighbor for
+    vec_id < 100 — the bucket key is the shuffle key."""
+    emb = load(spark, sf, "embeddings")
+    return S.lsh_topk(emb, k=1, n_bits=8, max_query_id=100)
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                 AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))  AS n_unique_tokens,
+           length(text)                                 AS n_chars_computed,
+           CAST(ceil(length(text) / 4.0) AS BIGINT)     AS n_bpe_est
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish chars/4 estimate)."""
+    return X.token_stats(load(spark, sf, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(1e-9 + (length(text) - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_tok_len,
+           round(1e-9 + len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','in','to','is'], x))) * 1.0 / len(toks), 4)
+             AS stopword_ratio,
+           round(1e-9 + len(list_distinct(toks)) * 1.0 / len(toks), 4) AS type_token_ratio,
+           round(1e-9 + (len(list_distinct(toks)) * 1.0 / len(toks)) *
+                 (CASE WHEN len(toks) >= 20 THEN 1.0 ELSE len(toks) / 20.0 END), 4)
+             AS quality
+    FROM t
+    """,
+    tags=("pipeline", "text"),
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: token stats + stopword ratio + TTR."""
+    return X.quality_score(load(spark, sf, "documents"))
+
+
+@register(
+    "text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[áéíóúñüäöß]') THEN 'eu'
+                WHEN len(list_filter(string_split(text, ' '), x -> list_contains(
+                     ['the','a','of','and','in','to','is'], x))) > 0 THEN 'en'
+                ELSE 'unknown' END AS lang_pred,
+           len(list_filter(string_split(text, ' '), x -> list_contains(
+                ['the','a','of','and','in','to','is'], x))) AS en_stopword_hits
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic (char classes + stopword voting)."""
+    return X.langid_heuristic(load(spark, sf, "documents"))
+
+
+@register(
+    "text_shingles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS n_shingles,
+           CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' '))))
+           ELSE 0 END AS n_distinct_shingles
+    FROM t
+    """,
+    tags=("pipeline", "text"),
+)
+def text_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """3-token shingle statistics (fingerprinting input)."""
+    return X.shingle_stats(load(spark, sf, "documents"), k=3)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           octet_length(encode(text)) AS byte_len
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata;
+    metadata predicates stay pushdown-able (the payload itself is
+    checked rows-only via multimodal_features)."""
+    media = M.to_media(load(spark, sf, "documents"))
+    return media.select("doc_id", "media_type", "byte_len")
+
+
+@register("multimodal_features", oracle=None, tags=("pipeline", "multimodal"))
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched stub feature extraction over binary payloads
+    (mapInPandas) — rows-only check; exact values covered by
+    tests/test_pipeline.py."""
+    media = M.to_media(load(spark, sf, "documents"))
+    return M.extract_features(media, fake=True)

@@ -1,0 +1,385 @@
+"""Suite: window family (SURVEY.md §3.3 —
+`[core] query/processor/stream/window/*WindowProcessor.java`).
+Batch/analytics-mode semantics; streaming twins in
+``siddhi_operator_spark.streaming`` with tests under tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import windows as W
+from ..fpround import r4
+from .registry import register
+
+
+@register(
+    "window_timebatch",
+    oracle="""
+    SELECT date_trunc('hour', ts)      AS window_start,
+           event_type,
+           round(1e-9 + sum(value), 4)        AS sum_value,
+           count(*)                    AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "timeBatch"),
+)
+def window_timebatch(spark: SparkSession, sf: str) -> DataFrame:
+    """`events#window.timeBatch(1 hour)` + group by event_type
+    (`TimeBatchWindowProcessor.java`). The flagship tumbling agg."""
+    e = load(spark, sf, "events")
+    out = W.time_batch(
+        e,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            r4(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select("window_start", "event_type", "sum_value", "n")
+
+
+@register(
+    "window_externaltimebatch",
+    oracle="""
+    SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS window_start,
+           l_returnflag,
+           round(1e-9 + sum(l_extendedprice), 4) AS revenue,
+           count(*)                       AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("window", "externalTimeBatch"),
+)
+def window_externaltimebatch(spark: SparkSession, sf: str) -> DataFrame:
+    """`externalTimeBatch(l_shipdate, 1 day)`
+    (`ExternalTimeBatchWindowProcessor.java`) — event-time-attribute
+    tumbling window; in our event-time-first engine identical machinery
+    to timeBatch, driven by a payload timestamp."""
+    li = load(spark, sf, "lineitem")
+    out = W.time_batch(
+        li,
+        "l_shipdate",
+        "1 day",
+        keys=["l_returnflag"],
+        aggs=[
+            r4(F.sum("l_extendedprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select("window_start", "l_returnflag", "revenue", "n")
+
+
+@register(
+    "window_sliding_time",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w             AS n_5m,
+           round(1e-9 + sum(value) OVER w, 4) AS sum_5m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "time"),
+)
+def window_sliding_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding `time(5 min)` per user (`TimeWindowProcessor.java`):
+    each event sees the trailing 5 minutes."""
+    e = load(spark, sf, "events")
+    out = W.sliding_time(
+        e,
+        "ts",
+        300,
+        keys=["user_id"],
+        aggs={"n_5m": F.count(F.lit(1)), "sum_5m_raw": F.sum("value")},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "n_5m",
+        r4(F.col("sum_5m_raw"), 4).alias("sum_5m"),
+    )
+
+
+@register(
+    "window_length",
+    oracle="""
+    SELECT event_id, user_id,
+           round(1e-9 + avg(value) OVER w, 4) AS avg_3,
+           count(*)   OVER w           AS n_3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "length"),
+)
+def window_length(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding count window `length(3)` per user
+    (`LengthWindowProcessor.java`)."""
+    e = load(spark, sf, "events")
+    out = W.length(
+        e,
+        3,
+        keys=["user_id"],
+        order=[F.col("ts"), F.col("event_id")],
+        aggs={"avg_3_raw": F.avg("value"), "n_3": F.count(F.lit(1))},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        r4(F.col("avg_3_raw"), 4).alias("avg_3"),
+        "n_3",
+    )
+
+
+@register(
+    "window_lengthbatch",
+    oracle="""
+    WITH numbered AS (
+      SELECT *, CAST(floor((row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) - 1) / 5) AS BIGINT) AS batch_id
+      FROM events
+    )
+    SELECT user_id, batch_id,
+           count(*)             AS n,
+           round(1e-9 + sum(value), 4) AS sum_value,
+           min(ts)              AS first_ts,
+           max(ts)              AS last_ts
+    FROM numbered
+    GROUP BY user_id, batch_id
+    """,
+    tags=("window", "lengthBatch"),
+)
+def window_lengthbatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling count window `lengthBatch(5)` per user
+    (`LengthBatchWindowProcessor.java`)."""
+    e = load(spark, sf, "events")
+    batched = W.length_batch(e, 5, keys=["user_id"], order=[F.col("ts"), F.col("event_id")])
+    return batched.groupBy("user_id", "batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.sum("value"), 4).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL 30 MINUTES    AS session_end,
+           count(*)                         AS n,
+           round(1e-9 + sum(value), 4)             AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "session"),
+)
+def window_session(spark: SparkSession, sf: str) -> DataFrame:
+    """`session(30 min, user_id)` (`SessionWindowProcessor.java`) via
+    native `session_window` — works identically in batch and streaming.
+    Oracle reconstructs sessions with lag+cumsum (events merge when the
+    gap is < 30 min; session_end = last event + gap)."""
+    e = load(spark, sf, "events")
+    out = W.session(
+        e,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            r4(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select("user_id", "session_start", "session_end", "n", "sum_value")
+
+
+@register(
+    "window_sort_topk",
+    oracle="""
+    SELECT event_type, event_id, value, _rn
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS _rn
+      FROM events
+    ) WHERE _rn <= 10
+    """,
+    tags=("window", "sort", "topk"),
+)
+def window_sort_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """`sort(10, value, 'desc')` / `extrema:topK`
+    (`SortWindowProcessor.java`): retained top-10 by value per
+    event_type. Catalyst plans a per-key TopK (WindowGroupLimit) — no
+    global sort at scale."""
+    e = load(spark, sf, "events")
+    out = W.sort_topk(
+        e, 10, keys=["event_type"], order=[F.desc("value"), F.asc("event_id")]
+    )
+    return out.select("event_type", "event_id", "value", "_rn")
+
+
+@register(
+    "window_frequent",
+    oracle="""
+    SELECT event_type, user_id, freq, _rn
+    FROM (
+      SELECT event_type, user_id, count(*) AS freq,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS _rn
+      FROM events GROUP BY event_type, user_id
+    ) WHERE _rn <= 5
+    """,
+    tags=("window", "frequent"),
+)
+def window_frequent(spark: SparkSession, sf: str) -> DataFrame:
+    """`frequent(5, user_id)` (`FrequentWindowProcessor.java`,
+    Misra-Gries): 5 most frequent users per event_type — batch mode
+    computes the exact fixed point of the sketch."""
+    e = load(spark, sf, "events")
+    out = W.frequent(e, 5, keys=["event_type"], group_cols=["user_id"])
+    return out.select("event_type", "user_id", "freq", "_rn")
+
+
+@register(
+    "window_unique_last",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "unique"),
+)
+def window_unique_last(spark: SparkSession, sf: str) -> DataFrame:
+    """`unique:last(user_id)` (`[ext:unique]`): latest event per user —
+    order-defined, unlike dropDuplicates."""
+    e = load(spark, sf, "events")
+    out = W.unique_last(e, keys=["user_id"], order=[F.desc("ts"), F.desc("event_id")])
+    return out.select("user_id", "event_id", "event_type", "value", "ts")
+
+
+@register(
+    "window_timelength",
+    oracle="""
+    WITH framed AS (
+      SELECT event_id, user_id,
+             count(*) OVER wr AS cnt_range,
+             round(1e-9 + sum(value) OVER wr, 4) AS sum_range,
+             round(1e-9 + sum(value) OVER wn, 4) AS sum_n
+      FROM events
+      WINDOW wr AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           least(cnt_range, 10) AS n_tl,
+           CASE WHEN cnt_range <= 10 THEN sum_range ELSE sum_n END AS sum_tl
+    FROM framed
+    """,
+    tags=("window", "timeLength"),
+)
+def window_timelength(spark: SparkSession, sf: str) -> DataFrame:
+    """`timeLength(10 min, 10)` (`TimeLengthWindowProcessor.java`):
+    whichever bound evicts first. Both the time-set and the count-set
+    are suffixes of the per-key ordered stream, so their intersection is
+    the smaller suffix — composable from a RANGE frame and a ROWS frame
+    with a per-row pick, no custom state needed in batch mode."""
+    e = load(spark, sf, "events")
+    # RANGE frame must order by the same axis the interval measures.
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-600, 0)
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(wr).alias("cnt_range"),
+        r4(F.sum("value").over(wr), 4).alias("sum_range"),
+        r4(F.sum("value").over(wn), 4).alias("sum_n"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.least(F.col("cnt_range"), F.lit(10)).alias("n_tl"),
+        F.when(F.col("cnt_range") <= 10, F.col("sum_range"))
+        .otherwise(F.col("sum_n"))
+        .alias("sum_tl"),
+    )
+
+
+@register(
+    "window_delay",
+    oracle="""
+    SELECT event_id, ts + INTERVAL 15 SECONDS AS ts, user_id
+    FROM events
+    """,
+    tags=("window", "delay"),
+)
+def window_delay(spark: SparkSession, sf: str) -> DataFrame:
+    """`delay(15 sec)` (`DelayWindowProcessor.java`) — event-time
+    shift."""
+    e = load(spark, sf, "events")
+    return W.delay(e, "ts", "15 SECONDS").select("event_id", "ts", "user_id")
+
+
+@register(
+    "named_window_fanout",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             round(1e-9 + sum(value), 4) AS sum_value, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'hot'  AS consumer, window_start, event_type, sum_value, n
+    FROM hourly WHERE sum_value > 500
+    UNION ALL
+    SELECT 'busy' AS consumer, window_start, event_type, sum_value, n
+    FROM hourly WHERE n > 15
+    """,
+    tags=("window", "named"),
+)
+def named_window_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    """`define window W ... output all events` consumed by two queries
+    (`[core] window/Window.java`): the windowed relation is computed
+    once and fanned out; consumers apply their own predicates."""
+    e = load(spark, sf, "events")
+    hourly = W.time_batch(
+        e,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            r4(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    ).select("window_start", "event_type", "sum_value", "n")
+    hot = hourly.filter(F.col("sum_value") > 500).withColumn("consumer", F.lit("hot"))
+    busy = hourly.filter(F.col("n") > 15).withColumn("consumer", F.lit("busy"))
+    return hot.unionByName(busy).select(
+        "consumer", "window_start", "event_type", "sum_value", "n"
+    )
