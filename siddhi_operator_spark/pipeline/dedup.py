@@ -81,32 +81,55 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     band_size: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """Band the signatures (band hash = md5 of the band's sigs) and
     self-join per band bucket → candidate pairs (id_a < id_b), with the
     signature-agreement estimate of Jaccard. The join key is
     (band_index, band_hash): only colliding docs ever meet — this is
-    the whole scale story."""
+    the whole scale story.
+
+    Plan shape matters here: bands are generated with ONE explode over
+    an array of (band, hash) structs (not a per-band union, which would
+    recompute the md5 signature pipeline once per band), and the banded
+    frame is cached before the self-join (each join side would
+    otherwise recompute the full minhash scan — at 100 TB you always
+    materialize the signature table before pairing; swap `.cache()`
+    for a parquet checkpoint there)."""
     n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{i}") for i in range(b * band_size, (b + 1) * band_size)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                *[F.col(f"sig_{i}") for i in range(n_hashes)],
+    sig_cols = [F.col(f"sig_{i}") for i in range(n_hashes)]
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{i}")
+                            for i in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    )
+                ).alias("band_hash"),
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
-    a = banded.alias("a")
-    b_ = banded.alias("b")
+            for b in range(n_bands)
+        ]
+    )
+    sig_table = sigs.select(F.col(id_col), *sig_cols)
+    if cache:
+        sig_table = sig_table.cache()
+    # bucket rows carry ONLY (id, band, hash): the band self-join and the
+    # pair-dedup shuffle stay narrow (the 16 signature strings would
+    # otherwise ride through join+distinct); signatures are re-attached
+    # afterwards via two joins against the (cached, broadcastable-when-
+    # small) signature table.
+    banded = sig_table.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.band_hash"))
     pairs = (
-        a.join(
-            b_,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.band_hash") == F.col("b.band_hash"),
@@ -116,16 +139,19 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            sum(
-                [
-                    F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0)
-                    for i in range(n_hashes)
-                ]
-            ).alias("n_sig_match"),
         )
         .distinct()
     )
-    return pairs.withColumn(
+    n_match = sum(
+        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    scored = (
+        pairs.join(sig_table.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sig_table.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", n_match.alias("n_sig_match"))
+    )
+    return scored.withColumn(
         "jaccard_est", F.col("n_sig_match") / F.lit(float(n_hashes))
     )
 
