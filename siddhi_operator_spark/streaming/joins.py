@@ -1,0 +1,52 @@
+"""Streaming joins (SURVEY.md §3.4) — thin watermarked twins of
+``operators.joins``.
+
+- stream ⋈ stream: both sides watermarked; the time-range condition
+  bounds state retention to the window (`JoinProcessor`'s eviction);
+  outer variants are watermark-mandatory (Spark enforces what the
+  reference only documents).
+- stream ⋈ table: stream-static join; the static side is re-resolved
+  per micro-batch (table refresh), broadcast when small — the
+  `IndexedEventHolder` probe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.joins import windowed_stream_join
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    equi_keys: Sequence[tuple[str, str]],
+    within_seconds: float,
+    watermark: str,
+    extra_cond: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """`S1#window.time(t) join S2#window.time(t) on …` with state
+    bounded by watermark + range condition."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return windowed_stream_join(
+        lw, rw, left_ts, right_ts, equi_keys, within_seconds, extra_cond, how
+    )
+
+
+def stream_table_join(
+    stream: DataFrame,
+    table: DataFrame,
+    on: Column | Sequence[str],
+    how: str = "inner",
+    broadcast_table: bool = True,
+) -> DataFrame:
+    """Stream-static join; table snapshot re-read each micro-batch."""
+    t = F.broadcast(table) if broadcast_table else table
+    return stream.join(t, on=on, how=how)

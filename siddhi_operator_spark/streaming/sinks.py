@@ -1,0 +1,114 @@
+"""Stream sinks (SURVEY.md §3.1, §3.2 —
+`[core] stream/output/sink/Sink.java` SPI, `LogSink`, table callbacks).
+
+- log sink              → `format("console")`
+- inMemory sink         → `format("memory")` (test transport)
+- file sink             → parquet append with checkpoint
+- table upsert sink     → `foreachBatch` keyed MERGE into a parquet
+  table (`UpdateOrInsertTableCallback.java`): last-writer-wins per key
+  within the batch, then anti-join + union against the current table
+  snapshot. With Delta/Iceberg on the classpath this becomes a real
+  MERGE INTO; the parquet implementation keeps the same contract
+  (idempotent per epoch → exactly-once with checkpointing).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def memory_sink(stream: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
+    return (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def console_sink(stream: DataFrame, output_mode: str = "append") -> StreamingQuery:
+    return stream.writeStream.format("console").outputMode(output_mode).start()
+
+
+def parquet_sink(
+    stream: DataFrame, path: str, checkpoint: str
+) -> StreamingQuery:
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+class ParquetUpsertTable:
+    """Keyed mutable table backed by parquet — the engine's
+    `define table` + `@PrimaryKey` store (`InMemoryTable.java` /
+    `@store` analog, durable). Readers get the latest snapshot;
+    `upsert_batch` is the foreachBatch target.
+
+    Snapshot layout: versioned directories (v=N) with only the latest
+    read — a poor-man's Delta commit log; swap for Delta/Iceberg when
+    the jars are available (same API)."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: Sequence[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        os.makedirs(path, exist_ok=True)
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.path)
+            if d.startswith("v=")
+        )
+
+    def snapshot(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(f"{self.path}/v={vs[-1]}")
+
+    def upsert_batch(self, batch: DataFrame, epoch_id: int, order_col: str) -> None:
+        """MERGE: dedupe the batch per key (last writer by order_col),
+        then new-snapshot = batch ∪ (current ∖ batch-keys). Writing to
+        a fresh v=N dir keeps the operation idempotent per epoch."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.keys).orderBy(F.desc(order_col))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cur = self.snapshot()
+        if cur is not None:
+            keep = cur.join(
+                F.broadcast(latest.select(*self.keys).distinct()),
+                on=self.keys,
+                how="left_anti",
+            )
+            merged = keep.unionByName(latest)
+        else:
+            merged = latest
+        next_v = (self._versions()[-1] + 1) if self._versions() else 0
+        merged.write.mode("overwrite").parquet(f"{self.path}/v={next_v}")
+
+    def sink(
+        self, stream: DataFrame, checkpoint: str, order_col: str
+    ) -> StreamingQuery:
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, eid: self.upsert_batch(df, eid, order_col)
+            )
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )

@@ -1,0 +1,148 @@
+"""Operator unit tests mirroring the reference's test style
+(SURVEY.md §6.1: tiny event list in → exact rows out; cf.
+`[core] …/test/java/io/siddhi/core/query/FilterTestCase1.java`,
+`LengthWindowTestCase`, `JoinTestCase1`, pattern test cases)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from siddhi_operator_spark.operators import patterns as P
+from siddhi_operator_spark.operators import tables as TB
+from siddhi_operator_spark.operators import windows as W
+
+
+def test_filter(events_df):
+    out = events_df.filter(F.col("value") > 5).select("event_id").collect()
+    assert sorted(r.event_id for r in out) == [3, 6, 7, 8, 9, 1][:6] or True
+    assert sorted(r.event_id for r in out) == [1, 3, 6, 7, 8, 9]
+
+
+def test_length_window(events_df):
+    out = W.length(
+        events_df,
+        2,
+        keys=["user_id"],
+        order=[F.col("ts"), F.col("event_id")],
+        aggs={"s": F.sum("value")},
+    )
+    rows = {r.event_id: r.s for r in out.collect()}
+    # user 1: events 1,2,3,7,8,9 → last-2 sums
+    assert rows[1] == 10.0
+    assert rows[2] == 15.0
+    assert rows[3] == 105.0
+    assert rows[7] == 107.0
+    assert rows[9] == 17.0
+
+
+def test_length_batch(events_df):
+    out = W.length_batch(
+        events_df, 2, keys=["user_id"], order=[F.col("ts"), F.col("event_id")]
+    )
+    rows = {(r.user_id, r.batch_id): r.event_id for r in out.collect() if True}
+    # user 1 has 6 events → batches 0,0,1,1,2,2
+    ids = [
+        r.batch_id
+        for r in out.filter(F.col("user_id") == 1).orderBy("ts", "event_id").collect()
+    ]
+    assert ids == [0, 0, 1, 1, 2, 2]
+
+
+def test_sort_topk(events_df):
+    out = W.sort_topk(
+        events_df, 1, keys=["user_id"], order=[F.desc("value"), F.asc("event_id")]
+    )
+    top = {r.user_id: r.event_id for r in out.collect()}
+    assert top == {1: 3, 2: 6}
+
+
+def test_unique_last(events_df):
+    out = W.unique_last(
+        events_df, keys=["user_id"], order=[F.desc("ts"), F.desc("event_id")]
+    )
+    last = {r.user_id: r.event_id for r in out.collect()}
+    assert last == {1: 9, 2: 10}
+
+
+def test_session_window(spark, events_df):
+    out = W.session(
+        events_df,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    sessions = sorted(
+        (r.user_id, r.n) for r in out.collect()
+    )
+    # user1: [1,2,3] then [7,8,9] ; user2: [4,5] then [6] then [10]
+    assert sessions == [(1, 3), (1, 3), (2, 1), (2, 1), (2, 2)]
+
+
+def test_followed_by_first_match(events_df):
+    out = P.followed_by(
+        events_df,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=3600,
+    )
+    rows = sorted((r.user_id, r.e1_id, r.e2_id) for r in out.collect())
+    assert rows == [(1, 1, 3), (2, 4, 6)]
+
+
+def test_followed_by_within_expires(events_df):
+    out = P.followed_by(
+        events_df,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=10,
+    )
+    rows = sorted((r.user_id, r.e1_id, r.e2_id) for r in out.collect())
+    assert rows == [(1, 1, 3)]  # user2's purchase is 47 min later
+
+
+def test_absence(events_df):
+    out = P.absence(
+        events_df,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        absent_pred=F.col("event_type") == "purchase",
+        within_seconds=10,
+    )
+    assert [r.e1_id for r in out.collect()] == [4]
+
+
+def test_sequence_adjacent(events_df):
+    out = P.sequence_adjacent(
+        events_df,
+        key="user_id",
+        ts="ts",
+        order_tiebreak="event_id",
+        preds=[
+            ("e1", F.col("e1_event_type") == "click"),
+            ("e2", F.col("e2_event_type") == "purchase"),
+        ],
+    )
+    rows = sorted((r.user_id, r.e1_event_id) for r in out.collect())
+    # user1: click(2) → purchase(3) contiguous; user2: click(5) → purchase(6)
+    assert rows == [(1, 2), (2, 5)]
+
+
+def test_upsert_replay(events_df):
+    state = TB.upsert_replay(
+        events_df, keys=["user_id"], order=[F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    rows = {r.user_id: r.event_id for r in state.collect()}
+    assert rows == {1: 9, 2: 10}
+
+
+def test_delete_replay(spark, events_df):
+    table = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    errs = events_df.filter(F.col("event_type") == "error")
+    out = TB.delete_replay(table, errs, key="k", mut_key="user_id")
+    assert sorted(r.k for r in out.collect()) == [1, 3]

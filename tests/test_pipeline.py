@@ -1,0 +1,83 @@
+"""LLM-pipeline operator tests: simhash determinism, multimodal stub
+plumbing, similarity sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from siddhi_operator_spark.pipeline import dedup as D
+from siddhi_operator_spark.pipeline import multimodal as M
+from siddhi_operator_spark.pipeline import similarity as S
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox", "en", "s0", 19),
+        (1, "the quick brown fox", "en", "s1", 19),  # exact dup of 0
+        (2, "fox brown quick the", "en", "s0", 19),  # word-shuffle of 0
+        (3, "совершенно другой текст", "ru", "s0", 23),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.canonical_id: r.n_copies for r in D.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0,1 identical
+    assert out[2] == 1
+    assert out[3] == 1
+
+
+def test_fingerprint_catches_word_shuffle(docs):
+    out = {r.canonical_id: r.n_copies for r in D.fingerprint_dedup(docs).collect()}
+    assert out[0] == 3  # 0,1,2 share the token bag
+    assert out[3] == 1
+
+
+def test_minhash_identical_docs_full_band_collision(docs):
+    sigs = D.minhash_signature(docs, n_hashes=8)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=8, band_size=4, cache=False)
+    got = {(r.id_a, r.id_b): r.n_sig_match for r in pairs.collect()}
+    # identical token sets → identical signatures → all 8 agree
+    assert got[(0, 1)] == 8
+    assert got[(0, 2)] == 8  # minhash is order-insensitive
+    assert (0, 3) not in got
+
+
+def test_simhash_deterministic_and_content_keyed(spark, docs):
+    a = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    b = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    assert a == b  # deterministic across runs
+    assert a[0] == a[1]  # same text → same hash
+    assert a[0] != a[3]  # different text → different hash
+
+
+def test_multimodal_stub_plumbing(docs):
+    media = M.to_media(docs)
+    feats = M.extract_features(media, fake=True).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert len(r.features) == M.FEATURE_DIM
+    # identical payloads → identical fake features
+    by_id = {r.doc_id: list(r.features) for r in feats}
+    assert by_id[0] == by_id[1]
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(b"bytes", fake=False)
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    rows = {(r.query_id, r.neighbor_id): r.cos for r in out.collect()}
+    assert rows[(0, 1)] == 1.0
+    assert rows[(0, 2)] == 0.0

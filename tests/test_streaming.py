@@ -1,0 +1,197 @@
+"""Streaming semantics tests — deterministic, event-time based
+(SURVEY.md §6.2 item 3): file-replay multi-batch sequences via
+``replay_dir`` + ``maxFilesPerTrigger=1``; memory sink;
+``processAllAvailable``. No sleeps, no wall-clock dependence."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from siddhi_operator_spark.streaming import cep, sinks, sources
+from siddhi_operator_spark.streaming import windows as SW
+
+
+def _stream_events(spark, events_df, n_splits=3):
+    d = tempfile.mkdtemp(prefix="replay_")
+    sources.replay_dir(events_df, d, "ts", n_splits)
+    return sources.file_stream(
+        spark, d, events_df.schema, max_files_per_trigger=1
+    )
+
+
+def _run(stream, name, mode="append"):
+    q = sinks.memory_sink(stream, name, output_mode=mode)
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_streaming_tumbling_agg(spark, events_df):
+    s = _stream_events(spark, events_df)
+    agg = SW.tumbling_agg(
+        s,
+        "ts",
+        "1 hour",
+        watermark="10 minutes",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")],
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run(agg, name, "complete")
+    rows = {
+        (r.window_start.isoformat(), r.event_type): (r.n, r.s)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert rows[("2024-01-01T00:00:00", "click")] == (2, 7.0)
+    assert rows[("2024-01-01T01:00:00", "click")] == (3, 24.0)
+    assert rows[("2024-01-01T00:00:00", "signup")] == (2, 11.0)
+
+
+def test_streaming_session(spark, events_df):
+    s = _stream_events(spark, events_df)
+    agg = SW.session_agg(
+        s,
+        "ts",
+        "30 minutes",
+        watermark="5 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    _run(agg, name, "complete")
+    sess = sorted(
+        (r.user_id, r.n) for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert sess == [(1, 3), (1, 3), (2, 1), (2, 1), (2, 2)]
+
+
+def test_streaming_length_window_state_across_batches(spark, events_df):
+    """The per-key deque must survive micro-batch boundaries: with 3
+    file-batches, user 1's 6 events arrive in different batches but
+    the last-2 window is continuous."""
+    s = _stream_events(spark, events_df, n_splits=3)
+    out = SW.length_window(s, 2, key="user_id")
+    name = f"l_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = {r.event_id: (r.n_in_window, r.sum_value) for r in spark.sql(
+        f"select * from {name}").collect()}
+    assert rows[1] == (1, 10.0)
+    assert rows[3] == (2, 105.0)
+    assert rows[7] == (2, 107.0)  # crosses a batch boundary
+    assert rows[9] == (2, 17.0)
+
+
+def test_streaming_length_batch(spark, events_df):
+    s = _stream_events(spark, events_df, n_splits=2)
+    out = SW.length_batch_window(s, 3, key="user_id")
+    name = f"lb_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.key, r.batch_seq, r.first_id, r.last_id, r.sum_value)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    # user1: 6 events → two full batches of 3; user2: 4 events → one
+    # full batch (4,5,6), event 10 stays buffered in state
+    assert rows == [
+        ("1", 0, 1, 3, 115.0),
+        ("1", 1, 7, 9, 24.0),
+        ("2", 0, 4, 6, 53.0),
+    ]
+
+
+def test_streaming_cep_followed_by(spark, events_df):
+    s = _stream_events(spark, events_df, n_splits=3)
+    out = cep.pattern_nfa(
+        s,
+        key="user_id",
+        step_predicates=["event_type = 'signup'", "event_type = 'purchase'"],
+        within_seconds=3600,
+    )
+    name = f"c_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.key, r.e1_id, r.e2_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert rows == [("1", 1, 3), ("2", 4, 6)]
+
+
+def test_streaming_cep_within_expiry(spark, events_df):
+    out = cep.pattern_nfa(
+        _stream_events(spark, events_df, n_splits=2),
+        key="user_id",
+        step_predicates=["event_type = 'signup'", "event_type = 'purchase'"],
+        within_seconds=10,
+    )
+    name = f"cw_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.key, r.e1_id, r.e2_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert rows == [("1", 1, 3)]
+
+
+def test_streaming_cep_three_step_sequence(spark, events_df):
+    """click,click,click contiguous (strict) for user 1 events 7,8,9."""
+    out = cep.pattern_nfa(
+        _stream_events(spark, events_df, n_splits=2),
+        key="user_id",
+        step_predicates=[
+            "event_type = 'click'",
+            "event_type = 'click'",
+            "event_type = 'click'",
+        ],
+        strict=True,
+        every=False,
+    )
+    name = f"c3_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.key, r.e1_id, r.e2_id, r.e3_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert ("1", 7, 8, 9) in rows
+
+
+def test_streaming_upsert_table(spark, events_df, tmp_path):
+    s = _stream_events(spark, events_df, n_splits=3)
+    table = sinks.ParquetUpsertTable(
+        spark, str(tmp_path / "tbl"), keys=["user_id"]
+    )
+    q = table.sink(s, str(tmp_path / "ckpt"), order_col="ts")
+    q.processAllAvailable()
+    q.stop()
+    snap = {r.user_id: r.event_id for r in table.snapshot().collect()}
+    assert snap == {1: 9, 2: 10}
+
+
+def test_streaming_stream_stream_join(spark, events_df):
+    from siddhi_operator_spark.streaming.joins import stream_stream_join
+
+    s1 = _stream_events(spark, events_df, n_splits=2)
+    s2 = _stream_events(spark, events_df, n_splits=2)
+    clicks = s1.filter(F.col("event_type") == "click")
+    buys = s2.filter(F.col("event_type") == "purchase")
+    j = stream_stream_join(
+        clicks,
+        buys,
+        "ts",
+        "ts",
+        equi_keys=[("user_id", "user_id")],
+        within_seconds=600,
+        watermark="30 minutes",
+    )
+    out = j.select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("buy_id")
+    )
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.click_id, r.buy_id) for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert rows == [(2, 3)]  # click@5s → purchase@9s same user within 10m
