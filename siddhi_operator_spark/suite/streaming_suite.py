@@ -1,0 +1,161 @@
+"""Suite: streaming twins run through REAL Structured Streaming
+(file-source micro-batches → memory sink), then compared against the
+same DuckDB oracles as their batch counterparts — evidence that the
+streaming operators implement the same semantics, not just the batch
+formulations.
+
+Each callable replays the sf events table as a single-batch file
+stream (complete/append mode as the op requires), blocks until
+processed, and returns the materialized result as a batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS, load
+from ..fpround import r4
+from ..streaming import cep
+from ..streaming import windows as SW
+from .registry import register
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """events.parquet as a file-source stream (ts converted like
+    catalog.load)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # the fixture is a single file; the file-stream source requires a
+    # directory → watch the sf dir with a glob pinned to events.parquet
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _materialize(stream: DataFrame, mode: str) -> str:
+    name = f"mq_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+@register(
+    "streaming_timebatch",
+    oracle="""
+    SELECT date_trunc('hour', ts)      AS window_start,
+           event_type,
+           round(1e-9 + sum(value), 4) AS sum_value,
+           count(*)                    AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def streaming_timebatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming `timeBatch(1 hour)` (complete mode over the replayed
+    stream) must equal the batch/oracle tumbling aggregation."""
+    s = _events_stream(spark, sf)
+    agg = SW.tumbling_agg(
+        s,
+        "ts",
+        "1 hour",
+        watermark="10 minutes",
+        keys=["event_type"],
+        aggs=[r4(F.sum("value"), 4).alias("sum_value"), F.count(F.lit(1)).alias("n")],
+    )
+    name = _materialize(
+        agg.select("window_start", "event_type", "sum_value", "n"), "complete"
+    )
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_cep_followed_by",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           e1_id, e1_ts, e2_id AS e2_id, e2_ts
+    FROM (
+      SELECT a.user_id, a.event_id AS e1_id, a.ts AS e1_ts,
+             b.event_id AS e2_id, b.ts AS e2_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "cep"),
+)
+def streaming_cep_followed_by(spark: SparkSession, sf: str) -> DataFrame:
+    """The CEP NFA (applyInPandasWithState) replaying the events table
+    must reproduce exactly the relational fixed point of
+    `every signup -> purchase within 1h` — the strongest cross-check
+    of the NFA against SQL semantics."""
+    s = _events_stream(spark, sf)
+    out = cep.pattern_nfa(
+        s,
+        key="user_id",
+        step_predicates=["event_type = 'signup'", "event_type = 'purchase'"],
+        within_seconds=3600,
+    )
+    name = _materialize(out, "append")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_length_window",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           event_id, ts,
+           count(*)  OVER w                    AS n_in_window,
+           round(1e-9 + sum(value) OVER w, 4)  AS sum_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("streaming", "length"),
+)
+def streaming_length_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming `length(3)` per user (stateful deque) vs the analytic
+    ROWS-frame oracle. Valid because the single-batch replay processes
+    events in event-time order — the same order the frame assumes."""
+    s = _events_stream(spark, sf)
+    out = SW.length_window(s, 3, key="user_id")
+    name = _materialize(out, "append")
+    return spark.sql(
+        f"SELECT key, event_id, ts, n_in_window, "
+        f"round(sum_value + 1e-9, 4) AS sum_value FROM {name}"
+    )
+
+
+@register("streaming_session_window", oracle=None, tags=("streaming", "session"))
+def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming session windows (rows-only: session merging across the
+    replay equals the batch twin, asserted in tests; here the driver
+    checks stable execution + row count)."""
+    s = _events_stream(spark, sf)
+    agg = SW.session_agg(
+        s,
+        "ts",
+        "30 minutes",
+        watermark="5 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n"), r4(F.sum("value"), 4).alias("sum_value")],
+    )
+    name = _materialize(agg, "complete")
+    return spark.sql(f"SELECT * FROM {name}")

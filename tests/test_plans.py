@@ -1,0 +1,95 @@
+"""Physical-plan shape tests — the 100 TB discipline checks
+(SURVEY.md §5, task brief "Optimize for scale"):
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- dimension joins broadcast (no fact-side shuffle)
+- semi/anti membership stays broadcast
+- top-k compiles to WindowGroupLimit (no full per-key sort spill)
+- core ops run inside WholeStageCodegen (no Python in the hot path)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from siddhi_operator_spark.catalog import load
+from siddhi_operator_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fmt(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = _fmt(REGISTRY["filter_project"].fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)" in plan
+    # projection pruned to the two selected columns
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
+
+
+def test_stream_table_join_broadcasts_dimension(spark):
+    plan = _fmt(REGISTRY["join_stream_table"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_broadcasts(spark):
+    plan = _fmt(REGISTRY["join_in_table"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_multiway_dims_no_shuffle_before_agg(spark):
+    plan = _fmt(REGISTRY["join_multiway_dims"].fn(spark, SF))
+    # both dims broadcast (node + detail lines each mention the join,
+    # so count tree nodes): zero sort-merge joins
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _fmt(REGISTRY["window_sort_topk"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_tpch_q1_partial_agg_and_codegen(spark):
+    df = REGISTRY["tpch_q1"].fn(spark, SF)
+    plan = _fmt(df)
+    # partial (map-side) + final aggregation split
+    assert "partial_sum" in plan and plan.split("\n\n")[0].count("HashAggregate") == 2
+    # shipdate predicate pushed to the scan; only 7 columns read
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    # whole-stage codegen spans exist (codegen explain mode)
+    cg = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen" in cg
+
+
+def test_scalar_layer_is_jvm_side(spark):
+    # no Python UDF nodes in any core-suite plan (pipeline stubs exempt)
+    for name in ["scalar_str", "scalar_math", "scalar_json", "window_timebatch"]:
+        plan = _fmt(REGISTRY[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_rollup_cascade_reuses_base_not_raw(spark):
+    """The month rollup must derive from day (one raw scan total in the
+    cascade), not re-scan raw events per granularity."""
+    from siddhi_operator_spark.operators import incremental as I
+
+    e = load(spark, SF, "events")
+    cascade = I.rollup_cascade(
+        e, "ts", "value", keys=("event_type",), granularities=("hour", "day", "month")
+    )
+    tree = _fmt(cascade["month"]).split("\n\n")[0]
+    # month plan aggregates over the day aggregate over the hour
+    # aggregate — exactly ONE raw scan feeds the whole cascade
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("HashAggregate") >= 4
