@@ -1,0 +1,308 @@
+"""App model → DataFrame DAG builder (batch/analytics mode).
+
+The analog of the reference's `SiddhiAppRuntimeBuilder` +
+`QueryParser` chain (`[core] util/SiddhiAppRuntimeBuilder.java`,
+`util/parser/QueryParser.java`): definitions resolve to source
+DataFrames, each query becomes a Catalyst plan, `insert into` wires
+query outputs as new streams (`InsertIntoStreamCallback` ≡
+unionByName when several queries feed one stream).
+
+Patterns correlate per `pattern_key` — the engine-level stand-in for
+Siddhi's `partition with (key of S)` around pattern queries; the
+builder chains time-bounded first-match joins, the batch fixed point
+of the streaming NFA (`..streaming.cep.pattern_nfa`).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .model import (
+    AppModel,
+    JoinInput,
+    PatternInput,
+    QueryDef,
+    SelectItem,
+    SingleInput,
+)
+from .parser import parse_app, time_constant_seconds
+
+_AGG_RE = re.compile(
+    r"\b(sum|count|avg|min|max|count_distinct|stddev_pop|string_agg|"
+    r"collect_list|collect_set|bool_and|bool_or|first|last)\s*\(",
+    re.I,
+)
+
+
+def _auto_alias(item: SelectItem, idx: int) -> str:
+    if item.alias:
+        return item.alias
+    if re.fullmatch(r"\w+", item.expr):
+        return item.expr
+    return f"col{idx}"
+
+
+def _duration_str(arg: str) -> str:
+    return f"{time_constant_seconds(arg)} seconds"
+
+
+def _apply_window_groupby(
+    df: DataFrame, q: QueryDef, win, ts_col: str
+) -> tuple[DataFrame, list[str]]:
+    """Tumbling/session windows add an implicit bucket column and join
+    the group-by keys."""
+    extra: list[str] = []
+    if win is None:
+        return df, extra
+    kind = win.kind
+    if kind in ("timeBatch", "externalTimeBatch"):
+        if kind == "externalTimeBatch":
+            ts_col = win.args[0]
+            dur = _duration_str(win.args[1])
+        else:
+            dur = _duration_str(win.args[0])
+        df = df.withColumn("window_start", F.window(ts_col, dur)["start"])
+        extra = ["window_start"]
+    elif kind == "session":
+        dur = _duration_str(win.args[0])
+        df = df.withColumn("session_w", F.session_window(ts_col, dur))
+        extra = ["session_w"]
+    elif kind == "delay":
+        df = df.withColumn(
+            ts_col, F.col(ts_col) + F.expr(f"INTERVAL {_duration_str(win.args[0])}")
+        )
+    return df, extra
+
+
+def _run_single(
+    df: DataFrame, q: QueryDef, inp: SingleInput, ts_col: str, id_col: str
+) -> DataFrame:
+    if inp.filter_expr:
+        df = df.filter(F.expr(inp.filter_expr))
+    win = inp.window
+    has_agg = any(_AGG_RE.search(it.expr) for it in q.select)
+
+    if win and win.kind in ("length", "lengthBatch", "time") and has_agg:
+        # per-event frame aggregation over the trailing window, keyed by
+        # the group-by attributes (SURVEY.md §3.3 mappings)
+        keys = q.group_by or []
+        if not keys:
+            raise ValueError(f"{win.kind} window needs `group by` keys in batch mode")
+        if win.kind == "length":
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(ts_col, id_col)
+                .rowsBetween(-(int(win.args[0]) - 1), 0)
+            )
+        elif win.kind == "time":
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col(ts_col).cast("double"))
+                .rangeBetween(-time_constant_seconds(win.args[0]), 0)
+            )
+        else:  # lengthBatch → tumbling count batches
+            n = int(win.args[0])
+            wb = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+            df = df.withColumn(
+                "batch_id", ((F.row_number().over(wb) - 1) / n).cast("long")
+            )
+            out = df.groupBy(*keys, "batch_id").agg(
+                *[
+                    F.expr(it.expr).alias(_auto_alias(it, i))
+                    for i, it in enumerate(q.select)
+                    if _AGG_RE.search(it.expr)
+                ]
+            )
+            return out
+        out = df
+        for i, it in enumerate(q.select):
+            name = _auto_alias(it, i)
+            if _AGG_RE.search(it.expr):
+                out = out.withColumn(name, F.expr(it.expr).over(w))
+        return out.select(
+            *[_auto_alias(it, i) if _AGG_RE.search(it.expr) else it.expr
+              for i, it in enumerate(q.select)]
+        )
+
+    if win and win.kind == "sort":
+        # sort(n, attr, 'asc'|'desc') → retained top/bottom-n per key
+        n = int(win.args[0])
+        attr = win.args[1]
+        asc = len(win.args) < 3 or win.args[2].strip("'\" ") == "asc"
+        keys = q.group_by or []
+        order = [F.asc(attr) if asc else F.desc(attr), F.asc(id_col)]
+        w = (
+            Window.partitionBy(*keys).orderBy(*order)
+            if keys
+            else Window.partitionBy(F.lit(1)).orderBy(*order)
+        )
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+        if q.select:
+            df = df.select(
+                *[F.expr(it.expr).alias(_auto_alias(it, i)) for i, it in enumerate(q.select)]
+            )
+        return df
+
+    df, extra = _apply_window_groupby(df, q, win, ts_col)
+    if has_agg:
+        group_cols = extra + q.group_by
+        agg_items = [
+            (i, it) for i, it in enumerate(q.select) if _AGG_RE.search(it.expr)
+        ]
+        aggs = [F.expr(it.expr).alias(_auto_alias(it, i)) for i, it in agg_items]
+        out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+        order = []
+        for i, it in enumerate(q.select):
+            order.append(_auto_alias(it, i) if (i, it) in agg_items else it.expr)
+        keep = [c for c in (extra + order) if c != "session_w"]
+        if "session_w" in extra:
+            out = out.withColumn("session_start", F.col("session_w.start")).withColumn(
+                "session_end", F.col("session_w.end")
+            )
+            keep = ["session_start", "session_end"] + order
+        return out.select(*keep)
+    if q.select:
+        df = df.select(
+            *[F.expr(it.expr).alias(_auto_alias(it, i)) for i, it in enumerate(q.select)]
+        )
+    return df
+
+
+def _run_join(
+    sources: dict[str, DataFrame], q: QueryDef, inp: JoinInput, ts_col: str
+) -> DataFrame:
+    left = sources[inp.left.stream]
+    right = sources[inp.right.stream]
+    if inp.left.filter_expr:
+        left = left.filter(F.expr(inp.left.filter_expr))
+    if inp.right.filter_expr:
+        right = right.filter(F.expr(inp.right.filter_expr))
+    cond = F.expr(inp.on_expr)
+    within = inp.within_seconds
+    if within is None:
+        for side in (inp.left, inp.right):
+            if side.window and side.window.kind in ("time", "timeBatch"):
+                within = time_constant_seconds(side.window.args[0])
+    j = left.alias(inp.left.stream).join(
+        right.alias(inp.right.stream),
+        on=cond
+        if within is None
+        else cond
+        & (
+            F.abs(
+                F.unix_micros(F.col(f"{inp.left.stream}.{ts_col}"))
+                - F.unix_micros(F.col(f"{inp.right.stream}.{ts_col}"))
+            )
+            <= int(within * 1_000_000)
+        ),
+        how={"inner": "inner", "left outer": "left", "right outer": "right",
+             "full outer": "full"}[inp.kind],
+    )
+    if q.select:
+        j = j.select(
+            *[F.expr(it.expr).alias(_auto_alias(it, i)) for i, it in enumerate(q.select)]
+        )
+    return j
+
+
+def _run_pattern(
+    df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
+) -> DataFrame:
+    """Chain of time-bounded first-match joins — the batch fixed point
+    of the NFA. Columns come out as `<alias>_<col>`; select expressions
+    may reference `e1.x` (rewritten to `e1_x`)."""
+    base_cols = df.columns
+    partial: DataFrame | None = None
+    for step in inp.steps:
+        s = df
+        if step.predicate:
+            s = s.filter(F.expr(step.predicate))
+        s = s.select(
+            F.col(key).alias("__k"),
+            *[F.col(c).alias(f"{step.alias}_{c}") for c in base_cols],
+        )
+        if partial is None:
+            partial = s
+            first = step.alias
+            prev_alias = step.alias
+            continue
+        prev = prev_alias
+        cond = (
+            (F.col("p.__k") == F.col("s.__k"))
+            & (F.col(f"s.{step.alias}_{ts_col}") > F.col(f"p.{prev}_{ts_col}"))
+        )
+        if inp.within_seconds is not None:
+            cond = cond & (
+                F.col(f"s.{step.alias}_{ts_col}")
+                <= F.col(f"p.{first}_{ts_col}")
+                + F.expr(f"INTERVAL {inp.within_seconds} SECONDS")
+            )
+        joined = partial.alias("p").join(s.alias("s"), on=cond).drop(F.col("s.__k"))
+        w = Window.partitionBy("__k", f"{first}_{id_col}", f"{prev}_{id_col}").orderBy(
+            f"{step.alias}_{ts_col}", f"{step.alias}_{id_col}"
+        )
+        partial = (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        prev_alias = step.alias
+    out = partial
+    if q.select:
+        sel = []
+        for i, it in enumerate(q.select):
+            expr = re.sub(r"\b(\w+)\.(\w+)", r"\1_\2", it.expr)
+            sel.append(F.expr(expr).alias(_auto_alias(it, i)))
+        out = out.select(*sel)
+    return out
+
+
+def run_app(
+    app: str | AppModel,
+    sources: dict[str, DataFrame],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    pattern_key: str = "user_id",
+) -> dict[str, DataFrame]:
+    """Execute a SiddhiQL app in batch/analytics mode.
+
+    ``sources`` maps declared stream/table names to DataFrames;
+    returns {output stream name: DataFrame} (multiple queries into the
+    same stream union, as with `InsertIntoStreamCallback`)."""
+    model = parse_app(app) if isinstance(app, str) else app
+    env: dict[str, DataFrame] = dict(sources)
+    outputs: dict[str, DataFrame] = {}
+    for name in model.streams:
+        if name not in env and not model.streams[name].is_table:
+            pass  # stream with no source: only valid as query output
+    for q in model.queries:
+        inp = q.input
+        if isinstance(inp, SingleInput):
+            df = _run_single(env[inp.stream], q, inp, ts_col, id_col)
+        elif isinstance(inp, JoinInput):
+            df = _run_join(env, q, inp, ts_col)
+        elif isinstance(inp, PatternInput):
+            df = _run_pattern(
+                env[inp.steps[0].stream], q, inp, ts_col, id_col, pattern_key
+            )
+        else:  # pragma: no cover
+            raise TypeError(type(inp))
+        if q.having:
+            df = df.filter(F.expr(q.having))
+        for col, asc in q.order_by:
+            df = df.orderBy(F.asc(col) if asc else F.desc(col))
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        if q.out_stream in outputs:
+            outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
+        else:
+            outputs[q.out_stream] = df
+        env[q.out_stream] = outputs[q.out_stream]
+    return outputs

@@ -1,0 +1,76 @@
+"""App object model — the analog of the reference's query-api IR
+(`[qapi] SiddhiApp.java`, `execution/query/Query.java`,
+`definition/StreamDefinition.java`)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class StreamDef:
+    name: str
+    attributes: list[tuple[str, str]]  # (name, siddhi type)
+    is_table: bool = False
+    annotations: list[str] = field(default_factory=list)
+
+
+@dataclass
+class WindowSpec:
+    kind: str  # time | timeBatch | length | lengthBatch | session | sort | externalTime* | delay
+    args: list[str]
+
+
+@dataclass
+class SingleInput:
+    stream: str
+    filter_expr: str | None = None
+    window: WindowSpec | None = None
+
+
+@dataclass
+class JoinInput:
+    left: SingleInput
+    right: SingleInput
+    kind: str  # inner | left outer | right outer | full outer
+    on_expr: str
+    within_seconds: float | None = None
+
+
+@dataclass
+class PatternStep:
+    alias: str
+    stream: str
+    predicate: str | None
+
+
+@dataclass
+class PatternInput:
+    steps: list[PatternStep]
+    every: bool
+    within_seconds: float | None = None
+    strict: bool = False  # sequence (`,`) vs followed-by (`->`)
+
+
+@dataclass
+class SelectItem:
+    expr: str  # SQL-translated expression
+    alias: str | None
+
+
+@dataclass
+class QueryDef:
+    input: SingleInput | JoinInput | PatternInput
+    select: list[SelectItem]  # empty = select *
+    group_by: list[str] = field(default_factory=list)
+    having: str | None = None
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (col, asc)
+    limit: int | None = None
+    out_stream: str = ""
+
+
+@dataclass
+class AppModel:
+    streams: dict[str, StreamDef] = field(default_factory=dict)
+    queries: list[QueryDef] = field(default_factory=list)
+    annotations: list[str] = field(default_factory=list)

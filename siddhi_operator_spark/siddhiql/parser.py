@@ -1,0 +1,424 @@
+"""SiddhiQL subset parser.
+
+Statement-level recursive descent over `;`-terminated statements
+(mirroring the grammar shapes of `[qc] SiddhiQL.g4`: definition_stream,
+definition_table, query with query_input/query_section). Expressions
+are carried as balanced substrings and translated to Spark SQL by
+``translate_expr`` — the analog of `SiddhiQLBaseVisitorImpl`'s
+expression visitor, with Catalyst doing the actual compilation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .model import (
+    AppModel,
+    JoinInput,
+    PatternInput,
+    PatternStep,
+    QueryDef,
+    SelectItem,
+    SingleInput,
+    StreamDef,
+    WindowSpec,
+)
+
+_TIME_UNITS = {
+    "millisecond": 0.001,
+    "milliseconds": 0.001,
+    "msec": 0.001,
+    "sec": 1,
+    "second": 1,
+    "seconds": 1,
+    "min": 60,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+# Siddhi namespace:function → Spark SQL function (subset; extend as the
+# suite grows). Identity-mapped names (abs, ceil, upper, …) fall back
+# to stripping the namespace.
+_FN_MAP = {
+    "math:power": "pow",
+    "math:ln": "ln",
+    "math:toDegrees": "degrees",
+    "math:toRadians": "radians",
+    "math:parseInt": "int",
+    "str:substr": "substring",
+    "str:replaceAll": "regexp_replace",
+    "str:groupConcat": "string_agg",
+    "time:timestampInMilliseconds": "unix_millis",
+    "json:getString": "get_json_object",
+    "json:getDouble": "get_json_object",
+    "distinctCount": "count_distinct",
+    "stdDev": "stddev_pop",
+    "ifThenElse": "if",
+    "maximum": "greatest",
+    "minimum": "least",
+    "eventTimestamp": "unix_millis",
+}
+
+
+def time_constant_seconds(text: str) -> float:
+    """`1 min`, `30 sec`, `500 milliseconds` → seconds."""
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", text)
+    if not m:
+        raise ValueError(f"bad time constant: {text!r}")
+    unit = m.group(2).lower()
+    if unit not in _TIME_UNITS:
+        raise ValueError(f"unknown time unit {unit!r} in {text!r}")
+    return float(m.group(1)) * _TIME_UNITS[unit]
+
+
+def translate_expr(expr: str) -> str:
+    """SiddhiQL expression → Spark SQL expression."""
+    out = expr
+    # `==` → `=` (avoid touching >=, <=, !=)
+    out = re.sub(r"(?<![<>!=])==", "=", out)
+    # Siddhi's zero-arg count() → SQL count(*)
+    out = re.sub(r"\bcount\s*\(\s*\)", "count(*)", out)
+    # namespace:function( → mapped/stripped spark name
+    def repl(m: re.Match) -> str:
+        full = f"{m.group(1)}:{m.group(2)}"
+        if full in _FN_MAP:
+            return _FN_MAP[full] + "("
+        return m.group(2) + "("  # namespace strip: str:upper → upper
+
+    out = re.sub(r"\b(\w+):(\w+)\s*\(", repl, out)
+    # bare mapped functions (no namespace)
+    for k, v in _FN_MAP.items():
+        if ":" not in k:
+            out = re.sub(rf"\b{k}\s*\(", v + "(", out)
+    return out
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split on `;` outside quotes/parens; strip comments."""
+    text = re.sub(r"--[^\n]*", "", text)
+    text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+    stmts, buf, depth, in_str = [], [], 0, None
+    for ch in text:
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == ";" and depth == 0:
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+    s = "".join(buf).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
+def _strip_annotations(stmt: str) -> tuple[str, list[str]]:
+    """Pull leading `@name(...)` / `@name:sub(...)` annotations."""
+    anns = []
+    s = stmt.lstrip()
+    while s.startswith("@"):
+        m = re.match(r"@[\w.:]+\s*(\()?", s)
+        if m and m.group(1):
+            depth, i = 0, m.end() - 1
+            while i < len(s):
+                if s[i] == "(":
+                    depth += 1
+                elif s[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            anns.append(s[: i + 1])
+            s = s[i + 1 :].lstrip()
+        else:
+            m2 = re.match(r"@[\w.:]+", s)
+            anns.append(m2.group(0))
+            s = s[m2.end() :].lstrip()
+    return s, anns
+
+
+_DEF_RE = re.compile(
+    r"define\s+(stream|table)\s+(\w+)\s*\((.*)\)\s*$", re.S | re.I
+)
+
+
+def _parse_definition(stmt: str, anns: list[str]) -> StreamDef:
+    m = _DEF_RE.match(stmt)
+    if not m:
+        raise ValueError(f"bad definition: {stmt[:80]!r}")
+    kind, name, cols = m.groups()
+    attrs = []
+    for part in cols.split(","):
+        cname, ctype = part.split()
+        attrs.append((cname.strip(), ctype.strip().lower()))
+    return StreamDef(
+        name=name,
+        attributes=attrs,
+        is_table=kind.lower() == "table",
+        annotations=anns,
+    )
+
+
+def _find_toplevel(s: str, keyword: str) -> int:
+    """Index of a top-level (paren-depth-0, outside quotes) keyword."""
+    depth, in_str = 0, None
+    low = s.lower()
+    kw = keyword.lower()
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith(kw, i):
+            before = s[i - 1] if i > 0 else " "
+            after = s[i + len(kw)] if i + len(kw) < len(s) else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                return i
+        i += 1
+    return -1
+
+
+def _parse_single_input(text: str) -> SingleInput:
+    """`Stream[filter]#window.type(args)` (any part optional)."""
+    text = text.strip()
+    m = re.match(r"(\w+)", text)
+    stream = m.group(1)
+    rest = text[m.end() :].strip()
+    filt = None
+    if rest.startswith("["):
+        depth, i = 0, 0
+        while i < len(rest):
+            if rest[i] == "[":
+                depth += 1
+            elif rest[i] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        filt = rest[1:i]
+        rest = rest[i + 1 :].strip()
+    window = None
+    wm = re.match(r"#\s*window\s*\.\s*(\w+)\s*\((.*)\)\s*$", rest, re.S)
+    if wm:
+        kind = wm.group(1)
+        args = [a.strip() for a in wm.group(2).split(",")] if wm.group(2).strip() else []
+        window = WindowSpec(kind=kind, args=args)
+    return SingleInput(
+        stream=stream,
+        filter_expr=translate_expr(filt) if filt else None,
+        window=window,
+    )
+
+
+def _parse_input(text: str) -> SingleInput | JoinInput | PatternInput:
+    text = text.strip()
+    # pattern: contains `->` at top level, or starts with `every`
+    if _find_toplevel(text, "->") != -1 or text.lower().startswith("every"):
+        return _parse_pattern(text, strict=False)
+    ji = -1
+    for kw in ("left outer join", "right outer join", "full outer join", "join"):
+        ji = _find_toplevel(text, kw)
+        if ji != -1:
+            join_kw = kw
+            break
+    if ji != -1:
+        left = _parse_single_input(text[:ji])
+        rest = text[ji + len(join_kw) :]
+        oi = _find_toplevel(rest, "on")
+        if oi == -1:
+            raise ValueError("join without on")
+        right = _parse_single_input(rest[:oi])
+        cond = rest[oi + 2 :]
+        within = None
+        wi = _find_toplevel(cond, "within")
+        if wi != -1:
+            within = time_constant_seconds(cond[wi + 6 :])
+            cond = cond[:wi]
+        kind = {"join": "inner"}.get(join_kw, join_kw.replace(" join", ""))
+        return JoinInput(
+            left=left,
+            right=right,
+            kind=kind,
+            on_expr=translate_expr(cond.strip()),
+            within_seconds=within,
+        )
+    return _parse_single_input(text)
+
+
+def _parse_pattern(text: str, strict: bool) -> PatternInput:
+    every = False
+    t = text.strip()
+    if t.lower().startswith("every"):
+        every = True
+        t = t[5:].strip()
+    within = None
+    wi = _find_toplevel(t, "within")
+    if wi != -1:
+        within = time_constant_seconds(t[wi + 6 :])
+        t = t[:wi].strip()
+    # split on top-level -> (followed-by) or , (sequence)
+    parts, depth, in_br, buf = [], 0, 0, []
+    i = 0
+    while i < len(t):
+        if t[i] == "[":
+            in_br += 1
+        elif t[i] == "]":
+            in_br -= 1
+        elif t[i] == "(":
+            depth += 1
+        elif t[i] == ")":
+            depth -= 1
+        if depth == 0 and in_br == 0 and t.startswith("->", i):
+            parts.append("".join(buf))
+            buf = []
+            i += 2
+            continue
+        buf.append(t[i])
+        i += 1
+    parts.append("".join(buf))
+    steps = []
+    for p in parts:
+        p = p.strip()
+        m = re.match(r"(?:(\w+)\s*=\s*)?(\w+)(?:\s*\[(.*)\])?\s*$", p, re.S)
+        if not m:
+            raise ValueError(f"bad pattern step: {p!r}")
+        alias = m.group(1) or f"e{len(steps) + 1}"
+        steps.append(
+            PatternStep(
+                alias=alias,
+                stream=m.group(2),
+                predicate=translate_expr(m.group(3)) if m.group(3) else None,
+            )
+        )
+    return PatternInput(steps=steps, every=every, within_seconds=within, strict=strict)
+
+
+def _split_select_items(sel: str) -> list[SelectItem]:
+    sel = sel.strip()
+    if sel == "*":
+        return []
+    items, depth, buf = [], 0, []
+    for ch in sel:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    items.append("".join(buf))
+    out = []
+    for it in items:
+        it = it.strip()
+        m = re.match(r"(.+?)\s+as\s+(\w+)\s*$", it, re.S | re.I)
+        if m:
+            out.append(SelectItem(expr=translate_expr(m.group(1).strip()), alias=m.group(2)))
+        else:
+            out.append(SelectItem(expr=translate_expr(it), alias=None))
+    return out
+
+
+def _parse_query(stmt: str) -> QueryDef:
+    s = stmt
+    fi = _find_toplevel(s, "from")
+    si = _find_toplevel(s, "select")
+    ii = _find_toplevel(s, "insert into")
+    if ii == -1:
+        ii = _find_toplevel(s, "insert")
+    if fi == -1 or ii == -1:
+        raise ValueError(f"bad query: {stmt[:80]!r}")
+    out_stream = s[ii:].split()[-1]
+    body_end = ii
+    if si == -1:
+        input_text = s[fi + 4 : body_end]
+        select_items: list[SelectItem] = []
+        section = ""
+    else:
+        input_text = s[fi + 4 : si]
+        section = s[si + 6 : body_end]
+        select_items = None  # filled below
+    group_by: list[str] = []
+    having = None
+    order_by: list[tuple[str, bool]] = []
+    limit = None
+    if si != -1:
+        gi = _find_toplevel(section, "group by")
+        hi = _find_toplevel(section, "having")
+        oi = _find_toplevel(section, "order by")
+        li = _find_toplevel(section, "limit")
+        ends = sorted([x for x in (gi, hi, oi, li) if x != -1]) + [len(section)]
+        sel_text = section[: ends[0]]
+        select_items = _split_select_items(sel_text)
+        if gi != -1:
+            g_end = min([x for x in (hi, oi, li) if x > gi] + [len(section)])
+            group_by = [c.strip() for c in section[gi + 8 : g_end].split(",")]
+        if hi != -1:
+            h_end = min([x for x in (oi, li) if x > hi] + [len(section)])
+            having = translate_expr(section[hi + 6 : h_end].strip())
+        if oi != -1:
+            o_end = min([x for x in (li,) if x != -1 and x > oi] + [len(section)])
+            for part in section[oi + 8 : o_end].split(","):
+                toks = part.split()
+                asc = not (len(toks) > 1 and toks[1].lower() == "desc")
+                order_by.append((toks[0], asc))
+        if li != -1:
+            limit = int(section[li + 5 :].split()[0])
+    return QueryDef(
+        input=_parse_input(input_text),
+        select=select_items or [],
+        group_by=group_by,
+        having=having,
+        order_by=order_by,
+        limit=limit,
+        out_stream=out_stream,
+    )
+
+
+def parse_app(text: str) -> AppModel:
+    """Parse a SiddhiQL app into the AppModel."""
+    app = AppModel()
+    for stmt in _split_statements(text):
+        body, anns = _strip_annotations(stmt)
+        if not body:
+            app.annotations.extend(anns)
+            continue
+        low = body.lower()
+        if low.startswith("define stream") or low.startswith("define table"):
+            d = _parse_definition(body, anns)
+            app.streams[d.name] = d
+        elif low.startswith("from"):
+            app.queries.append(_parse_query(body))
+        elif low.startswith("define"):
+            raise ValueError(f"unsupported definition: {body.split()[1]}")
+        else:
+            raise ValueError(f"unsupported statement: {body[:60]!r}")
+    return app

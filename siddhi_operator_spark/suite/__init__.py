@@ -20,3 +20,4 @@ from . import incremental  # noqa: E402,F401
 from . import tables  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import streaming_suite  # noqa: E402,F401
+from . import siddhiql_suite  # noqa: E402,F401

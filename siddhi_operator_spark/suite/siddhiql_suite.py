@@ -1,0 +1,128 @@
+"""Suite: queries expressed as SiddhiQL TEXT, compiled by the front
+end (parser → app model → DataFrame builder) and checked against the
+same DuckDB oracles — end-to-end evidence for entry point A
+(SURVEY.md §4.1): SiddhiQL string in, correct relational result out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..siddhiql import run_app
+from .registry import register
+
+_EVENTS_DEF = """
+define stream events (event_id long, ts string, user_id long,
+                      event_type string, value double);
+"""
+
+
+@register(
+    "siddhiql_filter",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 200
+    """,
+    tags=("siddhiql", "filter"),
+)
+def siddhiql_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """`from events[event_type == 'purchase' and value > 200]` via the
+    SiddhiQL string front end."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from events[event_type == 'purchase' and value > 200]
+    select event_id, user_id, value
+    insert into BigBuys;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["BigBuys"]
+
+
+@register(
+    "siddhiql_timebatch_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           round(1e-9 + sum(value), 4) AS total, count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("siddhiql", "window"),
+)
+def siddhiql_timebatch_agg(spark: SparkSession, sf: str) -> DataFrame:
+    app = (
+        _EVENTS_DEF
+        + """
+    from events#window.timeBatch(1 hour)
+    select event_type, round(1e-9 + sum(value), 4) as total, count() as n
+    group by event_type
+    insert into Hourly;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Hourly"]
+
+
+@register(
+    "siddhiql_pattern",
+    oracle="""
+    SELECT signup_id, purchase_id
+    FROM (
+      SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("siddhiql", "pattern"),
+)
+def siddhiql_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    app = (
+        _EVENTS_DEF
+        + """
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase']
+         within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Conversions;
+    """
+    )
+    return run_app(
+        app, {"events": load(spark, sf, "events")}, pattern_key="user_id"
+    )["Conversions"]
+
+
+@register(
+    "siddhiql_join",
+    oracle="""
+    SELECT e.event_id, c.c_mktsegment AS segment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value > 100
+    """,
+    tags=("siddhiql", "join"),
+)
+def siddhiql_join(spark: SparkSession, sf: str) -> DataFrame:
+    app = (
+        _EVENTS_DEF
+        + """
+    define table customer (c_custkey long, c_name string, c_nationkey int,
+                           c_acctbal double, c_mktsegment string);
+    from events[value > 100] join customer
+      on events.user_id == customer.c_custkey
+    select events.event_id as event_id, customer.c_mktsegment as segment,
+           events.value as value
+    insert into Enriched;
+    """
+    )
+    return run_app(
+        app,
+        {
+            "events": load(spark, sf, "events"),
+            "customer": load(spark, sf, "customer"),
+        },
+    )["Enriched"]

@@ -1,0 +1,154 @@
+"""SiddhiQL front-end tests: parse + execute app scripts, including
+the operator repo's own example app (FIXTURES.md §B.5,
+`[op] deploy/examples/example-stateful-log-app.yaml`'s
+PowerSurgeDetection)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from siddhi_operator_spark.siddhiql import parse_app, run_app
+
+
+def test_parse_definitions_and_annotations():
+    app = parse_app(
+        """
+        @App:name('PowerSurgeDetection')
+        @source(type='http', receiver.url='http://0.0.0.0:8280/power',
+                @map(type='json'))
+        define stream DevicePowerStream (type string, deviceID string, power int);
+        define table StockTable (symbol string, price double);
+        """
+    )
+    assert set(app.streams) == {"DevicePowerStream", "StockTable"}
+    assert app.streams["StockTable"].is_table
+    assert app.streams["DevicePowerStream"].attributes[2] == ("power", "int")
+    assert any("@source" in a for a in app.streams["DevicePowerStream"].annotations)
+
+
+def test_operator_example_filter_app(spark):
+    """The smoke-test app from the operator's deploy/examples."""
+    app = """
+    @App:name('PowerSurgeDetection')
+    define stream DevicePowerStream (type string, deviceID string, power int);
+    @sink(type='log', prefix='LOGGER')
+    define stream PowerSurgeAlertStream (deviceID string, power int);
+    @info(name='surge-detector')
+    from DevicePowerStream[power > 340]
+    select deviceID, power
+    insert into PowerSurgeAlertStream;
+    """
+    src = spark.createDataFrame(
+        [("mon", "d1", 300), ("mon", "d2", 350), ("dry", "d3", 400)],
+        "type string, deviceID string, power int",
+    )
+    out = run_app(app, {"DevicePowerStream": src}, ts_col="", id_col="")
+    rows = sorted(
+        (r.deviceID, r.power) for r in out["PowerSurgeAlertStream"].collect()
+    )
+    assert rows == [("d2", 350), ("d3", 400)]
+
+
+def test_timebatch_group_agg(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events#window.timeBatch(1 hour)
+    select event_type, sum(value) as total, count() as n
+    group by event_type
+    insert into HourlyStream;
+    """
+    out = run_app(app, {"events": events_df})["HourlyStream"]
+    rows = {
+        (r.window_start.isoformat(), r.event_type): (r.total, r.n)
+        for r in out.collect()
+    }
+    assert rows[("2024-01-01T00:00:00", "click")] == (7.0, 2)
+    assert rows[("2024-01-01T01:00:00", "click")] == (24.0, 3)
+
+
+def test_filter_with_siddhi_equality_and_fn(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events[event_type == 'purchase' and math:ceil(value) >= 50]
+    select event_id, str:upper(event_type) as et, value
+    insert into BigBuys;
+    """
+    out = run_app(app, {"events": events_df})["BigBuys"]
+    rows = sorted((r.event_id, r.et) for r in out.collect())
+    assert rows == [(3, "PURCHASE"), (6, "PURCHASE")]
+
+
+def test_length_window_agg(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events#window.length(2)
+    select event_id, sum(value) as s2
+    group by user_id
+    insert into Rolling;
+    """
+    out = run_app(app, {"events": events_df})["Rolling"]
+    rows = {r.event_id: r.s2 for r in out.collect()}
+    assert rows[3] == 105.0  # events 2,3 for user 1
+    assert rows[9] == 17.0
+
+
+def test_join_within(spark, events_df):
+    app = """
+    define stream clicks (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define stream buys (event_id long, ts string, user_id long,
+                        event_type string, value double);
+    from clicks#window.time(10 min) join buys#window.time(10 min)
+      on clicks.user_id == buys.user_id
+    select clicks.event_id as click_id, buys.event_id as buy_id
+    insert into Pairs;
+    """
+    clicks = events_df.filter(F.col("event_type") == "click")
+    buys = events_df.filter(F.col("event_type") == "purchase")
+    out = run_app(app, {"clicks": clicks, "buys": buys})["Pairs"]
+    rows = sorted((r.click_id, r.buy_id) for r in out.collect())
+    assert rows == [(2, 3)]
+
+
+def test_pattern_followed_by(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase']
+         within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Conversions;
+    """
+    out = run_app(app, {"events": events_df}, pattern_key="user_id")["Conversions"]
+    rows = sorted((r.signup_id, r.purchase_id) for r in out.collect())
+    assert rows == [(1, 3), (4, 6)]
+
+
+def test_sort_window_topk(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events#window.sort(1, value, 'desc')
+    select user_id, event_id, value
+    group by user_id
+    insert into TopPerUser;
+    """
+    out = run_app(app, {"events": events_df})["TopPerUser"]
+    rows = {r.user_id: r.event_id for r in out.collect()}
+    assert rows == {1: 3, 2: 6}
+
+
+def test_shared_output_stream_union(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events[value > 90] select event_id insert into Alerts;
+    from events[event_type == 'error'] select event_id insert into Alerts;
+    """
+    out = run_app(app, {"events": events_df})["Alerts"]
+    assert sorted(r.event_id for r in out.collect()) == [3, 10]
