@@ -47,6 +47,26 @@ def parquet_sink(
     )
 
 
+def dead_letter_foreach_batch(process, dead_letter_path: str):
+    """`@OnError(action='STREAM')` analog (SURVEY.md §3.10 —
+    `StreamJunction` fault-stream side channel): wrap a foreachBatch
+    body; if it throws, the whole batch lands in the dead-letter
+    location (parquet, with an epoch column) instead of killing the
+    query — the `!failedStream` consumers read that path."""
+
+    def wrapped(batch: DataFrame, epoch_id: int) -> None:
+        try:
+            process(batch, epoch_id)
+        except Exception:
+            (
+                batch.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(dead_letter_path)
+            )
+
+    return wrapped
+
+
 class ParquetUpsertTable:
     """Keyed mutable table backed by parquet — the engine's
     `define table` + `@PrimaryKey` store (`InMemoryTable.java` /

@@ -1,0 +1,120 @@
+"""Streaming extras: Misra-Gries heavy hitters, sort-window top-k
+retention, rate-limit first/last, kslack watermark, error-handling
+dead letter."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+
+from siddhi_operator_spark.streaming import frequent as FR
+from siddhi_operator_spark.streaming import ratelimit as RL
+from siddhi_operator_spark.streaming import reorder, sinks, sources
+
+
+def _stream(spark, df, n_splits=2):
+    d = tempfile.mkdtemp(prefix="replay_x_")
+    sources.replay_dir(df, d, "ts", n_splits)
+    return sources.file_stream(spark, d, df.schema, max_files_per_trigger=1)
+
+
+def _run(stream, mode="append"):
+    name = f"x_{uuid.uuid4().hex[:8]}"
+    q = sinks.memory_sink(stream, name, output_mode=mode)
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_misra_gries_unit():
+    sketch: dict[str, int] = {}
+    for x in ["a", "a", "a", "b", "b", "c", "d"]:
+        FR.misra_gries(sketch, x, 2)
+    # 'a' must survive (true count 3 > m/(k+1))
+    assert "a" in sketch
+
+
+def test_frequent_stream(spark, events_df):
+    s = _stream(spark, events_df, n_splits=2)
+    out = FR.frequent_stream(s, 2, key="event_type", item_col="user_id")
+    name = _run(out)
+    rows = spark.sql(
+        f"select * from {name} order by batch_seq desc"
+    ).collect()
+    # final sketch for 'click': user 1 has 4 clicks, user 2 has 1 →
+    # user 1 must be a surviving candidate in the last batch's emission
+    last_seq = max(r.batch_seq for r in rows if r.key == "click")
+    click_items = {
+        r.item for r in rows if r.key == "click" and r.batch_seq == last_seq
+    }
+    assert "1" in click_items
+
+
+def test_sort_window_stream(spark, events_df):
+    s = _stream(spark, events_df, n_splits=2)
+    out = FR.sort_window_stream(s, 2, key="user_id", sort_col="value")
+    name = _run(out)
+    rows = spark.sql(f"select * from {name}").collect()
+    last_seq = max(r.batch_seq for r in rows if r.key == "1")
+    final = sorted(
+        (r.rank, r.item_id)
+        for r in rows
+        if r.key == "1" and r.batch_seq == last_seq
+    )
+    # user 1 values: 10,5,100,7,8,9 → top-2 = events 3 (100) and 1 (10)
+    assert final == [(1, 3), (2, 1)]
+
+
+def test_ratelimit_first_last_stream(spark, events_df):
+    s = _stream(spark, events_df, n_splits=2)
+    first = RL.first_every_stream(
+        s, "ts", "1 hour", watermark="0 seconds", keys=["user_id"]
+    )
+    name = _run(first, "append")
+    got = {
+        (r.bucket.isoformat(), r.user_id): r.event_id
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    # hour 0 for user 1: first event is id 1 (00:00:01)
+    assert got.get(("2024-01-01T00:00:00", 1)) == 1
+
+    s2 = _stream(spark, events_df, n_splits=2)
+    last = RL.last_every_stream(
+        s2, "ts", "1 hour", watermark="0 seconds", keys=["user_id"]
+    )
+    name2 = _run(last, "append")
+    got2 = {
+        (r.bucket.isoformat(), r.user_id): r.event_id
+        for r in spark.sql(f"select * from {name2}").collect()
+    }
+    assert got2.get(("2024-01-01T00:00:00", 1)) == 3  # last in hour 0
+
+
+def test_kslack_is_watermark(spark, events_df):
+    s = _stream(spark, events_df)
+    out = reorder.kslack(s, "ts", "2 minutes")
+    # watermark annotation present in the logical plan
+    assert "EventTimeWatermark" in out._jdf.queryExecution().logical().toString()
+
+
+def test_dead_letter_on_error(spark, events_df, tmp_path):
+    s = _stream(spark, events_df, n_splits=2)
+    dl = str(tmp_path / "dead")
+
+    def failing(batch, epoch_id):
+        raise RuntimeError("sink down")
+
+    q = (
+        s.writeStream.foreachBatch(
+            sinks.dead_letter_foreach_batch(failing, dl)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    dead = spark.read.parquet(dl)
+    assert dead.count() == events_df.count()
+    assert "_epoch" in dead.columns
