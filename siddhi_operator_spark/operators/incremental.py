@@ -105,6 +105,45 @@ def finalize(rollup: DataFrame) -> DataFrame:
     )
 
 
+def materialize_cascade(
+    cascade: dict[str, DataFrame],
+    base_path: str,
+) -> dict[str, str]:
+    """Persist each granularity as parquet partitioned by a derived
+    date column (`p_date`) — the production layout: `within` range
+    retrieval becomes partition pruning, and `@purge` retention is
+    partition deletion. Returns {granularity: path}."""
+    from pyspark.sql import functions as F
+
+    paths = {}
+    for gran, df in cascade.items():
+        path = f"{base_path}/gran={gran}"
+        (
+            df.withColumn("p_date", F.to_date("bucket_start"))
+            .write.mode("overwrite")
+            .partitionBy("p_date")
+            .parquet(path)
+        )
+        paths[gran] = path
+    return paths
+
+
+def purge_before(spark, path: str, cutoff_date: str) -> int:
+    """`@purge(... retention period)` analog
+    (`[core] aggregation/persistedaggregation/` retention): drop
+    partitions older than the cutoff — pure directory deletion, no
+    rewrite of retained data. Returns partitions removed."""
+    import shutil
+    from pathlib import Path
+
+    removed = 0
+    for d in Path(path).glob("p_date=*"):
+        if d.name.split("=", 1)[1] < cutoff_date:
+            shutil.rmtree(d)
+            removed += 1
+    return removed
+
+
 def query_within_per(
     cascade: dict[str, DataFrame],
     per: str,

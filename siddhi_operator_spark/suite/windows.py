@@ -383,3 +383,25 @@ def named_window_fanout(spark: SparkSession, sf: str) -> DataFrame:
     return hot.unionByName(busy).select(
         "consumer", "window_start", "event_type", "sum_value", "n"
     )
+
+
+@register(
+    "window_unique_first",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "unique"),
+)
+def window_unique_first(spark: SparkSession, sf: str) -> DataFrame:
+    """`unique:first(user_id)` (`[ext:unique]`): first event per key.
+    Streaming twin: `dropDuplicates([key])` keeps the first arrival
+    (dropDuplicatesWithinWatermark bounds the state — tests cover it)."""
+    e = load(spark, sf, "events")
+    out = W.unique_last(e, keys=["user_id"], order=[F.asc("ts"), F.asc("event_id")])
+    return out.select("user_id", "event_id", "event_type", "value", "ts")
