@@ -44,16 +44,24 @@ def brute_force_topk(
     row, per-query TopK via row_number (WindowGroupLimit — no global
     sort). Excludes self-matches."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        # norms are per-ROW facts: precompute on each side so the pair
+        # loop does ONE dot product, not three array aggregates
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
     )
-    scored = (
-        corpus.alias("c")
-        .join(F.broadcast(q), on=F.col(f"c.{id_col}") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(f"c.{id_col}").alias("neighbor_id"),
-            cosine(F.col("q_vec"), F.col(f"c.{vec_col}")).alias("cos"),
-        )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+    )
+    scored = c.join(F.broadcast(q), on=F.col("c_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("c_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos"),
     )
     # rank on the ROUNDED score: engines may sum in different orders, so
     # raw-float ordering could flip near-ties; 4-decimal ranking is
@@ -89,7 +97,9 @@ def lsh_topk(
     """Approximate top-k: compare only within the LSH bucket. The
     bucket is the join key — shuffle partitions by bucket, pairwise
     work is sum of bucket², not corpus²."""
-    b = corpus.withColumn("bucket", sign_lsh_bucket(F.col(vec_col), n_bits))
+    b = corpus.withColumn(
+        "bucket", sign_lsh_bucket(F.col(vec_col), n_bits)
+    ).withColumn("norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
     qs = b
     if max_query_id is not None:
         qs = b.filter(F.col(id_col) < max_query_id)
@@ -97,6 +107,7 @@ def lsh_topk(
         F.col("bucket"),
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
     )
     scored = b.alias("c").join(
         q.alias("q"),
@@ -107,7 +118,10 @@ def lsh_topk(
     ).select(
         "query_id",
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        cosine(F.col("q_vec"), F.col(f"c.{vec_col}")).alias("cos"),
+        (
+            _dot(F.col("q_vec"), F.col(f"c.{vec_col}"))
+            / (F.col("q_norm") * F.col("c.norm"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(r4("cos", 4)), F.asc("neighbor_id")
