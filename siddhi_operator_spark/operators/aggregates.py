@@ -54,6 +54,33 @@ def bool_or(cond: Column) -> Column:
     return F.bool_or(cond)
 
 
+def group_concat(col: str, sep: str = ",", distinct: bool = False) -> Column:
+    """`str:groupConcat(x)` (`[ext:string]` aggregator): concatenate
+    group values. Rendered over the SORTED value list so the result is
+    deterministic under shuffle reordering (the reference concatenates
+    in arrival order — arrival order does not exist in a distributed
+    shuffle, so sorted order is the documented semantic delta)."""
+    collected = F.collect_set(F.col(col)) if distinct else F.collect_list(F.col(col))
+    return F.array_join(F.sort_array(collected), sep)
+
+
+def regress(x: Column, y: Column) -> dict[str, Column]:
+    """`timeseries:regress(x, y)` (`[ext:timeseries]` simple linear
+    regression): OLS slope/intercept/r² as native Catalyst aggregates —
+    one pass, partial+final split, no driver math."""
+    return {
+        "slope": F.regr_slope(y, x),
+        "intercept": F.regr_intercept(y, x),
+        "r2": F.regr_r2(y, x),
+        "n": F.regr_count(y, x),
+    }
+
+
+def forecast(slope: Column, intercept: Column, x_future: Column) -> Column:
+    """`timeseries:forecast` — extrapolate the fitted line."""
+    return intercept + slope * x_future
+
+
 def forever_extrema(
     df: DataFrame,
     col: str,

@@ -173,6 +173,58 @@ def frequent(
     return counts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n)
 
 
+def lossy_frequent(
+    df: DataFrame,
+    support: float,
+    keys: Sequence[str],
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Support-threshold heavy hitters: Siddhi `lossyFrequent(support,
+    error, attrs)` (`LossyFrequentWindowProcessor.java`, lossy counting).
+
+    Lossy counting's contract is "emit every item whose true frequency
+    ≥ support × N, none below (support − error) × N". Batch mode
+    computes the exact fixed point: count per item, keep freq ≥
+    support × group total. Two keyed aggregations, both with map-side
+    partial aggregation — no item list ever sits on one node."""
+    counts = df.groupBy(*keys, *group_cols).agg(F.count(F.lit(1)).alias("freq"))
+    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_total"))
+    if keys:
+        joined = counts.join(totals, list(keys))
+    else:
+        # keyless: totals is a single row — broadcast cross join
+        joined = counts.crossJoin(F.broadcast(totals))
+    return joined.filter(F.col("freq") >= support * F.col("_total")).drop("_total")
+
+
+def expression_batch(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    budget_col: str,
+    limit: float,
+) -> DataFrame:
+    """Dynamic retain-while window: Siddhi `expressionBatch('…')` /
+    `expression('…')` (`ExpressionBatchWindowProcessor.java`,
+    `ExpressionWindowProcessor.java`) — the window keeps events while a
+    state expression holds (here the canonical form: cumulative
+    `sum(budget) <= limit` over the newest events).
+
+    Batch analog: per key, walk from the newest event backwards and
+    keep the maximal suffix whose running sum stays within the limit —
+    a reverse-cumulative-sum frame filter, no self-join, one keyed
+    shuffle."""
+    order_cols = [c if isinstance(c, Column) else F.col(c) for c in order]
+    w = _keyed_window(keys, [c.desc() for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("_run", F.sum(budget_col).over(w))
+        .filter(F.col("_run") <= limit)
+        .drop("_run")
+    )
+
+
 def unique_last(
     df: DataFrame,
     keys: Sequence[str],

@@ -200,6 +200,57 @@ def token_jaccard_pairs(
     return out.select("id_a", "id_b", "shared", r4("jaccard", 4).alias("jaccard"))
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    min_cos: float = 0.9,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs: sign-LSH bucket the
+    corpus (same hyperplane buckets as similarity search), compare only
+    within a bucket, keep pairs with cosine ≥ threshold. The bucket is
+    the join key — pairwise work is Σ bucket², never corpus². At 100 TB
+    you'd add band rotations for recall; the plumbing is identical."""
+    from ..fpround import r4
+    from .similarity import _dot, sign_lsh_bucket
+
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("norm"),
+    )
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("bb"),
+            on=[
+                F.col("a.bucket") == F.col("bb.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"bb.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"bb.{id_col}").alias("id_b"),
+            (
+                _dot(F.col("a.v"), F.col("bb.v"))
+                / (F.col("a.norm") * F.col("bb.norm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+    return pairs.select("id_a", "id_b", r4("cos", 4).alias("cos"))
+
+
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens using xxhash64 (JVM-side): per bit,
     sum of ±1 votes weighted by token presence; sign → bit. Not

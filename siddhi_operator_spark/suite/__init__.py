@@ -22,3 +22,4 @@ from . import pipeline  # noqa: E402,F401
 from . import streaming_suite  # noqa: E402,F401
 from . import siddhiql_suite  # noqa: E402,F401
 from . import collections  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401

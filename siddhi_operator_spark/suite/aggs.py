@@ -225,3 +225,88 @@ def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "agg_group_concat",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_sort(list_distinct(list(CAST(user_id AS VARCHAR)))), ',')
+             AS users_concat
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "string"),
+)
+def agg_group_concat(spark: SparkSession, sf: str) -> DataFrame:
+    """`str:groupConcat(x)` (`[ext:string]` aggregator). Sorted
+    rendering — arrival order doesn't exist under a distributed
+    shuffle, so sorted order is the documented semantic delta."""
+    e = load(spark, sf, "events")
+    return (
+        e.withColumn("user_str", F.col("user_id").cast("string"))
+        .groupBy("event_type")
+        .agg(A.group_concat("user_str", distinct=True).alias("users_concat"))
+    )
+
+
+@register(
+    "agg_extrema_min_max_by",
+    oracle="""
+    SELECT event_type,
+           arg_min(event_id, printf('%012.4f|%010d', value, event_id)) AS min_event,
+           arg_max(event_id, printf('%012.4f|%010d', value, event_id)) AS max_event
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "extrema"),
+)
+def agg_extrema_min_max_by(spark: SparkSession, sf: str) -> DataFrame:
+    """`extrema:minByValue`/`maxByValue` (`[ext:extrema]`): the event
+    holding the group's extreme value — `min_by`/`max_by` native
+    aggregates. Ties broken deterministically via a fixed-width
+    (value, id) ordering key, identical on both oracle sides."""
+    e = load(spark, sf, "events")
+    key = F.format_string("%012.4f|%010d", F.col("value"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.min_by("event_id", key).alias("min_event"),
+        F.max_by("event_id", key).alias("max_event"),
+    )
+
+
+@register(
+    "agg_ts_regress_forecast",
+    oracle="""
+    SELECT event_type,
+           round(1e-9 + regr_slope(value, x), 4)     AS slope,
+           round(1e-9 + regr_intercept(value, x), 4) AS intercept,
+           round(1e-9 + regr_r2(value, x), 4)        AS r2,
+           regr_count(value, x)                      AS n,
+           round(1e-9 + regr_intercept(value, x) + regr_slope(value, x) * 1000.0, 4)
+             AS forecast_h1000
+    FROM (
+      SELECT event_type, value,
+             (epoch(ts) - 1704067200.0) / 3600.0 AS x
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("agg", "timeseries"),
+)
+def agg_ts_regress_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """`timeseries:regress` + `forecast` (`[ext:timeseries]`): OLS of
+    value against hours-since-2024, extrapolated to hour 1000 — all
+    native regr_* aggregates, one pass, partial+final split."""
+    e = load(spark, sf, "events").withColumn(
+        "x", (F.unix_timestamp("ts") - F.lit(1704067200.0)) / 3600.0
+    )
+    fit = A.regress(F.col("x"), F.col("value"))
+    return e.groupBy("event_type").agg(
+        r4(fit["slope"], 4).alias("slope"),
+        r4(fit["intercept"], 4).alias("intercept"),
+        r4(fit["r2"], 4).alias("r2"),
+        fit["n"].alias("n"),
+        r4(
+            A.forecast(fit["slope"], fit["intercept"], F.lit(1000.0)), 4
+        ).alias("forecast_h1000"),
+    )

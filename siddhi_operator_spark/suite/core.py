@@ -290,3 +290,62 @@ def setops_intersect(spark: SparkSession, sf: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select("user_id")
     buys = e.filter(F.col("event_type") == "purchase").select("user_id")
     return clicks.intersect(buys)
+
+
+@register(
+    "scalar_pol2cart",
+    oracle="""
+    SELECT event_id,
+           round(1e-9 + value * cos(CAST(user_id AS DOUBLE) / 10.0), 4) AS x,
+           round(1e-9 + value * sin(CAST(user_id AS DOUBLE) / 10.0), 4) AS y
+    FROM events
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_pol2cart(spark: SparkSession, sf: str) -> DataFrame:
+    """`pol2Cart(theta, rho)` stream function
+    (`[core] query/processor/stream/function/Pol2CartStreamProcessor.java`):
+    polar → cartesian, pure Catalyst trig."""
+    e = load(spark, sf, "events")
+    theta = F.col("user_id").cast("double") / 10.0
+    rho = F.col("value")
+    return e.select(
+        "event_id",
+        r4(rho * F.cos(theta), 4).alias("x"),
+        r4(rho * F.sin(theta), 4).alias("y"),
+    )
+
+
+@register(
+    "partition_range_agg",
+    oracle="""
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 200 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           event_type,
+           count(*)                      AS cnt,
+           round(1e-9 + sum(value), 4)   AS sum_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("partition",),
+)
+def partition_range_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """`partition with (value < 50 as 'low' or value < 200 as 'mid'
+    … of events)` (`RangePartitionExecutor.java`): range partitions are
+    a CASE WHEN bucket column used as the shuffle key — per-partition
+    query groups become one keyed aggregation."""
+    from ..operators.partitions import range_partition
+
+    e = load(spark, sf, "events")
+    bucket = range_partition(
+        F.col("value"), [(50.0, "low"), (200.0, "mid")], "high"
+    )
+    return (
+        e.withColumn("bucket", bucket)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            r4(F.sum("value"), 4).alias("sum_v"),
+        )
+    )

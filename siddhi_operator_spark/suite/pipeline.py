@@ -311,3 +311,40 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_pipeline.py."""
     media = M.to_media(load(spark, sf, "documents"))
     return M.extract_features(media, fake=True)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 128 +
+             (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 64 +
+             (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 32 +
+             (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) * 16 +
+             (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END) * 8 +
+             (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END) * 4 +
+             (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END) * 2 +
+             (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(1e-9 + list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+    FROM b a JOIN b c
+      ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_dot_product(a.v, c.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(c.v, c.v))) >= 0.25
+    """,
+    tags=("pipeline", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs: sign-LSH bucket →
+    in-bucket cosine ≥ threshold. Pairwise work is Σ bucket², never
+    corpus². (Threshold 0.25 exercises real filtering on this
+    synthetic corpus, whose max in-bucket cosine is ~0.43; production
+    near-dup thresholds are ~0.95+ with banded rotations for recall.)"""
+    emb = load(spark, sf, "embeddings")
+    return D.embedding_neardup_pairs(emb, min_cos=0.25, n_bits=8)

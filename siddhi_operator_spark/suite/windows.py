@@ -386,6 +386,61 @@ def named_window_fanout(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "window_lossy_frequent",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id, count(*) AS freq
+      FROM events GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, count(*) AS total FROM events GROUP BY 1
+    )
+    SELECT c.event_type, c.user_id, c.freq
+    FROM counts c JOIN totals t ON c.event_type = t.event_type
+    WHERE c.freq >= 0.008 * t.total
+    """,
+    tags=("window", "frequent"),
+)
+def window_lossy_frequent(spark: SparkSession, sf: str) -> DataFrame:
+    """`lossyFrequent(support, error)` (`LossyFrequentWindowProcessor
+    .java`): every item with frequency ≥ support × N. Batch mode is the
+    exact fixed point the lossy-counting sketch approximates."""
+    e = load(spark, sf, "events")
+    return W.lossy_frequent(
+        e, support=0.008, keys=["event_type"], group_cols=["user_id"]
+    ).select("event_type", "user_id", "freq")
+
+
+@register(
+    "window_expression_batch",
+    oracle="""
+    SELECT event_id, user_id, ts, value FROM (
+      SELECT event_id, user_id, ts, value,
+             sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS run
+      FROM events
+    ) WHERE run <= 100
+    """,
+    tags=("window", "expression"),
+)
+def window_expression_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """`expressionBatch('sum(value) <= 100')`
+    (`ExpressionBatchWindowProcessor.java`): dynamic retain-while
+    window — per user, the maximal suffix of newest events whose
+    value-sum stays within budget."""
+    e = load(spark, sf, "events")
+    out = W.expression_batch(
+        e,
+        keys=["user_id"],
+        order=[F.col("ts"), F.col("event_id")],
+        budget_col="value",
+        limit=100.0,
+    )
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+@register(
     "window_unique_first",
     oracle="""
     SELECT user_id, event_id, event_type, value, ts

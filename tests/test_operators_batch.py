@@ -146,3 +146,61 @@ def test_delete_replay(spark, events_df):
     errs = events_df.filter(F.col("event_type") == "error")
     out = TB.delete_replay(table, errs, key="k", mut_key="user_id")
     assert sorted(r.k for r in out.collect()) == [1, 3]
+
+
+def test_lossy_frequent(events_df):
+    # user 1 has 6/10 events, user 2 has 4/10: support 0.5 keeps only user 1
+    out = W.lossy_frequent(events_df, 0.5, keys=[], group_cols=["user_id"])
+    # keyless variant: single global group
+    rows = out.collect()
+    assert [(r.user_id, r.freq) for r in rows] == [(1, 6)]
+
+
+def test_expression_batch_retain_while(events_df):
+    # per user, newest-first suffix while cumulative value <= 20
+    out = W.expression_batch(
+        events_df,
+        keys=["user_id"],
+        order=[F.col("ts"), F.col("event_id")],
+        budget_col="value",
+        limit=20.0,
+    )
+    got = sorted(r.event_id for r in out.collect())
+    # user 1 newest-first: e9(9)+e8(8)=17 ok, +e7(7)=24 stops → {8,9}
+    # user 2 newest-first: e10(0)... user 2 events: e4(1),e5(2),e6(50),e10(0)
+    #   e10(0)+e6(50)=50 > 20 → only e10
+    assert got == [8, 9, 10]
+
+
+def test_count_min_sketch_overcounts(spark, events_df):
+    from siddhi_operator_spark.operators import sketches as SK
+
+    sk = SK.count_min_build(events_df, F.col("event_type"), depth=3, width=8)
+    items = events_df.select("event_type").distinct()
+    est = SK.count_min_estimate(sk, items, "event_type", depth=3, width=8)
+    exact = {
+        r.event_type: r.c
+        for r in events_df.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    for r in est.collect():
+        assert r.cms_estimate >= exact[r.event_type]
+
+
+def test_range_partition_labels(spark, events_df):
+    from siddhi_operator_spark.operators.partitions import range_partition
+
+    b = range_partition(F.col("value"), [(5.0, "low"), (50.0, "mid")], "high")
+    got = {r.event_id: r.b for r in events_df.select("event_id", b.alias("b")).collect()}
+    assert got[4] == "low" and got[2] == "mid" and got[3] == "high"
+
+
+def test_group_concat_sorted(events_df):
+    from siddhi_operator_spark.operators import aggregates as A
+
+    out = (
+        events_df.withColumn("u", F.col("user_id").cast("string"))
+        .groupBy()
+        .agg(A.group_concat("u", distinct=True).alias("g"))
+        .collect()
+    )
+    assert out[0].g == "1,2"
