@@ -89,6 +89,91 @@ def frequent_stream(
     )
 
 
+_LOSSY_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("count_lb", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("batch_seq", T.LongType()),
+    ]
+)
+_LOSSY_STATE = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("deltas", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def lossy_counting_stream(
+    stream: DataFrame,
+    support: float,
+    error: float,
+    key: str,
+    item_col: str,
+) -> DataFrame:
+    """`#window.lossyFrequent(support, error, attr)` per key
+    (`LossyFrequentWindowProcessor.java`, Manku-Motwani lossy counting).
+
+    State per group: {item: (count, Δ)} with Δ = bucket at insertion;
+    entries with count + Δ ≤ current bucket are pruned at bucket
+    boundaries, bounding state at O(1/error) entries regardless of
+    stream length. Emits items whose lower-bound count ≥ (support −
+    error) × N — the sketch's published guarantee."""
+    bucket_width = max(1, int(1.0 / error))
+
+    def proc(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            its, cts, dls, n_seen, seq = state.get
+            sketch = {i: [c, d] for i, c, d in zip(its, cts, dls)}
+        else:
+            sketch, n_seen, seq = {}, 0, 0
+        for pdf in pdfs:
+            for v in pdf["__item"].astype(str):
+                n_seen += 1
+                b_now = n_seen // bucket_width
+                if v in sketch:
+                    sketch[v][0] += 1
+                else:
+                    sketch[v] = [1, b_now]
+                if n_seen % bucket_width == 0:  # bucket boundary: prune
+                    for k in list(sketch):
+                        c, d = sketch[k]
+                        if c + d <= b_now:
+                            del sketch[k]
+        state.update(
+            (
+                list(sketch),
+                [int(v[0]) for v in sketch.values()],
+                [int(v[1]) for v in sketch.values()],
+                int(n_seen),
+                seq + 1,
+            )
+        )
+        thresh = (support - error) * n_seen
+        yield pd.DataFrame(
+            [
+                (str(key_tuple[0]), it, int(c), int(n_seen), seq)
+                for it, (c, _d) in sketch.items()
+                if c >= thresh
+            ],
+            columns=["key", "item", "count_lb", "n_seen", "batch_seq"],
+        )
+
+    projected = stream.withColumn("__key", F.col(key).cast("string")).withColumn(
+        "__item", F.col(item_col).cast("string")
+    )
+    return projected.groupBy("__key").applyInPandasWithState(
+        proc, _LOSSY_OUT, _LOSSY_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 _TOPK_OUT = T.StructType(
     [
         T.StructField("key", T.StringType()),

@@ -349,3 +349,62 @@ def partition_range_agg(spark: SparkSession, sf: str) -> DataFrame:
             r4(F.sum("value"), 4).alias("sum_v"),
         )
     )
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, t.token, t.pos
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents
+      WHERE doc_id < 50
+    ) t
+    WHERE length(t.token) > 0
+    """,
+    tags=("functions", "udtf", "string"),
+)
+def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """`str:tokenize` — the canonical 1→N stream function
+    (`StreamFunctionProcessor`, SURVEY.md §3.11: UDTF surface): one row
+    per token with its position. `posexplode` is the Spark-native
+    schema-adding row expander; stays in codegen, no Python."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos0", "token"),
+        )
+        .filter(F.length("token") > 0)
+        .select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+    )
+
+
+@register(
+    "json_struct_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER)                  AS k_val,
+           '{"k":' || (props->>'$.k') || ',"t":"' || event_type || '"}'
+             AS packed
+    FROM events
+    """,
+    tags=("functions", "json"),
+)
+def json_struct_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """`json:toObject` + `json:setElement` + `json:toString`
+    (`[ext:execution-json]`): parse the JSON payload into a typed
+    struct (from_json — schema-on-read at the edge, per §2.2's mapper
+    contract), enrich it, serialize back (to_json)."""
+    e = load(spark, sf, "events")
+    parsed = F.from_json("props", "k INT")
+    packed = F.to_json(
+        F.struct(parsed["k"].alias("k"), F.col("event_type").alias("t"))
+    )
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        packed.alias("packed"),
+    )

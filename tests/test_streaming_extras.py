@@ -118,3 +118,35 @@ def test_dead_letter_on_error(spark, events_df, tmp_path):
     dead = spark.read.parquet(dl)
     assert dead.count() == events_df.count()
     assert "_epoch" in dead.columns
+
+
+def test_lossy_counting_stream(spark, events_df):
+    s = _stream(spark, events_df, n_splits=2)
+    # support 0.5, error 0.1 → emit items with count ≥ 0.4·N per key
+    out = FR.lossy_counting_stream(
+        s, support=0.5, error=0.1, key="event_type", item_col="user_id"
+    )
+    name = _run(out)
+    rows = spark.sql(f"select * from {name}").collect()
+    # clicks: user 1 has 4/5, user 2 has 1/5 → only user 1 ≥ 0.4·N in
+    # the final emission
+    last_seq = max(r.batch_seq for r in rows if r.key == "click")
+    final = {r.item for r in rows if r.key == "click" and r.batch_seq == last_seq}
+    assert final == {"1"}
+
+
+def test_lossy_counting_prunes_state(spark):
+    # 1 heavy item + many singletons: sketch must stay ≪ distinct count
+    rows = [(i, "2024-01-01 00:00:%02d" % (i % 60), "k", 
+             "hot" if i % 2 == 0 else f"rare{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, ts string, k string, item string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    s = _stream(spark, df, n_splits=1)
+    out = FR.lossy_counting_stream(s, support=0.4, error=0.05, key="k", item_col="item")
+    name = _run(out)
+    got = spark.sql(f"select * from {name}").collect()
+    last_seq = max(r.batch_seq for r in got)
+    final = [r for r in got if r.batch_seq == last_seq]
+    # only the heavy hitter passes the support threshold
+    assert {r.item for r in final} == {"hot"}
+    assert all(r.count_lb >= 0.35 * r.n_seen for r in final)
