@@ -217,8 +217,17 @@ def _run_pattern(
 ) -> DataFrame:
     """Chain of time-bounded first-match joins — the batch fixed point
     of the NFA. Columns come out as `<alias>_<col>`; select expressions
-    may reference `e1.x` (rewritten to `e1_x`)."""
+    may reference `e1.x` (rewritten to `e1_x`).
+
+    Sequences (`strict=True`, grammar rule `sequence`): contiguity is
+    enforced via a per-key arrival sequence number — step i+1 must be
+    the IMMEDIATELY next event (`__seq == prev + 1`), matching
+    `StreamPreStateProcessor`'s strict-contiguity mode."""
     base_cols = df.columns
+    if inp.strict:
+        seq_w = Window.partitionBy(key).orderBy(ts_col, id_col)
+        df = df.withColumn("__seq", F.row_number().over(seq_w))
+        base_cols = base_cols + ["__seq"]
     partial: DataFrame | None = None
     for step in inp.steps:
         s = df
@@ -234,10 +243,14 @@ def _run_pattern(
             prev_alias = step.alias
             continue
         prev = prev_alias
-        cond = (
-            (F.col("p.__k") == F.col("s.__k"))
-            & (F.col(f"s.{step.alias}_{ts_col}") > F.col(f"p.{prev}_{ts_col}"))
-        )
+        if inp.strict:
+            cond = (F.col("p.__k") == F.col("s.__k")) & (
+                F.col(f"s.{step.alias}___seq") == F.col(f"p.{prev}___seq") + 1
+            )
+        else:
+            cond = (F.col("p.__k") == F.col("s.__k")) & (
+                F.col(f"s.{step.alias}_{ts_col}") > F.col(f"p.{prev}_{ts_col}")
+            )
         if inp.within_seconds is not None:
             cond = cond & (
                 F.col(f"s.{step.alias}_{ts_col}")
@@ -245,14 +258,17 @@ def _run_pattern(
                 + F.expr(f"INTERVAL {inp.within_seconds} SECONDS")
             )
         joined = partial.alias("p").join(s.alias("s"), on=cond).drop(F.col("s.__k"))
-        w = Window.partitionBy("__k", f"{first}_{id_col}", f"{prev}_{id_col}").orderBy(
-            f"{step.alias}_{ts_col}", f"{step.alias}_{id_col}"
-        )
-        partial = (
-            joined.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        if inp.strict:
+            partial = joined  # adjacency is unique — no first-match pick
+        else:
+            w = Window.partitionBy(
+                "__k", f"{first}_{id_col}", f"{prev}_{id_col}"
+            ).orderBy(f"{step.alias}_{ts_col}", f"{step.alias}_{id_col}")
+            partial = (
+                joined.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         prev_alias = step.alias
     out = partial
     if q.select:
@@ -290,12 +306,45 @@ def run_app(
             df = _run_join(env, q, inp, ts_col)
         elif isinstance(inp, PatternInput):
             df = _run_pattern(
-                env[inp.steps[0].stream], q, inp, ts_col, id_col, pattern_key
+                env[inp.steps[0].stream],
+                q,
+                inp,
+                ts_col,
+                id_col,
+                q.partition_key or pattern_key,
             )
         else:  # pragma: no cover
             raise TypeError(type(inp))
         if q.having:
             df = df.filter(F.expr(q.having))
+        if q.output_rate is not None and q.output_rate.which in ("first", "last"):
+            # `output first|last every N sec|events` — batch fixed
+            # point of the rate limiter (`[core] query/output/ratelimit/`)
+            if ts_col not in df.columns:
+                raise ValueError(
+                    "output rate limiting needs the event-time column in "
+                    f"the projection (missing {ts_col!r})"
+                )
+            rate_keys = [q.partition_key] if q.partition_key else []
+            if q.output_rate.unit == "seconds":
+                from ..operators import ratelimit as RL
+
+                every = f"{q.output_rate.every_n} seconds"
+                if q.output_rate.which == "first":
+                    df = RL.first_every(df, ts_col, every, rate_keys, id_col)
+                else:
+                    df = RL.last_every(df, ts_col, every, rate_keys, id_col)
+            else:  # every N events: modulo pick over arrival order
+                n = int(q.output_rate.every_n)
+                wkeys = rate_keys or [F.lit(1)]
+                w = Window.partitionBy(*wkeys).orderBy(ts_col, id_col)
+                df = df.withColumn("_rn", F.row_number().over(w))
+                if q.output_rate.which == "first":
+                    df = df.filter((F.col("_rn") - 1) % n == 0)
+                else:
+                    df = df.filter(F.col("_rn") % n == 0)
+                df = df.drop("_rn")
+            # `all` keeps everything — scheduling-only in batch mode
         for col, asc in q.order_by:
             df = df.orderBy(F.asc(col) if asc else F.desc(col))
         if q.limit is not None:

@@ -59,6 +59,16 @@ class SelectItem:
 
 
 @dataclass
+class OutputRate:
+    """`output [all|first|last] every N sec|N events` — grammar rule
+    `output_rate` (`[core] query/output/ratelimit/`, SURVEY.md §3.10)."""
+
+    which: str  # all | first | last
+    every_n: float
+    unit: str  # seconds | events
+
+
+@dataclass
 class QueryDef:
     input: SingleInput | JoinInput | PatternInput
     select: list[SelectItem]  # empty = select *
@@ -67,6 +77,8 @@ class QueryDef:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (col, asc)
     limit: int | None = None
     out_stream: str = ""
+    output_rate: OutputRate | None = None
+    partition_key: str | None = None  # set when inside `partition with`
 
 
 @dataclass

@@ -15,6 +15,7 @@ import re
 from .model import (
     AppModel,
     JoinInput,
+    OutputRate,
     PatternInput,
     PatternStep,
     QueryDef,
@@ -127,7 +128,26 @@ def _split_statements(text: str) -> list[str]:
     s = "".join(buf).strip()
     if s:
         stmts.append(s)
-    return stmts
+    # merge `partition with (...) begin ... end` blocks back together:
+    # their inner queries are `;`-terminated too
+    merged: list[str] = []
+    block: list[str] = []
+    for st in stmts:
+        low = st.lower()
+        if block:
+            block.append(st)
+            if re.search(r"\bend\s*$", low):
+                merged.append(";\n".join(block))
+                block = []
+        elif re.match(r"partition\s+with\b", low) and not re.search(
+            r"\bend\s*$", low
+        ):
+            block = [st]
+        else:
+            merged.append(st)
+    if block:  # unterminated block — surface as-is for a parse error
+        merged.append(";\n".join(block))
+    return merged
 
 
 def _strip_annotations(stmt: str) -> tuple[str, list[str]]:
@@ -237,8 +257,30 @@ def _parse_single_input(text: str) -> SingleInput:
     )
 
 
+def _has_sequence_commas(text: str) -> bool:
+    """A top-level comma with `alias=Stream` shapes on both sides marks
+    a sequence input (grammar rule `sequence` — contiguous matching),
+    e.g. `every e1=S[c], e2=S[c2]`."""
+    depth, in_br = 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "[":
+            in_br += 1
+        elif ch == "]":
+            in_br -= 1
+        elif ch == "," and depth == 0 and in_br == 0:
+            return bool(re.search(r"=\s*\w+", text[:i]))
+    return False
+
+
 def _parse_input(text: str) -> SingleInput | JoinInput | PatternInput:
     text = text.strip()
+    # sequence: top-level comma between alias=Stream steps (contiguous)
+    if _has_sequence_commas(text):
+        return _parse_pattern(text, strict=True)
     # pattern: contains `->` at top level, or starts with `every`
     if _find_toplevel(text, "->") != -1 or text.lower().startswith("every"):
         return _parse_pattern(text, strict=False)
@@ -283,7 +325,7 @@ def _parse_pattern(text: str, strict: bool) -> PatternInput:
     if wi != -1:
         within = time_constant_seconds(t[wi + 6 :])
         t = t[:wi].strip()
-    # split on top-level -> (followed-by) or , (sequence)
+    # split on top-level -> (followed-by) or , (sequence, strict)
     parts, depth, in_br, buf = [], 0, 0, []
     i = 0
     while i < len(t):
@@ -299,6 +341,11 @@ def _parse_pattern(text: str, strict: bool) -> PatternInput:
             parts.append("".join(buf))
             buf = []
             i += 2
+            continue
+        if strict and depth == 0 and in_br == 0 and t[i] == ",":
+            parts.append("".join(buf))
+            buf = []
+            i += 1
             continue
         buf.append(t[i])
         i += 1
@@ -347,16 +394,38 @@ def _split_select_items(sel: str) -> list[SelectItem]:
     return out
 
 
+_OUTPUT_RATE_RE = re.compile(
+    r"output\s+(all|first|last)?\s*every\s+(\d+(?:\.\d+)?)\s*(\w+)",
+    re.I,
+)
+
+
 def _parse_query(stmt: str) -> QueryDef:
     s = stmt
     fi = _find_toplevel(s, "from")
     si = _find_toplevel(s, "select")
+    oi_rate = _find_toplevel(s, "output")
     ii = _find_toplevel(s, "insert into")
     if ii == -1:
         ii = _find_toplevel(s, "insert")
     if fi == -1 or ii == -1:
         raise ValueError(f"bad query: {stmt[:80]!r}")
     out_stream = s[ii:].split()[-1]
+    output_rate = None
+    if oi_rate != -1 and oi_rate < ii:
+        m = _OUTPUT_RATE_RE.match(s[oi_rate:ii].strip())
+        if m:
+            which = (m.group(1) or "all").lower()
+            unit_tok = m.group(3).lower()
+            if unit_tok in ("event", "events"):
+                output_rate = OutputRate(which, float(m.group(2)), "events")
+            else:
+                output_rate = OutputRate(
+                    which,
+                    time_constant_seconds(f"{m.group(2)} {unit_tok}"),
+                    "seconds",
+                )
+            ii = oi_rate  # the query body ends where the output clause starts
     body_end = ii
     if si == -1:
         input_text = s[fi + 4 : body_end]
@@ -400,7 +469,46 @@ def _parse_query(stmt: str) -> QueryDef:
         order_by=order_by,
         limit=limit,
         out_stream=out_stream,
+        output_rate=output_rate,
     )
+
+
+_PARTITION_RE = re.compile(
+    r"partition\s+with\s*\(\s*(\w+)\s+of\s+(\w+)\s*\)\s*begin\b(.*)\bend\s*$",
+    re.S | re.I,
+)
+
+
+def _parse_partition(stmt: str) -> list[QueryDef]:
+    """`partition with (key of Stream) begin <queries> end`
+    (`[qapi] execution/partition/Partition.java`,
+    `ValuePartitionExecutor.java`): per-key isolation of the inner
+    query group. On Spark the partition key becomes the shuffle key of
+    every inner query (group-by prefix / pattern correlation key) —
+    `groupBy(key)` IS the reference's per-key runtime cloning.
+    Inner `#Stream` names are local to the partition; the leading `#`
+    is stripped (Spark has no name scoping — the builder's env dict
+    provides it)."""
+    m = _PARTITION_RE.match(stmt.strip())
+    if not m:
+        raise ValueError(f"bad partition: {stmt[:80]!r}")
+    key, _of_stream, body = m.groups()
+    agg_re = re.compile(
+        r"\b(sum|count|avg|min|max|count_distinct|stddev_pop|string_agg|"
+        r"collect_list|collect_set|bool_and|bool_or|first|last)\s*\(",
+        re.I,
+    )
+    queries = []
+    for inner in _split_statements(body.replace("#", "")):
+        q = _parse_query(inner)
+        q.partition_key = key
+        if isinstance(q.input, (SingleInput, JoinInput)):
+            has_agg = any(agg_re.search(it.expr) for it in q.select)
+            if has_agg and key not in q.group_by:
+                # aggregating inner queries group by the partition key
+                q.group_by = [key] + q.group_by
+        queries.append(q)
+    return queries
 
 
 def parse_app(text: str) -> AppModel:
@@ -415,6 +523,8 @@ def parse_app(text: str) -> AppModel:
         if low.startswith("define stream") or low.startswith("define table"):
             d = _parse_definition(body, anns)
             app.streams[d.name] = d
+        elif low.startswith("partition"):
+            app.queries.extend(_parse_partition(body))
         elif low.startswith("from"):
             app.queries.append(_parse_query(body))
         elif low.startswith("define"):

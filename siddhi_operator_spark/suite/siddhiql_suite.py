@@ -126,3 +126,90 @@ def siddhiql_join(spark: SparkSession, sf: str) -> DataFrame:
             "customer": load(spark, sf, "customer"),
         },
     )["Enriched"]
+
+
+@register(
+    "siddhiql_partition",
+    oracle="""
+    SELECT user_id, round(1e-9 + sum(value), 4) AS total, count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("siddhiql", "partition"),
+)
+def siddhiql_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """`partition with (user_id of events) begin … end`
+    (`[qapi] execution/partition/Partition.java`): the partition key
+    becomes the shuffle key of the inner aggregation."""
+    app = (
+        _EVENTS_DEF
+        + """
+    partition with (user_id of events)
+    begin
+      from events
+      select user_id, round(1e-9 + sum(value), 4) as total, count() as n
+      insert into PerUser;
+    end;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["PerUser"]
+
+
+@register(
+    "siddhiql_sequence",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT user_id, event_id AS id1, next_id AS id2
+    FROM seq
+    WHERE event_type = 'signup' AND next_type = 'purchase'
+    """,
+    tags=("siddhiql", "sequence", "cep"),
+)
+def siddhiql_sequence(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence (contiguous) matching: `e1=S[c], e2=S[c2]` — the next
+    event per user must match (grammar rule `sequence`;
+    `StreamPreStateProcessor` strict mode)."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from every e1=events[event_type == 'signup'],
+               e2=events[event_type == 'purchase']
+    select e1.user_id as user_id, e1.event_id as id1, e2.event_id as id2
+    insert into Seqs;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Seqs"]
+
+
+@register(
+    "siddhiql_output_rate_last",
+    oracle="""
+    SELECT event_id, user_id, value FROM (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY time_bucket(INTERVAL '10 minutes', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("siddhiql", "ratelimit"),
+)
+def siddhiql_output_rate_last(spark: SparkSession, sf: str) -> DataFrame:
+    """`output last every 10 min` (`LastPerTimeOutputRateLimiter.java`):
+    one event — the newest — per emission interval."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from events select event_id, ts, user_id, value
+    output last every 10 min
+    insert into Sampled;
+    """
+    )
+    out = run_app(app, {"events": load(spark, sf, "events")})["Sampled"]
+    return out.select("event_id", "user_id", "value")

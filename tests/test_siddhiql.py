@@ -152,3 +152,59 @@ def test_shared_output_stream_union(spark, events_df):
     """
     out = run_app(app, {"events": events_df})["Alerts"]
     assert sorted(r.event_id for r in out.collect()) == [3, 10]
+
+
+def test_partition_block(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    partition with (user_id of events)
+    begin
+      from events select user_id, sum(value) as total, count() as n
+      insert into PerUser;
+    end;
+    """
+    out = run_app(app, {"events": events_df})["PerUser"]
+    rows = {r.user_id: (r.total, r.n) for r in out.collect()}
+    assert rows[1] == (139.0, 6) and rows[2] == (53.0, 4)
+
+
+def test_sequence_strict_adjacency(spark, events_df):
+    # e1=signup followed IMMEDIATELY (per user) by e2
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from every e1=events[event_type == 'signup'], e2=events
+    select e1.user_id as user_id, e1.event_id as id1, e2.event_id as id2
+    insert into Seqs;
+    """
+    out = run_app(app, {"events": events_df})["Seqs"]
+    got = sorted((r.user_id, r.id1, r.id2) for r in out.collect())
+    # user 1: signup e1 → next is e2; user 2: signup e4 → next is e5
+    assert got == [(1, 1, 2), (2, 4, 5)]
+
+
+def test_output_rate_last_every_events(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events select event_id, ts, user_id, value
+    output last every 5 events
+    insert into Sampled;
+    """
+    out = run_app(app, {"events": events_df})["Sampled"]
+    # global arrival order (ts, id): every 5th event → e5, e10
+    assert sorted(r.event_id for r in out.collect()) == [5, 10]
+
+
+def test_output_rate_first_every_time(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events select event_id, ts, user_id, value
+    output first every 1 hour
+    insert into Sampled;
+    """
+    out = run_app(app, {"events": events_df})["Sampled"]
+    # first event in each 1h bucket: e1 (00:xx), e7 (01:10), e10 (02:00)
+    assert sorted(r.event_id for r in out.collect()) == [1, 7, 10]
