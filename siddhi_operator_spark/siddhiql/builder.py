@@ -280,6 +280,71 @@ def _run_pattern(
     return out
 
 
+_AGG_CALL_RE = re.compile(
+    r"\b(sum|count|avg|min|max|stddev_pop)\s*\(\s*(\*|\w*)\s*\)", re.I
+)
+
+_STATE_COL = {
+    "sum": "sum_v",
+    "count": "cnt",
+    "avg": "avg_v",
+    "min": "min_v",
+    "max": "max_v",
+    "stddev_pop": "stddev_v",
+}
+
+
+def _run_aggregation_def(src: DataFrame, adef, ts_col: str) -> dict[str, DataFrame]:
+    """`define aggregation` → composable-state rollup cascade
+    (`[core] aggregation/AggregationParser.java` analog). Only
+    sum/count-composable functions participate (avg = sum/cnt, stdDev
+    from sum of squares) — the same restriction the reference's
+    `IncrementalAttributeAggregator` subclasses impose. Returns
+    {granularity: finalized DataFrame} with the user's aliases."""
+    from ..operators import incremental as INC
+
+    keys: list[str] = []
+    agg_aliases: list[tuple[str, str]] = []  # (out alias, state col)
+    value_col: str | None = None
+    for i, it in enumerate(adef.select):
+        m = _AGG_CALL_RE.fullmatch(it.expr.strip())
+        if m:
+            fn, arg = m.group(1).lower(), m.group(2)
+            if arg == "*":
+                arg = ""
+            if arg:
+                if value_col is None:
+                    value_col = arg
+                elif arg != value_col:
+                    raise ValueError(
+                        "aggregation subset supports one value column; got "
+                        f"{value_col!r} and {arg!r}"
+                    )
+            agg_aliases.append((it.alias or f"col{i}", _STATE_COL[fn]))
+        else:
+            if not re.fullmatch(r"\w+", it.expr):
+                raise ValueError(f"non-column group item: {it.expr!r}")
+            keys.append(it.expr)
+    if value_col is None:
+        raise ValueError("aggregation needs at least one agg(value) item")
+    cascade = INC.rollup_cascade(
+        src,
+        adef.by_attr if adef.by_attr in src.columns else ts_col,
+        value_col,
+        keys=tuple(keys),
+        granularities=tuple(adef.granularities),
+    )
+    out = {}
+    for gran, gdf in cascade.items():
+        fin = INC.finalize(gdf)
+        out[gran] = fin.select(
+            "bucket_start",
+            *keys,
+            *[F.col(state).alias(alias) for alias, state in agg_aliases],
+        )
+    return out
+
+
 def run_app(
     app: str | AppModel,
     sources: dict[str, DataFrame],
@@ -298,9 +363,27 @@ def run_app(
     for name in model.streams:
         if name not in env and not model.streams[name].is_table:
             pass  # stream with no source: only valid as query output
+    # `define aggregation` → rollup cascade, one finalized DataFrame per
+    # granularity exposed as `<name>__<granularity>` (the on-demand /
+    # `within … per` retrieval surface; SURVEY.md §3.5)
+    for aname, adef in model.aggregations.items():
+        src = env[adef.source]
+        agg_out = _run_aggregation_def(src, adef, ts_col)
+        for gran, gdf in agg_out.items():
+            outputs[f"{aname}__{gran}"] = gdf
+            env[f"{aname}__{gran}"] = gdf
     for q in model.queries:
         inp = q.input
         if isinstance(inp, SingleInput):
+            # `from W …` where W is a named window: the shared window
+            # definition applies unless the query supplies its own
+            # (`[core] window/Window.java` — one instance, many readers)
+            if inp.stream in model.windows and inp.window is None:
+                inp = SingleInput(
+                    stream=inp.stream,
+                    filter_expr=inp.filter_expr,
+                    window=model.windows[inp.stream].window,
+                )
             df = _run_single(env[inp.stream], q, inp, ts_col, id_col)
         elif isinstance(inp, JoinInput):
             df = _run_join(env, q, inp, ts_col)

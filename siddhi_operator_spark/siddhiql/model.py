@@ -82,7 +82,33 @@ class QueryDef:
 
 
 @dataclass
+class WindowDef:
+    """`define window W (…) time(1 min) output all events;` —
+    `[qapi] definition/WindowDefinition.java`: a shared window instance
+    queryable by many queries."""
+
+    name: str
+    attributes: list[tuple[str, str]]
+    window: WindowSpec
+    output_policy: str = "all"  # current | expired | all
+
+
+@dataclass
+class AggregationDef:
+    """`define aggregation A from S select … aggregate by ts every
+    hour…day;` — `[qapi] definition/AggregationDefinition.java`."""
+
+    name: str
+    source: str
+    select: list[SelectItem]
+    by_attr: str
+    granularities: list[str]  # finest … coarsest
+
+
+@dataclass
 class AppModel:
     streams: dict[str, StreamDef] = field(default_factory=dict)
+    windows: dict[str, WindowDef] = field(default_factory=dict)
+    aggregations: dict[str, AggregationDef] = field(default_factory=dict)
     queries: list[QueryDef] = field(default_factory=list)
     annotations: list[str] = field(default_factory=list)

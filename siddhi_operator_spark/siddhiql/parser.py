@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 from .model import (
+    AggregationDef,
     AppModel,
     JoinInput,
     OutputRate,
@@ -22,6 +23,7 @@ from .model import (
     SelectItem,
     SingleInput,
     StreamDef,
+    WindowDef,
     WindowSpec,
 )
 
@@ -473,6 +475,71 @@ def _parse_query(stmt: str) -> QueryDef:
     )
 
 
+_WINDOW_DEF_RE = re.compile(
+    r"define\s+window\s+(\w+)\s*\((.*?)\)\s*(\w+)\s*\((.*?)\)"
+    r"(?:\s+output\s+(current|expired|all)\s+events)?\s*$",
+    re.S | re.I,
+)
+
+
+def _parse_window_def(stmt: str) -> WindowDef:
+    """`define window W (a long, b string) timeBatch(1 min) output all
+    events;` — grammar rule `definition_window`."""
+    m = _WINDOW_DEF_RE.match(stmt.strip())
+    if not m:
+        raise ValueError(f"bad window definition: {stmt[:80]!r}")
+    name, cols, kind, args, policy = m.groups()
+    attrs = []
+    for part in cols.split(","):
+        cname, ctype = part.split()
+        attrs.append((cname.strip(), ctype.strip().lower()))
+    arg_list = [a.strip() for a in args.split(",")] if args.strip() else []
+    return WindowDef(
+        name=name,
+        attributes=attrs,
+        window=WindowSpec(kind=kind, args=arg_list),
+        output_policy=(policy or "all").lower(),
+    )
+
+
+_AGG_DEF_RE = re.compile(
+    r"define\s+aggregation\s+(\w+)\s+from\s+(\w+)\s+select\s+(.*?)\s+"
+    r"aggregate\s+by\s+(\w+)\s+every\s+(.+)$",
+    re.S | re.I,
+)
+
+
+def _parse_aggregation_def(stmt: str) -> AggregationDef:
+    """`define aggregation A from S select k, sum(v) as total …
+    aggregate by ts every hour ... day;` — grammar rule
+    `definition_aggregation` (`[qapi] AggregationDefinition.java`).
+    `every sec ... year` expands to the granularity range."""
+    from ..operators.incremental import GRANULARITIES
+
+    m = _AGG_DEF_RE.match(stmt.strip())
+    if not m:
+        raise ValueError(f"bad aggregation definition: {stmt[:80]!r}")
+    name, source, sel, by_attr, every = m.groups()
+    norm = {
+        "sec": "second", "second": "second", "seconds": "second",
+        "min": "minute", "minute": "minute", "minutes": "minute",
+        "hour": "hour", "hours": "hour", "day": "day", "days": "day",
+        "month": "month", "months": "month", "year": "year", "years": "year",
+    }
+    tokens = [t for t in re.split(r"\s*(?:\.\.\.|…)\s*|\s*,\s*", every.strip()) if t]
+    grans = [norm[t.strip().lower()] for t in tokens]
+    if len(grans) == 2 and "..." in every:
+        lo, hi = GRANULARITIES.index(grans[0]), GRANULARITIES.index(grans[1])
+        grans = list(GRANULARITIES[lo : hi + 1])
+    return AggregationDef(
+        name=name,
+        source=source,
+        select=_split_select_items(sel),
+        by_attr=by_attr,
+        granularities=grans,
+    )
+
+
 _PARTITION_RE = re.compile(
     r"partition\s+with\s*\(\s*(\w+)\s+of\s+(\w+)\s*\)\s*begin\b(.*)\bend\s*$",
     re.S | re.I,
@@ -523,6 +590,12 @@ def parse_app(text: str) -> AppModel:
         if low.startswith("define stream") or low.startswith("define table"):
             d = _parse_definition(body, anns)
             app.streams[d.name] = d
+        elif low.startswith("define window"):
+            wd = _parse_window_def(body)
+            app.windows[wd.name] = wd
+        elif low.startswith("define aggregation"):
+            ad = _parse_aggregation_def(body)
+            app.aggregations[ad.name] = ad
         elif low.startswith("partition"):
             app.queries.extend(_parse_partition(body))
         elif low.startswith("from"):

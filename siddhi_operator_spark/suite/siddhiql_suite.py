@@ -213,3 +213,69 @@ def siddhiql_output_rate_last(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = run_app(app, {"events": load(spark, sf, "events")})["Sampled"]
     return out.select("event_id", "user_id", "value")
+
+
+@register(
+    "siddhiql_named_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           round(1e-9 + sum(value), 4) AS total, count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("siddhiql", "window", "named"),
+)
+def siddhiql_named_window(spark: SparkSession, sf: str) -> DataFrame:
+    """`define window` shared instance (`[core] window/Window.java`):
+    one query inserts into the window, another aggregates from it —
+    the window spec lives on the definition, not the reader."""
+    app = (
+        _EVENTS_DEF
+        + """
+    define window HourW (event_id long, ts string, user_id long,
+                         event_type string, value double)
+                  timeBatch(1 hour) output all events;
+    from events select * insert into HourW;
+    from HourW
+    select event_type, round(1e-9 + sum(value), 4) as total, count() as n
+    group by event_type
+    insert into PerType;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["PerType"]
+
+
+@register(
+    "siddhiql_define_aggregation",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           round(1e-9 + sum(value), 4) AS total,
+           count(*) AS n,
+           round(1e-9 + sum(value) / count(*), 4) AS avg_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("siddhiql", "aggregation", "incremental"),
+)
+def siddhiql_define_aggregation(spark: SparkSession, sf: str) -> DataFrame:
+    """`define aggregation … aggregate by ts every hour ... day`
+    (`AggregationParser.java` analog): the day granularity is derived
+    from the hour rollup (composable state), never from a raw re-scan."""
+    app = (
+        _EVENTS_DEF
+        + """
+    define aggregation EventAgg
+    from events
+    select event_type, sum(value) as total, count() as n, avg(value) as avg_v
+    aggregate by ts every hour ... day;
+    """
+    )
+    day = run_app(app, {"events": load(spark, sf, "events")})["EventAgg__day"]
+    return day.select(
+        "bucket_start",
+        "event_type",
+        F.round(F.lit(1e-9) + F.col("total"), 4).alias("total"),
+        "n",
+        F.round(F.lit(1e-9) + F.col("avg_v"), 4).alias("avg_v"),
+    )

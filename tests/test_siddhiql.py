@@ -208,3 +208,42 @@ def test_output_rate_first_every_time(spark, events_df):
     out = run_app(app, {"events": events_df})["Sampled"]
     # first event in each 1h bucket: e1 (00:xx), e7 (01:10), e10 (02:00)
     assert sorted(r.event_id for r in out.collect()) == [1, 7, 10]
+
+
+def test_define_window_shared(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define window HourW (event_id long, ts string, user_id long,
+                         event_type string, value double)
+                  timeBatch(1 hour) output all events;
+    from events select * insert into HourW;
+    from HourW select event_type, sum(value) as total, count() as n
+    group by event_type insert into PerType;
+    """
+    out = run_app(app, {"events": events_df})["PerType"]
+    rows = {(r.window_start.hour, r.event_type): (r.total, r.n) for r in out.collect()}
+    # hour 0: clicks e2(5)+e5(2)=7, n=2
+    assert rows[(0, "click")] == (7.0, 2)
+    # hour 1: clicks e7+e8+e9 = 24, n=3
+    assert rows[(1, "click")] == (24.0, 3)
+
+
+def test_define_aggregation_cascade(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define aggregation EventAgg
+    from events
+    select event_type, sum(value) as total, count() as n, avg(value) as avg_v
+    aggregate by ts every hour ... day;
+    """
+    outs = run_app(app, {"events": events_df})
+    assert set(outs) == {"EventAgg__hour", "EventAgg__day"}
+    hour = {
+        (r.bucket_start.hour, r.event_type): (r.total, r.n)
+        for r in outs["EventAgg__hour"].collect()
+    }
+    assert hour[(0, "click")] == (7.0, 2)
+    day = {r.event_type: r.total for r in outs["EventAgg__day"].collect()}
+    assert day["click"] == 31.0 and day["purchase"] == 150.0
