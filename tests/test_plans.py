@@ -93,3 +93,41 @@ def test_rollup_cascade_reuses_base_not_raw(spark):
     # aggregate — exactly ONE raw scan feeds the whole cascade
     assert tree.count("Scan parquet") == 1
     assert tree.count("HashAggregate") >= 4
+
+
+def test_count_min_probe_is_broadcast(spark):
+    """The d×w sketch is tiny at ANY input scale — point queries must
+    broadcast it, never shuffle the probe side."""
+    plan = _fmt(REGISTRY["sketch_count_min"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_neardup_join_is_keyed(spark):
+    """Bucketed near-dup: the pair join must be an equi-join on the
+    bucket (hash-partitionable), not a nested-loop cartesian."""
+    plan = _fmt(REGISTRY["dedup_embedding_cosine"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lossy_frequent_two_keyed_aggs(spark):
+    """Support-threshold heavy hitters: both aggregations partial→final
+    (map-side combine), join on the group key."""
+    plan = _fmt(REGISTRY["window_lossy_frequent"].fn(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+    assert "CartesianProduct" not in plan
+
+
+def test_expression_batch_single_shuffle(spark):
+    """Retain-while window: one keyed exchange for the frame, no join."""
+    plan = _fmt(REGISTRY["window_expression_batch"].fn(spark, SF))
+    assert plan.count("hashpartitioning(") == 1
+    assert "Join" not in plan
+
+
+def test_regress_single_pass(spark):
+    """regr_* fit + forecast: ONE aggregation pass over the input (no
+    per-statistic re-scan), partial+final split."""
+    plan = _fmt(REGISTRY["agg_ts_regress_forecast"].fn(spark, SF))
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+    assert "partial_regr_slope" in plan  # map-side partial aggregation
