@@ -432,9 +432,97 @@ def run_app(
             df = df.orderBy(F.asc(col) if asc else F.desc(col))
         if q.limit is not None:
             df = df.limit(q.limit)
-        if q.out_stream in outputs:
+        if q.table_action is not None:
+            new_state = _apply_table_action(
+                env[q.table_action.table], df, q.table_action, ts_col, id_col
+            )
+            outputs[q.table_action.table] = new_state
+            env[q.table_action.table] = new_state
+        elif q.out_stream in outputs:
             outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
+            env[q.out_stream] = outputs[q.out_stream]
         else:
             outputs[q.out_stream] = df
-        env[q.out_stream] = outputs[q.out_stream]
+            env[q.out_stream] = outputs[q.out_stream]
     return outputs
+
+
+def _apply_table_action(table, muts, action, ts_col: str, id_col: str):
+    """Batch fixed point of a table mutation stream (SURVEY.md §3.2
+    table DML; operators.tables has the primitives). The `on` condition
+    must be a key equality `T.k == <stream expr>` — the same restriction
+    the reference's `IndexOperator` fast path compiles
+    (`[core] util/collection/operator/IndexOperator.java`)."""
+    from ..operators import tables as TB
+
+    m = re.match(
+        rf"\s*{action.table}\.(\w+)\s*=\s*(\S+)\s*$", action.on_expr
+    ) or re.match(rf"\s*(\w+)\s*=\s*{action.table}\.(\w+)\s*$", action.on_expr)
+    if not m:
+        raise ValueError(
+            f"table DML `on` must be a key equality T.k == expr: "
+            f"{action.on_expr!r}"
+        )
+    table_key, mut_ref = m.group(1), m.group(2)
+    mut_key = mut_ref.rsplit(".", 1)[-1]
+
+    if action.kind == "delete":
+        return TB.delete_replay(table, muts, key=table_key, mut_key=mut_key)
+
+    if action.kind == "upsert":
+        # last writer per key wins; table rows are oldest (priority 0)
+        order_cols = [c for c in (ts_col, id_col) if c in muts.columns]
+        order = [F.desc("_prio")] + [F.desc(c) for c in order_cols]
+        t = table.withColumn("_prio", F.lit(0))
+        mm = muts
+        if mut_key != table_key:
+            mm = mm.withColumnRenamed(mut_key, table_key)
+        mm = mm.withColumn("_prio", F.lit(1))
+        for c in t.columns:
+            if c not in mm.columns:
+                mm = mm.withColumn(c, F.lit(None).cast(t.schema[c].dataType))
+        for c in order_cols:  # table rows: null order key (sort after)
+            if c not in t.columns:
+                t = t.withColumn(c, F.lit(None).cast(mm.schema[c].dataType))
+        keep = t.columns  # table cols + _prio + order cols
+        combined = t.select(*keep).unionByName(mm.select(*keep))
+        return TB.upsert_replay(combined, keys=[table_key], order=order).drop(
+            "_prio", *[c for c in order_cols if c not in table.columns]
+        )
+
+    # update with set: additive form `T.x = T.x + <col>` → sum of
+    # deltas (commutes — UpdateTableCallback's common case); absolute
+    # form `T.x = <col>` → last mutation per key
+    out = table
+    for lhs, rhs in action.set_items:
+        col = lhs.rsplit(".", 1)[-1]
+        add = re.match(
+            rf"\s*{action.table}\.{col}\s*\+\s*(\S+)\s*$", rhs
+        )
+        if add:
+            delta = add.group(1).rsplit(".", 1)[-1]
+            out = TB.update_add_replay(
+                out, muts, key=table_key, mut_key=mut_key,
+                target_col=col, delta_col=delta,
+            )
+        else:
+            val = rhs.rsplit(".", 1)[-1]
+            order = [
+                F.desc(c) for c in (ts_col, id_col) if c in muts.columns
+            ] or [F.desc(val)]
+            last = TB.upsert_replay(
+                muts.select(
+                    F.col(mut_key).alias("_k"), F.col(val).alias("_v"),
+                    *[F.col(c) for c in (ts_col, id_col) if c in muts.columns],
+                ),
+                keys=["_k"],
+                order=order,
+            ).select("_k", "_v")
+            out = (
+                out.join(
+                    F.broadcast(last), out[table_key] == F.col("_k"), "left"
+                )
+                .withColumn(col, F.coalesce(F.col("_v"), F.col(col)))
+                .drop("_k", "_v")
+            )
+    return out

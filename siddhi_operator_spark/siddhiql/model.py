@@ -69,6 +69,19 @@ class OutputRate:
 
 
 @dataclass
+class TableAction:
+    """Table DML output — `update T … on cond`, `delete T on cond`,
+    `update or insert into T on cond` (`[core] query/output/callback/
+    {UpdateTableCallback,DeleteTableCallback,
+    UpdateOrInsertTableCallback}.java`)."""
+
+    kind: str  # update | delete | upsert
+    table: str
+    on_expr: str  # translated condition, e.g. `T.k = user_id`
+    set_items: list[tuple[str, str]] = field(default_factory=list)  # (T.col, expr)
+
+
+@dataclass
 class QueryDef:
     input: SingleInput | JoinInput | PatternInput
     select: list[SelectItem]  # empty = select *
@@ -79,6 +92,7 @@ class QueryDef:
     out_stream: str = ""
     output_rate: OutputRate | None = None
     partition_key: str | None = None  # set when inside `partition with`
+    table_action: TableAction | None = None
 
 
 @dataclass

@@ -23,6 +23,7 @@ from .model import (
     SelectItem,
     SingleInput,
     StreamDef,
+    TableAction,
     WindowDef,
     WindowSpec,
 )
@@ -402,17 +403,61 @@ _OUTPUT_RATE_RE = re.compile(
 )
 
 
+def _parse_table_action(tail: str) -> TableAction:
+    """`update or insert into T on cond` | `update T set a=b,… on cond`
+    | `delete T on cond`."""
+    low = tail.lower()
+    oi = _find_toplevel(tail, "on")
+    if oi == -1:
+        raise ValueError(f"table DML without on: {tail[:60]!r}")
+    cond = translate_expr(tail[oi + 2 :].strip())
+    head = tail[:oi].strip()
+    if low.startswith("update or insert into"):
+        table = head.split()[-1]
+        return TableAction(kind="upsert", table=table, on_expr=cond)
+    if low.startswith("delete"):
+        table = head.split()[-1]
+        return TableAction(kind="delete", table=table, on_expr=cond)
+    # update T [set T.a = expr, ...]
+    m = re.match(r"update\s+(\w+)(?:\s+set\b(.*))?$", head, re.S | re.I)
+    if not m:
+        raise ValueError(f"bad update clause: {tail[:60]!r}")
+    table, set_text = m.group(1), m.group(2)
+    set_items: list[tuple[str, str]] = []
+    if set_text:
+        for part in set_text.split(","):
+            lhs, rhs = part.split("=", 1)
+            set_items.append((lhs.strip(), translate_expr(rhs.strip())))
+    return TableAction(kind="update", table=table, on_expr=cond, set_items=set_items)
+
+
 def _parse_query(stmt: str) -> QueryDef:
     s = stmt
     fi = _find_toplevel(s, "from")
     si = _find_toplevel(s, "select")
     oi_rate = _find_toplevel(s, "output")
+    table_action = None
     ii = _find_toplevel(s, "insert into")
+    ui = _find_toplevel(s, "update or insert into")
+    if ui != -1:
+        ii = ui
     if ii == -1:
         ii = _find_toplevel(s, "insert")
+    if ii == -1:
+        for kw in ("delete", "update"):
+            di = _find_toplevel(s, kw)
+            if di != -1:
+                ii = di
+                break
     if fi == -1 or ii == -1:
         raise ValueError(f"bad query: {stmt[:80]!r}")
-    out_stream = s[ii:].split()[-1]
+    tail = s[ii:].strip()
+    tl = tail.lower()
+    if tl.startswith(("update", "delete")):
+        table_action = _parse_table_action(tail)
+        out_stream = table_action.table
+    else:
+        out_stream = s[ii:].split()[-1]
     output_rate = None
     if oi_rate != -1 and oi_rate < ii:
         m = _OUTPUT_RATE_RE.match(s[oi_rate:ii].strip())
@@ -472,6 +517,7 @@ def _parse_query(stmt: str) -> QueryDef:
         limit=limit,
         out_stream=out_stream,
         output_rate=output_rate,
+        table_action=table_action,
     )
 
 

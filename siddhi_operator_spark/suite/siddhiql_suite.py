@@ -279,3 +279,42 @@ def siddhiql_define_aggregation(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.lit(1e-9) + F.col("avg_v"), 4).alias("avg_v"),
     )
+
+
+@register(
+    "siddhiql_table_upsert",
+    oracle="""
+    WITH base AS (SELECT DISTINCT user_id, 0.0 AS score FROM events),
+    last_p AS (
+      SELECT user_id, score FROM (
+        SELECT user_id, value AS score,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT b.user_id, round(1e-9 + coalesce(l.score, b.score), 4) AS score
+    FROM base b LEFT JOIN last_p l ON b.user_id = l.user_id
+    """,
+    tags=("siddhiql", "table", "dml"),
+)
+def siddhiql_table_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """`update or insert into T on T.k == k`
+    (`UpdateOrInsertTableCallback.java`): last purchase per user
+    overwrites the seed row; the batch fixed point is last-writer-wins
+    replay over table ∪ mutations."""
+    events = load(spark, sf, "events")
+    seed = events.select("user_id").distinct().withColumn("score", F.lit(0.0))
+    app = (
+        _EVENTS_DEF
+        + """
+    define table UserT (user_id long, score double);
+    from events[event_type == 'purchase']
+    select user_id, value as score, ts, event_id
+    update or insert into UserT on UserT.user_id == user_id;
+    """
+    )
+    out = run_app(app, {"events": events, "UserT": seed})["UserT"]
+    return out.select(
+        "user_id", F.round(F.lit(1e-9) + F.col("score"), 4).alias("score")
+    )

@@ -247,3 +247,60 @@ def test_define_aggregation_cascade(spark, events_df):
     assert hour[(0, "click")] == (7.0, 2)
     day = {r.event_type: r.total for r in outs["EventAgg__day"].collect()}
     assert day["click"] == 31.0 and day["purchase"] == 150.0
+
+
+def test_table_dml_upsert(spark, events_df):
+    table = spark.createDataFrame(
+        [(1, "old1", 0.0), (3, "old3", 3.0)], "user_id long, tag string, score double"
+    )
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define table UserT (user_id long, tag string, score double);
+    from events[event_type == 'purchase']
+    select user_id, event_type as tag, value as score, ts, event_id
+    update or insert into UserT on UserT.user_id == user_id;
+    """
+    out = run_app(app, {"events": events_df, "UserT": table})["UserT"]
+    rows = {r.user_id: (r.tag, r.score) for r in out.collect()}
+    # user 1: purchase e3 (100.0) overwrites old1; user 2: purchase e6
+    # (50.0) inserted; user 3 untouched
+    assert rows[1] == ("purchase", 100.0)
+    assert rows[2] == ("purchase", 50.0)
+    assert rows[3] == ("old3", 3.0)
+
+
+def test_table_dml_update_additive(spark, events_df):
+    table = spark.createDataFrame(
+        [(1, 1000.0), (2, 2000.0)], "user_id long, balance double"
+    )
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define table Acct (user_id long, balance double);
+    from events[event_type == 'click']
+    select user_id, value
+    update Acct set Acct.balance = Acct.balance + value
+    on Acct.user_id == user_id;
+    """
+    out = run_app(app, {"events": events_df, "Acct": table})["Acct"]
+    rows = {r.user_id: r.balance for r in out.collect()}
+    # user 1 clicks: 5+7+8+9=29; user 2 clicks: 2
+    assert rows[1] == 1029.0 and rows[2] == 2002.0
+
+
+def test_table_dml_delete(spark, events_df):
+    table = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "c")], "user_id long, tag string"
+    )
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define table T (user_id long, tag string);
+    from events[event_type == 'error']
+    select user_id
+    delete T on T.user_id == user_id;
+    """
+    out = run_app(app, {"events": events_df, "T": table})["T"]
+    # user 2 has the only error event → deleted
+    assert sorted(r.user_id for r in out.collect()) == [1, 9]
