@@ -360,6 +360,10 @@ def run_app(
     model = parse_app(app) if isinstance(app, str) else app
     env: dict[str, DataFrame] = dict(sources)
     outputs: dict[str, DataFrame] = {}
+    if model.functions:
+        spark = next(iter(sources.values())).sparkSession
+        for fd in model.functions.values():
+            _register_script_udf(spark, fd)
     for name in model.streams:
         if name not in env and not model.streams[name].is_table:
             pass  # stream with no source: only valid as query output
@@ -374,6 +378,13 @@ def run_app(
             env[f"{aname}__{gran}"] = gdf
     for q in model.queries:
         inp = q.input
+        if isinstance(inp, SingleInput) and inp.stream in model.triggers:
+            raise ValueError(
+                f"trigger stream {inp.stream!r} is streaming-only: wire "
+                "streaming.sources.rate_stream(spark, rows_per_second="
+                "1/period) as its source (PeriodicTrigger has no batch "
+                "fixed point)"
+            )
         if isinstance(inp, SingleInput):
             # `from W …` where W is a named window: the shared window
             # definition applies unless the query supplies its own
@@ -445,6 +456,36 @@ def run_app(
             outputs[q.out_stream] = df
             env[q.out_stream] = outputs[q.out_stream]
     return outputs
+
+
+_SIDDHI_TO_SPARK_TYPE = {
+    "string": "string",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bool": "boolean",
+}
+
+
+def _register_script_udf(spark, fd) -> None:
+    """`define function f[python] return T { expr }` → vectorized
+    pandas UDF registered under the function name (the Python analog
+    of `[core] function/Script.java`'s per-app script registry). The
+    body is an expression over the parameter names, evaluated once per
+    Arrow batch (Series-at-a-time, not row-at-a-time)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    code = f"def _f({', '.join(fd.params)}):\n    return {fd.body}\n"
+    ns: dict = {}
+    exec(code, {"pd": pd, "np": np, "math": math}, ns)  # noqa: S102 — app-author code, same trust model as the reference's JS UDFs
+    ret = _SIDDHI_TO_SPARK_TYPE[fd.return_type]
+    spark.udf.register(fd.name, pandas_udf(ns["_f"], ret))
 
 
 def _apply_table_action(table, muts, action, ts_col: str, id_col: str):

@@ -120,9 +120,38 @@ class AggregationDef:
 
 
 @dataclass
+class TriggerDef:
+    """`define trigger T at every 5 min;` / `at 'cron'` / `at 'start'`
+    — `[qapi] definition/TriggerDefinition.java`. A timer stream with
+    one `triggered_time long` attribute."""
+
+    name: str
+    every_seconds: float | None = None  # periodic
+    cron: str | None = None  # cron expression (streaming driver only)
+    at_start: bool = False
+
+
+@dataclass
+class FunctionDef:
+    """`define function f[python] return double { <expr> };` —
+    `[core] function/Script.java` script UDFs. The reference ships
+    JS/R; ours is Python (SURVEY.md §3.11) — the body is an expression
+    over the declared parameter names, compiled once and run as a
+    vectorized pandas UDF."""
+
+    name: str
+    lang: str
+    return_type: str  # siddhi type name
+    params: list[str]
+    body: str
+
+
+@dataclass
 class AppModel:
     streams: dict[str, StreamDef] = field(default_factory=dict)
     windows: dict[str, WindowDef] = field(default_factory=dict)
     aggregations: dict[str, AggregationDef] = field(default_factory=dict)
+    triggers: dict[str, TriggerDef] = field(default_factory=dict)
+    functions: dict[str, FunctionDef] = field(default_factory=dict)
     queries: list[QueryDef] = field(default_factory=list)
     annotations: list[str] = field(default_factory=list)

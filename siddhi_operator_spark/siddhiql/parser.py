@@ -15,6 +15,8 @@ import re
 from .model import (
     AggregationDef,
     AppModel,
+    FunctionDef,
+    TriggerDef,
     JoinInput,
     OutputRate,
     PatternInput,
@@ -98,6 +100,16 @@ def translate_expr(expr: str) -> str:
     for k, v in _FN_MAP.items():
         if ":" not in k:
             out = re.sub(rf"\b{k}\s*\(", v + "(", out)
+    # Siddhi has no decimal type (§2.2): float literals are doubles.
+    # Spark SQL parses bare `0.1` as DECIMAL(1,1) — suffix with D, but
+    # never inside string literals.
+    def _double_literals(seg: str) -> str:
+        return re.sub(r"(?<![\w.])(\d+\.\d+)(?![\w.])", r"\1D", seg)
+
+    pieces = re.split(r"('[^']*')", out)
+    out = "".join(
+        p if p.startswith("'") else _double_literals(p) for p in pieces
+    )
     return out
 
 
@@ -586,6 +598,62 @@ def _parse_aggregation_def(stmt: str) -> AggregationDef:
     )
 
 
+_TRIGGER_RE = re.compile(
+    r"define\s+trigger\s+(\w+)\s+at\s+(.+)$", re.S | re.I
+)
+
+
+def _parse_trigger_def(stmt: str) -> TriggerDef:
+    """`define trigger T at every 5 min;` | `at 'cron expr'` |
+    `at 'start'` (`[qapi] definition/TriggerDefinition.java`,
+    `[core] trigger/PeriodicTrigger.java` / `CronTrigger` /
+    `StartTrigger`). Streaming mapping: `format("rate")` paced to the
+    period; `'start'` = one row at stream start."""
+    m = _TRIGGER_RE.match(stmt.strip())
+    if not m:
+        raise ValueError(f"bad trigger definition: {stmt[:80]!r}")
+    name, spec = m.group(1), m.group(2).strip()
+    if spec.lower().startswith("every"):
+        return TriggerDef(
+            name=name, every_seconds=time_constant_seconds(spec[5:])
+        )
+    lit = spec.strip("'\"")
+    if lit.lower() == "start":
+        return TriggerDef(name=name, at_start=True)
+    return TriggerDef(name=name, cron=lit)
+
+
+_FUNCTION_RE = re.compile(
+    r"define\s+function\s+(\w+)\s*\[\s*(\w+)\s*\]\s*"
+    r"return\s+(\w+)\s*(?:\(\s*([\w\s,]*)\s*\))?\s*\{(.*)\}\s*$",
+    re.S | re.I,
+)
+
+
+def _parse_function_def(stmt: str) -> FunctionDef:
+    """`define function f[python] return double (a, b) { a * b };` —
+    script UDF (`[core] function/Script.java`). The reference infers
+    parameters at call sites; our subset declares them explicitly in
+    the optional parameter list (default: single parameter `x`)."""
+    m = _FUNCTION_RE.match(stmt.strip())
+    if not m:
+        raise ValueError(f"bad function definition: {stmt[:80]!r}")
+    name, lang, rtype, params, body = m.groups()
+    if lang.lower() != "python":
+        raise ValueError(
+            f"script language {lang!r} unsupported (python only; the "
+            "reference's JS/R scripts are out of scope — SURVEY.md §8.5)"
+        )
+    plist = [p.strip() for p in params.split(",") if p.strip()] if params else ["x"]
+    return FunctionDef(
+        name=name,
+        lang=lang.lower(),
+        return_type=rtype.lower(),
+        params=plist,
+        body=body.strip(),
+    )
+
+
 _PARTITION_RE = re.compile(
     r"partition\s+with\s*\(\s*(\w+)\s+of\s+(\w+)\s*\)\s*begin\b(.*)\bend\s*$",
     re.S | re.I,
@@ -642,6 +710,12 @@ def parse_app(text: str) -> AppModel:
         elif low.startswith("define aggregation"):
             ad = _parse_aggregation_def(body)
             app.aggregations[ad.name] = ad
+        elif low.startswith("define trigger"):
+            td = _parse_trigger_def(body)
+            app.triggers[td.name] = td
+        elif low.startswith("define function"):
+            fd = _parse_function_def(body)
+            app.functions[fd.name] = fd
         elif low.startswith("partition"):
             app.queries.extend(_parse_partition(body))
         elif low.startswith("from"):

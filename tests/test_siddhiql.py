@@ -304,3 +304,36 @@ def test_table_dml_delete(spark, events_df):
     out = run_app(app, {"events": events_df, "T": table})["T"]
     # user 2 has the only error event → deleted
     assert sorted(r.user_id for r in out.collect()) == [1, 9]
+
+
+def test_define_function_python_udf(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define function taxed[python] return double (v, rate) { v * (1.0 + rate) };
+    from events[event_type == 'purchase']
+    select event_id, taxed(value, 0.1) as gross
+    insert into Taxed;
+    """
+    out = run_app(app, {"events": events_df})["Taxed"]
+    rows = {r.event_id: round(r.gross, 6) for r in out.collect()}
+    assert rows[3] == 110.0 and rows[6] == 55.0
+
+
+def test_define_trigger_parses_and_batch_raises(spark, events_df):
+    from siddhi_operator_spark.siddhiql.parser import parse_app
+
+    app = """
+    define trigger FiveMin at every 5 min;
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events select event_id insert into Out;
+    """
+    model = parse_app(app)
+    assert model.triggers["FiveMin"].every_seconds == 300.0
+    # a query FROM the trigger is streaming-only
+    import pytest as _pytest
+
+    bad = app + "\nfrom FiveMin select triggered_time insert into Ticks;"
+    with _pytest.raises(ValueError, match="streaming-only"):
+        run_app(bad, {"events": events_df})
