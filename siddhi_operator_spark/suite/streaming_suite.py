@@ -159,3 +159,42 @@ def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = _materialize(agg, "complete")
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_join_windowed",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_join_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL watermarked stream-stream join (state bounded at the window
+    span) must equal the batch windowed self-join / DuckDB range join —
+    the `S1#window.time(5 min) join S2` streaming twin."""
+    from ..streaming import joins as SJ
+
+    s1 = _events_stream(spark, sf)
+    clicks = s1.filter(F.col("event_type") == "click")
+    views = _events_stream(spark, sf).filter(F.col("event_type") == "view")
+    joined = SJ.stream_stream_join(
+        clicks,
+        views,
+        left_ts="ts",
+        right_ts="ts",
+        equi_keys=[("user_id", "user_id")],
+        within_seconds=300,
+        watermark="10 minutes",
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)

@@ -39,3 +39,44 @@ def test_cascade_materialize_query_purge(spark, events_df, tmp_path):
         d.name for d in (tmp_path / "agg" / "gran=hour").glob("p_date=*")
     ]
     assert all(name >= "p_date=2024-01-02" for name in remaining)
+
+
+def test_streaming_cascade_matches_batch(spark, events_df, tmp_path):
+    """Streaming foreachBatch merge-add over micro-batches must land on
+    exactly the batch cascade's state (composable state is order-free),
+    and coarser granularities derive from the streamed base state."""
+    from siddhi_operator_spark.operators.incremental import rollup_up
+    from siddhi_operator_spark.streaming import sources
+    from siddhi_operator_spark.streaming.incremental import (
+        IncrementalStateTable,
+        incremental_agg_sink,
+    )
+
+    src = str(tmp_path / "src")
+    sources.replay_dir(events_df, src, "ts", 3)
+    stream = sources.file_stream(
+        spark, src, events_df.schema, max_files_per_trigger=1
+    )
+    state = IncrementalStateTable(
+        spark, str(tmp_path / "agg_hour"), keys=["event_type"]
+    )
+    q = incremental_agg_sink(
+        stream, state, ts="ts", value="value", gran="hour",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = state.current()
+    batch = I.rollup_cascade(
+        events_df, "ts", "value", keys=("event_type",), granularities=("hour",)
+    )["hour"]
+    key = lambda r: (r.bucket_start, r.event_type)  # noqa: E731
+    sgot = {key(r): (r.cnt, r.sum_v, r.min_v, r.max_v) for r in streamed.collect()}
+    bgot = {key(r): (r.cnt, r.sum_v, r.min_v, r.max_v) for r in batch.collect()}
+    assert sgot == bgot
+
+    # day granularity derives from the streamed hour state
+    day = rollup_up(streamed, "day", keys=("event_type",))
+    dgot = {r.event_type: (r.cnt, r.sum_v) for r in day.collect()}
+    assert dgot["click"] == (5, 31.0) and dgot["purchase"] == (2, 150.0)
