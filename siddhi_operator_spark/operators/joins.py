@@ -64,6 +64,7 @@ def windowed_stream_join(
     within_seconds: float,
     extra_cond: Column | None = None,
     how: str = "inner",
+    unidirectional: bool = False,
 ) -> DataFrame:
     """Stream ⋈ stream over time windows: Siddhi
     `from S1#window.time(t) join S2#window.time(t) on cond`
@@ -81,9 +82,18 @@ def windowed_stream_join(
     for lk, rk in equi_keys:
         c = F.col(f"l.{lk}") == F.col(f"r.{rk}")
         cond = c if cond is None else (cond & c)
-    rng = (rts >= lts - F.expr(f"INTERVAL {within_seconds} SECONDS")) & (
-        rts <= lts + F.expr(f"INTERVAL {within_seconds} SECONDS")
-    )
+    if unidirectional:
+        # only the LEFT side triggers output (grammar keyword
+        # `unidirectional`; `JoinProcessor` trigger flags): a pair
+        # exists iff the right event was already in the window when the
+        # left event arrived → r.ts ∈ [l.ts − t, l.ts]
+        rng = (rts >= lts - F.expr(f"INTERVAL {within_seconds} SECONDS")) & (
+            rts <= lts
+        )
+    else:
+        rng = (rts >= lts - F.expr(f"INTERVAL {within_seconds} SECONDS")) & (
+            rts <= lts + F.expr(f"INTERVAL {within_seconds} SECONDS")
+        )
     cond = rng if cond is None else (cond & rng)
     if extra_cond is not None:
         cond = cond & extra_cond

@@ -183,3 +183,43 @@ def logical_and_pattern(
         .drop("_rn")
         .withColumnRenamed("k", key)
     )
+
+
+def absence_logical(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    present_pred: Column,
+    absent_pred: Column,
+    within_seconds: float,
+) -> DataFrame:
+    """Logical absence: `from not S[p_absent] and e2=S[p_present]`
+    (`AbsentLogicalPreStateProcessor.java`) — e2 events with NO
+    p_absent event for the same key in the t window BEFORE them (the
+    absent branch is armed at match start; e2 completes the pair only
+    if the absent side never fired).
+
+    Batch mapping: time-bounded left-anti join looking backwards."""
+    e2 = df.filter(present_pred).select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("e2_ts"),
+        F.col("event_id").alias("e2_id"),
+    )
+    absent = df.filter(absent_pred).select(
+        F.col(key).alias("ka"), F.col(ts).alias("a_ts")
+    )
+    return (
+        e2.join(
+            absent,
+            on=(
+                (F.col("k") == F.col("ka"))
+                & (F.col("a_ts") < F.col("e2_ts"))
+                & (
+                    F.col("a_ts")
+                    >= F.col("e2_ts") - F.expr(f"INTERVAL {within_seconds} SECONDS")
+                )
+            ),
+            how="left_anti",
+        )
+        .select(F.col("k"), F.col("e2_ts"), F.col("e2_id"))
+    )

@@ -240,3 +240,39 @@ def join_stream_aggregation(spark: SparkSession, sf: str) -> DataFrame:
         r4(F.col("sum_v"), 4).alias("day_sum"),
         r4(F.col("avg_v"), 4).alias("day_avg"),
     )
+
+
+@register(
+    "join_unidirectional",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts
+    """,
+    tags=("join", "unidirectional"),
+)
+def join_unidirectional(spark: SparkSession, sf: str) -> DataFrame:
+    """`from clicks unidirectional join views#window.time(5 min)`
+    (grammar keyword; `JoinProcessor` trigger flags): only click
+    arrivals emit — a pair exists iff the view was already inside the
+    window when the click arrived (view.ts ≤ click.ts)."""
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    joined = J.windowed_stream_join(
+        clicks,
+        views,
+        left_ts="ts",
+        right_ts="ts",
+        equi_keys=[("user_id", "user_id")],
+        within_seconds=300,
+        unidirectional=True,
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+    )

@@ -250,3 +250,35 @@ def pattern_first_match(spark: SparkSession, sf: str) -> DataFrame:
         every=False,
     )
     return out.select("user_id", "e1_id", "e1_ts", "e2_id", "e2_ts")
+
+
+@register(
+    "pattern_absence_logical",
+    oracle="""
+    SELECT e2.user_id AS k, e2.ts AS e2_ts, e2.event_id AS e2_id
+    FROM events e2
+    WHERE e2.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events a
+        WHERE a.user_id = e2.user_id
+          AND a.event_type = 'error'
+          AND a.ts < e2.ts
+          AND a.ts >= e2.ts - INTERVAL 1 HOUR
+      )
+    """,
+    tags=("pattern", "absence", "cep"),
+)
+def pattern_absence_logical(spark: SparkSession, sf: str) -> DataFrame:
+    """Logical absence `from not events[error] and e2=events[purchase]`
+    (`AbsentLogicalPreStateProcessor.java`): purchases with no error
+    for that user in the preceding hour — backward-looking
+    time-bounded anti-join."""
+    e = load(spark, sf, "events")
+    return P.absence_logical(
+        e,
+        key="user_id",
+        ts="ts",
+        present_pred=F.col("event_type") == "purchase",
+        absent_pred=F.col("event_type") == "error",
+        within_seconds=3600,
+    )

@@ -204,3 +204,43 @@ def test_group_concat_sorted(events_df):
         .collect()
     )
     assert out[0].g == "1,2"
+
+
+def test_unidirectional_join(events_df):
+    from siddhi_operator_spark.operators import joins as J
+
+    clicks = events_df.filter(F.col("event_type") == "click")
+    purch = events_df.filter(F.col("event_type") == "purchase")
+    out = J.windowed_stream_join(
+        clicks, purch, "ts", "ts", [("user_id", "user_id")],
+        within_seconds=600, unidirectional=True,
+    )
+    pairs = sorted(
+        (r["l.event_id"] if "l.event_id" in r else r[0])
+        for r in out.select(F.col("l.event_id")).collect()
+    )
+    # only clicks AFTER (≤10 min) a purchase trigger: user 1 purchase
+    # e3 @00:00:09 → clicks e2? e2 is before e3 → no; none within.
+    # user 2 purchase e6 @00:59 → no later clicks within 10 min.
+    # bidirectional would match (e2,e3): verify the asymmetry
+    bi = J.windowed_stream_join(
+        clicks, purch, "ts", "ts", [("user_id", "user_id")],
+        within_seconds=600,
+    )
+    assert bi.count() > out.count()
+
+
+def test_absence_logical(events_df):
+    from siddhi_operator_spark.operators import patterns as P
+
+    out = P.absence_logical(
+        events_df,
+        key="user_id",
+        ts="ts",
+        present_pred=F.col("event_type") == "purchase",
+        absent_pred=F.col("event_type") == "click",
+        within_seconds=300,
+    )
+    # user 1 purchase e3 @00:00:09 has click e2 @00:00:05 before → excluded
+    # user 2 purchase e6 @00:59 — last click e5 @00:10 is >5min before → kept
+    assert [r.e2_id for r in out.collect()] == [6]
