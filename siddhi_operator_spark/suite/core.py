@@ -408,3 +408,37 @@ def json_struct_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         parsed["k"].alias("k_val"),
         packed.alias("packed"),
     )
+
+
+@register(
+    "scalar_str_extra",
+    oracle="""
+    SELECT doc_id,
+           substr(source, 2, 1)                          AS char_at_2,
+           CASE WHEN source < lang THEN -1
+                WHEN source = lang THEN 0 ELSE 1 END     AS cmp,
+           hex(encode(substr(source, 1, 2)))             AS hex2,
+           reverse(source)                               AS rev,
+           printf('%s/%s#%d', source, lang, doc_id)      AS templ
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("functions", "string"),
+)
+def scalar_str_extra(spark: SparkSession, sf: str) -> DataFrame:
+    """str: extras — charAt/strcmp/hex/reverse/fillTemplate
+    (`[ext:string]`): all JVM-side Catalyst builtins."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    cmp = (
+        F.when(F.col("source") < F.col("lang"), -1)
+        .when(F.col("source") == F.col("lang"), 0)
+        .otherwise(1)
+    )
+    return d.select(
+        "doc_id",
+        F.substring("source", 2, 1).alias("char_at_2"),
+        cmp.alias("cmp"),
+        F.hex(F.substring("source", 1, 2)).alias("hex2"),
+        F.reverse("source").alias("rev"),
+        F.format_string("%s/%s#%d", "source", "lang", "doc_id").alias("templ"),
+    )
