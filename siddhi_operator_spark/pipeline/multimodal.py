@@ -74,6 +74,92 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, w: int, h: int, fake: bool) -> bytes:
+    """Image resize — a real deployment swaps in PIL. Deterministic
+    fake: truncate/cycle the payload to w·h bytes so output size is a
+    real function of the target dimensions."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL, not present in this container; "
+            "pass fake=True for the deterministic stub"
+        )
+    n = w * h
+    reps = (n // max(len(payload), 1)) + 1
+    return (payload * reps)[:n]
+
+
+def resize(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize images to width×height (`mapInPandas`, Arrow-batched).
+    Non-image rows pass through untouched — the media_type predicate is
+    evaluated JVM-side by the preceding filter/when, Python only sees
+    the rows it must transform."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["media_type"].str.startswith("image/")
+            out = pdf.copy()
+            out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(
+                lambda p: resize_stub(bytes(p), width, height, fake)
+            )
+            out["byte_len"] = out["payload"].map(len).astype("int32")
+            out["width"] = pd.Series([width] * len(out)).where(is_img, other=-1)
+            out["height"] = pd.Series([height] * len(out)).where(is_img, other=-1)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out[["doc_id", "media_type", "payload", "byte_len", "width", "height"]]
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, n_frames: int, frame_bytes: int = 16, fake: bool = True
+) -> DataFrame:
+    """Sample n frames per video (1→N row expansion via `mapInPandas` —
+    the UDTF shape of SURVEY.md §3.11). Deterministic fake: the k-th
+    frame is the k-th stride slice of the payload; a real deployment
+    swaps in ffmpeg keyframe extraction. Filter media_type BEFORE this
+    runs so Python only sees videos."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires ffmpeg, not present in this container; "
+            "pass fake=True for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                stride = max(len(b) // max(n_frames, 1), 1)
+                for k in range(n_frames):
+                    start = (k * stride) % max(len(b), 1)
+                    rows.append((doc_id, k, b[start : start + frame_bytes]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (`mapInPandas`): partition-local, schema-stable, pushdown-friendly

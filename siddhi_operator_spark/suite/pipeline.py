@@ -348,3 +348,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     near-dup thresholds are ~0.95+ with banded rotations for recall.)"""
     emb = load(spark, sf, "embeddings")
     return D.embedding_neardup_pairs(emb, min_cos=0.25, n_bits=8)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, f.frame_idx
+    FROM documents, (VALUES (0),(1),(2)) f(frame_idx)
+    WHERE doc_id % 3 = 2
+    """,
+    tags=("pipeline", "multimodal", "udtf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over video payloads: 1→N Arrow-batched row
+    expansion (`mapInPandas`); the oracle checks the expansion contract
+    (exactly n frames per video, indexed 0..n−1) — frame bytes are
+    stub-deterministic and covered by tests/test_pipeline.py."""
+    media = M.to_media(load(spark, sf, "documents"))
+    videos = media.filter(F.col("media_type") == "video/mp4")
+    out = M.frame_sample(videos, n_frames=3, frame_bytes=8)
+    return out.select("doc_id", "frame_idx")

@@ -81,3 +81,30 @@ def test_cosine_self_similarity(spark):
     rows = {(r.query_id, r.neighbor_id): r.cos for r in out.collect()}
     assert rows[(0, 1)] == 1.0
     assert rows[(0, 2)] == 0.0
+
+
+def test_multimodal_resize(spark):
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import multimodal as M
+
+    media = M.to_media(load(spark, "/root/testdata/sf0.001", "documents"))
+    out = M.resize(media, 8, 4, fake=True)
+    rows = out.filter(out.media_type == "image/png").limit(5).collect()
+    assert rows and all(r.byte_len == 32 and r.width == 8 for r in rows)
+    passthru = out.filter(out.media_type != "image/png").limit(3).collect()
+    assert all(r.width == -1 for r in passthru)
+
+
+def test_multimodal_frame_sample(spark):
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import multimodal as M
+    import pyspark.sql.functions as F
+
+    media = M.to_media(load(spark, "/root/testdata/sf0.001", "documents"))
+    videos = media.filter(F.col("media_type") == "video/mp4")
+    out = M.frame_sample(videos, n_frames=3, frame_bytes=8)
+    n_videos = videos.count()
+    assert out.count() == 3 * n_videos  # 1→N expansion, N exact
+    one = out.filter(F.col("doc_id") == 2).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in one] == [0, 1, 2]
+    assert all(len(r.frame) <= 8 for r in one)
