@@ -161,7 +161,11 @@ def _run_single(
         order = []
         for i, it in enumerate(q.select):
             order.append(_auto_alias(it, i) if (i, it) in agg_items else it.expr)
-        keep = [c for c in (extra + order) if c != "session_w"]
+        # group keys not named in the projection stay in the output —
+        # a partition instance's identity (its key) is part of its
+        # emission in the reference
+        missing_keys = [k for k in q.group_by if k not in order]
+        keep = [c for c in (extra + missing_keys + order) if c != "session_w"]
         if "session_w" in extra:
             out = out.withColumn("session_start", F.col("session_w.start")).withColumn(
                 "session_end", F.col("session_w.end")
@@ -395,7 +399,22 @@ def run_app(
                     filter_expr=inp.filter_expr,
                     window=model.windows[inp.stream].window,
                 )
-            df = _run_single(env[inp.stream], q, inp, ts_col, id_col)
+            src = env[inp.stream]
+            if q.partition_ranges:
+                # range partition (`RangePartitionExecutor.java`): the
+                # derived CASE WHEN bucket is the shuffle key; rows
+                # matching no range are dropped (reference semantics —
+                # unpartitioned events never enter the group)
+                bucket = None
+                for cond, label in q.partition_ranges:
+                    w = F.when(F.expr(cond), label)
+                    bucket = w if bucket is None else bucket.when(
+                        F.expr(cond), label
+                    )
+                src = src.withColumn(q.partition_key, bucket).filter(
+                    F.col(q.partition_key).isNotNull()
+                )
+            df = _run_single(src, q, inp, ts_col, id_col)
         elif isinstance(inp, JoinInput):
             df = _run_join(env, q, inp, ts_col)
         elif isinstance(inp, PatternInput):

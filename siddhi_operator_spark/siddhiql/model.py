@@ -92,6 +92,9 @@ class QueryDef:
     out_stream: str = ""
     output_rate: OutputRate | None = None
     partition_key: str | None = None  # set when inside `partition with`
+    # range-partition form: ordered (condition SQL, label) pairs —
+    # `RangePartitionExecutor.java`; partition_key is the derived bucket
+    partition_ranges: list[tuple[str, str]] | None = None
     table_action: TableAction | None = None
 
 

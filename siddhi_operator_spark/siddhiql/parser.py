@@ -655,25 +655,39 @@ def _parse_function_def(stmt: str) -> FunctionDef:
 
 
 _PARTITION_RE = re.compile(
-    r"partition\s+with\s*\(\s*(\w+)\s+of\s+(\w+)\s*\)\s*begin\b(.*)\bend\s*$",
+    r"partition\s+with\s*\((.*?)\s+of\s+(\w+)\s*\)\s*begin\b(.*)\bend\s*$",
     re.S | re.I,
 )
 
 
 def _parse_partition(stmt: str) -> list[QueryDef]:
-    """`partition with (key of Stream) begin <queries> end`
+    """`partition with (key of Stream)` or the range form
+    `partition with (v < 50 as 'low' or v < 200 as 'mid' of Stream)`
     (`[qapi] execution/partition/Partition.java`,
-    `ValuePartitionExecutor.java`): per-key isolation of the inner
-    query group. On Spark the partition key becomes the shuffle key of
-    every inner query (group-by prefix / pattern correlation key) —
-    `groupBy(key)` IS the reference's per-key runtime cloning.
-    Inner `#Stream` names are local to the partition; the leading `#`
-    is stripped (Spark has no name scoping — the builder's env dict
-    provides it)."""
+    `ValuePartitionExecutor.java` / `RangePartitionExecutor.java`):
+    per-key isolation of the inner query group. On Spark the partition
+    key becomes the shuffle key of every inner query (group-by prefix /
+    pattern correlation key) — `groupBy(key)` IS the reference's
+    per-key runtime cloning; the range form keys on a derived CASE WHEN
+    bucket. Inner `#Stream` names are local to the partition; the
+    leading `#` is stripped (Spark has no name scoping — the builder's
+    env dict provides it)."""
     m = _PARTITION_RE.match(stmt.strip())
     if not m:
         raise ValueError(f"bad partition: {stmt[:80]!r}")
-    key, _of_stream, body = m.groups()
+    spec, _of_stream, body = m.groups()
+    spec = spec.strip()
+    ranges: list[tuple[str, str]] | None = None
+    if re.fullmatch(r"\w+", spec):
+        key = spec
+    else:  # range form: `cond as 'label' or cond as 'label' …`
+        ranges = []
+        for part in re.split(r"\bor\b", spec, flags=re.I):
+            rm = re.match(r"(.+?)\s+as\s+'([^']+)'\s*$", part.strip(), re.S | re.I)
+            if not rm:
+                raise ValueError(f"bad range partition term: {part.strip()[:60]!r}")
+            ranges.append((translate_expr(rm.group(1).strip()), rm.group(2)))
+        key = "_range_key"
     agg_re = re.compile(
         r"\b(sum|count|avg|min|max|count_distinct|stddev_pop|string_agg|"
         r"collect_list|collect_set|bool_and|bool_or|first|last)\s*\(",
@@ -683,6 +697,7 @@ def _parse_partition(stmt: str) -> list[QueryDef]:
     for inner in _split_statements(body.replace("#", "")):
         q = _parse_query(inner)
         q.partition_key = key
+        q.partition_ranges = ranges
         if isinstance(q.input, (SingleInput, JoinInput)):
             has_agg = any(agg_re.search(it.expr) for it in q.select)
             if has_agg and key not in q.group_by:

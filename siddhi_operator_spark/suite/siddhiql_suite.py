@@ -318,3 +318,35 @@ def siddhiql_table_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "user_id", F.round(F.lit(1e-9) + F.col("score"), 4).alias("score")
     )
+
+
+@register(
+    "siddhiql_partition_range",
+    oracle="""
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 200 THEN 'mid'
+                ELSE 'high' END AS _range_key,
+           count(*) AS n,
+           round(1e-9 + sum(value), 4) AS total
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("siddhiql", "partition", "range"),
+)
+def siddhiql_partition_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Range partition (`RangePartitionExecutor.java`): ordered
+    condition→label terms become a CASE WHEN bucket used as the
+    shuffle key of the inner aggregation."""
+    app = (
+        _EVENTS_DEF
+        + """
+    partition with (value < 50.0 as 'low' or value < 200.0 as 'mid'
+                    or value >= 200.0 as 'high' of events)
+    begin
+      from events
+      select count() as n, round(1e-9 + sum(value), 4) as total
+      insert into ByBucket;
+    end;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["ByBucket"]

@@ -337,3 +337,20 @@ def test_define_trigger_parses_and_batch_raises(spark, events_df):
     bad = app + "\nfrom FiveMin select triggered_time insert into Ticks;"
     with _pytest.raises(ValueError, match="streaming-only"):
         run_app(bad, {"events": events_df})
+
+
+def test_partition_range_form(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    partition with (value < 5.0 as 'small' or value < 50.0 as 'mid'
+                    or value >= 50.0 as 'big' of events)
+    begin
+      from events select count() as n insert into ByBucket;
+    end;
+    """
+    out = run_app(app, {"events": events_df})["ByBucket"]
+    rows = {r._range_key: r.n for r in out.collect()}
+    # small: values < 5 → e4(1), e5(2), e10(0) = 3
+    # mid: 5≤v<50 → e1(10), e2(5), e7(7), e8(8), e9(9) ... e2=5.0 → mid
+    assert rows == {"small": 3, "mid": 5, "big": 2}
