@@ -460,3 +460,34 @@ def window_unique_first(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     out = W.unique_last(e, keys=["user_id"], order=[F.asc("ts"), F.asc("event_id")])
     return out.select("user_id", "event_id", "event_type", "value", "ts")
+
+
+@register(
+    "window_extrema_by_time",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           arg_max(event_id, printf('%012.4f|%010d', value, event_id)) AS max_event,
+           round(1e-9 + max(value), 4) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "extrema"),
+)
+def window_extrema_by_time(spark: SparkSession, sf: str) -> DataFrame:
+    """`extrema:maxByTime`-style window (`[ext:extrema]`): the event
+    holding the max value within each tumbling time window — min_by/
+    max_by composed with the native window bucket, one keyed agg."""
+    e = load(spark, sf, "events")
+    key = F.format_string("%012.4f|%010d", F.col("value"), F.col("event_id"))
+    out = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.max_by("event_id", key).alias("max_event"),
+        r4(F.max("value"), 4).alias("max_value"),
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "max_event",
+        "max_value",
+    )
