@@ -183,7 +183,20 @@ def _run_join(
     sources: dict[str, DataFrame], q: QueryDef, inp: JoinInput, ts_col: str
 ) -> DataFrame:
     left = sources[inp.left.stream]
-    right = sources[inp.right.stream]
+    if inp.per is not None:
+        # `join AggA on … within '…' per 'day'` — aggregation
+        # retrieval (`IncrementalAggregateCompileCondition.java`): pick
+        # the granularity table, apply the range filter (partition-
+        # prunable against the materialized layout), then join
+        right = sources[f"{inp.right.stream}__{inp.per}"]
+        if inp.within_range is not None:
+            start, end = inp.within_range
+            right = right.filter(
+                (F.col("bucket_start") >= F.lit(start))
+                & (F.col("bucket_start") < F.lit(end))
+            )
+    else:
+        right = sources[inp.right.stream]
     if inp.left.filter_expr:
         left = left.filter(F.expr(inp.left.filter_expr))
     if inp.right.filter_expr:

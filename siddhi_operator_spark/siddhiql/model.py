@@ -35,6 +35,9 @@ class JoinInput:
     kind: str  # inner | left outer | right outer | full outer
     on_expr: str
     within_seconds: float | None = None
+    # aggregation retrieval (`join AggA … within '…','…' per 'day'`):
+    within_range: tuple[str, str] | None = None
+    per: str | None = None
 
 
 @dataclass

@@ -240,6 +240,37 @@ def _find_toplevel(s: str, keyword: str) -> int:
     return -1
 
 
+_GRAN_NORM = {
+    "sec": "second", "second": "second", "seconds": "second",
+    "min": "minute", "minute": "minute", "minutes": "minute",
+    "hour": "hour", "hours": "hour", "day": "day", "days": "day",
+    "month": "month", "months": "month", "year": "year", "years": "year",
+}
+
+
+def _normalize_granularity(tok: str) -> str:
+    return _GRAN_NORM[tok.strip().lower()]
+
+
+def _expand_within_date(d: str) -> tuple[str, str]:
+    """Single-date `within '2024-01-05'` → that day's [start, end);
+    `'2024-01'` → that month; `'2024'` → that year."""
+    import datetime as _dt
+
+    parts = d.split("-")
+    if len(parts) == 3:
+        start = _dt.date(int(parts[0]), int(parts[1]), int(parts[2]))
+        end = start + _dt.timedelta(days=1)
+    elif len(parts) == 2:
+        y, m = int(parts[0]), int(parts[1])
+        start = _dt.date(y, m, 1)
+        end = _dt.date(y + (m == 12), (m % 12) + 1, 1)
+    else:
+        start = _dt.date(int(parts[0]), 1, 1)
+        end = _dt.date(int(parts[0]) + 1, 1, 1)
+    return (str(start), str(end))
+
+
 def _parse_single_input(text: str) -> SingleInput:
     """`Stream[filter]#window.type(args)` (any part optional)."""
     text = text.strip()
@@ -314,10 +345,26 @@ def _parse_input(text: str) -> SingleInput | JoinInput | PatternInput:
         right = _parse_single_input(rest[:oi])
         cond = rest[oi + 2 :]
         within = None
+        within_range = None
+        per = None
+        pi = _find_toplevel(cond, "per")
+        if pi != -1:
+            per = _normalize_granularity(cond[pi + 3 :].strip().strip("'\""))
+            cond = cond[:pi]
         wi = _find_toplevel(cond, "within")
         if wi != -1:
-            within = time_constant_seconds(cond[wi + 6 :])
+            wtext = cond[wi + 6 :].strip()
             cond = cond[:wi]
+            if "'" in wtext or '"' in wtext:
+                # aggregation retrieval range: one date (that unit) or
+                # `'start', 'end'` (grammar `within_time_range`)
+                parts = [p.strip().strip("'\"") for p in wtext.split(",")]
+                if len(parts) == 2:
+                    within_range = (parts[0], parts[1])
+                else:
+                    within_range = _expand_within_date(parts[0])
+            else:
+                within = time_constant_seconds(wtext)
         kind = {"join": "inner"}.get(join_kw, join_kw.replace(" join", ""))
         return JoinInput(
             left=left,
@@ -325,6 +372,8 @@ def _parse_input(text: str) -> SingleInput | JoinInput | PatternInput:
             kind=kind,
             on_expr=translate_expr(cond.strip()),
             within_seconds=within,
+            within_range=within_range,
+            per=per,
         )
     return _parse_single_input(text)
 
@@ -578,14 +627,8 @@ def _parse_aggregation_def(stmt: str) -> AggregationDef:
     if not m:
         raise ValueError(f"bad aggregation definition: {stmt[:80]!r}")
     name, source, sel, by_attr, every = m.groups()
-    norm = {
-        "sec": "second", "second": "second", "seconds": "second",
-        "min": "minute", "minute": "minute", "minutes": "minute",
-        "hour": "hour", "hours": "hour", "day": "day", "days": "day",
-        "month": "month", "months": "month", "year": "year", "years": "year",
-    }
     tokens = [t for t in re.split(r"\s*(?:\.\.\.|…)\s*|\s*,\s*", every.strip()) if t]
-    grans = [norm[t.strip().lower()] for t in tokens]
+    grans = [_normalize_granularity(t) for t in tokens]
     if len(grans) == 2 and "..." in every:
         lo, hi = GRANULARITIES.index(grans[0]), GRANULARITIES.index(grans[1])
         grans = list(GRANULARITIES[lo : hi + 1])

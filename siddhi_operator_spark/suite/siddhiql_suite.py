@@ -350,3 +350,44 @@ def siddhiql_partition_range(spark: SparkSession, sf: str) -> DataFrame:
     """
     )
     return run_app(app, {"events": load(spark, sf, "events")})["ByBucket"]
+
+
+@register(
+    "siddhiql_join_aggregation",
+    oracle="""
+    WITH day_agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+             event_type, round(1e-9 + sum(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, a.total
+    FROM events e JOIN day_agg a
+      ON e.event_type = a.event_type
+    WHERE e.event_type = 'purchase'
+      AND a.bucket_start >= TIMESTAMP '2024-01-01'
+      AND a.bucket_start < TIMESTAMP '2024-02-01'
+    """,
+    tags=("siddhiql", "aggregation", "join"),
+)
+def siddhiql_join_aggregation(spark: SparkSession, sf: str) -> DataFrame:
+    """`join EventAgg … within '2024-01' per 'days'`
+    (`IncrementalAggregateCompileCondition.java`): granularity pick +
+    partition-prunable range filter + equi join — the full retrieval
+    path through the string front end."""
+    app = (
+        _EVENTS_DEF
+        + """
+    define aggregation EventAgg
+    from events
+    select event_type, sum(value) as total
+    aggregate by ts every hour ... day;
+    from events[event_type == 'purchase']
+    join EventAgg
+    on events.event_type == EventAgg.event_type
+    within '2024-01' per 'days'
+    select events.event_id as event_id,
+           round(1e-9 + EventAgg.total, 4) as total
+    insert into Enriched;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Enriched"]

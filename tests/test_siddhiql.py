@@ -354,3 +354,24 @@ def test_partition_range_form(spark, events_df):
     # small: values < 5 → e4(1), e5(2), e10(0) = 3
     # mid: 5≤v<50 → e1(10), e2(5), e7(7), e8(8), e9(9) ... e2=5.0 → mid
     assert rows == {"small": 3, "mid": 5, "big": 2}
+
+
+def test_join_aggregation_within_per(spark, events_df):
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define aggregation EventAgg
+    from events
+    select event_type, sum(value) as total, count() as n
+    aggregate by ts every hour ... day;
+    from events[event_type == 'purchase']
+    join EventAgg
+    on events.event_type == EventAgg.event_type
+    within '2024-01-01' per 'days'
+    select events.event_id as event_id, EventAgg.total as total
+    insert into Enriched;
+    """
+    out = run_app(app, {"events": events_df})["Enriched"]
+    rows = {r.event_id: r.total for r in out.collect()}
+    # purchases e3, e6; day rollup total for 'purchase' = 150.0
+    assert rows == {3: 150.0, 6: 150.0}
