@@ -223,3 +223,18 @@ def absence_logical(
         )
         .select(F.col("k"), F.col("e2_ts"), F.col("e2_id"))
     )
+
+
+def logical_or_pattern(
+    df: DataFrame,
+    pred_a: Column,
+    pred_b: Column,
+) -> DataFrame:
+    """Logical pattern `e1=S[pa] or e2=S[pb]`
+    (`LogicalPreStateProcessor.java` OR mode): either branch completes
+    the match — the match set is the tagged union of both branches
+    (an event satisfying both completes via the first-declared branch,
+    matching the reference's branch-priority)."""
+    a = df.filter(pred_a).withColumn("branch", F.lit("e1"))
+    b = df.filter(pred_b & ~pred_a).withColumn("branch", F.lit("e2"))
+    return a.unionByName(b)

@@ -282,3 +282,26 @@ def pattern_absence_logical(spark: SparkSession, sf: str) -> DataFrame:
         absent_pred=F.col("event_type") == "error",
         within_seconds=3600,
     )
+
+
+@register(
+    "pattern_logical_or",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'error' THEN 'e1' ELSE 'e2' END AS branch
+    FROM events
+    WHERE event_type = 'error' OR value > 400
+    """,
+    tags=("pattern", "logical", "cep"),
+)
+def pattern_logical_or(spark: SparkSession, sf: str) -> DataFrame:
+    """`from e1=events[error] or e2=events[value > 400]`
+    (`LogicalPreStateProcessor.java` OR): either branch matches;
+    events satisfying both take the first-declared branch."""
+    e = load(spark, sf, "events")
+    out = P.logical_or_pattern(
+        e,
+        pred_a=F.col("event_type") == "error",
+        pred_b=F.col("value") > 400,
+    )
+    return out.select("event_id", "user_id", "ts", "branch")
