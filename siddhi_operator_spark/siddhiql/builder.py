@@ -229,7 +229,45 @@ def _run_join(
     return j
 
 
+def _pattern_idx_repl(m: re.Match) -> str:
+    alias, idx, col = m.groups()
+    if idx == "last":
+        return f"{alias}__last_{col}"
+    if idx == "0":
+        return f"{alias}__first_{col}"
+    raise ValueError(
+        f"index access {alias}[{idx}].{col}: the batch plan exposes only "
+        "[0] and [last] of a count-quantified step"
+    )
+
+
+def _rewrite_pattern_select(out: DataFrame, q: QueryDef) -> DataFrame:
+    """Pattern select expressions reference `e1.x` (→ `e1_x`) and, for
+    count-quantified steps, `e[0].x` / `e[last].x` (→ `e__first_x` /
+    `e__last_x`) — the index-access surface of `StateEvent` slots."""
+    if not q.select:
+        return out
+    sel = []
+    for i, it in enumerate(q.select):
+        expr = re.sub(
+            r"\b(\w+)\s*\[\s*(\d+|last)\s*\]\s*\.\s*(\w+)",
+            _pattern_idx_repl,
+            it.expr,
+        )
+        expr = re.sub(r"\b(\w+)\.(\w+)", r"\1_\2", expr)
+        sel.append(F.expr(expr).alias(_auto_alias(it, i)))
+    return out.select(*sel)
+
+
 def _run_pattern(
+    df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
+) -> DataFrame:
+    if any(st.max_count > 1 or st.min_count != 1 for st in inp.steps):
+        return _run_pattern_quantified(df, q, inp, ts_col, id_col, key)
+    return _run_pattern_simple(df, q, inp, ts_col, id_col, key)
+
+
+def _run_pattern_simple(
     df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
 ) -> DataFrame:
     """Chain of time-bounded first-match joins — the batch fixed point
@@ -287,14 +325,157 @@ def _run_pattern(
                 .drop("_rn")
             )
         prev_alias = step.alias
-    out = partial
-    if q.select:
-        sel = []
-        for i, it in enumerate(q.select):
-            expr = re.sub(r"\b(\w+)\.(\w+)", r"\1_\2", it.expr)
-            sel.append(F.expr(expr).alias(_auto_alias(it, i)))
-        out = out.select(*sel)
-    return out
+    return _rewrite_pattern_select(partial, q)
+
+
+def _run_pattern_quantified(
+    df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
+) -> DataFrame:
+    """Count-quantified pattern steps (`e=S[c]<m:n>`,
+    `CountPreStateProcessor.java`): each quantified step expands into L
+    adjacency-chained pseudo-steps, one plan variant per combination of
+    lengths across quantified steps; variants union and a leftmost-
+    greedy pick resolves overlaps — the batch fixed point of the
+    reference's greedy count state.
+
+    Adjacency inside a quantified run: among MATCHING events in pattern
+    (non-strict) mode — non-matching arrivals are skipped, as in
+    `StreamPreStateProcessor` pattern semantics — and among ALL events
+    in sequence (strict) mode. The greedy pick orders candidates per
+    (key, start event) by earliest completion then longest match
+    (a count state stops collecting when the next step's event
+    arrives); a TRAILING quantified step has no next step, so there the
+    longest run wins outright. Quantified alias `e` exposes
+    `e__first_*`, `e__last_*`, `e__count`; select via `e[0].x` /
+    `e[last].x`."""
+    from itertools import product
+
+    base_cols = df.columns
+    if inp.strict:
+        seq_w = Window.partitionBy(key).orderBy(ts_col, id_col)
+        df = df.withColumn("__seq", F.row_number().over(seq_w))
+    fseq_w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    prepared = []
+    for st in inp.steps:
+        s = df
+        if st.predicate:
+            s = s.filter(F.expr(st.predicate))
+        quant = st.max_count > 1 or st.min_count != 1
+        cols = list(base_cols)
+        if inp.strict:
+            cols.append("__seq")
+        elif quant:
+            s = s.withColumn("__fseq", F.row_number().over(fseq_w))
+            cols.append("__fseq")
+        prepared.append((st, s, cols, quant))
+
+    ranges = [range(st.min_count, st.max_count + 1) for st in inp.steps]
+    n_variants = 1
+    for r in ranges:
+        n_variants *= len(r)
+    if n_variants > 32:
+        raise ValueError(
+            f"count quantifiers expand to {n_variants} plan variants "
+            "(> 32): narrow the <m:n> ranges"
+        )
+
+    def build_variant(lengths: tuple[int, ...]) -> DataFrame:
+        partial: DataFrame | None = None
+        first_pa = prev_pa = ""
+        for (st, s, cols, quant), length in zip(prepared, lengths):
+            for k2 in range(length):
+                pa = f"{st.alias}__{k2}" if quant else st.alias
+                sel = s.select(
+                    F.col(key).alias("__k"),
+                    *[F.col(c).alias(f"{pa}_{c}") for c in cols],
+                )
+                if partial is None:
+                    partial = sel
+                    first_pa = prev_pa = pa
+                    continue
+                if inp.strict:
+                    cond = (F.col("p.__k") == F.col("s.__k")) & (
+                        F.col(f"s.{pa}___seq") == F.col(f"p.{prev_pa}___seq") + 1
+                    )
+                elif k2 > 0:
+                    # within-run adjacency: consecutive among matching events
+                    cond = (F.col("p.__k") == F.col("s.__k")) & (
+                        F.col(f"s.{pa}___fseq") == F.col(f"p.{prev_pa}___fseq") + 1
+                    )
+                else:
+                    cond = (F.col("p.__k") == F.col("s.__k")) & (
+                        F.col(f"s.{pa}_{ts_col}") > F.col(f"p.{prev_pa}_{ts_col}")
+                    )
+                if inp.within_seconds is not None:
+                    cond = cond & (
+                        F.col(f"s.{pa}_{ts_col}")
+                        <= F.col(f"p.{first_pa}_{ts_col}")
+                        + F.expr(f"INTERVAL {inp.within_seconds} SECONDS")
+                    )
+                joined = (
+                    partial.alias("p").join(sel.alias("s"), on=cond).drop(F.col("s.__k"))
+                )
+                if inp.strict or k2 > 0:
+                    partial = joined  # adjacency is unique — no pick needed
+                else:
+                    w = Window.partitionBy(
+                        "__k", f"{first_pa}_{id_col}", f"{prev_pa}_{id_col}"
+                    ).orderBy(f"{pa}_{ts_col}", f"{pa}_{id_col}")
+                    partial = (
+                        joined.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn")
+                    )
+                prev_pa = pa
+        # canonical schema shared by all variants
+        out_cols = [F.col("__k")]
+        for (st, _s, _cols, quant), length in zip(prepared, lengths):
+            if quant:
+                for c in base_cols:
+                    out_cols.append(
+                        F.col(f"{st.alias}__0_{c}").alias(f"{st.alias}__first_{c}")
+                    )
+                for c in base_cols:
+                    out_cols.append(
+                        F.col(f"{st.alias}__{length - 1}_{c}").alias(
+                            f"{st.alias}__last_{c}"
+                        )
+                    )
+                out_cols.append(F.lit(length).alias(f"{st.alias}__count"))
+            else:
+                for c in base_cols:
+                    out_cols.append(F.col(f"{st.alias}_{c}"))
+        prio = 0
+        for length in lengths:  # leftmost-greedy dominance (base 17 > max 16)
+            prio = prio * 17 + length
+        out_cols.append(F.lit(prio).alias("__prio"))
+        return partial.select(*out_cols)
+
+    variants = [build_variant(lengths) for lengths in product(*ranges)]
+    out = variants[0]
+    for v in variants[1:]:
+        out = out.unionByName(v)
+
+    st0, stn = inp.steps[0], inp.steps[-1]
+    first_id = (
+        f"{st0.alias}__first_{id_col}"
+        if (st0.max_count > 1 or st0.min_count != 1)
+        else f"{st0.alias}_{id_col}"
+    )
+    last_quant = stn.max_count > 1 or stn.min_count != 1
+    last_ts = f"{stn.alias}__last_{ts_col}" if last_quant else f"{stn.alias}_{ts_col}"
+    last_id = f"{stn.alias}__last_{id_col}" if last_quant else f"{stn.alias}_{id_col}"
+    if last_quant:
+        order = [F.col("__prio").desc(), F.col(last_ts), F.col(last_id)]
+    else:
+        order = [F.col(last_ts), F.col(last_id), F.col("__prio").desc()]
+    w = Window.partitionBy("__k", first_id).orderBy(*order)
+    out = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "__prio")
+    )
+    return _rewrite_pattern_select(out, q)
 
 
 _AGG_CALL_RE = re.compile(

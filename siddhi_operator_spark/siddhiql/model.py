@@ -45,6 +45,10 @@ class PatternStep:
     alias: str
     stream: str
     predicate: str | None
+    # count quantifier `<m:n>` (`CountPreStateProcessor.java`):
+    # min_count == max_count == 1 means unquantified
+    min_count: int = 1
+    max_count: int = 1
 
 
 @dataclass

@@ -327,8 +327,11 @@ def _parse_input(text: str) -> SingleInput | JoinInput | PatternInput:
     # sequence: top-level comma between alias=Stream steps (contiguous)
     if _has_sequence_commas(text):
         return _parse_pattern(text, strict=True)
-    # pattern: contains `->` at top level, or starts with `every`
+    # pattern: contains `->` at top level, starts with `every`, or is a
+    # single `alias=Stream[...]` step (grammar `event` inside `pattern`)
     if _find_toplevel(text, "->") != -1 or text.lower().startswith("every"):
+        return _parse_pattern(text, strict=False)
+    if re.match(r"\w+\s*=\s*\w+", text):
         return _parse_pattern(text, strict=False)
     ji = -1
     for kw in ("left outer join", "right outer join", "full outer join", "join"):
@@ -417,15 +420,44 @@ def _parse_pattern(text: str, strict: bool) -> PatternInput:
     steps = []
     for p in parts:
         p = p.strip()
-        m = re.match(r"(?:(\w+)\s*=\s*)?(\w+)(?:\s*\[(.*)\])?\s*$", p, re.S)
+        m = re.match(
+            r"(?:(\w+)\s*=\s*)?(\w+)(?:\s*\[(.*)\])?"
+            r"(?:\s*<\s*(\d+)\s*(?::\s*(\d*))?\s*>)?\s*$",
+            p,
+            re.S,
+        )
         if not m:
             raise ValueError(f"bad pattern step: {p!r}")
         alias = m.group(1) or f"e{len(steps) + 1}"
+        # count quantifier `<n>` (exact) / `<m:n>` (grammar
+        # `collection_stream`, runtime `CountPreStateProcessor.java`)
+        min_c = max_c = 1
+        if m.group(4) is not None:
+            min_c = int(m.group(4))
+            if m.group(5) is None:
+                max_c = min_c
+            elif m.group(5) == "":
+                raise ValueError(
+                    f"unbounded count quantifier <{min_c}:> has no batch "
+                    "fixed point; give an explicit max, e.g. "
+                    f"<{min_c}:{min_c + 8}>"
+                )
+            else:
+                max_c = int(m.group(5))
+            if not (1 <= min_c <= max_c):
+                raise ValueError(f"bad count quantifier <{min_c}:{max_c}>")
+            if max_c > 16:
+                raise ValueError(
+                    f"count quantifier max {max_c} > 16: the batch plan "
+                    "expands one join per repetition — restructure the query"
+                )
         steps.append(
             PatternStep(
                 alias=alias,
                 stream=m.group(2),
                 predicate=translate_expr(m.group(3)) if m.group(3) else None,
+                min_count=min_c,
+                max_count=max_c,
             )
         )
     return PatternInput(steps=steps, every=every, within_seconds=within, strict=strict)

@@ -391,3 +391,43 @@ def siddhiql_join_aggregation(spark: SparkSession, sf: str) -> DataFrame:
     """
     )
     return run_app(app, {"events": load(spark, sf, "events")})["Enriched"]
+
+
+@register(
+    "siddhiql_count_quantifier",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, ts, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id AS first_id, c.event_id AS last_id,
+           d.event_id AS purchase_id
+    FROM seq a
+    JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    JOIN seq c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+    JOIN seq d ON d.user_id = a.user_id AND d.rn = a.rn + 3
+    WHERE a.event_type = 'click' AND b.event_type = 'click'
+      AND c.event_type = 'click' AND d.event_type = 'purchase'
+    """,
+    tags=("siddhiql", "pattern", "quantifier"),
+)
+def siddhiql_count_quantifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Count quantifier through the string front end:
+    `e=events[click]<3>, f=events[purchase]` — exactly three contiguous
+    clicks immediately followed by a purchase, with `e[0]` / `e[last]`
+    index access (`CountPreStateProcessor.java`, grammar
+    `collection_stream`). The quantified step expands to an
+    adjacency-chained join plan; see `_run_pattern_quantified`."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from e=events[event_type == 'click']<3>,
+         f=events[event_type == 'purchase']
+    select e[0].user_id as user_id, e[0].event_id as first_id,
+           e[last].event_id as last_id, f.event_id as purchase_id
+    insert into Runs;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Runs"]

@@ -375,3 +375,91 @@ def test_join_aggregation_within_per(spark, events_df):
     rows = {r.event_id: r.total for r in out.collect()}
     # purchases e3, e6; day rollup total for 'purchase' = 150.0
     assert rows == {3: 150.0, 6: 150.0}
+
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+_QDEF = (
+    "define stream events (event_id long, ts string, user_id long, "
+    "event_type string, value double);\n"
+)
+
+
+def _quant_df(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, off):
+        return (i, t0 + dt.timedelta(seconds=off), user, typ, 1.0)
+
+    rows = [
+        # user 1: c c c p — three adjacent clicks then purchase
+        ev(1, 1, "click", 0),
+        ev(2, 1, "click", 1),
+        ev(3, 1, "click", 2),
+        ev(4, 1, "purchase", 3),
+        # user 2: c c p — only two adjacent clicks
+        ev(10, 2, "click", 0),
+        ev(11, 2, "click", 1),
+        ev(12, 2, "purchase", 2),
+        # user 3: c c p c p — greedy <2:3> must stop at the first
+        # purchase (earliest completion), not stretch to three clicks
+        ev(20, 3, "click", 0),
+        ev(21, 3, "click", 1),
+        ev(22, 3, "purchase", 2),
+        ev(23, 3, "click", 3),
+        ev(24, 3, "purchase", 4),
+    ]
+    return spark.createDataFrame(rows, _EVENTS_SCHEMA)
+
+
+def test_count_quantifier_strict_exact(spark):
+    """`e=S[c]<3>, f=S[d]` — exactly three contiguous clicks then a
+    purchase (sequence mode: contiguity over ALL arrivals)."""
+    app = (
+        _QDEF
+        + """
+    from e=events[event_type == 'click']<3>, f=events[event_type == 'purchase']
+    select e[0].user_id as user_id, e[0].event_id as first_id,
+           e[last].event_id as last_id, f.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _quant_df(spark)})["Out"]
+    assert [tuple(r) for r in out.orderBy("user_id").collect()] == [(1, 1, 3, 4)]
+
+
+def test_count_quantifier_pattern_greedy(spark):
+    """`every e=S[c]<2:3> -> f=S[d]` — greedy count state: collects
+    matching events until the next step's event arrives (earliest
+    completion wins), longest run preferred on ties; `every` restarts
+    per start event."""
+    app = (
+        _QDEF
+        + """
+    from every e=events[event_type == 'click']<2:3>
+         -> f=events[event_type == 'purchase']
+    select e[0].user_id as user_id, e[0].event_id as first_id,
+           e[last].event_id as last_id, e__count as n, f.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _quant_df(spark)})["Out"]
+    got = sorted((r.user_id, r.first_id, r.last_id, r.n, r.purchase_id)
+                 for r in out.collect())
+    assert (1, 1, 3, 3, 4) in got  # greedy takes all three clicks
+    assert (2, 10, 11, 2, 12) in got
+    # user 3: stops at purchase 22 with two clicks; the later click 23
+    # pairs with the restart at click 21 (fseq adjacency skips 22)
+    assert (3, 20, 21, 2, 22) in got
+    assert (3, 21, 23, 2, 24) in got
+    assert (3, 20, 23, 3, 24) not in got  # would overshoot first purchase
+
+
+def test_count_quantifier_parse_errors():
+    with pytest.raises(ValueError, match="unbounded"):
+        parse_app(_QDEF + "from e=events[value > 0]<2:> select e[0].event_id insert into O;")
+    with pytest.raises(ValueError, match="> 16"):
+        parse_app(_QDEF + "from e=events[value > 0]<1:40> select e[0].event_id insert into O;")
