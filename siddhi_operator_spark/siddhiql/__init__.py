@@ -27,4 +27,4 @@ app model with the streaming twins.
 
 from .model import AppModel, PatternStep, QueryDef, StreamDef  # noqa: F401
 from .parser import parse_app  # noqa: F401
-from .builder import run_app  # noqa: F401
+from .builder import run_app, run_app_streaming  # noqa: F401

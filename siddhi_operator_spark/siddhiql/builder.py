@@ -17,13 +17,15 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .model import (
     AppModel,
     JoinInput,
+    LogicalStep,
     PatternInput,
+    PatternStep,
     QueryDef,
     SelectItem,
     SingleInput,
@@ -262,9 +264,158 @@ def _rewrite_pattern_select(out: DataFrame, q: QueryDef) -> DataFrame:
 def _run_pattern(
     df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
 ) -> DataFrame:
+    if any(
+        isinstance(st, LogicalStep) or st.negated for st in inp.steps
+    ):
+        return _run_pattern_special(df, q, inp, ts_col, id_col, key)
     if any(st.max_count > 1 or st.min_count != 1 for st in inp.steps):
         return _run_pattern_quantified(df, q, inp, ts_col, id_col, key)
     return _run_pattern_simple(df, q, inp, ts_col, id_col, key)
+
+
+def _alias_all(df: DataFrame, alias: str, key: str, key_alias: str = "__k") -> DataFrame:
+    return df.select(
+        F.col(key).alias(key_alias),
+        *[F.col(c).alias(f"{alias}_{c}") for c in df.columns],
+    )
+
+
+def _run_pattern_special(
+    df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
+) -> DataFrame:
+    """Absence and logical pattern forms — the batch fixed points of
+    `AbsentStreamPreStateProcessor` / `LogicalPreStateProcessor` /
+    `AbsentLogicalPreStateProcessor` (operator-level analogs in
+    `..operators.patterns`):
+
+    - `… -> not S[c] for t` — trailing absence: time-bounded left-anti
+      join against the matched prefix (the reference arms a timer at
+      the prior step; the anti-join is its fixed point).
+    - `e1=S[p] and e2=S[q]` — both present within the pattern's
+      `within` budget, either order; each e1 pairs its nearest e2.
+    - `not S[p] for t and e2=S[q]` — e2 events with no p-event in the
+      t window before them (backward anti-join).
+    - `e1=S[p] or e2=S[q]` — tagged union; an event matching both
+      takes the first-declared branch (reference branch priority).
+    """
+    import dataclasses
+
+    steps = inp.steps
+    if len(steps) == 1 and isinstance(steps[0], LogicalStep):
+        ls = steps[0]
+        a, b = ls.a, ls.b
+        if ls.op == "or":
+            if a.negated or b.negated:
+                raise ValueError("`not … or …` has no match semantics")
+            dtypes = dict(df.dtypes)
+            pa = F.expr(a.predicate) if a.predicate else F.lit(True)
+            pb = F.expr(b.predicate) if b.predicate else F.lit(True)
+            a_rows = df.filter(pa)
+            b_rows = df.filter(pb & ~pa)  # branch priority: first declared wins
+            a_side = a_rows.select(
+                *[F.col(c).alias(f"{a.alias}_{c}") for c in df.columns],
+                *[
+                    F.lit(None).cast(dtypes[c]).alias(f"{b.alias}_{c}")
+                    for c in df.columns
+                ],
+                F.lit(a.alias).alias("branch"),
+            )
+            b_side = b_rows.select(
+                *[
+                    F.lit(None).cast(dtypes[c]).alias(f"{a.alias}_{c}")
+                    for c in df.columns
+                ],
+                *[F.col(c).alias(f"{b.alias}_{c}") for c in df.columns],
+                F.lit(b.alias).alias("branch"),
+            )
+            return _rewrite_pattern_select(a_side.unionByName(b_side), q)
+        if a.negated and b.negated:
+            raise ValueError("both sides of `and` cannot be absent")
+        if a.negated or b.negated:
+            present, absent = (b, a) if a.negated else (a, b)
+            budget = absent.for_seconds or inp.within_seconds
+            if budget is None:
+                raise ValueError(
+                    "logical absence needs `for t` on the not-side or a "
+                    "pattern `within t`"
+                )
+            pres = df
+            if present.predicate:
+                pres = pres.filter(F.expr(present.predicate))
+            pres = _alias_all(pres, present.alias, key)
+            ab = df
+            if absent.predicate:
+                ab = ab.filter(F.expr(absent.predicate))
+            ab = ab.select(F.col(key).alias("__ka"), F.col(ts_col).alias("__ats"))
+            pts = f"{present.alias}_{ts_col}"
+            cond = (
+                (F.col("__k") == F.col("__ka"))
+                & (F.col("__ats") < F.col(pts))
+                & (F.col("__ats") >= F.col(pts) - F.expr(f"INTERVAL {budget} SECONDS"))
+            )
+            out = pres.join(ab, on=cond, how="left_anti")
+            return _rewrite_pattern_select(out, q)
+        # both present: nearest-pair within the pattern budget
+        if inp.within_seconds is None:
+            raise ValueError("logical `and` pattern needs `within t`")
+        pa_rows = df.filter(F.expr(a.predicate)) if a.predicate else df
+        pb_rows = df.filter(F.expr(b.predicate)) if b.predicate else df
+        a_side = _alias_all(pa_rows, a.alias, key)
+        b_side = _alias_all(pb_rows, b.alias, key, key_alias="__k2")
+        dist = F.abs(
+            F.unix_micros(F.col(f"{b.alias}_{ts_col}"))
+            - F.unix_micros(F.col(f"{a.alias}_{ts_col}"))
+        )
+        j = a_side.join(
+            b_side,
+            on=(
+                (F.col("__k") == F.col("__k2"))
+                & (dist <= int(inp.within_seconds * 1_000_000))
+            ),
+        ).drop("__k2")
+        w = Window.partitionBy("__k", f"{a.alias}_{id_col}").orderBy(
+            dist, f"{b.alias}_{id_col}"
+        )
+        out = (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return _rewrite_pattern_select(out, q)
+
+    *prefix, last = steps
+    if (
+        prefix
+        and all(isinstance(st, PatternStep) and not st.negated for st in prefix)
+        and isinstance(last, PatternStep)
+        and last.negated
+    ):
+        budget = last.for_seconds or inp.within_seconds
+        if budget is None:
+            raise ValueError("trailing absence needs `for t` or `within t`")
+        pre_inp = dataclasses.replace(inp, steps=prefix)
+        pre_q = dataclasses.replace(q, select=[])
+        partial = _run_pattern(df, pre_q, pre_inp, ts_col, id_col, key)
+        prev = prefix[-1]
+        prev_quant = prev.max_count > 1 or prev.min_count != 1
+        prev_ts = (
+            f"{prev.alias}__last_{ts_col}" if prev_quant else f"{prev.alias}_{ts_col}"
+        )
+        ab = df
+        if last.predicate:
+            ab = ab.filter(F.expr(last.predicate))
+        ab = ab.select(F.col(key).alias("__ka"), F.col(ts_col).alias("__ats"))
+        cond = (
+            (F.col("__k") == F.col("__ka"))
+            & (F.col("__ats") > F.col(prev_ts))
+            & (F.col("__ats") <= F.col(prev_ts) + F.expr(f"INTERVAL {budget} SECONDS"))
+        )
+        out = partial.join(ab, on=cond, how="left_anti")
+        return _rewrite_pattern_select(out, q)
+    raise ValueError(
+        "unsupported absence/logical pattern shape: supported are a single "
+        "`A and/or B` step (either side `not …`), and `… -> not S[c] for t`"
+    )
 
 
 def _run_pattern_simple(
@@ -545,26 +696,42 @@ def _run_aggregation_def(src: DataFrame, adef, ts_col: str) -> dict[str, DataFra
 
 def run_app(
     app: str | AppModel,
-    sources: dict[str, DataFrame],
+    sources: dict[str, DataFrame] | None = None,
     ts_col: str = "ts",
     id_col: str = "event_id",
     pattern_key: str = "user_id",
+    spark: SparkSession | None = None,
+    write_sinks: bool = False,
 ) -> dict[str, DataFrame]:
     """Execute a SiddhiQL app in batch/analytics mode.
 
     ``sources`` maps declared stream/table names to DataFrames;
     returns {output stream name: DataFrame} (multiple queries into the
-    same stream union, as with `InsertIntoStreamCallback`)."""
+    same stream union, as with `InsertIntoStreamCallback`). Streams
+    declared with `@source(type='file', @map(...))` load themselves
+    (SURVEY.md §3.1) when not passed explicitly; with
+    ``write_sinks=True``, outputs whose stream carries
+    `@sink(type='file', @map(...))` are also written out."""
+    from ..sources import load_file_source, write_file_sink
+
     model = parse_app(app) if isinstance(app, str) else app
-    env: dict[str, DataFrame] = dict(sources)
+    env: dict[str, DataFrame] = dict(sources or {})
     outputs: dict[str, DataFrame] = {}
+    if spark is None:
+        if not env:
+            raise ValueError("run_app needs `sources` or an explicit `spark`")
+        spark = next(iter(env.values())).sparkSession
     if model.functions:
-        spark = next(iter(sources.values())).sparkSession
         for fd in model.functions.values():
             _register_script_udf(spark, fd)
-    for name in model.streams:
-        if name not in env and not model.streams[name].is_table:
-            pass  # stream with no source: only valid as query output
+    for name, sdef in model.streams.items():
+        if name not in env and not sdef.is_table:
+            # annotation-driven file source (`FileSource` +
+            # `@map` serde); a stream with neither a passed frame nor a
+            # file source is only valid as a query output
+            loaded = load_file_source(spark, sdef)
+            if loaded is not None:
+                env[name] = loaded
     # `define aggregation` → rollup cascade, one finalized DataFrame per
     # granularity exposed as `<name>__<granularity>` (the on-demand /
     # `within … per` retrieval surface; SURVEY.md §3.5)
@@ -613,7 +780,11 @@ def run_app(
             df = _run_join(env, q, inp, ts_col)
         elif isinstance(inp, PatternInput):
             df = _run_pattern(
-                env[inp.steps[0].stream],
+                env[
+                    inp.steps[0].a.stream
+                    if isinstance(inp.steps[0], LogicalStep)
+                    else inp.steps[0].stream
+                ],
                 q,
                 inp,
                 ts_col,
@@ -668,6 +839,11 @@ def run_app(
         else:
             outputs[q.out_stream] = df
             env[q.out_stream] = outputs[q.out_stream]
+    if write_sinks:
+        for name, df in outputs.items():
+            sdef = model.streams.get(name)
+            if sdef is not None:
+                write_file_sink(df, sdef)
     return outputs
 
 
@@ -780,3 +956,80 @@ def _apply_table_action(table, muts, action, ts_col: str, id_col: str):
                 .drop("_k", "_v")
             )
     return out
+
+
+def run_app_streaming(
+    app: str | AppModel,
+    sources: dict[str, DataFrame] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    spark: SparkSession | None = None,
+    watermark: str = "1 minute",
+) -> dict[str, DataFrame]:
+    """Execute a SiddhiQL app in STREAMING mode (entry point A on
+    Structured Streaming): returns {output stream: unbounded DataFrame}
+    for the caller to attach `writeStream` sinks to.
+
+    Scope: single-input queries — filters, projections, and the
+    natively-streaming windows (`timeBatch`/`externalTimeBatch` →
+    `window()`, `session` → `session_window`, `delay` → event-time
+    shift), with `withWatermark(ts, …)` applied before any stateful
+    aggregation (the engine's late-data contract, SURVEY.md §3.10).
+    Sources come from ``sources`` (streaming frames) or from
+    `@source(type='file', @map(...))` annotations (directory source).
+    Joins, patterns, and count-based windows have dedicated streaming
+    operators (`..streaming.joins`, `..streaming.cep`,
+    `..streaming.windows`) with semantics a generic translation would
+    get wrong — the runner raises and points there."""
+    from ..sources import stream_file_source
+
+    model = parse_app(app) if isinstance(app, str) else app
+    env: dict[str, DataFrame] = dict(sources or {})
+    if spark is None:
+        if not env:
+            raise ValueError("run_app_streaming needs `sources` or `spark`")
+        spark = next(iter(env.values())).sparkSession
+    for name, sdef in model.streams.items():
+        if name not in env and not sdef.is_table:
+            loaded = stream_file_source(spark, sdef)
+            if loaded is not None:
+                env[name] = loaded
+    outputs: dict[str, DataFrame] = {}
+    for q in model.queries:
+        inp = q.input
+        if not isinstance(inp, SingleInput):
+            raise ValueError(
+                "streaming runner covers single-input queries; use the "
+                "dedicated streaming operators for joins "
+                "(streaming.joins.windowed_stream_join) and patterns "
+                "(streaming.cep.pattern_nfa)"
+            )
+        if inp.window is not None and inp.window.kind not in (
+            "timeBatch",
+            "externalTimeBatch",
+            "session",
+            "delay",
+        ):
+            raise ValueError(
+                f"window {inp.window.kind!r} is stateful-custom in "
+                "streaming mode: use streaming.windows / "
+                "streaming.frequent operators"
+            )
+        src = env[inp.stream]
+        has_agg = any(_AGG_RE.search(it.expr) for it in q.select)
+        if has_agg:
+            wm_col = (
+                inp.window.args[0]
+                if inp.window is not None and inp.window.kind == "externalTimeBatch"
+                else ts_col
+            )
+            src = src.withWatermark(wm_col, watermark)
+        df = _run_single(src, q, inp, ts_col, id_col)
+        if q.having:
+            df = df.filter(F.expr(q.having))
+        if q.out_stream in outputs:
+            outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
+        else:
+            outputs[q.out_stream] = df
+        env[q.out_stream] = outputs[q.out_stream]
+    return outputs

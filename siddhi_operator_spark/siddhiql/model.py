@@ -49,11 +49,24 @@ class PatternStep:
     # min_count == max_count == 1 means unquantified
     min_count: int = 1
     max_count: int = 1
+    # absence step `not S[c] for t` (`AbsentStreamPreStateProcessor.java`)
+    negated: bool = False
+    for_seconds: float | None = None
+
+
+@dataclass
+class LogicalStep:
+    """`e1=A[p] and e2=B[q]` / `or` / `not A[p] and e2=B[q]`
+    (`LogicalPreStateProcessor.java`, `AbsentLogicalPreStateProcessor.java`)."""
+
+    op: str  # "and" | "or"
+    a: PatternStep
+    b: PatternStep
 
 
 @dataclass
 class PatternInput:
-    steps: list[PatternStep]
+    steps: list[PatternStep | LogicalStep]
     every: bool
     within_seconds: float | None = None
     strict: bool = False  # sequence (`,`) vs followed-by (`->`)

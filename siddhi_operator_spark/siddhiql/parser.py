@@ -18,6 +18,7 @@ from .model import (
     FunctionDef,
     TriggerDef,
     JoinInput,
+    LogicalStep,
     OutputRate,
     PatternInput,
     PatternStep,
@@ -213,8 +214,9 @@ def _parse_definition(stmt: str, anns: list[str]) -> StreamDef:
 
 
 def _find_toplevel(s: str, keyword: str) -> int:
-    """Index of a top-level (paren-depth-0, outside quotes) keyword."""
-    depth, in_str = 0, None
+    """Index of a top-level (paren- and bracket-depth-0, outside
+    quotes) keyword — `[...]` predicates may contain `and`/`for`/etc."""
+    depth, in_br, in_str = 0, 0, None
     low = s.lower()
     kw = keyword.lower()
     i = 0
@@ -229,7 +231,11 @@ def _find_toplevel(s: str, keyword: str) -> int:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and low.startswith(kw, i):
+        elif ch == "[":
+            in_br += 1
+        elif ch == "]":
+            in_br -= 1
+        elif depth == 0 and in_br == 0 and low.startswith(kw, i):
             before = s[i - 1] if i > 0 else " "
             after = s[i + len(kw)] if i + len(kw) < len(s) else " "
             if not (before.isalnum() or before == "_") and not (
@@ -333,6 +339,9 @@ def _parse_input(text: str) -> SingleInput | JoinInput | PatternInput:
         return _parse_pattern(text, strict=False)
     if re.match(r"\w+\s*=\s*\w+", text):
         return _parse_pattern(text, strict=False)
+    # absence-first logical form: `not S[c] … and e2=T[d]`
+    if re.match(r"not\b", text, re.I):
+        return _parse_pattern(text, strict=False)
     ji = -1
     for kw in ("left outer join", "right outer join", "full outer join", "join"):
         ji = _find_toplevel(text, kw)
@@ -417,50 +426,86 @@ def _parse_pattern(text: str, strict: bool) -> PatternInput:
         buf.append(t[i])
         i += 1
     parts.append("".join(buf))
-    steps = []
+    steps: list[PatternStep | LogicalStep] = []
+    n_atoms = 0
     for p in parts:
         p = p.strip()
-        m = re.match(
-            r"(?:(\w+)\s*=\s*)?(\w+)(?:\s*\[(.*)\])?"
-            r"(?:\s*<\s*(\d+)\s*(?::\s*(\d*))?\s*>)?\s*$",
-            p,
-            re.S,
-        )
-        if not m:
-            raise ValueError(f"bad pattern step: {p!r}")
-        alias = m.group(1) or f"e{len(steps) + 1}"
-        # count quantifier `<n>` (exact) / `<m:n>` (grammar
-        # `collection_stream`, runtime `CountPreStateProcessor.java`)
-        min_c = max_c = 1
-        if m.group(4) is not None:
-            min_c = int(m.group(4))
-            if m.group(5) is None:
-                max_c = min_c
-            elif m.group(5) == "":
-                raise ValueError(
-                    f"unbounded count quantifier <{min_c}:> has no batch "
-                    "fixed point; give an explicit max, e.g. "
-                    f"<{min_c}:{min_c + 8}>"
-                )
-            else:
-                max_c = int(m.group(5))
-            if not (1 <= min_c <= max_c):
-                raise ValueError(f"bad count quantifier <{min_c}:{max_c}>")
-            if max_c > 16:
-                raise ValueError(
-                    f"count quantifier max {max_c} > 16: the batch plan "
-                    "expands one join per repetition — restructure the query"
-                )
-        steps.append(
-            PatternStep(
-                alias=alias,
-                stream=m.group(2),
-                predicate=translate_expr(m.group(3)) if m.group(3) else None,
-                min_count=min_c,
-                max_count=max_c,
-            )
-        )
+        # logical step: top-level `and`/`or` inside one arrow-part
+        # (`LogicalPreStateProcessor.java`; absence variant when one
+        # side is `not S[c]`)
+        ai = _find_toplevel(p, "and")
+        oi = _find_toplevel(p, "or")
+        if ai != -1 or oi != -1:
+            op, pos, klen = ("and", ai, 3) if ai != -1 else ("or", oi, 2)
+            a = _parse_pattern_atom(p[:pos], n_atoms)
+            b = _parse_pattern_atom(p[pos + klen :], n_atoms + 1)
+            n_atoms += 2
+            steps.append(LogicalStep(op=op, a=a, b=b))
+        else:
+            steps.append(_parse_pattern_atom(p, n_atoms))
+            n_atoms += 1
     return PatternInput(steps=steps, every=every, within_seconds=within, strict=strict)
+
+
+def _parse_pattern_atom(p: str, idx: int) -> PatternStep:
+    """One pattern step: `[alias=]Stream[[pred]][<m:n>]` or the absence
+    form `not Stream[[pred]] [for t]`."""
+    p = p.strip()
+    if re.match(r"not\b", p, re.I):
+        rest = p[3:].strip()
+        for_seconds = None
+        fi = _find_toplevel(rest, "for")
+        if fi != -1:
+            for_seconds = time_constant_seconds(rest[fi + 3 :])
+            rest = rest[:fi].strip()
+        m = re.match(r"(\w+)(?:\s*\[(.*)\])?\s*$", rest, re.S)
+        if not m:
+            raise ValueError(f"bad absence step: {p!r}")
+        return PatternStep(
+            alias=f"e{idx + 1}",
+            stream=m.group(1),
+            predicate=translate_expr(m.group(2)) if m.group(2) else None,
+            negated=True,
+            for_seconds=for_seconds,
+        )
+    m = re.match(
+        r"(?:(\w+)\s*=\s*)?(\w+)(?:\s*\[(.*)\])?"
+        r"(?:\s*<\s*(\d+)\s*(?::\s*(\d*))?\s*>)?\s*$",
+        p,
+        re.S,
+    )
+    if not m:
+        raise ValueError(f"bad pattern step: {p!r}")
+    alias = m.group(1) or f"e{idx + 1}"
+    # count quantifier `<n>` (exact) / `<m:n>` (grammar
+    # `collection_stream`, runtime `CountPreStateProcessor.java`)
+    min_c = max_c = 1
+    if m.group(4) is not None:
+        min_c = int(m.group(4))
+        if m.group(5) is None:
+            max_c = min_c
+        elif m.group(5) == "":
+            raise ValueError(
+                f"unbounded count quantifier <{min_c}:> has no batch "
+                "fixed point; give an explicit max, e.g. "
+                f"<{min_c}:{min_c + 8}>"
+            )
+        else:
+            max_c = int(m.group(5))
+        if not (1 <= min_c <= max_c):
+            raise ValueError(f"bad count quantifier <{min_c}:{max_c}>")
+        if max_c > 16:
+            raise ValueError(
+                f"count quantifier max {max_c} > 16: the batch plan "
+                "expands one join per repetition — restructure the query"
+            )
+    return PatternStep(
+        alias=alias,
+        stream=m.group(2),
+        predicate=translate_expr(m.group(3)) if m.group(3) else None,
+        min_count=min_c,
+        max_count=max_c,
+    )
 
 
 def _split_select_items(sel: str) -> list[SelectItem]:

@@ -1,0 +1,206 @@
+"""Sources, sinks, and format mappers (SURVEY.md §3.1).
+
+The reference's connector SPI — `[core] stream/input/source/Source.java`,
+`stream/output/sink/Sink.java`, with format mappers
+`stream/input/source/SourceMapper.java` / `stream/output/sink/SinkMapper.java`
+— is annotation-driven: `@source(type='file', file.uri='…',
+@map(type='json', @attributes(id='$.event.id', …)))`. The file
+connector is `[ext:io-file] io.siddhi.extension.io.file.source.FileSource`;
+the json/csv serdes are `[ext:map-json]
+io.siddhi.extension.map.json.sourcemapper.JsonSourceMapper` (with
+JSONPath `@attributes` projection) and `[ext:map-csv] CSVSourceMapper`.
+
+Spark mapping: the declared stream schema becomes an explicit
+`StructType` handed to `spark.read` (schema is NEVER inferred — Siddhi
+schemas are fixed and declared, §2.2); `@attributes` JSONPath
+projection becomes `get_json_object` over a raw text scan; sinks are
+`DataFrameWriter` calls. Parquet is an engine-native addition (the
+reference has no columnar mapper — that is the point of moving to
+Spark). Streaming twins use `readStream` with the same schema, the
+native directory source.
+
+At 100 TB the scan layer is where scale is won or lost: an explicit
+schema means parquet column pruning works, a declared format means no
+sampling pass over the data, and directory sources parallelize per
+file split with no driver-side work.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Siddhi's seven attribute types (`[qapi] definition/Attribute.java`)
+_SIDDHI_TO_SPARK = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "object": T.BinaryType(),
+}
+
+
+def siddhi_schema(attributes: list[tuple[str, str]]) -> T.StructType:
+    """Declared Siddhi schema → explicit Spark StructType."""
+    return T.StructType(
+        [T.StructField(n, _SIDDHI_TO_SPARK[t.lower()], True) for n, t in attributes]
+    )
+
+
+@dataclass
+class Ann:
+    """A parsed `@name(key='v', key2='v2', @nested(...))` annotation."""
+
+    name: str
+    options: dict[str, str] = field(default_factory=dict)
+    children: list["Ann"] = field(default_factory=list)
+
+    def child(self, name: str) -> "Ann | None":
+        for c in self.children:
+            if c.name.lower() == name.lower():
+                return c
+        return None
+
+
+def parse_annotation(text: str) -> Ann:
+    """Parse one annotation string (as stored on `StreamDef.annotations`)."""
+    text = text.strip()
+    m = re.match(r"@([\w.:]+)\s*(\()?", text)
+    if not m:
+        raise ValueError(f"bad annotation: {text!r}")
+    ann = Ann(name=m.group(1))
+    if not m.group(2):
+        return ann
+    body = text[m.end() : text.rfind(")")]
+    for part in _split_args(body):
+        part = part.strip()
+        if not part:
+            continue
+        if part.startswith("@"):
+            ann.children.append(parse_annotation(part))
+        else:
+            k, _, v = part.partition("=")
+            ann.options[k.strip()] = v.strip().strip("'\"")
+    return ann
+
+
+def _split_args(s: str) -> list[str]:
+    out, depth, in_str, buf = [], 0, None, []
+    for ch in s:
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
+def _find_ann(stream_def, name: str) -> Ann | None:
+    for raw in stream_def.annotations:
+        ann = parse_annotation(raw)
+        if ann.name.lower() == name.lower():
+            return ann
+    return None
+
+
+def _uri_to_path(ann: Ann) -> str:
+    uri = (
+        ann.options.get("file.uri")
+        or ann.options.get("dir.uri")
+        or ann.options.get("uri")
+    )
+    if uri is None:
+        raise ValueError(f"@{ann.name} needs file.uri or dir.uri")
+    return re.sub(r"^file:(//)?", "", uri)
+
+
+def load_file_source(spark: SparkSession, stream_def) -> DataFrame | None:
+    """Build the batch DataFrame for a stream declared with
+    `@source(type='file', …, @map(type=…))`; None when the stream has
+    no file source (caller falls back to an explicitly-passed frame).
+    """
+    src = _find_ann(stream_def, "source")
+    if src is None or src.options.get("type", "").lower() != "file":
+        return None
+    path = _uri_to_path(src)
+    return _read_mapped(spark.read, src, stream_def, path)
+
+
+def stream_file_source(spark: SparkSession, stream_def) -> DataFrame | None:
+    """Streaming twin: the native directory source (`readStream`) with
+    the same declared schema — `FileSource`'s tail/dir-watch modes map
+    to Spark's file-discovery micro-batching."""
+    src = _find_ann(stream_def, "source")
+    if src is None or src.options.get("type", "").lower() != "file":
+        return None
+    path = _uri_to_path(src)
+    return _read_mapped(spark.readStream, src, stream_def, path)
+
+
+def _read_mapped(reader, src: Ann, stream_def, path: str) -> DataFrame:
+    mp = src.child("map") or Ann(name="map", options={"type": "json"})
+    fmt = mp.options.get("type", "json").lower()
+    schema = siddhi_schema(stream_def.attributes)
+    if fmt == "json":
+        attrs = mp.child("attributes")
+        if attrs is not None:
+            # `@attributes(a='$.x.y', …)` JSONPath projection
+            # (`JsonSourceMapper`): raw text scan + get_json_object
+            raw = reader.schema(T.StructType([T.StructField("value", T.StringType())])).text(path)
+            cols = []
+            for (name, styp) in stream_def.attributes:
+                jpath = attrs.options.get(name, f"$.{name}")
+                cols.append(
+                    F.get_json_object(F.col("value"), jpath)
+                    .cast(_SIDDHI_TO_SPARK[styp.lower()])
+                    .alias(name)
+                )
+            return raw.select(*cols)
+        return reader.schema(schema).json(path)
+    if fmt == "csv":
+        opts = {
+            "sep": mp.options.get("delimiter", ","),
+            "header": mp.options.get("header", "false"),
+        }
+        return reader.schema(schema).options(**opts).csv(path)
+    if fmt == "parquet":
+        # engine-native columnar path; declared schema enforced by select
+        df = reader.schema(schema).parquet(path)
+        return df.select(*[c for c, _t in stream_def.attributes])
+    raise ValueError(f"unsupported @map type {fmt!r} (json|csv|parquet)")
+
+
+def write_file_sink(df: DataFrame, stream_def) -> str | None:
+    """Write a query output declared with `@sink(type='file', …,
+    @map(type=…))`; returns the path written, None when the stream has
+    no file sink. Batch fixed point of the continuous sink: one
+    overwrite per run (`[ext:io-file] FileSink` appends per event)."""
+    sink = _find_ann(stream_def, "sink")
+    if sink is None or sink.options.get("type", "").lower() != "file":
+        return None
+    path = _uri_to_path(sink)
+    mp = sink.child("map") or Ann(name="map", options={"type": "json"})
+    fmt = mp.options.get("type", "json").lower()
+    if fmt not in ("json", "csv", "parquet"):
+        raise ValueError(f"unsupported @sink @map type {fmt!r}")
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", mp.options.get("header", "false"))
+    getattr(writer, fmt)(path)
+    return path

@@ -431,3 +431,112 @@ def siddhiql_count_quantifier(spark: SparkSession, sf: str) -> DataFrame:
     """
     )
     return run_app(app, {"events": load(spark, sf, "events")})["Runs"]
+
+
+@register(
+    "siddhiql_absence_pattern",
+    oracle="""
+    SELECT a.user_id, a.event_id AS signup_id
+    FROM events a
+    WHERE a.event_type = 'signup'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      )
+    """,
+    tags=("siddhiql", "pattern", "absence"),
+)
+def siddhiql_absence_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing absence through the string front end:
+    `e1=events[signup] -> not events[purchase] for 1 hour`
+    (`AbsentStreamPreStateProcessor.java`) — the timer the reference
+    arms at e1 becomes a time-bounded left-anti join."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from e1=events[event_type == 'signup']
+         -> not events[event_type == 'purchase'] for 1 hour
+    select e1.user_id as user_id, e1.event_id as signup_id
+    insert into Quiet;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Quiet"]
+
+
+@register(
+    "siddhiql_logical_and_pattern",
+    oracle="""
+    SELECT user_id, a_id AS error_id, b_id AS purchase_id
+    FROM (
+      SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+             row_number() OVER (
+               PARTITION BY a.user_id, a.event_id
+               ORDER BY abs(epoch_us(b.ts) - epoch_us(a.ts)), b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'error' AND b.event_type = 'purchase'
+       AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000
+    ) WHERE rn = 1
+    """,
+    tags=("siddhiql", "pattern", "logical"),
+)
+def siddhiql_logical_and_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Logical pattern through the string front end:
+    `e1=events[error] and e2=events[purchase] within 10 min`
+    (`LogicalPreStateProcessor.java`) — both present in either order;
+    each error pairs with its nearest purchase."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from e1=events[event_type == 'error'] and e2=events[event_type == 'purchase']
+    within 10 min
+    select e1.user_id as user_id, e1.event_id as error_id,
+           e2.event_id as purchase_id
+    insert into Pairs;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Pairs"]
+
+
+@register(
+    "siddhiql_file_source",
+    oracle="""
+    SELECT user_id, count(*) AS n, min(epoch_ms(ts)) AS first_ms
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY user_id
+    """,
+    tags=("siddhiql", "source", "mapper"),
+)
+def siddhiql_file_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Annotation-driven file source + json mapper
+    (`[ext:io-file] FileSource`, `[ext:map-json] JsonSourceMapper`):
+    the error events are staged as JSON lines, then the app loads them
+    itself via `@source(type='file', @map(type='json'))` — no frame is
+    passed in — and aggregates per user. Proves the §3.1 connector
+    path end-to-end against the same oracle data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    stage = f"/tmp/spark_graft_filesrc_{os.path.basename(os.path.normpath(sf))}"
+    (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id", F.unix_millis("ts").alias("ts_ms"), "user_id", "value"
+        )
+        .write.mode("overwrite")
+        .json(stage)
+    )
+    app = f"""
+    @source(type='file', dir.uri='file:{stage}', @map(type='json'))
+    define stream ErrEvents (event_id long, ts_ms long, user_id long,
+                             value double);
+    from ErrEvents
+    select user_id, count() as n, min(ts_ms) as first_ms
+    group by user_id
+    insert into PerUser;
+    """
+    return run_app(app, spark=spark)["PerUser"]

@@ -131,3 +131,22 @@ def test_regress_single_pass(spark):
     plan = _fmt(REGISTRY["agg_ts_regress_forecast"].fn(spark, SF))
     assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
     assert "partial_regr_slope" in plan  # map-side partial aggregation
+
+
+def test_file_source_pushdown_through_front_end(spark, tmp_path):
+    """A filter written in SiddhiQL against an annotation-driven
+    parquet @source must reach the scan as PushedFilters with the
+    ReadSchema pruned to the projected columns — the declared-schema
+    connector layer (SURVEY.md §3.1) must not defeat Catalyst."""
+    from siddhi_operator_spark.siddhiql import run_app
+
+    src = str(tmp_path / "t.parquet")
+    load(spark, SF, "events").select("event_id", "event_type", "value").write.parquet(src)
+    app = f"""
+    @source(type='file', dir.uri='file:{src}', @map(type='parquet'))
+    define stream E (event_id long, event_type string, value double);
+    from E[value > 100] select event_id, value insert into Out;
+    """
+    plan = _fmt(run_app(app, spark=spark)["Out"])
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)" in plan
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in plan

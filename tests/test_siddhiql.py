@@ -463,3 +463,92 @@ def test_count_quantifier_parse_errors():
         parse_app(_QDEF + "from e=events[value > 0]<2:> select e[0].event_id insert into O;")
     with pytest.raises(ValueError, match="> 16"):
         parse_app(_QDEF + "from e=events[value > 0]<1:40> select e[0].event_id insert into O;")
+
+
+def _abs_df(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, off):
+        return (i, t0 + dt.timedelta(seconds=off), user, typ, 1.0)
+
+    rows = [
+        # user 1: error, then purchase at +30s — absence of purchase fails
+        ev(1, 1, "error", 0),
+        ev(2, 1, "purchase", 30),
+        # user 2: error with NO purchase within 60s (next at +120s)
+        ev(10, 2, "error", 0),
+        ev(11, 2, "purchase", 120),
+        # user 3: lone purchase (for logical tests), no error before it
+        ev(20, 3, "purchase", 50),
+        # user 4: error at 10, purchase at 40 (error 30s before purchase)
+        ev(30, 4, "error", 10),
+        ev(31, 4, "purchase", 40),
+    ]
+    return spark.createDataFrame(rows, _EVENTS_SCHEMA)
+
+
+def test_pattern_trailing_absence(spark):
+    """`e1=S[error] -> not S[purchase] for 1 min` — errors with no
+    purchase in the following minute (timer fixed point = anti-join)."""
+    app = (
+        _QDEF
+        + """
+    from e1=events[event_type == 'error'] -> not events[event_type == 'purchase'] for 1 min
+    select e1.user_id as user_id, e1.event_id as error_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _abs_df(spark)})["Out"]
+    assert sorted(tuple(r) for r in out.collect()) == [(2, 10)]
+
+
+def test_pattern_logical_and(spark):
+    """`e1=S[error] and e2=S[purchase]` within 2 min — both present,
+    nearest pairing."""
+    app = (
+        _QDEF
+        + """
+    from e1=events[event_type == 'error'] and e2=events[event_type == 'purchase'] within 2 min
+    select e1.user_id as user_id, e1.event_id as error_id, e2.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _abs_df(spark)})["Out"]
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, 1, 2), (2, 10, 11), (4, 30, 31)]
+
+
+def test_pattern_logical_absence(spark):
+    """`not S[error] for 1 min and e2=S[purchase]` — purchases with no
+    error in the minute before (backward anti-join)."""
+    app = (
+        _QDEF
+        + """
+    from not events[event_type == 'error'] for 1 min and e2=events[event_type == 'purchase']
+    select e2.user_id as user_id, e2.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _abs_df(spark)})["Out"]
+    # user1 purchase@30 has error@0 before it; user2 purchase@120 has
+    # error@0 at 120s before — outside 60s, so clean; user4 has error 30s before
+    assert sorted(tuple(r) for r in out.collect()) == [(2, 11), (3, 20)]
+
+
+def test_pattern_logical_or(spark):
+    """`e1=S[error] or e2=S[value > 0.5]` — tagged union with branch
+    priority to the first-declared side."""
+    app = (
+        _QDEF
+        + """
+    from e1=events[event_type == 'error'] or e2=events[event_type == 'purchase']
+    select e1.event_id as error_id, e2.event_id as purchase_id, branch
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _abs_df(spark)})["Out"]
+    rows = {(r.error_id, r.purchase_id, r.branch) for r in out.collect()}
+    assert (1, None, "e1") in rows and (10, None, "e1") in rows
+    assert (None, 2, "e2") in rows and (None, 20, "e2") in rows
