@@ -131,3 +131,87 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", r4("cos", 4).alias("cos"), "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the serving-scale tier:
+
+    1. coarse quantizer: `n_cells` centroids, seeded deterministically
+       from the first `n_cells` corpus vectors (sample-seeded, zero
+       iterations — keeps the quantizer engine-portable and oracle-
+       checkable; swap in k-means centroids at deploy time without
+       touching the plan shape);
+    2. assignment: every vector joins the BROADCAST centroid set and
+       takes its argmax-cosine cell — one scan, no corpus shuffle;
+    3. probe: each query scores the same centroid set and probes its
+       `nprobe` best cells;
+    4. candidates meet on cell equality — the cell id is the shuffle
+       key, so pairwise work is Σ(cell × probes), not corpus².
+
+    At 100 TB the corpus is written partitioned by cell, so a probe
+    reads `nprobe` partitions and everything else is pruned.
+    """
+    cent = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cent_norm"),
+    )
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    scored = base.join(F.broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "norm",
+        "cent_id",
+        (
+            _dot(F.col(vec_col), F.col("cent_vec"))
+            / (F.col("norm") * F.col("cent_norm"))
+        ).alias("cent_cos"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc(r4("cent_cos", 4)), F.asc("cent_id")
+    )
+    ranked = scored.withColumn("cent_rank", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("cent_rank") == 1).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = ranked.filter(F.col("cent_rank") <= nprobe)
+    if max_query_id is not None:
+        probes = probes.filter(F.col(id_col) < max_query_id)
+    probes = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        F.col("cent_id").alias("cell"),
+    )
+    cand = cells.join(
+        probes, on=[cells.cell == probes.cell, cells.c_id != probes.query_id]
+    ).select(
+        "query_id",
+        F.col("c_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(r4("cos", 4)), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", r4("cos", 4).alias("cos"), "rank")
+    )

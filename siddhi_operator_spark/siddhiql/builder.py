@@ -712,7 +712,12 @@ def run_app(
     (SURVEY.md §3.1) when not passed explicitly; with
     ``write_sinks=True``, outputs whose stream carries
     `@sink(type='file', @map(...))` are also written out."""
-    from ..sources import load_file_source, write_file_sink
+    from ..sources import (
+        has_on_error_stream,
+        load_file_source,
+        load_file_source_with_faults,
+        write_file_sink,
+    )
 
     model = parse_app(app) if isinstance(app, str) else app
     env: dict[str, DataFrame] = dict(sources or {})
@@ -728,7 +733,15 @@ def run_app(
         if name not in env and not sdef.is_table:
             # annotation-driven file source (`FileSource` +
             # `@map` serde); a stream with neither a passed frame nor a
-            # file source is only valid as a query output
+            # file source is only valid as a query output.
+            # `@OnError(action='STREAM')` splits the read: clean rows
+            # feed S, mapper failures feed `!S` (StreamJunction fault
+            # propagation)
+            if has_on_error_stream(sdef):
+                pair = load_file_source_with_faults(spark, sdef)
+                if pair is not None:
+                    env[name], env[f"!{name}"] = pair
+                    continue
             loaded = load_file_source(spark, sdef)
             if loaded is not None:
                 env[name] = loaded

@@ -278,9 +278,11 @@ def _expand_within_date(d: str) -> tuple[str, str]:
 
 
 def _parse_single_input(text: str) -> SingleInput:
-    """`Stream[filter]#window.type(args)` (any part optional)."""
+    """`Stream[filter]#window.type(args)` (any part optional); `!S` is
+    the fault stream of S (`@OnError(action='STREAM')`,
+    `[core] stream/StreamJunction.java` fault propagation)."""
     text = text.strip()
-    m = re.match(r"(\w+)", text)
+    m = re.match(r"(!?\w+)", text)
     stream = m.group(1)
     rest = text[m.end() :].strip()
     filt = None

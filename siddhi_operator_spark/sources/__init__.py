@@ -183,7 +183,24 @@ def _read_mapped(reader, src: Ann, stream_def, path: str) -> DataFrame:
         # engine-native columnar path; declared schema enforced by select
         df = reader.schema(schema).parquet(path)
         return df.select(*[c for c, _t in stream_def.attributes])
-    raise ValueError(f"unsupported @map type {fmt!r} (json|csv|parquet)")
+    if fmt == "text":
+        # `[ext:map-text] TextSourceMapper` regex mode: one attribute
+        # per `regex.<attr>='pattern'` option, group 1 extracted per
+        # line; a missing `regex.<attr>` grabs the whole line
+        raw = reader.schema(
+            T.StructType([T.StructField("value", T.StringType())])
+        ).text(path)
+        cols = []
+        for name, styp in stream_def.attributes:
+            pat = mp.options.get(f"regex.{name}")
+            col = (
+                F.regexp_extract(F.col("value"), pat, 1)
+                if pat
+                else F.col("value")
+            )
+            cols.append(col.cast(_SIDDHI_TO_SPARK[styp.lower()]).alias(name))
+        return raw.select(*cols)
+    raise ValueError(f"unsupported @map type {fmt!r} (json|csv|parquet|text)")
 
 
 def write_file_sink(df: DataFrame, stream_def) -> str | None:
@@ -204,3 +221,123 @@ def write_file_sink(df: DataFrame, stream_def) -> str | None:
         writer = writer.option("header", mp.options.get("header", "false"))
     getattr(writer, fmt)(path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# kafka connector (`[ext:io-kafka] io.siddhi.extension.io.kafka.source.
+# KafkaSource` / `sink.KafkaSink`) → Spark's native kafka integration.
+# The option mapping and value serde are engine logic (pure, testable
+# without a broker); the transport itself is `format("kafka")`, which
+# needs the spark-sql-kafka package on the classpath at deploy time.
+# ---------------------------------------------------------------------------
+
+def kafka_options(src: Ann) -> dict[str, str]:
+    """Siddhi kafka annotation options → Spark kafka reader options.
+
+    `@source(type='kafka', bootstrap.servers='…', topic.list='t1,t2',
+    group.id='g', …)` — `KafkaSource` option names on the left."""
+    opts: dict[str, str] = {}
+    servers = src.options.get("bootstrap.servers") or src.options.get(
+        "bootstrap.server.list"
+    )
+    if not servers:
+        raise ValueError("@source(type='kafka') needs bootstrap.servers")
+    opts["kafka.bootstrap.servers"] = servers
+    topics = src.options.get("topic.list") or src.options.get("topic")
+    if not topics:
+        raise ValueError("@source(type='kafka') needs topic.list")
+    opts["subscribe"] = topics
+    if "group.id" in src.options:
+        opts["kafka.group.id"] = src.options["group.id"]
+    opts["startingOffsets"] = src.options.get("starting.offsets", "earliest")
+    return opts
+
+
+def parse_kafka_value(raw: DataFrame, src: Ann, stream_def) -> DataFrame:
+    """Kafka wire rows (`value` binary, plus key/topic/partition/offset/
+    timestamp) → the declared stream schema via the `@map` serde —
+    `JsonSourceMapper`/`CSVSourceMapper` applied to the message value.
+    Pure Catalyst (`from_json`/`from_csv`), so it is testable on any
+    DataFrame with a kafka-shaped schema."""
+    mp = src.child("map") or Ann(name="map", options={"type": "json"})
+    fmt = mp.options.get("type", "json").lower()
+    schema = siddhi_schema(stream_def.attributes)
+    val = F.col("value").cast("string")
+    if fmt == "json":
+        attrs = mp.child("attributes")
+        if attrs is not None:
+            cols = [
+                F.get_json_object(val, attrs.options.get(n, f"$.{n}"))
+                .cast(_SIDDHI_TO_SPARK[t.lower()])
+                .alias(n)
+                for n, t in stream_def.attributes
+            ]
+            return raw.select(*cols)
+        return raw.select(F.from_json(val, schema).alias("v")).select("v.*")
+    if fmt == "csv":
+        sep = mp.options.get("delimiter", ",")
+        return raw.select(
+            F.from_csv(val, schema.simpleString(), {"sep": sep}).alias("v")
+        ).select("v.*")
+    raise ValueError(f"unsupported kafka @map type {fmt!r} (json|csv)")
+
+
+def stream_kafka_source(spark: SparkSession, stream_def) -> DataFrame | None:
+    """`readStream.format('kafka')` with the mapped options + serde.
+    Raises with deploy guidance when the kafka package is absent (it is
+    a deploy-time artifact, not an engine dependency)."""
+    src = _find_ann(stream_def, "source")
+    if src is None or src.options.get("type", "").lower() != "kafka":
+        return None
+    reader = spark.readStream.format("kafka").options(**kafka_options(src))
+    try:
+        raw = reader.load()
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        raise RuntimeError(
+            "kafka source needs the spark-sql-kafka package on the "
+            "classpath (spark-submit --packages org.apache.spark:"
+            f"spark-sql-kafka-0-10_2.13:{spark.version})"
+        ) from exc
+    return parse_kafka_value(raw, src, stream_def)
+
+
+# ---------------------------------------------------------------------------
+# `@OnError(action='STREAM')` — the reference routes events that fail
+# source mapping to a `!StreamName` fault stream
+# (`[core] stream/StreamJunction.java`). For json file sources the
+# fixed point is PERMISSIVE parsing with a corrupt-record column:
+# clean rows feed S, unparseable lines feed !S (raw line + error tag).
+# ---------------------------------------------------------------------------
+
+def has_on_error_stream(stream_def) -> bool:
+    ann = _find_ann(stream_def, "OnError")
+    return ann is not None and ann.options.get("action", "").upper() == "STREAM"
+
+
+def load_file_source_with_faults(
+    spark: SparkSession, stream_def
+) -> tuple[DataFrame, DataFrame] | None:
+    """(clean, faults) for a json file source under
+    `@OnError(action='STREAM')`; faults carry `(raw string,
+    error string)`. None when not applicable (no file json source)."""
+    src = _find_ann(stream_def, "source")
+    if src is None or src.options.get("type", "").lower() != "file":
+        return None
+    mp = src.child("map")
+    if mp is not None and mp.options.get("type", "json").lower() != "json":
+        return None
+    path = _uri_to_path(src)
+    schema = siddhi_schema(stream_def.attributes).add("_corrupt", T.StringType())
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()
+    )
+    clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    faults = df.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw"),
+        F.lit("source-mapper: malformed json").alias("error"),
+    )
+    return clean, faults

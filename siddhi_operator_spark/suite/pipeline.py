@@ -368,3 +368,52 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     videos = media.filter(F.col("media_type") == "video/mp4")
     out = M.frame_sample(videos, n_frames=3, frame_bytes=8)
     return out.select("doc_id", "frame_idx")
+
+
+@register(
+    "similarity_ivf",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < 8
+    ), scored AS (
+      SELECT v.vec_id, v.vec, c.cent_id,
+             round(1e-9 + list_dot_product(v.vec, c.cent_vec)
+               / (sqrt(list_dot_product(v.vec, v.vec))
+                  * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 4) AS cc
+      FROM v CROSS JOIN cent c
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cc DESC, cent_id) AS r
+      FROM scored
+    ), cells AS (
+      SELECT vec_id AS c_id, vec AS c_vec, cent_id AS cell
+      FROM ranked WHERE r = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, vec AS q_vec, cent_id AS cell
+      FROM ranked WHERE r <= 2 AND vec_id < 5
+    ), cand AS (
+      SELECT p.query_id, c.c_id AS neighbor_id,
+             round(1e-9 + list_dot_product(p.q_vec, c.c_vec)
+               / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 4) AS cos
+      FROM cells c JOIN probes p ON c.cell = p.cell AND c.c_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 3
+    """,
+    tags=("pipeline", "similarity"),
+)
+def similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-3 (queries vec_id < 5, 8 cells, 2 probes):
+    broadcast coarse quantizer, argmax-cosine cell assignment, probe
+    joins on the cell shuffle key — the serving-scale ANN tier next to
+    the exact `similarity_bruteforce` baseline. The quantizer is
+    sample-seeded (first 8 vectors) so the oracle reproduces it
+    exactly; a k-means quantizer swaps in without changing the plan."""
+    emb = load(spark, sf, "embeddings")
+    return S.ivf_topk(emb, n_cells=8, nprobe=2, k=3, max_query_id=5)

@@ -261,3 +261,101 @@ def test_run_app_streaming_timebatch_agg(spark, tmp_path):
     batch = run_app(app, {"E": bdf})["Agg"]
     want = {(r.event_type, r.total, r.n) for r in batch.collect()}
     assert got == want and ("click", 12.0, 2) in got
+
+
+def test_kafka_options_mapping():
+    """`KafkaSource` annotation options → Spark kafka reader options;
+    the transport jar is a deploy artifact, the mapping is engine
+    logic."""
+    from siddhi_operator_spark.sources import kafka_options
+
+    ann = parse_annotation(
+        "@source(type='kafka', bootstrap.servers='h1:9092,h2:9092', "
+        "topic.list='orders,fills', group.id='g1', @map(type='json'))"
+    )
+    opts = kafka_options(ann)
+    assert opts == {
+        "kafka.bootstrap.servers": "h1:9092,h2:9092",
+        "subscribe": "orders,fills",
+        "kafka.group.id": "g1",
+        "startingOffsets": "earliest",
+    }
+    with pytest.raises(ValueError, match="bootstrap.servers"):
+        kafka_options(parse_annotation("@source(type='kafka', topic.list='t')"))
+
+
+def test_kafka_value_serde_json_and_csv(spark):
+    """The kafka value serde is pure Catalyst — exercised on a
+    kafka-shaped static frame (value binary + metadata cols)."""
+    from siddhi_operator_spark.siddhiql import parse_app
+    from siddhi_operator_spark.sources import parse_kafka_value
+
+    model = parse_app(
+        "define stream T (sym string, price double, vol long);"
+    )
+    sdef = model.streams["T"]
+    raw = spark.createDataFrame(
+        [(json.dumps({"sym": "A", "price": 1.5, "vol": 3}).encode(), "t", 0, 0)],
+        "value binary, topic string, partition int, offset long",
+    )
+    src = parse_annotation(
+        "@source(type='kafka', bootstrap.servers='h', topic.list='t', "
+        "@map(type='json'))"
+    )
+    out = parse_kafka_value(raw, src, sdef)
+    assert [tuple(r) for r in out.collect()] == [("A", 1.5, 3)]
+    src_csv = parse_annotation(
+        "@source(type='kafka', bootstrap.servers='h', topic.list='t', "
+        "@map(type='csv', delimiter='|'))"
+    )
+    raw_csv = spark.createDataFrame(
+        [(b"B|2.25|9", "t", 0, 0)],
+        "value binary, topic string, partition int, offset long",
+    )
+    out2 = parse_kafka_value(raw_csv, src_csv, sdef)
+    assert [tuple(r) for r in out2.collect()] == [("B", 2.25, 9)]
+
+
+def test_on_error_fault_stream(spark, tmp_path):
+    """`@OnError(action='STREAM')`: malformed json lines route to the
+    `!S` fault stream; clean rows flow through S — both queryable from
+    the same app (StreamJunction fault propagation)."""
+    p = str(tmp_path / "dirty.json")
+    _write_lines(p, [
+        json.dumps({"sym": "A", "price": 10.0}),
+        "{ this is not json",
+        json.dumps({"sym": "B", "price": 20.0}),
+        "also broken",
+    ])
+    app = f"""
+    @OnError(action='STREAM')
+    @source(type='file', file.uri='file:{p}', @map(type='json'))
+    define stream S (sym string, price double);
+    from S[price > 15] select sym, price insert into Good;
+    from !S select raw, error insert into Dead;
+    """
+    outs = run_app(app, spark=spark)
+    assert [tuple(r) for r in outs["Good"].collect()] == [("B", 20.0)]
+    dead = outs["Dead"].collect()
+    assert len(dead) == 2
+    assert {r.raw for r in dead} == {"{ this is not json", "also broken"}
+    assert all(r.error == "source-mapper: malformed json" for r in dead)
+
+
+def test_text_regex_mapper(spark, tmp_path):
+    """`@map(type='text', regex.<attr>=…)` — one regex group per
+    attribute over raw lines (TextSourceMapper regex mode)."""
+    p = str(tmp_path / "log.txt")
+    _write_lines(p, [
+        "2024-01-01 ERROR code=500 latency=1.25",
+        "2024-01-02 WARN code=404 latency=0.75",
+    ])
+    app = f"""
+    @source(type='file', file.uri='file:{p}',
+            @map(type='text', regex.level='\\d+-\\d+-\\d+ (\\w+)',
+                 regex.code='code=(\\d+)', regex.latency='latency=([0-9.]+)'))
+    define stream Logs (level string, code int, latency double);
+    from Logs[code >= 500] select level, code, latency insert into Errors;
+    """
+    out = run_app(app, spark=spark)["Errors"]
+    assert [tuple(r) for r in out.collect()] == [("ERROR", 500, 1.25)]
