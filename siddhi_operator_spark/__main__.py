@@ -1,0 +1,94 @@
+"""Engine entry point: run a `.siddhi` app file.
+
+    python -m siddhi_operator_spark run app.siddhi [--mode batch|streaming]
+        [--source NAME=PATH ...] [--write-sinks] [--show N] [--timeout S]
+
+The deliverable shape from SURVEY.md §4.2: the reference's k8s operator
+boots `siddhi-runner` pods that load `.siddhi` files (entry point A);
+here the same app file runs on Spark via `spark-submit`-able Python —
+`run_app` (batch/analytics) or `run_app_streaming` + declared
+`@source`/`@sink` annotations (streaming).
+
+`--source NAME=PATH` binds a declared stream to a parquet path,
+overriding (or standing in for) its `@source` annotation — the
+operator's ConfigMap-mounted data analog for ad-hoc runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="siddhi_operator_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("run", help="run a SiddhiQL app file")
+    r.add_argument("app_path")
+    r.add_argument("--mode", choices=["batch", "streaming"], default="batch")
+    r.add_argument(
+        "--source",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="bind stream NAME to a parquet path (overrides @source)",
+    )
+    r.add_argument(
+        "--write-sinks",
+        action="store_true",
+        help="batch mode: also write outputs declared with @sink(type='file')",
+    )
+    r.add_argument("--show", type=int, default=20, help="rows to print per output")
+    r.add_argument(
+        "--timeout",
+        type=float,
+        default=None,
+        help="streaming mode: stop after S seconds (default: run until Ctrl-C)",
+    )
+    args = p.parse_args(argv)
+
+    from .session import build_session
+    from .siddhiql import run_app, run_app_streaming
+
+    with open(args.app_path) as f:
+        text = f.read()
+    spark = build_session(app_name=f"siddhi-app:{args.app_path}")
+    binds = {}
+    for item in args.source:
+        name, _, path = item.partition("=")
+        if not path:
+            p.error(f"--source needs NAME=PATH, got {item!r}")
+        binds[name] = spark.read.parquet(path)
+
+    if args.mode == "batch":
+        outputs = run_app(text, binds, spark=spark, write_sinks=args.write_sinks)
+        for name, df in outputs.items():
+            print(f"== {name} ==")
+            df.show(args.show, truncate=False)
+        return 0
+
+    outs = run_app_streaming(text, binds, spark=spark)
+    queries = []
+    for name, df in outs.items():
+        q = (
+            df.writeStream.format("console")
+            .outputMode("append")
+            .option("numRows", str(args.show))
+            .option("truncate", "false")
+            .queryName(name)
+            .start()
+        )
+        queries.append(q)
+    if args.timeout is not None:
+        import time
+
+        time.sleep(args.timeout)
+        for q in queries:
+            q.stop()
+    else:  # pragma: no cover - interactive path
+        spark.streams.awaitAnyTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

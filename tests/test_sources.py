@@ -359,3 +359,27 @@ def test_text_regex_mapper(spark, tmp_path):
     """
     out = run_app(app, spark=spark)["Errors"]
     assert [tuple(r) for r in out.collect()] == [("ERROR", 500, 1.25)]
+
+
+def test_cli_run_batch(spark, tmp_path, capsys):
+    """`python -m siddhi_operator_spark run app.siddhi` — the §4.2
+    runner deliverable: app file in, printed relational outputs out."""
+    from siddhi_operator_spark.__main__ import main
+
+    data = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("A", 1.0), ("B", 25.0)], "sym string, price double"
+    ).write.parquet(data)
+    app_path = str(tmp_path / "app.siddhi")
+    with open(app_path, "w") as f:
+        f.write(
+            f"""
+            @source(type='file', dir.uri='file:{data}', @map(type='parquet'))
+            define stream S (sym string, price double);
+            from S[price > 10] select sym, price insert into Big;
+            """
+        )
+    rc = main(["run", app_path, "--show", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "== Big ==" in out and "B" in out and "25.0" in out
