@@ -121,6 +121,8 @@ MATH: dict[str, Callable[..., Column]] = {
 # `[ext:time]` — epoch-millis-centric in the reference; TimestampType here
 TIME: dict[str, Callable[..., Column]] = {
     "time:currentDate": F.current_date,
+    # reference returns the wall-clock time as "HH:mm:ss"
+    "time:currentTime": lambda: F.date_format(F.current_timestamp(), "HH:mm:ss"),
     "time:currentTimestamp": F.current_timestamp,
     "time:utcTimestamp": F.current_timestamp,  # session TZ pinned to UTC
     "time:date": F.to_date,

@@ -244,3 +244,14 @@ def test_absence_logical(events_df):
     # user 1 purchase e3 @00:00:09 has click e2 @00:00:05 before → excluded
     # user 2 purchase e6 @00:59 — last click e5 @00:10 is >5min before → kept
     assert [r.e2_id for r in out.collect()] == [6]
+
+
+def test_time_current_time_format(spark):
+    """`time:currentTime` returns wall-clock "HH:mm:ss" (reference
+    CurrentTimeFunctionExecutor string shape)."""
+    import re as _re
+
+    from siddhi_operator_spark.functions import REGISTRY
+
+    row = spark.range(1).select(REGISTRY["time:currentTime"]().alias("t")).first()
+    assert _re.fullmatch(r"\d{2}:\d{2}:\d{2}", row.t)
