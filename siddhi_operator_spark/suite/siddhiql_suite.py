@@ -540,3 +540,30 @@ def siddhiql_file_source(spark: SparkSession, sf: str) -> DataFrame:
     insert into PerUser;
     """
     return run_app(app, spark=spark)["PerUser"]
+
+
+@register(
+    "siddhiql_logical_or_pattern",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN event_id END AS error_id,
+           CASE WHEN event_type <> 'error' THEN event_id END AS other_id,
+           CASE WHEN event_type = 'error' THEN 'e1' ELSE 'e2' END AS branch
+    FROM events
+    WHERE event_type = 'error' OR value > 400
+    """,
+    tags=("siddhiql", "pattern", "logical"),
+)
+def siddhiql_logical_or_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Logical OR through the string front end:
+    `e1=events[error] or e2=events[value > 400]`
+    (`LogicalPreStateProcessor.java` OR mode) — tagged union; an event
+    satisfying both completes via the first-declared branch."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from e1=events[event_type == 'error'] or e2=events[value > 400]
+    select e1.event_id as error_id, e2.event_id as other_id, branch
+    insert into Either;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Either"]
