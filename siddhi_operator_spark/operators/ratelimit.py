@@ -47,12 +47,24 @@ def snapshot_every(
     current (latest-so-far) value per key: latest event per key among
     all events up to the bucket end. Equivalent to last_every when the
     key has events in the bucket; snapshot additionally re-emits keys
-    with no new events — batch mode exposes the per-bucket latest via a
-    bucket × key scaffold + last_value over the cumulative frame."""
+    with no new events (forward-filled from their last state).
+
+    Scale: the emission scaffold is each key's ACTIVE range only —
+    `sequence()` from the key's first-seen bucket to the stream's last
+    bucket — not a full |buckets| × |keys| cross product; a key only
+    pays for ticks after it first appears (this also drops the
+    pre-first-event null rows an unbounded scaffold would emit). The
+    one-row global-max frame joins via broadcast, so the only shuffle
+    is the keyed forward-fill window."""
     b = _bucketed(df, ts, every)
-    buckets = b.select("bucket").distinct()
-    key_rows = b.select(*keys).distinct()
-    scaffold = buckets.crossJoin(key_rows)
+    per_key = b.groupBy(*keys).agg(F.min("bucket").alias("_first_b"))
+    global_last = b.agg(F.max("bucket").alias("_last_b"))
+    scaffold = per_key.crossJoin(F.broadcast(global_last)).select(
+        *keys,
+        F.explode(
+            F.sequence("_first_b", "_last_b", F.expr(f"INTERVAL {every}"))
+        ).alias("bucket"),
+    )
     latest = last_every(df, ts, every, keys, tiebreak)
     joined = scaffold.join(latest, on=["bucket", *keys], how="left")
     # forward-fill: latest known value per key as of each bucket

@@ -24,11 +24,28 @@ NFA equivalent:
 - absence (`not X for t`) is a separate timer-based operator using
   event-time timeouts (`AbsentStreamPreStateProcessor`'s scheduler).
 
-Patterns are specified as ordered steps; each step's predicate is a
-boolean SQL expression string evaluated against the input columns
+Step forms (mirroring the batch surface in ``operators.patterns`` and
+the SiddhiQL front end):
+
+- ``"pred"`` — plain stream step `e=S[pred]`
+  (`StreamPreStateProcessor.java`);
+- ``("and", pA, pB)`` — logical pair `eA=S[pA] and eB=S[pB]`: both
+  branches must bind (either order; one event may bind both) before
+  the step completes (`LogicalPreStateProcessor.java` AND mode);
+- ``("or", pA, pB)`` — either branch completes the step; an event
+  matching both binds via the first-declared branch (the reference's
+  branch priority, `LogicalPreStateProcessor.java` OR mode);
+- ``("count", p, m, n)`` — count quantifier `e=S[p]<m:n>`
+  (`CountPreStateProcessor.java`): greedily collect matches; the step
+  completes at n matches, or hands over to the next step once ≥ m
+  matches have been collected and the next step's predicate fires.
+
+Patterns are specified as ordered steps; each step's predicates are
+boolean SQL expression strings evaluated against the input columns
 (compiled ONCE into the stream before the stateful operator — so
 predicate evaluation stays in Catalyst codegen; the Python NFA only
-reads precomputed boolean flags).
+reads precomputed boolean flags from numpy arrays, never
+``iterrows``).
 """
 
 from __future__ import annotations
@@ -43,34 +60,78 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+StepSpec = "str | tuple"
 
-def _match_out_schema(n_steps: int) -> T.StructType:
+
+def _normalize_steps(step_predicates: Sequence) -> list[dict]:
+    steps = []
+    for s in step_predicates:
+        if isinstance(s, str):
+            steps.append({"kind": "simple", "preds": [s]})
+        elif s[0] in ("and", "or"):
+            steps.append({"kind": s[0], "preds": [s[1], s[2]]})
+        elif s[0] == "count":
+            _, p, m, n = s
+            if not (1 <= m <= n):
+                raise ValueError(f"count quantifier needs 1 <= m <= n, got <{m}:{n}>")
+            steps.append({"kind": "count", "preds": [p], "m": m, "n": n})
+        else:
+            raise ValueError(f"unknown step spec: {s!r}")
+    return steps
+
+
+def _out_fields(steps: list[dict]) -> list[tuple[str, str]]:
+    """(column-stem, token-selector) pairs per step, in output order."""
+    fields = []
+    for i, st in enumerate(steps, start=1):
+        if st["kind"] == "and":
+            fields.append((f"e{i}a", ("branch", 0)))
+            fields.append((f"e{i}b", ("branch", 1)))
+        elif st["kind"] == "count":
+            fields.append((f"e{i}_first", ("pos", 0)))
+            fields.append((f"e{i}_last", ("pos", -1)))
+        else:
+            fields.append((f"e{i}", ("pos", 0)))
+    return fields
+
+
+def _match_out_schema(steps: list[dict]) -> T.StructType:
     fields = [T.StructField("key", T.StringType())]
-    for i in range(1, n_steps + 1):
-        fields.append(T.StructField(f"e{i}_id", T.LongType()))
-        fields.append(T.StructField(f"e{i}_ts", T.TimestampType()))
+    for stem, _ in _out_fields(steps):
+        fields.append(T.StructField(f"{stem}_id", T.LongType()))
+        fields.append(T.StructField(f"{stem}_ts", T.TimestampType()))
     return T.StructType(fields)
 
 
-# partial matches: one row per (slot, position): arrays of
-# match-id / step-index / event ids+ts flattened
+# partial matches as parallel arrays: step index, arming timestamp,
+# aux (count-so-far for count steps; branch bitmask for and-steps),
+# and the bound events encoded "b:id:ts_us|…" per step, ';' between
+# step groups (variable-length per partial; arrays-of-arrays are
+# avoided for state-store schema stability).
 _NFA_STATE = T.StructType(
     [
         T.StructField("next_step", T.ArrayType(T.IntegerType())),
         T.StructField("start_us", T.ArrayType(T.LongType())),
-        # matched event ids/timestamps per partial, '|'-joined strings
-        # (variable-length per partial; arrays-of-arrays are avoided for
-        # state-store schema stability)
-        T.StructField("ids_csv", T.ArrayType(T.StringType())),
-        T.StructField("tss_csv", T.ArrayType(T.StringType())),
+        T.StructField("aux", T.ArrayType(T.IntegerType())),
+        T.StructField("toks", T.ArrayType(T.StringType())),
     ]
 )
+
+
+class _Partial:
+    __slots__ = ("step", "start_us", "aux", "groups")
+
+    def __init__(self, step: int, start_us: int, aux: int, groups: list[list[str]]):
+        self.step = step
+        self.start_us = start_us
+        self.aux = aux
+        self.groups = groups  # one list of "b:id:ts" tokens per completed/open step
 
 
 def pattern_nfa(
     stream: DataFrame,
     key: str,
-    step_predicates: Sequence[str],
+    step_predicates: Sequence,
     ts: str = "ts",
     id_col: str = "event_id",
     within_seconds: float | None = None,
@@ -78,98 +139,169 @@ def pattern_nfa(
     strict: bool = False,
 ) -> DataFrame:
     """`from every e1=S[p1] -> e2=S[p2] … within t` (or, with
-    ``strict=True``, the contiguous sequence form `e1=S[p1], e2=S[p2]`).
+    ``strict=True``, the contiguous sequence form `e1=S[p1], e2=S[p2]`),
+    with logical and/or pairs and `<m:n>` count quantifiers per the
+    module docstring.
 
-    Emits one row per completed match: key, e1_id, e1_ts, …, eN_id,
-    eN_ts. First-completion per armed partial; ``every`` re-arms on
-    every step-1 match (the reference's `every` quantifier).
+    Emits one row per completed match: key plus, per step, the bound
+    event id/ts pairs (`e{i}`, `e{i}a`/`e{i}b` for and-pairs,
+    `e{i}_first`/`e{i}_last` for count steps). First-completion per
+    armed partial; ``every`` re-arms on every step-1 match (the
+    reference's `every` quantifier).
     """
-    n_steps = len(step_predicates)
-    out_schema = _match_out_schema(n_steps)
+    steps = _normalize_steps(step_predicates)
+    n_steps = len(steps)
+    out_fields = _out_fields(steps)
+    out_schema = _match_out_schema(steps)
     within_us = int(within_seconds * 1_000_000) if within_seconds else None
 
-    # compile predicates in Catalyst: one boolean flag column per step
+    # compile predicates in Catalyst: one boolean flag column per
+    # (step, branch)
+    flag_cols = []
+    for i, st in enumerate(steps):
+        for b, p in enumerate(st["preds"]):
+            flag_cols.append(F.expr(p).cast("boolean").alias(f"__p{i}_{b}"))
     flagged = stream.select(
         F.col(key).cast("string").alias("__key"),
         F.col(id_col).alias("__id"),
         F.col(ts).alias("__ts"),
-        *[F.expr(p).cast("boolean").alias(f"__p{i}") for i, p in enumerate(step_predicates)],
+        *flag_cols,
     )
+
+    def _emit_row(key_str: str, groups: list[list[str]]) -> tuple:
+        row: list = [key_str]
+        for (stem, sel), grp in zip(out_fields, _regroup(groups)):
+            if sel[0] == "branch":
+                tok = next((t for t in grp if int(t.split(":")[0]) == sel[1]), grp[0])
+            else:
+                tok = grp[sel[1]]
+            _, i_s, t_s = tok.split(":")
+            row.append(int(i_s))
+            row.append(pd.Timestamp(int(t_s) * 1000))
+        return tuple(row)
+
+    def _regroup(groups: list[list[str]]):
+        """Repeat each step's token group once per output stem it owns."""
+        out = []
+        for st, grp in zip(steps, groups):
+            reps = 2 if st["kind"] == "and" else (2 if st["kind"] == "count" else 1)
+            out.extend([grp] * reps)
+        return out
 
     def proc(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            next_step, start_us, ids_csv, tss_csv = (
-                list(x) for x in state.get
-            )
+            s_step, s_start, s_aux, s_toks = state.get
+            partials = [
+                _Partial(
+                    st,
+                    su,
+                    ax,
+                    [g.split("|") if g else [] for g in tk.split(";")],
+                )
+                for st, su, ax, tk in zip(s_step, s_start, s_aux, s_toks)
+            ]
         else:
-            next_step, start_us, ids_csv, tss_csv = [], [], [], []
-        matches = []
+            partials = []
+        matches: list[tuple] = []
+        key_str = str(key_tuple[0])
 
-        def try_advance(ev_id: int, ev_us: int, flags) -> None:
-            nonlocal next_step, start_us, ids_csv, tss_csv
-            keep = ([], [], [], [])
-            advanced_any = False
-            for step, st, ics, tcs in zip(next_step, start_us, ids_csv, tss_csv):
-                # expire partials past their deadline
-                if within_us is not None and ev_us - st > within_us:
-                    continue
-                if flags[step]:
-                    ics = f"{ics}|{ev_id}" if ics else str(ev_id)
-                    tcs = f"{tcs}|{ev_us}" if tcs else str(ev_us)
-                    if step + 1 == n_steps:
-                        matches.append((ics, tcs))
-                        advanced_any = True
-                        continue  # completed: drop the partial
-                    keep[0].append(step + 1)
-                    keep[1].append(st)
-                    keep[2].append(ics)
-                    keep[3].append(tcs)
-                    advanced_any = True
-                elif strict:
-                    continue  # contiguity broken: kill the partial
-                else:
-                    keep[0].append(step)
-                    keep[1].append(st)
-                    keep[2].append(ics)
-                    keep[3].append(tcs)
-            next_step, start_us, ids_csv, tss_csv = keep
-            # arm a new partial on a step-0 match ('every' => always;
-            # otherwise only when no partial is currently armed)
-            if flags[0] and (every or not next_step):
-                if n_steps == 1:
-                    matches.append((str(ev_id), str(ev_us)))
-                else:
-                    next_step.append(1)
-                    start_us.append(ev_us)
-                    ids_csv.append(str(ev_id))
-                    tss_csv.append(str(ev_us))
+        def complete_or_advance(p: _Partial) -> bool:
+            """Move p to the next step; True if the match completed."""
+            p.step += 1
+            p.aux = 0
+            if p.step == n_steps:
+                matches.append(_emit_row(key_str, p.groups))
+                return True
+            p.groups.append([])
+            return False
+
+        def feed(p: _Partial, ev_id: int, ev_us: int, fl) -> bool:
+            """Advance partial p with one event; True = keep partial."""
+            st = steps[p.step]
+            tok0 = f"0:{ev_id}:{ev_us}"
+            if st["kind"] == "simple":
+                if fl[(p.step, 0)]:
+                    p.groups[-1].append(tok0)
+                    return not complete_or_advance(p)
+                return not strict
+            if st["kind"] == "or":
+                if fl[(p.step, 0)] or fl[(p.step, 1)]:
+                    b = 0 if fl[(p.step, 0)] else 1
+                    p.groups[-1].append(f"{b}:{ev_id}:{ev_us}")
+                    return not complete_or_advance(p)
+                return not strict
+            if st["kind"] == "and":
+                hit = False
+                for b in (0, 1):
+                    if fl[(p.step, b)] and not (p.aux >> b) & 1:
+                        p.groups[-1].append(f"{b}:{ev_id}:{ev_us}")
+                        p.aux |= 1 << b
+                        hit = True
+                if p.aux == 0b11:
+                    return not complete_or_advance(p)
+                return hit or not strict
+            # count <m:n>
+            m, n = st["m"], st["n"]
+            if fl[(p.step, 0)]:
+                p.groups[-1].append(tok0)
+                p.aux += 1
+                if p.aux == n:
+                    return not complete_or_advance(p)
+                return True
+            # no count match: with >= m collected, the next step's
+            # predicate may take over with THIS event
+            if p.aux >= m and p.step + 1 < n_steps:
+                p.step += 1
+                p.aux = 0
+                p.groups.append([])
+                return feed(p, ev_id, ev_us, fl)
+            return not strict
 
         for pdf in pdfs:
             pdf = pdf.sort_values(["__ts", "__id"])
-            flag_cols = [pdf[f"__p{i}"].fillna(False).to_numpy() for i in range(n_steps)]
+            flags = {
+                (i, b): pdf[f"__p{i}_{b}"].fillna(False).to_numpy()
+                for i, st in enumerate(steps)
+                for b in range(len(st["preds"]))
+            }
             ids = pdf["__id"].to_numpy()
             tss = pdf["__ts"].astype("int64").to_numpy()  # ns
-            for r in range(len(pdf)):
-                # an event that matches step k of an existing partial
-                # must not ALSO seed/advance using itself twice: the
-                # reference advances all partials with the current
-                # event once, then considers arming — same here.
-                try_advance(int(ids[r]), int(tss[r] // 1000), [fc[r] for fc in flag_cols])
+            for r in range(len(ids)):
+                ev_id = int(ids[r])
+                ev_us = int(tss[r] // 1000)
+                fl = {k: bool(v[r]) for k, v in flags.items()}
+                # advance all partials with the current event once,
+                # then consider arming (the reference's order: an event
+                # must not seed AND advance the same partial twice)
+                partials = [
+                    p
+                    for p in partials
+                    if not (
+                        within_us is not None and ev_us - p.start_us > within_us
+                    )
+                    and feed(p, ev_id, ev_us, fl)
+                ]
+                st0 = steps[0]
+                arm_hit = any(fl[(0, b)] for b in range(len(st0["preds"])))
+                if arm_hit and (every or not partials):
+                    p = _Partial(0, ev_us, 0, [[]])
+                    if feed(p, ev_id, ev_us, fl):
+                        partials.append(p)
 
-        state.update((next_step, start_us, ids_csv, tss_csv))
-        rows = []
-        for ics, tcs in matches:
-            out_row = [str(key_tuple[0])]
-            for i_s, t_s in zip(ics.split("|"), tcs.split("|")):
-                out_row.append(int(i_s))
-                out_row.append(pd.Timestamp(int(t_s) * 1000))
-            rows.append(tuple(out_row))
+        state.update(
+            (
+                [p.step for p in partials],
+                [p.start_us for p in partials],
+                [p.aux for p in partials],
+                [";".join("|".join(g) for g in p.groups) for p in partials],
+            )
+        )
         cols = ["key"]
-        for i in range(1, n_steps + 1):
-            cols += [f"e{i}_id", f"e{i}_ts"]
-        yield pd.DataFrame(rows, columns=cols)
+        for stem, _ in out_fields:
+            cols += [f"{stem}_id", f"{stem}_ts"]
+        yield pd.DataFrame(matches, columns=cols)
 
     return flagged.groupBy("__key").applyInPandasWithState(
         proc,
@@ -245,9 +377,16 @@ def absence_nfa(
         else:
             for pdf in pdfs:
                 pdf = pdf.sort_values(["__ts", "__id"])
-                for _, row in pdf.iterrows():
-                    ev_us = int(row["__ts"].value // 1000)
-                    if bool(row["__dis"]):
+                # hoist to numpy ONCE — the per-row loop below touches
+                # plain ints/bools only (same approach as pattern_nfa;
+                # iterrows here cost 10-50× in round-1 profiling)
+                ev_uss = (pdf["__ts"].astype("int64") // 1000).to_numpy()
+                ev_ids = pdf["__id"].to_numpy()
+                arms = pdf["__arm"].fillna(False).to_numpy()
+                diss = pdf["__dis"].fillna(False).to_numpy()
+                for r in range(len(ev_ids)):
+                    ev_us = int(ev_uss[r])
+                    if diss[r]:
                         # disarm timers still inside their window
                         keep_i, keep_u = [], []
                         for i, u in zip(armed_ids, armed_us):
@@ -255,8 +394,8 @@ def absence_nfa(
                                 fired.append((i, u))  # already survived
                             # else: disarmed, drop
                         armed_ids, armed_us = keep_i, keep_u
-                    if bool(row["__arm"]):
-                        armed_ids.append(int(row["__id"]))
+                    if arms[r]:
+                        armed_ids.append(int(ev_ids[r]))
                         armed_us.append(ev_us)
 
         if armed_ids:

@@ -91,8 +91,8 @@ def scalar_str(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(1e-9 + abs(l_extendedprice * (1 - l_discount)), 4) AS net,
            round(1e-9 + sqrt(l_quantity), 4)                        AS q_sqrt,
-           ceil(l_quantity)                                  AS q_ceil,
-           floor(l_tax * 100)                                AS tax_pct,
+           CAST(ceil(l_quantity) AS BIGINT)                  AS q_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT)                AS tax_pct,
            round(1e-9 + ln(l_extendedprice + 1), 4)                 AS price_ln,
            round(1e-9 + pow(l_discount, 2), 4)                      AS disc_sq
     FROM lineitem

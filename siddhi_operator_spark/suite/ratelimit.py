@@ -57,11 +57,7 @@ def ratelimit_last(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "ratelimit_snapshot",
     oracle="""
-    WITH buckets AS (
-      SELECT DISTINCT time_bucket(INTERVAL 1 DAY, ts) AS bucket FROM events
-    ), users AS (
-      SELECT DISTINCT user_id FROM events
-    ), latest_per AS (
+    WITH latest_per AS (
       SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket, user_id, value
       FROM (
         SELECT ts, user_id, value,
@@ -69,20 +65,30 @@ def ratelimit_last(spark: SparkSession, sf: str) -> DataFrame:
                                   ORDER BY ts DESC, event_id DESC) AS rn
         FROM events
       ) WHERE rn = 1
+    ), key_range AS (
+      SELECT user_id, min(time_bucket(INTERVAL 1 DAY, ts)) AS first_b
+      FROM events GROUP BY user_id
+    ), scaffold AS (
+      SELECT k.user_id,
+             unnest(generate_series(k.first_b, g.last_b, INTERVAL 1 DAY)) AS bucket
+      FROM key_range k
+      CROSS JOIN (SELECT max(time_bucket(INTERVAL 1 DAY, ts)) AS last_b FROM events) g
     )
-    SELECT b.bucket, u.user_id,
+    SELECT s.bucket, s.user_id,
            last_value(l.value IGNORE NULLS) OVER (
-             PARTITION BY u.user_id ORDER BY b.bucket
+             PARTITION BY s.user_id ORDER BY s.bucket
              ROWS UNBOUNDED PRECEDING) AS value
-    FROM buckets b CROSS JOIN users u
-    LEFT JOIN latest_per l ON l.bucket = b.bucket AND l.user_id = u.user_id
+    FROM scaffold s
+    LEFT JOIN latest_per l ON l.bucket = s.bucket AND l.user_id = s.user_id
     """,
     tags=("ratelimit", "snapshot"),
 )
 def ratelimit_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     """`output snapshot every 1 day` (`snapshot/` rate limiters): at
     each emission tick, the current value per key — including keys with
-    no new events (forward-filled from their last state)."""
+    no new events (forward-filled from their last state). Ticks start
+    at each key's first-seen bucket (bounded scaffold; no pre-activity
+    null rows)."""
     e = load(spark, sf, "events").select("ts", "user_id", "event_id", "value")
     out = R.snapshot_every(e, "ts", "1 day", keys=["user_id"], tiebreak="event_id")
     return out.select("bucket", "user_id", "value")

@@ -162,6 +162,89 @@ def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_cep_count_quantifier",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3,
+             lead(event_id, 2)  OVER w AS id3,
+             lead(ts, 2)        OVER w AS ts3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           event_id AS e1_first_id, ts AS e1_first_ts,
+           id3 AS e1_last_id, ts3 AS e1_last_ts
+    FROM ordered
+    WHERE event_type = 'click' AND t2 = 'click' AND t3 = 'click'
+    """,
+    tags=("streaming", "cep", "count"),
+)
+def streaming_cep_count_quantifier(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming NFA's `<m:n>` count step
+    (`CountPreStateProcessor.java`) replaying the events table: strict
+    `e=events[click]<3:3>` must equal the batch lead-chain oracle —
+    every run of 3 contiguous clicks per user emits (first, last)."""
+    s = _events_stream(spark, sf)
+    out = cep.pattern_nfa(
+        s,
+        key="user_id",
+        step_predicates=[("count", "event_type = 'click'", 3, 3)],
+        strict=True,
+    )
+    name = _materialize(out, "append")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_cep_logical_and",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('error', 'purchase')
+    ), pairs AS (
+      SELECT a.user_id, a.event_type AS a_type,
+             a.event_id AS a_id, a.ts AS a_ts,
+             b.event_id AS b_id, b.ts AS b_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+       AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CASE WHEN a_type = 'error' THEN a_id ELSE b_id END AS e1a_id,
+           CASE WHEN a_type = 'error' THEN a_ts ELSE b_ts END AS e1a_ts,
+           CASE WHEN a_type = 'error' THEN b_id ELSE a_id END AS e1b_id,
+           CASE WHEN a_type = 'error' THEN b_ts ELSE a_ts END AS e1b_ts
+    FROM pairs WHERE rn = 1
+    """,
+    tags=("streaming", "cep", "logical"),
+)
+def streaming_cep_logical_and(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming NFA's logical and-step
+    (`LogicalPreStateProcessor.java`): `every (e1=events[error] and
+    e2=events[purchase]) within 30 min`. Every branch event arms a
+    machine that completes on the first later opposite-branch event
+    inside the budget — the oracle is that fixed point in SQL (branch
+    a = error always emitted as e1a regardless of arming order)."""
+    s = _events_stream(spark, sf)
+    out = cep.pattern_nfa(
+        s,
+        key="user_id",
+        step_predicates=[
+            ("and", "event_type = 'error'", "event_type = 'purchase'")
+        ],
+        within_seconds=1800,
+    )
+    name = _materialize(out, "append")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
     "streaming_join_windowed",
     oracle="""
     SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id

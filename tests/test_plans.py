@@ -133,6 +133,19 @@ def test_regress_single_pass(spark):
     assert "partial_regr_slope" in plan  # map-side partial aggregation
 
 
+def test_snapshot_scaffold_bounded(spark):
+    """`output snapshot every N`: the emission scaffold must be each
+    key's active range (sequence() from first-seen bucket), NOT an
+    unbounded |buckets| × |keys| cartesian product — at 100 TB a
+    high-cardinality key would otherwise materialize the cross
+    product before the forward-fill."""
+    plan = _fmt(REGISTRY["ratelimit_snapshot"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the one-row global-max
+    # broadcast; the per-key range expansion is an explode
+    assert "Generate explode" in plan or "explode" in plan
+
+
 def test_file_source_pushdown_through_front_end(spark, tmp_path):
     """A filter written in SiddhiQL against an annotation-driven
     parquet @source must reach the scan as PushedFilters with the

@@ -158,6 +158,82 @@ def test_streaming_cep_three_step_sequence(spark, events_df):
     assert ("1", 7, 8, 9) in rows
 
 
+def test_streaming_cep_logical_and(spark, events_df):
+    """`e1=S[signup] and e2=S[purchase]` — both branches must bind,
+    either order (`LogicalPreStateProcessor.java` AND mode)."""
+    out = cep.pattern_nfa(
+        _stream_events(spark, events_df, n_splits=2),
+        key="user_id",
+        step_predicates=[("and", "event_type = 'signup'", "event_type = 'purchase'")],
+    )
+    name = f"la_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.key, r.e1a_id, r.e1b_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    # signup 1 pairs with purchase 3; signup 4 with purchase 6; the
+    # purchase-armed partials (3, 6) never see a later signup
+    assert rows == [("1", 1, 3), ("2", 4, 6)]
+
+
+def test_streaming_cep_logical_or(spark, events_df):
+    """`e1=S[signup] or e2=S[error]` — either branch completes
+    (`LogicalPreStateProcessor.java` OR mode)."""
+    out = cep.pattern_nfa(
+        _stream_events(spark, events_df, n_splits=2),
+        key="user_id",
+        step_predicates=[("or", "event_type = 'signup'", "event_type = 'error'")],
+    )
+    name = f"lo_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.key, r.e1_id) for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert rows == [("1", 1), ("2", 4), ("2", 10)]
+
+
+def test_streaming_cep_count_takeover(spark, events_df):
+    """`e1=S[click]<1:2> -> e2=S[purchase]`: with >= m clicks
+    collected, a purchase takes over and closes the count group
+    (`CountPreStateProcessor.java` min/max semantics)."""
+    out = cep.pattern_nfa(
+        _stream_events(spark, events_df, n_splits=2),
+        key="user_id",
+        step_predicates=[
+            ("count", "event_type = 'click'", 1, 2),
+            "event_type = 'purchase'",
+        ],
+    )
+    name = f"cq_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.key, r.e1_first_id, r.e1_last_id, r.e2_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    # user1: click 2 then purchase 3 takes over; user2: click 5 then
+    # purchase 6; clicks 7-9 never see a purchase
+    assert rows == [("1", 2, 2, 3), ("2", 5, 5, 6)]
+
+
+def test_streaming_cep_count_full(spark, events_df):
+    """`e=S[click]<3:3>` strict — exactly 3 contiguous clicks
+    (user 1's events 7,8,9)."""
+    out = cep.pattern_nfa(
+        _stream_events(spark, events_df, n_splits=2),
+        key="user_id",
+        step_predicates=[("count", "event_type = 'click'", 3, 3)],
+        strict=True,
+    )
+    name = f"cf_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    rows = sorted(
+        (r.key, r.e1_first_id, r.e1_last_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert rows == [("1", 7, 9)]
+
+
 def test_streaming_upsert_table(spark, events_df, tmp_path):
     s = _stream_events(spark, events_df, n_splits=3)
     table = sinks.ParquetUpsertTable(

@@ -31,11 +31,15 @@ def normalize(v):
     if isinstance(v, bool):
         return "T" if v else "F"
     if isinstance(v, float):
+        # Driver-parity: int vs float must hash DIFFERENTLY (7 != 7.0) —
+        # round 1's scalar_math failed only in the driver because this
+        # normalizer used to coerce whole floats to int strings.
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(normalize(x) for x in v) + "]"
     return str(v)
