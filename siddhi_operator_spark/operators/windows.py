@@ -225,6 +225,206 @@ def expression_batch(
     )
 
 
+def expression_sliding(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    budget_col: Column,
+    limit: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Dynamic retain-while window, sliding form: Siddhi
+    `expression('…')` (`ExpressionWindowProcessor.java`) — on every
+    arrival the window evicts from the front until the retain
+    expression holds, then the query sees the surviving set. Canonical
+    form (as for ``expression_batch``): retain while
+    `sum(budget) <= limit`.
+
+    Batch mapping: per event i the window is the maximal trailing
+    suffix j..i with `cum[i] − cum[j−1] <= limit` over the key-ordered
+    prefix sums. Membership of row k is `k.rn <= i.rn AND
+    cum[i] − (cum[k] − budget[k]) <= limit` — a keyed range self-join
+    whose output size equals the sum of Siddhi's window occupancies
+    (bounded by the budget, NOT quadratic in the key size). ``budget_col``
+    must be integer-valued (scale floats first) so the prefix-sum
+    comparison is exact on both engines.
+
+    ``aggs`` aggregate over the window rows (columns of the right side,
+    suffixed `_w`).
+    """
+    w = _keyed_window(keys, order)
+    cum = F.sum(budget_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_cum", cum.cast("long")
+    ).withColumn("_b", budget_col.cast("long"))
+    right = base.select(
+        *[F.col(k).alias(f"{k}_w") for k in keys],
+        F.col("_rn").alias("_rn_w"),
+        (F.col("_cum") - F.col("_b")).alias("_prev_w"),
+        *[
+            F.col(c).alias(f"{c}_w")
+            for c in df.columns
+            if c not in keys
+        ],
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"{k}_w"))
+    cond = (
+        cond
+        & (F.col("_rn_w") <= F.col("_rn"))
+        & (F.col("_cum") - F.col("_prev_w") <= F.lit(int(limit)))
+    )
+    joined = base.join(right, cond)
+    group_cols = [*keys, "_rn", *[c for c in df.columns if c not in keys]]
+    out = joined.groupBy(*group_cols).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.drop("_rn")
+
+
+def cron_window(
+    df: DataFrame,
+    ts: str,
+    cron_expr: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Cron-scheduled tumbling window: Siddhi `cron('<expr>')`
+    (`CronWindowProcessor.java`). Each fire flushes the events that
+    arrived since the previous fire; an event exactly at a fire instant
+    rolls into the NEXT emission (Quartz flushes before accepting).
+
+    Batch mapping: materialize the fire schedule over the data's
+    event-time range (two-scalar bounds agg — no data collected), build
+    the (prev_fire, fire] interval table, broadcast it onto the events
+    (the schedule is tiny by construction) and aggregate per emission.
+    The only full-data shuffle is the keyed aggregation itself.
+    """
+    from .cron import cron_fires, next_fire_after
+
+    lo, hi = df.agg(F.min(ts), F.max(ts)).first()
+    fires = cron_fires(cron_expr, lo, hi)
+    fires.append(next_fire_after(cron_expr, fires[-1] if fires else hi))
+    bounds = []
+    prev = lo
+    for f in fires:
+        bounds.append((prev, f))
+        prev = f
+    ivals = df.sparkSession.createDataFrame(
+        bounds, "_ival_start timestamp, emission timestamp"
+    )
+    joined = df.join(
+        F.broadcast(ivals),
+        (F.col(ts) >= F.col("_ival_start")) & (F.col(ts) < F.col("emission")),
+    )
+    return joined.groupBy("emission", *keys).agg(*aggs)
+
+
+def unique_time_batch(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    unique_keys: Sequence[str],
+    tiebreak: str,
+) -> DataFrame:
+    """`unique:timeBatch(attr, t)` (`[ext:unique]`
+    `UniqueTimeBatchWindowProcessor.java`): per tumbling interval, the
+    latest event per unique key — one keyed dedup per bucket."""
+    b = df.withColumn("bucket", F.window(ts, duration)["start"])
+    w = Window.partitionBy("bucket", *unique_keys).orderBy(
+        F.desc(ts), F.desc(tiebreak)
+    )
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def unique_deduplicate(
+    df: DataFrame,
+    ts: str,
+    unique_keys: Sequence[str],
+    within_seconds: float,
+    tiebreak: str,
+) -> DataFrame:
+    """`unique:deduplicate(attr, t)` (`[ext:unique]`
+    `DeduplicateWindowProcessor.java`): drop an event when the previous
+    arrival with the same unique key is less than t older (every
+    arrival refreshes the guard, emitted or not — the reference updates
+    its key map unconditionally). One lag() per key, no join."""
+    w = Window.partitionBy(*unique_keys).orderBy(ts, tiebreak)
+    prev = F.lag(F.col(ts)).over(w)
+    gap_ok = prev.isNull() | (
+        F.unix_micros(F.col(ts)) - F.unix_micros(prev)
+        > int(within_seconds * 1_000_000)
+    )
+    return df.withColumn("_keep", gap_ok).filter(F.col("_keep")).drop("_keep")
+
+
+def extrema_by_length(
+    df: DataFrame,
+    n: int,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    attr: Column,
+    id_col: str,
+    mode: str = "max",
+) -> DataFrame:
+    """`extrema:maxByLength(attr, n)` / `minByLength`
+    (`[ext:extrema]` `MaxByLengthWindowProcessor.java`): for each
+    event, the event holding the extreme attr among the last n arrivals
+    per key. ROWS frame + fixed-width (attr|id) ordering key — the same
+    arg-extreme encoding the aggregation suite uses for oracle parity
+    (attr must be non-negative; ids pad to 10 digits)."""
+    w = _keyed_window(keys, order).rowsBetween(-(n - 1), 0)
+    packed = F.format_string("%012.4f|%010d", attr, F.col(id_col))
+    ext = (F.max if mode == "max" else F.min)(packed).over(w)
+    return df.withColumn(
+        f"{mode}_by_id", F.split(ext, "\\|")[1].cast("long")
+    ).withColumn(f"{mode}_by_val", F.split(ext, "\\|")[0].cast("double"))
+
+
+def topk_items(
+    df: DataFrame,
+    k: int,
+    keys: Sequence[str],
+    item_cols: Sequence[str],
+    bottom: bool = False,
+) -> DataFrame:
+    """`extrema:topK(attr, k)` / `bottomK` (`[ext:extrema]`
+    `TopKStreamProcessor.java`): the k most (least) frequent item
+    values per key, with their counts. Two-level aggregation — partial
+    count map-side, then a per-key ranked head."""
+    counts = df.groupBy(*keys, *item_cols).agg(F.count(F.lit(1)).alias("freq"))
+    direction = F.asc("freq") if bottom else F.desc("freq")
+    w = Window.partitionBy(*keys).orderBy(
+        direction, *[F.asc(c) for c in item_cols]
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def batch_chunks(
+    df: DataFrame,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    chunk_col: str | None = None,
+) -> DataFrame:
+    """`batch([n])` (`[core] BatchWindowProcessor.java`): the window is
+    exactly the current arrival chunk. In batch/analytics mode the
+    chunk is the whole input (or an explicit chunk column — e.g. an
+    ingest-file id — when the caller models multiple arrivals):
+    aggregate per chunk with no retained state."""
+    chunk = (F.col(chunk_col) if chunk_col else F.lit(0)).alias("chunk_id")
+    return df.groupBy(chunk, *keys).agg(*aggs)
+
+
 def unique_last(
     df: DataFrame,
     keys: Sequence[str],

@@ -491,3 +491,207 @@ def window_extrema_by_time(spark: SparkSession, sf: str) -> DataFrame:
         "max_event",
         "max_value",
     )
+
+
+@register(
+    "window_expression",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS b,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS cum,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id, a.ts, a.value,
+           count(*) AS win_n,
+           round(1e-9 + sum(k.value), 4) AS win_sum
+    FROM base a JOIN base k
+      ON k.user_id = a.user_id AND k.rn <= a.rn
+     AND a.cum - (k.cum - k.b) <= 100000
+    GROUP BY a.user_id, a.event_id, a.ts, a.value
+    """,
+    tags=("window", "expression"),
+)
+def window_expression(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding `expression('sum(value) <= 1000')` per user
+    (`ExpressionWindowProcessor.java`): each event sees the maximal
+    trailing suffix whose value-sum stays within budget. Integer
+    cent-scaled prefix sums keep the membership test exact on both
+    engines."""
+    e = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    out = W.expression_sliding(
+        e,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        budget_col=F.round(F.col("value") * 100).cast("long"),
+        limit=100000,
+        aggs={
+            "win_n": F.count(F.lit(1)),
+            "win_sum": r4(F.sum("value_w"), 4),
+        },
+    )
+    return out.select("user_id", "event_id", "ts", "value", "win_n", "win_sum")
+
+
+@register(
+    "window_cron",
+    oracle="""
+    SELECT time_bucket(INTERVAL 4 HOURS, ts - INTERVAL 30 MINUTES)
+             + INTERVAL 4 HOURS + INTERVAL 30 MINUTES AS emission,
+           event_type,
+           count(*) AS n,
+           round(1e-9 + sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "cron"),
+)
+def window_cron(spark: SparkSession, sf: str) -> DataFrame:
+    """`events#window.cron('0 30 */4 * * ?')` + group by event_type
+    (`CronWindowProcessor.java`): flush at :30 past every 4th hour;
+    each emission carries the events since the previous fire. The
+    oracle is the closed form of that schedule (fire = next
+    4h-aligned :30 after the event)."""
+    e = load(spark, sf, "events")
+    out = W.cron_window(
+        e,
+        "ts",
+        "0 30 */4 * * ?",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            r4(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+    return out.select("emission", "event_type", "n", "sum_value")
+
+
+@register(
+    "window_unique_timebatch",
+    oracle="""
+    SELECT bucket, user_id, event_id, ts, value
+    FROM (
+      SELECT time_bucket(INTERVAL 6 HOURS, ts) AS bucket,
+             user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY time_bucket(INTERVAL 6 HOURS, ts), user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "unique"),
+)
+def window_unique_timebatch(spark: SparkSession, sf: str) -> DataFrame:
+    """`unique:timeBatch(user_id, 6 hours)` (`[ext:unique]`
+    `UniqueTimeBatchWindowProcessor.java`): latest event per user per
+    tumbling interval."""
+    e = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    out = W.unique_time_batch(
+        e, "ts", "6 hours", unique_keys=["user_id"], tiebreak="event_id"
+    )
+    return out.select("bucket", "user_id", "event_id", "ts", "value")
+
+
+@register(
+    "window_unique_dedup",
+    oracle="""
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ) WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+    """,
+    tags=("window", "unique"),
+)
+def window_unique_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """`unique:deduplicate(user_id, 5 min)` (`[ext:unique]`
+    `DeduplicateWindowProcessor.java`): suppress events arriving within
+    5 minutes of the previous same-key arrival (every arrival refreshes
+    the guard)."""
+    e = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    return W.unique_deduplicate(
+        e, "ts", unique_keys=["user_id"], within_seconds=300, tiebreak="event_id"
+    )
+
+
+@register(
+    "window_extrema_by_length",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(split_part(pk, '|', 2) AS BIGINT) AS max_by_id,
+           CAST(split_part(pk, '|', 1) AS DOUBLE) AS max_by_val
+    FROM (
+      SELECT user_id, event_id, ts,
+             max(printf('%012.4f|%010d', value, event_id)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS pk
+      FROM events
+    )
+    """,
+    tags=("window", "extrema"),
+)
+def window_extrema_by_length(spark: SparkSession, sf: str) -> DataFrame:
+    """`extrema:maxByLength(value, 5)` per user (`[ext:extrema]`
+    `MaxByLengthWindowProcessor.java`): for each event, the
+    highest-value event among its last 5 arrivals (fixed-width
+    value|id packing for cross-engine arg-max determinism)."""
+    e = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    out = W.extrema_by_length(
+        e,
+        5,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        attr=F.col("value"),
+        id_col="event_id",
+        mode="max",
+    )
+    return out.select("user_id", "event_id", "ts", "max_by_id", "max_by_val")
+
+
+@register(
+    "window_topk",
+    oracle="""
+    SELECT event_type, user_id, freq, rank FROM (
+      SELECT event_type, user_id, count(*) AS freq,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id ASC) AS rank
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rank <= 3
+    """,
+    tags=("window", "extrema", "topk"),
+)
+def window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """`extrema:topK(user_id, 3)` per event_type (`[ext:extrema]`
+    `TopKStreamProcessor.java`): the 3 most frequent users per type
+    with counts."""
+    e = load(spark, sf, "events")
+    return W.topk_items(e, 3, keys=["event_type"], item_cols=["user_id"]).select(
+        "event_type", "user_id", "freq", "rank"
+    )
+
+
+@register(
+    "window_batch_chunk",
+    oracle="""
+    SELECT 0 AS chunk_id, event_type,
+           count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("window", "batch"),
+)
+def window_batch_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """`events#window.batch()` (`BatchWindowProcessor.java`): the
+    window is exactly the current arrival chunk — in batch mode the
+    whole input, aggregated per group with no retained state."""
+    e = load(spark, sf, "events")
+    return W.batch_chunks(
+        e,
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            r4(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
