@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): ``decode_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake feature
-vector so the Spark-side plumbing — schema, Arrow batch shape,
-mapInPandas signature, partitioning — is real and tested end-to-end.
+TWO decode tiers share the same `mapInPandas` interface:
+
+- ``decoder="real"`` — actual pure-python decoding
+  (``media_codecs``): full PNG scanline-filter reconstruction and
+  RIFF/PCM WAV parsing with pixel/sample statistics; mp4 (no
+  pure-python decoder exists) falls back to byte statistics. A
+  production deployment swaps in PIL/ffmpeg behind the same dispatch.
+- ``fake=True`` — the deterministic stub retained for plumbing tests
+  and for payloads that are not real media files; ``decode_stub``
+  raises NotImplementedError when neither tier applies.
 
 Scale design: binaries ride as parquet BinaryType (no base64 inflation);
 feature extraction is `mapInPandas` (Arrow-batched, partition-local, no
@@ -22,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .media_codecs import decode_media, encode_png, encode_wav
 
 FEATURE_DIM = 8
 
@@ -160,22 +167,76 @@ def frame_sample(
     return media.mapInPandas(run, FRAMES_SCHEMA)
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, fake: bool = True, decoder: str | None = None
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (`mapInPandas`): partition-local, schema-stable, pushdown-friendly
-    (filter on media_type/byte_len BEFORE this runs)."""
+    (filter on media_type/byte_len BEFORE this runs).
+
+    ``decoder="real"`` runs the pure-python PNG/WAV decoders
+    (``media_codecs.decode_media``) — payloads must then be real files
+    of their declared media_type; otherwise the deterministic stub
+    (``fake``) applies."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if decoder == "real":
+                feats = [
+                    decode_media(bytes(p), mt)
+                    for p, mt in zip(pdf["payload"], pdf["media_type"])
+                ]
+            else:
+                feats = [decode_stub(bytes(p), fake) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
-                    "features": pdf["payload"].map(
-                        lambda p: decode_stub(bytes(p), fake)
-                    ),
+                    "features": feats,
                 }
             )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def synth_real_media(df_ids: DataFrame) -> DataFrame:
+    """Deterministic REAL media per doc_id — actual PNG files (gradient
+    pixels), actual PCM WAVs (sawtooth samples), and raw byte payloads
+    for the mp4 slot, generated distributed via the pure-python
+    encoders (no binary fixtures on disk, no driver materialization).
+    Layout is closed-form in doc_id so decode results are
+    oracle-checkable:
+
+    - ``doc_id % 3 == 0`` → PNG, width ``8 + id%5``, height ``6 + id%3``,
+      grayscale pixel (r,c) = ``(r*7 + c*13 + id) % 256``;
+    - ``doc_id % 3 == 1`` → WAV, ``64 + id%32`` samples @ 8 kHz/16-bit,
+      sample k = ``((k*37 + id*11) % 2048) - 1024``;
+    - else → ``100 + id%50`` bytes, byte k = ``(k*31 + id) % 256``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    w, h = 8 + d % 5, 6 + d % 3
+                    px = bytes(
+                        (r * 7 + c * 13 + d) % 256
+                        for r in range(h)
+                        for c in range(w)
+                    )
+                    rows.append((d, "image/png", encode_png(w, h, px)))
+                elif d % 3 == 1:
+                    n = 64 + d % 32
+                    samples = [((k * 37 + d * 11) % 2048) - 1024 for k in range(n)]
+                    rows.append((d, "audio/wav", encode_wav(samples)))
+                else:
+                    payload = bytes((k * 31 + d) % 256 for k in range(100 + d % 50))
+                    rows.append((d, "video/mp4", payload))
+            out = pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+            out["byte_len"] = out["payload"].map(len).astype("int32")
+            yield out[["doc_id", "media_type", "payload", "byte_len"]]
+
+    return df_ids.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)

@@ -417,3 +417,43 @@ def similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
     exactly; a k-means quantizer swaps in without changing the plan."""
     emb = load(spark, sf, "embeddings")
     return S.ivf_topk(emb, n_cells=8, nprobe=2, k=3, max_query_id=5)
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS media_type,
+           CASE doc_id % 3 WHEN 0 THEN CAST(8 + doc_id % 5 AS DOUBLE)
+                           WHEN 1 THEN 1.0
+                           ELSE -1.0 END AS f0,
+           CASE doc_id % 3 WHEN 0 THEN CAST(6 + doc_id % 3 AS DOUBLE)
+                           WHEN 1 THEN 8000.0
+                           ELSE -1.0 END AS f1,
+           CASE doc_id % 3 WHEN 0 THEN 1.0
+                           WHEN 1 THEN 16.0
+                           ELSE -1.0 END AS f2
+    FROM documents WHERE doc_id < 60
+    """,
+    tags=("pipeline", "multimodal", "decode"),
+)
+def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL media decode end-to-end: generate actual PNG/WAV files
+    distributed (pure-python encoders, closed-form content per doc_id),
+    decode them back with the pure-python scanline/PCM decoders behind
+    the same `mapInPandas` interface, and check the recovered format
+    fields against the closed form. Pixel/sample statistics are
+    asserted exactly in tests/test_media_codecs.py; mp4 has no
+    pure-python decoder and returns byte-stats (-1 markers)."""
+    ids = load(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    media = M.synth_real_media(ids)
+    feats = M.extract_features(media, decoder="real")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.col("features")[0].cast("double").alias("f0"),
+        F.col("features")[1].cast("double").alias("f1"),
+        F.col("features")[2].cast("double").alias("f2"),
+    )
