@@ -994,7 +994,7 @@ def run_app_streaming(
     operators (`..streaming.joins`, `..streaming.cep`,
     `..streaming.windows`) with semantics a generic translation would
     get wrong — the runner raises and points there."""
-    from ..sources import stream_file_source
+    from ..sources import stream_file_source, stream_http_source
 
     model = parse_app(app) if isinstance(app, str) else app
     env: dict[str, DataFrame] = dict(sources or {})
@@ -1005,6 +1005,8 @@ def run_app_streaming(
     for name, sdef in model.streams.items():
         if name not in env and not sdef.is_table:
             loaded = stream_file_source(spark, sdef)
+            if loaded is None:
+                loaded = stream_http_source(spark, sdef)
             if loaded is not None:
                 env[name] = loaded
     outputs: dict[str, DataFrame] = {}

@@ -200,7 +200,16 @@ def _read_mapped(reader, src: Ann, stream_def, path: str) -> DataFrame:
             )
             cols.append(col.cast(_SIDDHI_TO_SPARK[styp.lower()]).alias(name))
         return raw.select(*cols)
-    raise ValueError(f"unsupported @map type {fmt!r} (json|csv|parquet|text)")
+    if fmt in ("xml", "keyvalue"):
+        # one serialized event per line; same serde as the message path
+        raw = reader.schema(
+            T.StructType([T.StructField("value", T.StringType())])
+        ).text(path)
+        return map_message_value(raw, mp, stream_def)
+    raise ValueError(
+        f"unsupported @map type {fmt!r} "
+        "(json|csv|parquet|text|xml|keyvalue)"
+    )
 
 
 def write_file_sink(df: DataFrame, stream_def) -> str | None:
@@ -253,13 +262,38 @@ def kafka_options(src: Ann) -> dict[str, str]:
     return opts
 
 
-def parse_kafka_value(raw: DataFrame, src: Ann, stream_def) -> DataFrame:
-    """Kafka wire rows (`value` binary, plus key/topic/partition/offset/
-    timestamp) → the declared stream schema via the `@map` serde —
-    `JsonSourceMapper`/`CSVSourceMapper` applied to the message value.
-    Pure Catalyst (`from_json`/`from_csv`), so it is testable on any
-    DataFrame with a kafka-shaped schema."""
-    mp = src.child("map") or Ann(name="map", options={"type": "json"})
+_PANDAS_DTYPES = {
+    "int": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "bool": "bool",
+    "string": "object",
+    "object": "object",
+}
+
+
+def map_message_value(raw: DataFrame, src_or_map: Ann, stream_def) -> DataFrame:
+    """Wire rows (`value` string-or-binary column) → the declared
+    stream schema via the `@map` serde. This is the full SourceMapper
+    family over message transports:
+
+    - json (`JsonSourceMapper`, JSONPath `@attributes`), csv
+      (`CSVSourceMapper`), xml (`[ext:map-xml] XmlSourceMapper`,
+      xpath `@attributes`, `enclosing.element`), keyvalue
+      (`[ext:map-keyvalue] KeyValueSourceMapper`) — all pure Catalyst
+      (`from_json`/`from_csv`/`xpath_string`/`str_to_map`);
+    - avro / protobuf / binary — per-event wire codecs
+      (``wire_codecs``) run Arrow-batched in `mapInPandas`. On a
+      cluster with spark-avro / spark-protobuf loaded, swap in
+      `from_avro(value, wire_codecs.avro_schema_json(...))` /
+      `from_protobuf` — same declared schema either way.
+    """
+    mp = (
+        src_or_map
+        if src_or_map.name.lower() == "map"
+        else src_or_map.child("map")
+    ) or Ann(name="map", options={"type": "json"})
     fmt = mp.options.get("type", "json").lower()
     schema = siddhi_schema(stream_def.attributes)
     val = F.col("value").cast("string")
@@ -279,7 +313,135 @@ def parse_kafka_value(raw: DataFrame, src: Ann, stream_def) -> DataFrame:
         return raw.select(
             F.from_csv(val, schema.simpleString(), {"sep": sep}).alias("v")
         ).select("v.*")
-    raise ValueError(f"unsupported kafka @map type {fmt!r} (json|csv)")
+    if fmt == "xml":
+        # `<event><a>1</a>…</event>` per message; `@attributes` holds
+        # custom xpaths; `enclosing.element` overrides the root tag
+        enc = mp.options.get("enclosing.element", "event").strip("/")
+        attrs = mp.child("attributes")
+        cols = []
+        for n, t in stream_def.attributes:
+            xp = (
+                attrs.options.get(n, f"/{enc}/{n}/text()")
+                if attrs is not None
+                else f"/{enc}/{n}/text()"
+            )
+            cols.append(
+                F.xpath_string(val, F.lit(xp))
+                .cast(_SIDDHI_TO_SPARK[t.lower()])
+                .alias(n)
+            )
+        return raw.select(*cols)
+    if fmt == "keyvalue":
+        # `a:1,b:text` messages; `@attributes` remaps attribute → key
+        pair_sep = mp.options.get("delimiter", ",")
+        kv_sep = mp.options.get("kv.separator", ":")
+        attrs = mp.child("attributes")
+        m = F.str_to_map(val, F.lit(pair_sep), F.lit(kv_sep))
+        cols = []
+        for n, t in stream_def.attributes:
+            key = attrs.options.get(n, n) if attrs is not None else n
+            cols.append(
+                m.getItem(key).cast(_SIDDHI_TO_SPARK[t.lower()]).alias(n)
+            )
+        return raw.select(*cols)
+    if fmt in ("avro", "protobuf", "binary"):
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        from .wire_codecs import DECODERS
+
+        decoder = DECODERS[fmt]
+        attributes = list(stream_def.attributes)
+        names = [n for n, _t in attributes]
+        dtypes = {n: _PANDAS_DTYPES[t.lower()] for n, t in attributes}
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [decoder(bytes(v), attributes) for v in pdf["value"]]
+                out = pd.DataFrame(rows, columns=names)
+                yield out.astype(dtypes) if len(out) else pd.DataFrame(
+                    {n: pd.Series(dtype=dtypes[n]) for n in names}
+                )
+
+        return raw.select("value").mapInPandas(run, schema)
+    raise ValueError(
+        f"unsupported message @map type {fmt!r} "
+        "(json|csv|xml|keyvalue|avro|protobuf|binary)"
+    )
+
+
+def encode_message_value(df: DataFrame, fmt: str, stream_def) -> DataFrame:
+    """SinkMapper twin: declared-schema rows → one binary `value`
+    column (`AvroSinkMapper`/`ProtobufSinkMapper`/`BinarySinkMapper`).
+    Arrow-batched; the JVM swap is `to_avro(struct(*))` /
+    `to_protobuf`."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .wire_codecs import ENCODERS
+
+    encoder = ENCODERS[fmt]
+    attributes = list(stream_def.attributes)
+    names = [n for n, _t in attributes]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [
+                encoder(tuple(row), attributes)
+                for row in zip(*[pdf[n] for n in names])
+            ] if len(pdf) else []
+            yield pd.DataFrame({"value": pd.Series(vals, dtype="object")})
+
+    return df.select(*names).mapInPandas(
+        run, T.StructType([T.StructField("value", T.BinaryType())])
+    )
+
+
+def parse_kafka_value(raw: DataFrame, src: Ann, stream_def) -> DataFrame:
+    """Kafka wire rows (`value` binary, plus key/topic/partition/offset/
+    timestamp) → the declared stream schema via the `@map` serde —
+    the shared ``map_message_value`` dispatch, so every message mapper
+    (json/csv/xml/keyvalue/avro/protobuf/binary) works over kafka.
+    Testable on any DataFrame with a kafka-shaped schema."""
+    return map_message_value(raw, src, stream_def)
+
+
+def stream_http_source(spark: SparkSession, stream_def) -> DataFrame | None:
+    """`@source(type='http', receiver.url='http://host:port/path',
+    @map(type='json'))` (`[ext:io-http] HttpSource`) — the operator's
+    flagship ingest (its example apps receive JSON over HTTP).
+
+    Spark analog: the socket test transport. `HttpSource`'s engine-side
+    role is "receive a payload string, hand it to the source mapper" —
+    identical here: the engine connects to the url's host:port and maps
+    each line-delimited payload through the same `@map` serde
+    (``map_message_value``). In production HTTP termination lives at a
+    gateway (the operator fronts it with a k8s Service/Ingress) that
+    forwards payloads to a durable transport; point `receiver.url` at
+    that forwarder. `basic.auth.*` options are accepted and ignored —
+    auth belongs to the gateway."""
+    src = _find_ann(stream_def, "source")
+    if src is None or src.options.get("type", "").lower() != "http":
+        return None
+    url = src.options.get("receiver.url") or src.options.get("url")
+    if not url:
+        raise ValueError("@source(type='http') needs receiver.url")
+    m = re.match(r"https?://([^:/]+)(?::(\d+))?", url)
+    if not m:
+        raise ValueError(f"bad receiver.url {url!r}")
+    host = m.group(1)
+    port = int(m.group(2) or 8080)
+    if host == "0.0.0.0":  # listen-anywhere url → local test transport
+        host = "localhost"
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return map_message_value(raw, src, stream_def)
 
 
 def stream_kafka_source(spark: SparkSession, stream_def) -> DataFrame | None:
