@@ -447,3 +447,51 @@ def delay(df: DataFrame, ts: str, duration: str) -> DataFrame:
     """Time-shift: Siddhi `delay(t)` (`DelayWindowProcessor.java`) —
     events re-emitted t later. In event-time terms that is `ts + t`."""
     return df.withColumn(ts, F.col(ts) + F.expr(f"INTERVAL {duration}"))
+
+
+def expired_time(df: DataFrame, ts: str, duration: str) -> DataFrame:
+    """`insert expired events into` over `time(t)`
+    (`QuerySelector.java` output event type + `TimeWindowProcessor`'s
+    expiry path): every event leaves the window exactly t after it
+    entered — the expired stream is the input with eviction time
+    `expired_ts = ts + t` (delay() is this same fixed point re-stamped
+    onto ts)."""
+    return df.withColumn(
+        "expired_ts", F.col(ts) + F.expr(f"INTERVAL {duration}")
+    )
+
+
+def expired_length(
+    df: DataFrame,
+    n: int,
+    keys: Sequence[str],
+    order: Sequence[Column | str],
+    ts: str,
+) -> DataFrame:
+    """`insert expired events into` over `length(n)`
+    (`LengthWindowProcessor`'s expiry path): event i is evicted when
+    event i+n arrives (per key) — `expired_ts = lead(ts, n)`; events
+    with no n-th successor never expire and are dropped from the
+    expired stream."""
+    w = _keyed_window(keys, order)
+    return df.withColumn("expired_ts", F.lead(F.col(ts), n).over(w)).filter(
+        F.col("expired_ts").isNotNull()
+    )
+
+
+def output_event_type(
+    current: DataFrame, expired: DataFrame, ts: str
+) -> DataFrame:
+    """`insert all events into` — the tagged union QuerySelector emits:
+    current rows at their own timestamp, expired rows at their eviction
+    time, distinguished by `etype` (the reference carries the flag on
+    the Event object; batch output materializes it as a column)."""
+    cur = current.withColumn("emit_ts", F.col(ts)).withColumn(
+        "etype", F.lit("current")
+    )
+    exp = (
+        expired.withColumn("emit_ts", F.col("expired_ts"))
+        .drop("expired_ts")
+        .withColumn("etype", F.lit("expired"))
+    )
+    return cur.unionByName(exp)

@@ -87,6 +87,54 @@ def _run_single(
     win = inp.window
     has_agg = any(_AGG_RE.search(it.expr) for it in q.select)
 
+    ev_type = getattr(q, "event_type", "current")
+    if ev_type in ("expired", "all"):
+        # `insert expired|all events into` (`QuerySelector.java` output
+        # event type): expired = window-eviction retractions — time(t)
+        # evicts at ts+t, length(n) when the n-th successor arrives.
+        if win is None or win.kind not in ("time", "length") or has_agg:
+            raise ValueError(
+                "insert expired/all events: supported over time()/"
+                "length() windows with a non-aggregating select"
+            )
+        keys = [q.partition_key] if q.partition_key else (q.group_by or [])
+        if win.kind == "time":
+            dur = win.args[0].strip("'\" ")
+            exp = df.withColumn(
+                "expired_ts", F.col(ts_col) + F.expr(f"INTERVAL {dur}")
+            )
+        else:
+            n = int(win.args[0])
+            wl = (
+                Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+            ).orderBy(ts_col, id_col)
+            exp = df.withColumn(
+                "expired_ts", F.lead(F.col(ts_col), n).over(wl)
+            ).filter(F.col("expired_ts").isNotNull())
+
+        def _proj(d: DataFrame, extra: list[str]) -> DataFrame:
+            if not q.select:
+                return d
+            cols = [
+                F.expr(it.expr).alias(_auto_alias(it, i))
+                for i, it in enumerate(q.select)
+            ]
+            return d.select(*cols, *extra)
+
+        if ev_type == "expired":
+            return _proj(exp, ["expired_ts"])
+        cur = df.withColumn("emit_ts", F.col(ts_col)).withColumn(
+            "etype", F.lit("current")
+        )
+        expu = (
+            exp.withColumn("emit_ts", F.col("expired_ts"))
+            .drop("expired_ts")
+            .withColumn("etype", F.lit("expired"))
+        )
+        return _proj(cur, ["emit_ts", "etype"]).unionByName(
+            _proj(expu, ["emit_ts", "etype"])
+        )
+
     if win and win.kind in ("length", "lengthBatch", "time") and has_agg:
         # per-event frame aggregation over the trailing window, keyed by
         # the group-by attributes (SURVEY.md §3.3 mappings)

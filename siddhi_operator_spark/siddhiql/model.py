@@ -116,6 +116,9 @@ class QueryDef:
     # `RangePartitionExecutor.java`; partition_key is the derived bucket
     partition_ranges: list[tuple[str, str]] | None = None
     table_action: TableAction | None = None
+    # `insert [current|expired|all] events into` — QuerySelector's
+    # output event type (`[core] query/selector/QuerySelector.java`)
+    event_type: str = "current"
 
 
 @dataclass

@@ -593,10 +593,18 @@ def _parse_query(stmt: str) -> QueryDef:
         raise ValueError(f"bad query: {stmt[:80]!r}")
     tail = s[ii:].strip()
     tl = tail.lower()
+    event_type = "current"
     if tl.startswith(("update", "delete")):
         table_action = _parse_table_action(tail)
         out_stream = table_action.table
     else:
+        # `insert [current|expired|all] events into S`
+        # (QuerySelector output event type)
+        m_et = re.match(
+            r"insert\s+(current|expired|all)\s+events\s+into\b", tl
+        )
+        if m_et:
+            event_type = m_et.group(1)
         out_stream = s[ii:].split()[-1]
     output_rate = None
     if oi_rate != -1 and oi_rate < ii:
@@ -658,6 +666,7 @@ def _parse_query(stmt: str) -> QueryDef:
         out_stream=out_stream,
         output_rate=output_rate,
         table_action=table_action,
+        event_type=event_type,
     )
 
 

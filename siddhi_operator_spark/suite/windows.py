@@ -695,3 +695,33 @@ def window_batch_chunk(spark: SparkSession, sf: str) -> DataFrame:
             r4(F.sum("value"), 4).alias("sum_value"),
         ],
     )
+
+
+@register(
+    "window_expired_events",
+    oracle="""
+    SELECT user_id, event_id, ts AS emit_ts, 'current' AS etype
+    FROM events
+    UNION ALL
+    SELECT user_id, event_id, expired_ts AS emit_ts, 'expired' AS etype
+    FROM (
+      SELECT user_id, event_id,
+             lead(ts, 3) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS expired_ts
+      FROM events
+    ) WHERE expired_ts IS NOT NULL
+    """,
+    tags=("window", "expired"),
+)
+def window_expired_events(spark: SparkSession, sf: str) -> DataFrame:
+    """`from events#window.length(3) select … insert all events into S`
+    (`QuerySelector.java` output event type + `LengthWindowProcessor`
+    eviction): the tagged union of current arrivals and window-eviction
+    retractions — an expired row appears when its 3rd same-user
+    successor arrives, stamped with the eviction time."""
+    e = load(spark, sf, "events").select("user_id", "event_id", "ts")
+    exp = W.expired_length(
+        e, 3, keys=["user_id"], order=["ts", "event_id"], ts="ts"
+    )
+    out = W.output_event_type(e, exp, ts="ts")
+    return out.select("user_id", "event_id", "emit_ts", "etype")

@@ -552,3 +552,32 @@ def test_pattern_logical_or(spark):
     rows = {(r.error_id, r.purchase_id, r.branch) for r in out.collect()}
     assert (1, None, "e1") in rows and (10, None, "e1") in rows
     assert (None, 2, "e2") in rows and (None, 20, "e2") in rows
+
+
+def test_insert_expired_and_all_events(spark, events_df):
+    """`insert expired events into` / `insert all events into` through
+    the front end (QuerySelector output event type): length(2) per-user
+    eviction retractions."""
+    from siddhi_operator_spark.siddhiql import run_app
+
+    app = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    from E#window.length(2)
+    select event_id, user_id
+    group by user_id
+    insert expired events into Exp;
+    """
+    out = run_app(app, {"E": events_df}, spark=spark)["Exp"]
+    assert "expired_ts" in out.columns
+    got = sorted((r.user_id, r.event_id) for r in out.collect())
+    # user 1 events (1,2,3,7,8,9): 1..3,7 expire (2 ahead exists);
+    # user 2 events (4,5,6,10): 4,5 expire
+    assert got == [(1, 1), (1, 2), (1, 3), (1, 7), (2, 4), (2, 5)]
+
+    app_all = app.replace("insert expired events into Exp",
+                          "insert all events into Allv")
+    out2 = run_app(app_all, {"E": events_df}, spark=spark)["Allv"]
+    rows = [(r.etype, r.event_id) for r in out2.collect()]
+    assert sum(1 for t, _ in rows if t == "current") == 10
+    assert sum(1 for t, _ in rows if t == "expired") == 6
