@@ -1019,11 +1019,145 @@ def _apply_table_action(table, muts, action, ts_col: str, id_col: str):
     return out
 
 
+def _run_pattern_streaming(
+    env: dict[str, DataFrame],
+    q: QueryDef,
+    inp: PatternInput,
+    ts_col: str,
+    id_col: str,
+    key: str,
+    watermark: str,
+) -> DataFrame:
+    """Route a front-end pattern query to the streaming NFA
+    (`..streaming.cep`): followed-by / strict sequence / logical
+    and-or pairs / `<m:n>` count quantifiers become NFA steps on
+    `applyInPandasWithState`; the two-step absence form
+    (`e1 -> not S[p] for t`) becomes the event-time-timer operator.
+
+    The NFA emits (key, per-step event id/ts); the select clause may
+    reference `alias.<id_col>` / `alias.<ts_col>` (and `alias[0]` /
+    `alias[last]` on count steps) — other attributes need a join back
+    on the ids, as the reference's state machines also only retain the
+    matched events themselves."""
+    from ..streaming import cep
+
+    sts = inp.steps
+    # absence: exactly `arm -> not S[p] for t`
+    if (
+        len(sts) == 2
+        and isinstance(sts[1], PatternStep)
+        and sts[1].negated
+        and sts[1].for_seconds
+    ):
+        arm = sts[0]
+        if isinstance(arm, LogicalStep) or arm.negated:
+            raise ValueError(
+                "streaming absence supports the `e1 -> not S[p] for t` "
+                "form (streaming.cep.absence_nfa)"
+            )
+        out = cep.absence_nfa(
+            env[arm.stream],
+            key=key,
+            arm_predicate=arm.predicate or "true",
+            absent_predicate=sts[1].predicate or "true",
+            for_seconds=sts[1].for_seconds,
+            ts=ts_col,
+            id_col=id_col,
+            watermark=watermark,
+        )
+        stem_by_alias = {arm.alias or "e1": "e1"}
+    else:
+        stream = None
+        steps: list = []
+        stem_by_alias = {}
+
+        def _use(s: str | None) -> None:
+            nonlocal stream
+            if s is None:
+                return
+            if stream is None:
+                stream = s
+            elif stream != s:
+                raise ValueError(
+                    "streaming patterns span one stream; multi-stream "
+                    "patterns need streaming.cep.pattern_nfa over a "
+                    "tagged union of the inputs"
+                )
+
+        for i, st in enumerate(sts, start=1):
+            if isinstance(st, LogicalStep):
+                if st.a.negated or st.b.negated:
+                    raise ValueError(
+                        "streaming logical-absence: use "
+                        "streaming.cep.absence_nfa"
+                    )
+                _use(st.a.stream)
+                _use(st.b.stream)
+                steps.append(
+                    (st.op, st.a.predicate or "true", st.b.predicate or "true")
+                )
+                stem_by_alias[st.a.alias or f"e{i}a"] = f"e{i}a"
+                stem_by_alias[st.b.alias or f"e{i}b"] = f"e{i}b"
+            else:
+                if st.negated:
+                    raise ValueError(
+                        "streaming absence steps are supported only as "
+                        "the trailing `-> not S[p] for t` form"
+                    )
+                _use(st.stream)
+                if st.min_count != 1 or st.max_count != 1:
+                    steps.append(
+                        ("count", st.predicate or "true", st.min_count, st.max_count)
+                    )
+                else:
+                    steps.append(st.predicate or "true")
+                stem_by_alias[st.alias or f"e{i}"] = f"e{i}"
+        out = cep.pattern_nfa(
+            env[stream],
+            key=key,
+            step_predicates=steps,
+            ts=ts_col,
+            id_col=id_col,
+            within_seconds=inp.within_seconds,
+            every=inp.every,
+            strict=inp.strict,
+        )
+    if not q.select:
+        return out
+    sel = []
+    for i, it in enumerate(q.select):
+        expr = it.expr
+        # count-step element access e[0].x / e[last].x → first/last stems
+        expr = re.sub(
+            r"\b(\w+)\s*\[\s*(0|last)\s*\]\s*\.\s*(\w+)",
+            lambda m: f"{stem_by_alias.get(m.group(1), m.group(1))}"
+            f"_{'first' if m.group(2) == '0' else 'last'}.{m.group(3)}",
+            expr,
+        )
+        # alias.id_col → stem_id, alias.ts_col → stem_ts
+        def _ref(m: re.Match) -> str:
+            stem = stem_by_alias.get(m.group(1), m.group(1))
+            attr = m.group(2)
+            if attr == id_col:
+                return f"{stem}_id"
+            if attr == ts_col:
+                return f"{stem}_ts"
+            raise ValueError(
+                f"streaming pattern select can reference {id_col}/"
+                f"{ts_col} of a step (got {m.group(0)}); join other "
+                "attributes back on the ids"
+            )
+        expr = re.sub(r"\b(\w+)\.(\w+)", _ref, expr)
+        sel.append(F.expr(expr).alias(_auto_alias(it, i)))
+    return out.select("key", *sel)
+
+
 def run_app_streaming(
     app: str | AppModel,
     sources: dict[str, DataFrame] | None = None,
     ts_col: str = "ts",
     id_col: str = "event_id",
+    pattern_key: str = "user_id",
     spark: SparkSession | None = None,
     watermark: str = "1 minute",
 ) -> dict[str, DataFrame]:
@@ -1035,13 +1169,15 @@ def run_app_streaming(
     natively-streaming windows (`timeBatch`/`externalTimeBatch` →
     `window()`, `session` → `session_window`, `delay` → event-time
     shift), with `withWatermark(ts, …)` applied before any stateful
-    aggregation (the engine's late-data contract, SURVEY.md §3.10).
+    aggregation (the engine's late-data contract, SURVEY.md §3.10) —
+    plus PATTERN queries, which route to the streaming NFA / absence
+    timer (`..streaming.cep`, see ``_run_pattern_streaming``).
     Sources come from ``sources`` (streaming frames) or from
     `@source(type='file', @map(...))` annotations (directory source).
-    Joins, patterns, and count-based windows have dedicated streaming
-    operators (`..streaming.joins`, `..streaming.cep`,
-    `..streaming.windows`) with semantics a generic translation would
-    get wrong — the runner raises and points there."""
+    Joins and count-based windows have dedicated streaming operators
+    (`..streaming.joins`, `..streaming.windows`) with semantics a
+    generic translation would get wrong — the runner raises and points
+    there."""
     from ..sources import stream_file_source, stream_http_source
 
     model = parse_app(app) if isinstance(app, str) else app
@@ -1060,12 +1196,24 @@ def run_app_streaming(
     outputs: dict[str, DataFrame] = {}
     for q in model.queries:
         inp = q.input
+        if isinstance(inp, PatternInput):
+            df = _run_pattern_streaming(
+                env, q, inp, ts_col, id_col, q.partition_key or pattern_key,
+                watermark,
+            )
+            if q.having:
+                df = df.filter(F.expr(q.having))
+            if q.out_stream in outputs:
+                outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
+            else:
+                outputs[q.out_stream] = df
+            env[q.out_stream] = outputs[q.out_stream]
+            continue
         if not isinstance(inp, SingleInput):
             raise ValueError(
-                "streaming runner covers single-input queries; use the "
-                "dedicated streaming operators for joins "
-                "(streaming.joins.windowed_stream_join) and patterns "
-                "(streaming.cep.pattern_nfa)"
+                "streaming runner covers single-input queries and "
+                "patterns; use the dedicated streaming operators for "
+                "joins (streaming.joins.windowed_stream_join)"
             )
         if inp.window is not None and inp.window.kind not in (
             "timeBatch",

@@ -318,3 +318,74 @@ def test_checkpoint_recovery_exactly_once(spark, events_df, tmp_path):
     assert sorted(r.event_id for r in got.select("event_id").collect()) == list(
         range(1, 11)
     )
+
+
+def test_front_end_pattern_routes_to_nfa(spark, events_df):
+    """A SiddhiQL pattern query under run_app_streaming must route to
+    the streaming NFA and honor alias.id/ts select references."""
+    from siddhi_operator_spark.siddhiql import run_app_streaming
+
+    app = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    from every e1=E[event_type == 'signup'] -> e2=E[event_type == 'purchase']
+         within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Matches;
+    """
+    s = _stream_events(spark, events_df, n_splits=3)
+    outs = run_app_streaming(app, {"E": s})
+    name = f"fe_{uuid.uuid4().hex[:8]}"
+    _run(outs["Matches"], name)
+    rows = sorted(
+        (r.key, r.signup_id, r.purchase_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert rows == [("1", 1, 3), ("2", 4, 6)]
+
+
+def test_front_end_absence_routes_to_timer(spark, events_df):
+    """`e1 -> not E[p] for t` under run_app_streaming → absence_nfa."""
+    from siddhi_operator_spark.siddhiql import run_app_streaming
+
+    app = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    from e1=E[event_type == 'signup'] -> not E[event_type == 'purchase'] for 10 sec
+    select e1.event_id as signup_id
+    insert into NoPurchase;
+    """
+    s = _stream_events(spark, events_df, n_splits=4)
+    outs = run_app_streaming(app, {"E": s})
+    name = f"fa_{uuid.uuid4().hex[:8]}"
+    _run(outs["NoPurchase"], name)
+    rows = sorted(
+        (r.key, r.signup_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert rows == [("2", 4)]
+
+
+def test_front_end_count_pattern_streaming(spark, events_df):
+    """`e=E[click]<3>` strict sequence through the streaming front end
+    with e[0]/e[last] select access."""
+    from siddhi_operator_spark.siddhiql import run_app_streaming
+
+    app = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    from e=E[event_type == 'click']<2:2>, f=E[true]
+    select e[0].event_id as first_id, e[last].event_id as last_id,
+           f.event_id as next_id
+    insert into Runs;
+    """
+    s = _stream_events(spark, events_df, n_splits=2)
+    outs = run_app_streaming(app, {"E": s})
+    name = f"fc_{uuid.uuid4().hex[:8]}"
+    _run(outs["Runs"], name)
+    rows = sorted(
+        (r.key, r.first_id, r.last_id, r.next_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    # user1 clicks 7,8 complete the <2:2>, click 9 binds f
+    assert rows == [("1", 7, 8, 9)]
