@@ -11,6 +11,23 @@ TPC-H Q1, top-k, CEP pattern, plus the LLM-pipeline headliners
 (minhash LSH dedup, brute-force cosine top-k). Median of 3 timed runs
 after 1 warmup (warm JVM + parquet footer cache — what a resident
 service would see).
+
+Scale-proof mode (SCALEBENCH.md): at sf0.1 most queries finish under
+Spark's ~0.12 s/action local job floor, so per-query ratios vs DuckDB
+measure JVM launch overhead, not plan quality. Set
+
+  SPARK_GRAFT_BENCH_SCALE=10      # synthesize events/lineitem/
+                                  # embeddings at 10x into /tmp and
+                                  # bench there (other tables symlink)
+  SPARK_GRAFT_BENCH_DUCKDB=1      # also time each query's DuckDB
+                                  # oracle SQL on the SAME data
+                                  # (warm, median of 3, temp-table
+                                  # materialization = noop-sink analog)
+
+and the JSON line gains "duckdb", "ratio", and "scale" fields. Replica
+synthesis offsets user_id by (max_user+1) per copy — key cardinality
+grows with data (horizontal scaling, the 100 TB direction), join
+fan-out per key stays constant.
 """
 
 from __future__ import annotations
@@ -24,6 +41,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1"))
+WITH_DUCKDB = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "0") == "1"
+SCALE_BASE = os.environ.get(
+    "SPARK_GRAFT_BENCH_SCALE_DIR", "/tmp/spark_graft_scale"
+)
 
 BENCH_QUERIES = [
     "filter_project",
@@ -41,6 +63,87 @@ BENCH_QUERIES = [
 
 N_RUNS = 3
 
+_SCALED_TABLES = ("events", "lineitem", "embeddings")
+
+
+def ensure_scaled(spark, scale: int) -> str:
+    """Synthesize the scaled dir once (idempotent): fact tables
+    replicated ``scale``× with shifted keys, dims symlinked."""
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.catalog import SCHEMAS, TABLES
+
+    out = f"{SCALE_BASE}/x{scale}"
+    if os.path.exists(f"{out}/_READY"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    k = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("k")
+    kl = F.col("k").cast("long")
+
+    ev = spark.read.schema(SCHEMAS["events"]).parquet(f"{SF_DIR}/events.parquet")
+    umax = int(ev.agg(F.max("user_id")).first()[0]) + 1
+    (
+        ev.select("*", k)
+        .withColumn("event_id", F.col("event_id") + kl * F.lit(10**12))
+        .withColumn("user_id", F.col("user_id") + kl * F.lit(umax))
+        .drop("k")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    li = spark.read.schema(SCHEMAS["lineitem"]).parquet(
+        f"{SF_DIR}/lineitem.parquet"
+    )
+    (
+        li.select("*", k)
+        .withColumn("l_orderkey", F.col("l_orderkey") + kl * F.lit(10**10))
+        .drop("k")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    em = spark.read.schema(SCHEMAS["embeddings"]).parquet(
+        f"{SF_DIR}/embeddings.parquet"
+    )
+    (
+        em.select("*", k)
+        .withColumn("vec_id", F.col("vec_id") + kl * F.lit(10**9))
+        .drop("k")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    for t in TABLES:
+        if t not in _SCALED_TABLES:
+            dst = f"{out}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{SF_DIR}/{t}.parquet", dst)
+    with open(f"{out}/_READY", "w") as f:
+        f.write("ok")
+    return out
+
+
+def duckdb_views(con, sf_dir: str, scaled: bool) -> None:
+    from siddhi_operator_spark.catalog import TABLES
+
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table = part-file dir
+            path = f"{path}/*.parquet"
+        if t == "events" and scaled:
+            # scaled events carry raw int64 nanos (written by Spark);
+            # rebuild the timestamp exactly as catalog.load does (ns→µs)
+            con.execute(
+                f"CREATE OR REPLACE VIEW events AS SELECT event_id, "
+                f"make_timestamp(ts // 1000) AS ts, user_id, event_type, "
+                f"value, props FROM '{path}'"
+            )
+        else:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'"
+            )
+
 
 def main() -> None:
     from siddhi_operator_spark.session import build_session
@@ -48,8 +151,30 @@ def main() -> None:
 
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Input-split sizing is env-tunable (SCALEBENCH.md measured both):
+    # smaller splits put every core on the scan, but in single-JVM
+    # local mode the extra tasks cost more in scheduling than the
+    # parallelism returns (memory bandwidth is shared either way), so
+    # the 128 MB cluster default stays unless overridden.
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+
+    sf_dir = SF_DIR
+    if SCALE > 1:
+        sf_dir = ensure_scaled(spark, SCALE)
+
+    con = None
+    if WITH_DUCKDB:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads = {os.cpu_count() or 32}")
+        duckdb_views(con, sf_dir, scaled=SCALE > 1)
 
     results: dict[str, float] = {}
+    duck: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
         # Build the DataFrame once and re-execute it for the timed
@@ -57,7 +182,7 @@ def main() -> None:
         # once and runs it forever — per-run Python plan reconstruction
         # is driver overhead, not query cost. Each .save() is still a
         # full optimize+execute cycle over the data.
-        df = fn(spark, SF_DIR)
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm caches
         times = []
         for _ in range(N_RUNS):
@@ -66,22 +191,36 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
 
+        if con is not None and REGISTRY[name].oracle:
+            sql = REGISTRY[name].oracle
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __bench AS {sql}")
+            dtimes = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                con.execute(f"CREATE OR REPLACE TEMP TABLE __bench AS {sql}")
+                dtimes.append(time.perf_counter() - t0)
+            duck[name] = round(statistics.median(dtimes), 4)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "suite_median_wall_sec_total",
-                "value": round(sum(results.values()), 4),
-                "unit": "sec",
-                "queries": results,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_median_wall_sec_total",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_val,
+    }
+    if SCALE > 1:
+        out["scale"] = SCALE
+    if duck:
+        out["duckdb"] = duck
+        out["ratio"] = {
+            n: round(results[n] / duck[n], 2) for n in duck if duck[n] > 0
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -19,6 +19,16 @@ from .registry import register
 
 def _finalized(spark: SparkSession, sf: str, per: str, start: str, end: str) -> DataFrame:
     e = load(spark, sf, "events")
+    # `within` pushdown — the partition-pruning analog: in production
+    # the cascade tables are materialized parquet partitioned by date
+    # and the within range prunes partitions; recomputing from raw (as
+    # this query does), the same range prunes the raw scan instead.
+    # Sound because both endpoints are aligned to the base granularity
+    # (hour), so no in-range bucket loses events.
+    e = e.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
+    )
     cascade = I.rollup_cascade(
         e, "ts", "value", keys=("event_type",), granularities=("hour", "day", "month")
     )
