@@ -79,6 +79,121 @@ def _apply_window_groupby(
     return df, extra
 
 
+def _run_extension_window(
+    df: DataFrame, q: QueryDef, win, ts_col: str, id_col: str
+) -> DataFrame:
+    """Front-end routing for the extension window family added in r2:
+    `#window.cron('expr')`, `#window.expression('sum(x) <= N')` /
+    `expressionBatch`, `#window.batch()`, `#unique:first/last/ever/
+    timeBatch/deduplicate(...)`, `#extrema:minByLength/maxByLength/
+    topK/bottomK(...)` — thin dispatch onto ``..operators.windows``
+    (each operator is oracle-checked by its own suite entry)."""
+    from ..operators import windows as OW
+
+    kind = win.kind
+    keys = [q.partition_key] if q.partition_key else (q.group_by or [])
+
+    def _aggs() -> list:
+        return [
+            F.expr(it.expr).alias(_auto_alias(it, i))
+            for i, it in enumerate(q.select)
+            if _AGG_RE.search(it.expr)
+        ]
+
+    def _project(out: DataFrame) -> DataFrame:
+        if not q.select:
+            return out
+        return out.select(
+            *[
+                F.expr(it.expr).alias(_auto_alias(it, i))
+                for i, it in enumerate(q.select)
+            ]
+        )
+
+    if kind == "cron":
+        return OW.cron_window(
+            df, ts_col, win.args[0].strip("'\" "), keys=keys, aggs=_aggs()
+        )
+    if kind == "batch":
+        return OW.batch_chunks(df, keys=keys, aggs=_aggs())
+    if kind in ("expression", "expressionBatch"):
+        retain = win.args[0].strip("'\" ")
+        m = re.match(r"sum\((\w+)\)\s*<=\s*([\d.]+)\s*$", retain)
+        if not m:
+            raise ValueError(
+                "expression windows support the canonical retain form "
+                f"sum(col) <= limit, got {retain!r}"
+            )
+        col, limit = m.group(1), float(m.group(2))
+        if not keys:
+            raise ValueError(f"{kind} window needs `group by` keys in batch mode")
+        order = [ts_col, id_col]
+        if kind == "expressionBatch":
+            out = OW.expression_batch(
+                df, keys=keys, order=order, budget_col=col, limit=limit
+            )
+            return _project(out)
+        # sliding: cent-scale the budget so the suffix test is exact
+        aggs = {}
+        for i, it in enumerate(q.select):
+            if _AGG_RE.search(it.expr):
+                expr = it.expr
+                for c in df.columns:
+                    expr = re.sub(rf"\b{c}\b", f"{c}_w", expr)
+                aggs[_auto_alias(it, i)] = F.expr(expr)
+        return OW.expression_sliding(
+            df,
+            keys=keys,
+            order=order,
+            budget_col=F.round(F.col(col) * 100).cast("long"),
+            limit=int(round(limit * 100)),
+            aggs=aggs or {"win_n": F.count(F.lit(1))},
+        )
+    if kind.startswith("unique:"):
+        attr = win.args[0]
+        if kind == "unique:first":
+            out = OW.unique_last(
+                df, keys=[attr], order=[F.asc(ts_col), F.asc(id_col)]
+            )
+        elif kind in ("unique:last", "unique:ever"):
+            out = OW.unique_last(
+                df, keys=[attr], order=[F.desc(ts_col), F.desc(id_col)]
+            )
+        elif kind == "unique:timeBatch":
+            out = OW.unique_time_batch(
+                df, ts_col, _duration_str(win.args[1]), [attr], id_col
+            )
+        elif kind == "unique:deduplicate":
+            out = OW.unique_deduplicate(
+                df, ts_col, [attr], time_constant_seconds(win.args[1]), id_col
+            )
+        else:
+            raise ValueError(f"unsupported unique window {kind!r}")
+        return _project(out)
+    if kind in ("extrema:maxByLength", "extrema:minByLength"):
+        if not keys:
+            raise ValueError(f"{kind} needs `group by` keys in batch mode")
+        out = OW.extrema_by_length(
+            df,
+            int(win.args[1]),
+            keys=keys,
+            order=[ts_col, id_col],
+            attr=F.col(win.args[0]),
+            id_col=id_col,
+            mode="max" if kind.endswith("maxByLength") else "min",
+        )
+        return _project(out)
+    if kind in ("extrema:topK", "extrema:bottomK"):
+        return OW.topk_items(
+            df,
+            int(win.args[1]),
+            keys=keys,
+            item_cols=[win.args[0]],
+            bottom=kind.endswith("bottomK"),
+        )
+    raise ValueError(f"unsupported extension window {kind!r}")
+
+
 def _run_single(
     df: DataFrame, q: QueryDef, inp: SingleInput, ts_col: str, id_col: str
 ) -> DataFrame:
@@ -86,6 +201,12 @@ def _run_single(
         df = df.filter(F.expr(inp.filter_expr))
     win = inp.window
     has_agg = any(_AGG_RE.search(it.expr) for it in q.select)
+
+    if win and (
+        ":" in win.kind
+        or win.kind in ("cron", "expression", "expressionBatch", "batch")
+    ):
+        return _run_extension_window(df, q, win, ts_col, id_col)
 
     ev_type = getattr(q, "event_type", "current")
     if ev_type in ("expired", "all"):

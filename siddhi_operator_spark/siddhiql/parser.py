@@ -299,7 +299,11 @@ def _parse_single_input(text: str) -> SingleInput:
         filt = rest[1:i]
         rest = rest[i + 1 :].strip()
     window = None
-    wm = re.match(r"#\s*window\s*\.\s*(\w+)\s*\((.*)\)\s*$", rest, re.S)
+    # `#window.kind(args)` or a namespaced stream processor used as a
+    # window (`#unique:deduplicate(...)`, `#extrema:maxByLength(...)`)
+    wm = re.match(
+        r"#\s*(?:window\s*\.\s*)?([\w]+(?::\w+)?)\s*\((.*)\)\s*$", rest, re.S
+    )
     if wm:
         kind = wm.group(1)
         args = [a.strip() for a in wm.group(2).split(",")] if wm.group(2).strip() else []

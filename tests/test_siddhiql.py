@@ -581,3 +581,79 @@ def test_insert_expired_and_all_events(spark, events_df):
     rows = [(r.etype, r.event_id) for r in out2.collect()]
     assert sum(1 for t, _ in rows if t == "current") == 10
     assert sum(1 for t, _ in rows if t == "expired") == 6
+
+
+def test_extension_windows_through_front_end(spark, events_df):
+    """r2 window family reachable from the language: unique:deduplicate,
+    unique:timeBatch, extrema:maxByLength, extrema:topK, batch(),
+    cron(), expression()."""
+    from siddhi_operator_spark.siddhiql import run_app
+
+    decl = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    """
+
+    # unique:deduplicate — suppress events within 60s of prior same-user
+    out = run_app(
+        decl + "from E#unique:deduplicate(user_id, 1 min) "
+        "select event_id, user_id insert into D;",
+        {"E": events_df}, spark=spark,
+    )["D"]
+    got = sorted(r.event_id for r in out.collect())
+    # user1: 1 kept, 2/3 within 60s dropped; 7 kept, 8/9 dropped;
+    # user2: 4 kept, 5 (9:48 later) kept, 6 kept, 10 kept
+    assert got == [1, 4, 5, 6, 7, 10]
+
+    # unique:timeBatch — latest per user per hour bucket
+    out = run_app(
+        decl + "from E#unique:timeBatch(user_id, 1 hour) "
+        "select event_id, user_id insert into U;",
+        {"E": events_df}, spark=spark,
+    )["U"]
+    # user1 hour00→3, hour01→9; user2 hour00→6 (4,5 older), hour02→10
+    assert sorted(r.event_id for r in out.collect()) == [3, 6, 9, 10]
+
+    # extrema:maxByLength — best value among last 2 per user
+    out = run_app(
+        decl + "from E#extrema:maxByLength(value, 2) "
+        "select event_id, max_by_id group by user_id insert into M;",
+        {"E": events_df}, spark=spark,
+    )["M"]
+    m = {r.event_id: r.max_by_id for r in out.collect()}
+    assert m[3] == 3 and m[9] == 9 and m[2] == 1  # 100>5, 9>8, 10>5
+
+    # extrema:topK — most frequent event_type per user
+    out = run_app(
+        decl + "from E#extrema:topK(event_type, 1) "
+        "select event_type, freq, rank group by user_id insert into T;",
+        {"E": events_df}, spark=spark,
+    )["T"]
+    rows = sorted((r.event_type, r.freq) for r in out.collect())
+    # user1: 4 clicks; user2: all types tie at 1, 'click' wins the
+    # alphabetical tiebreak
+    assert rows == [("click", 1), ("click", 4)]
+
+    # batch() — whole-chunk aggregation
+    out = run_app(
+        decl + "from E#window.batch() select count() as n, sum(value) as s "
+        "group by event_type insert into B;",
+        {"E": events_df}, spark=spark,
+    )["B"]
+    assert sum(r.n for r in out.collect()) == 10
+
+    # cron — hourly fires at :30
+    out = run_app(
+        decl + "from E#window.cron('0 30 * * * ?') select count() as n "
+        "group by event_type insert into C;",
+        {"E": events_df}, spark=spark,
+    )["C"]
+    assert sum(r.n for r in out.collect()) == 10
+
+    # expression sliding — per-user budget window
+    out = run_app(
+        decl + "from E#window.expression('sum(value) <= 15') "
+        "select count() as win_n group by user_id insert into X;",
+        {"E": events_df}, spark=spark,
+    )["X"]
+    assert out.count() > 0
