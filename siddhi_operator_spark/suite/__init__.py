@@ -23,6 +23,7 @@ from . import streaming_suite  # noqa: E402,F401
 from . import siddhiql_suite  # noqa: E402,F401
 from . import collections  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import cdc  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation.  The per-round correctness gate records only the

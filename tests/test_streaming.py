@@ -389,3 +389,27 @@ def test_front_end_count_pattern_streaming(spark, events_df):
     )
     # user1 clicks 7,8 complete the <2:2>, click 9 binds f
     assert rows == [("1", 7, 8, 9)]
+
+
+def test_table_change_feed_with_deletes(spark, tmp_path):
+    """CDC analog over the versioned keyed table: inserts, update
+    pre/post images, and deletes across commits."""
+    from siddhi_operator_spark.streaming.sinks import ParquetUpsertTable
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), keys=["k"])
+    v0 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k long, v string, o int")
+    t.upsert_batch(v0, 0, order_col="o")
+    # v1: update k=1, insert k=3; simulate a delete of k=2 by writing
+    # the snapshot directly (upserts never delete)
+    v1 = spark.createDataFrame([(1, "a2", 2), (3, "c", 2)], "k long, v string, o int")
+    v1.write.mode("overwrite").parquet(str(tmp_path / "t" / "v=1"))
+    feed = t.changes(0, 1)
+    got = sorted(
+        (r.k, r.v, r._change_type, r._commit_version) for r in feed.collect()
+    )
+    assert got == [
+        (1, "a", "update_preimage", 1),
+        (1, "a2", "update_postimage", 1),
+        (2, "b", "delete", 1),
+        (3, "c", "insert", 1),
+    ]
