@@ -194,6 +194,34 @@ def _run_extension_window(
     raise ValueError(f"unsupported extension window {kind!r}")
 
 
+def playback_config(model: AppModel) -> dict[str, float] | None:
+    """`@app:playback[(idle.time='…', increment='…')]`
+    (`[core] util/SiddhiAppRuntimeBuilder` playback mode; SURVEY §2.1
+    Event row): the reference switches its runtime clock from wall
+    time to event timestamps. THIS engine is event-time-native — batch
+    mode orders and windows by the event-time column always, and
+    streaming mode drives all stateful operators off `withWatermark`
+    on event time — so playback is the default execution model, not a
+    mode. The annotation is accepted and surfaced here so apps port
+    verbatim; `idle.time`/`increment` (advance the clock when sources
+    idle) correspond to watermark progression on new batches and have
+    no separate knob.
+
+    Returns {} (playback on, no options), the parsed options, or None
+    when the annotation is absent."""
+    for raw in model.annotations:
+        from ..sources import parse_annotation
+
+        ann = parse_annotation(raw)
+        if ann.name.lower() in ("app:playback", "playback"):
+            out: dict[str, float] = {}
+            for k in ("idle.time", "increment"):
+                if k in ann.options:
+                    out[k] = time_constant_seconds(ann.options[k])
+            return out
+    return None
+
+
 def _run_single(
     df: DataFrame, q: QueryDef, inp: SingleInput, ts_col: str, id_col: str
 ) -> DataFrame:

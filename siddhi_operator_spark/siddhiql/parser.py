@@ -34,7 +34,9 @@ from .model import (
 _TIME_UNITS = {
     "millisecond": 0.001,
     "milliseconds": 0.001,
+    "millisec": 0.001,
     "msec": 0.001,
+    "ms": 0.001,
     "sec": 1,
     "second": 1,
     "seconds": 1,
@@ -847,6 +849,13 @@ def parse_app(text: str) -> AppModel:
     app = AppModel()
     for stmt in _split_statements(text):
         body, anns = _strip_annotations(stmt)
+        # `@app:*` / `@App:*` annotations are app-scoped regardless of
+        # what statement follows them (name, description, playback,
+        # statistics)
+        app_level = [a for a in anns if re.match(r"@app\s*:", a, re.I)]
+        if app_level:
+            app.annotations.extend(app_level)
+            anns = [a for a in anns if a not in app_level]
         if not body:
             app.annotations.extend(anns)
             continue

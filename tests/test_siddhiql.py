@@ -657,3 +657,24 @@ def test_extension_windows_through_front_end(spark, events_df):
         {"E": events_df}, spark=spark,
     )["X"]
     assert out.count() > 0
+
+
+def test_app_playback_annotation(spark, events_df):
+    """`@app:playback` parses and surfaces; the engine is event-time
+    native so the app's results are identical with or without it."""
+    from siddhi_operator_spark.siddhiql import parse_app, run_app
+    from siddhi_operator_spark.siddhiql.builder import playback_config
+
+    decl = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    from E[value > 50] select event_id insert into Out;
+    """
+    app = "@app:playback(idle.time = '100 millisec', increment = '2 sec')\n" + decl
+    model = parse_app(app)
+    cfg = playback_config(model)
+    assert cfg == {"idle.time": 0.1, "increment": 2.0}
+    assert playback_config(parse_app(decl)) is None
+    a = sorted(r.event_id for r in run_app(app, {"E": events_df}, spark=spark)["Out"].collect())
+    b = sorted(r.event_id for r in run_app(decl, {"E": events_df}, spark=spark)["Out"].collect())
+    assert a == b == [3]
