@@ -408,6 +408,77 @@ def parse_kafka_value(raw: DataFrame, src: Ann, stream_def) -> DataFrame:
     return map_message_value(raw, src, stream_def)
 
 
+def kafka_sink_options(sink: Ann) -> dict[str, str]:
+    """`@sink(type='kafka', bootstrap.servers='…', topic='t')`
+    (`[ext:io-kafka] KafkaSink`) → Spark kafka writer options."""
+    opts: dict[str, str] = {}
+    servers = sink.options.get("bootstrap.servers") or sink.options.get(
+        "bootstrap.server.list"
+    )
+    if not servers:
+        raise ValueError("@sink(type='kafka') needs bootstrap.servers")
+    opts["kafka.bootstrap.servers"] = servers
+    topic = sink.options.get("topic") or sink.options.get("topic.list")
+    if not topic:
+        raise ValueError("@sink(type='kafka') needs topic")
+    opts["topic"] = topic.split(",")[0]
+    return opts
+
+
+def format_sink_value(df: DataFrame, sink_or_map: Ann, stream_def) -> DataFrame:
+    """SinkMapper dispatch for message transports: declared-schema rows
+    → one `value` column ready for `format("kafka")` (or any byte
+    sink). json/csv/keyvalue serialize in Catalyst (`to_json`,
+    `concat_ws`); avro/protobuf/binary use the wire codecs
+    (``encode_message_value``). Optionally adds a `key` column from
+    the `key` option (the kafka partitioning key — keep it the stream's
+    partition attribute so per-key ordering survives the transport)."""
+    mp = (
+        sink_or_map
+        if sink_or_map.name.lower() == "map"
+        else sink_or_map.child("map")
+    ) or Ann(name="map", options={"type": "json"})
+    fmt = mp.options.get("type", "json").lower()
+    names = [n for n, _t in stream_def.attributes]
+    key_attr = (
+        sink_or_map.options.get("key")
+        if sink_or_map.name.lower() != "map"
+        else None
+    )
+    value_expr = None
+    if fmt == "json":
+        value_expr = F.to_json(F.struct(*[F.col(n) for n in names]))
+    elif fmt == "csv":
+        sep = mp.options.get("delimiter", ",")
+        value_expr = F.concat_ws(sep, *[F.col(n).cast("string") for n in names])
+    elif fmt == "keyvalue":
+        pair_sep = mp.options.get("delimiter", ",")
+        kv_sep = mp.options.get("kv.separator", ":")
+        parts = [
+            F.concat(F.lit(n), F.lit(kv_sep), F.col(n).cast("string"))
+            for n in names
+        ]
+        value_expr = F.concat_ws(pair_sep, *parts)
+    elif fmt in ("avro", "protobuf", "binary"):
+        if key_attr:
+            raise ValueError(
+                "key= with a wire-codec sink mapper: route the key "
+                "through the codec payload, or use the JVM "
+                "to_avro/to_protobuf swap which composes with key "
+                "columns"
+            )
+        return encode_message_value(df, fmt, stream_def)
+    else:
+        raise ValueError(
+            f"unsupported sink @map type {fmt!r} "
+            "(json|csv|keyvalue|avro|protobuf|binary)"
+        )
+    cols = [value_expr.alias("value")]
+    if key_attr:
+        cols.insert(0, F.col(key_attr).cast("string").alias("key"))
+    return df.select(*cols)
+
+
 def stream_http_source(spark: SparkSession, stream_def) -> DataFrame | None:
     """`@source(type='http', receiver.url='http://host:port/path',
     @map(type='json'))` (`[ext:io-http] HttpSource`) — the operator's

@@ -163,3 +163,41 @@ def test_file_source_pushdown_through_front_end(spark, tmp_path):
     plan = _fmt(run_app(app, spark=spark)["Out"])
     assert "PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)" in plan
     assert "ReadSchema: struct<event_id:bigint,value:double>" in plan
+
+
+def test_cron_window_broadcasts_schedule(spark):
+    """The cron emission-interval table is tiny by construction — it
+    must broadcast onto the events, never shuffle or cartesian them."""
+    plan = _fmt(REGISTRY["window_cron"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # exactly one exchange: the keyed aggregation itself
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange hashpartitioning") <= 1
+
+
+def test_expression_window_join_is_keyed(spark):
+    """The sliding retain-while window's self-join must be an equi-join
+    on the partition key (broadcast or sort-merge) — never a cartesian
+    scan of the key's history."""
+    plan = _fmt(REGISTRY["window_expression"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_diff_is_keyed_join(spark):
+    """Each CDC version pair diffs via ONE keyed full-outer join."""
+    from siddhi_operator_spark.streaming.sinks import ParquetUpsertTable
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cdc_plan_")
+    t = ParquetUpsertTable(spark, d, keys=["k"])
+    v = spark.createDataFrame([(1, "a", 1)], "k long, v string, o int")
+    t.upsert_batch(v, 0, order_col="o")
+    t.upsert_batch(
+        spark.createDataFrame([(1, "b", 2)], "k long, v string, o int"),
+        1,
+        order_col="o",
+    )
+    plan = _fmt(t.changes(0, 1))
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan

@@ -613,3 +613,48 @@ def test_http_source_power_surge_end_to_end(spark):
     finally:
         q.stop()
         server.close()
+
+
+def test_kafka_sink_options_and_value_serde(spark):
+    """Sink-side kafka mapping: options + per-format value serde, with
+    the source mapper as the round-trip check."""
+    from siddhi_operator_spark.siddhiql import parse_app
+    from siddhi_operator_spark.sources import (
+        format_sink_value,
+        kafka_sink_options,
+        map_message_value,
+    )
+
+    sink = parse_annotation(
+        "@sink(type='kafka', bootstrap.servers='h1:9092', topic='out', "
+        "key='sym', @map(type='json'))"
+    )
+    assert kafka_sink_options(sink) == {
+        "kafka.bootstrap.servers": "h1:9092",
+        "topic": "out",
+    }
+    with pytest.raises(ValueError, match="bootstrap.servers"):
+        kafka_sink_options(parse_annotation("@sink(type='kafka', topic='t')"))
+
+    model = parse_app("define stream T (sym string, price double, vol long);")
+    sdef = model.streams["T"]
+    df = spark.createDataFrame(
+        [("A", 1.5, 3), ("B", 2.25, 9)], "sym string, price double, vol long"
+    )
+    # json with partition key
+    wire = format_sink_value(df, sink, sdef)
+    assert wire.columns == ["key", "value"]
+    back = map_message_value(
+        wire, parse_annotation("@map(type='json')"), sdef
+    )
+    assert sorted(tuple(r) for r in back.collect()) == [
+        ("A", 1.5, 3), ("B", 2.25, 9)
+    ]
+    # every wire format round-trips through its own source mapper
+    for fmt in ("csv", "keyvalue", "avro", "protobuf", "binary"):
+        mp = parse_annotation(f"@map(type='{fmt}')")
+        wire = format_sink_value(df, mp, sdef)
+        back = map_message_value(wire, mp, sdef)
+        assert sorted(tuple(r) for r in back.collect()) == [
+            ("A", 1.5, 3), ("B", 2.25, 9)
+        ], fmt
