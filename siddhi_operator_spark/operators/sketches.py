@@ -109,3 +109,41 @@ def hll_distinct_with_bound(
             <= tolerance * F.countDistinct(col)
         ).alias("within_bound"),
     )
+
+
+def approx_percentile_with_bound(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    percentile: float = 0.95,
+    accuracy: int = 1000,
+    rank_tolerance: float = 0.02,
+) -> DataFrame:
+    """`approximate:percentile(value, p)` (`[ext:approximate]`
+    percentile over a quantile sketch) with the accuracy contract made
+    checkable, same pattern as ``hll_distinct_with_bound``: the sketch
+    estimate is engine-specific, so the hash-checked output is the
+    EXACT percentile plus a flag that the approx value's true rank sits
+    within ±rank_tolerance of the requested percentile (the
+    KLL/GK-sketch guarantee; `percentile_approx` at accuracy=1000
+    bounds rank error at 1/1000).
+
+    Scale: both aggregates are partial-merge aggregations (sketch
+    merge map-side); the rank check is one extra keyed agg over a
+    broadcast of the tiny estimate table."""
+    est = df.groupBy(*keys).agg(
+        F.percentile_approx(col, percentile, accuracy).alias("approx_p"),
+        F.expr(f"percentile({col}, {percentile})").alias("exact_p"),
+    )
+    joined = df.join(F.broadcast(est), on=list(keys))
+    return joined.groupBy(*keys).agg(
+        F.first("approx_p").alias("approx_p"),
+        F.first("exact_p").alias("exact_p"),
+        (
+            F.abs(
+                F.avg((F.col(col) <= F.col("approx_p")).cast("double"))
+                - F.lit(percentile)
+            )
+            <= F.lit(rank_tolerance) + F.lit(1.0) / F.count(F.lit(1))
+        ).alias("within_bound"),
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..fpround import r4
 from ..operators import sketches as SK
 from .registry import register
 
@@ -93,4 +94,32 @@ def sketch_count_min(spark: SparkSession, sf: str) -> DataFrame:
             "exact_cnt",
             (F.col("cms_estimate") >= F.col("exact_cnt")).alias("overcount_ok"),
         )
+    )
+
+
+@register(
+    "approx_percentile_bound",
+    oracle="""
+    SELECT event_type,
+           round(1e-9 + quantile_cont(value, 0.95), 4) AS exact_p,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("sketch", "approximate", "percentile"),
+)
+def approx_percentile_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """`approximate:percentile(value, 0.95)` per event_type: the
+    hash-checked columns are the exact continuous percentile and the
+    rank-error contract flag; the sketch estimate itself is
+    engine-specific and excluded (same discipline as
+    approx_distinct_bound)."""
+    e = load(spark, sf, "events")
+    out = SK.approx_percentile_with_bound(
+        e, keys=["event_type"], col="value", percentile=0.95, accuracy=1000
+    )
+    return out.select(
+        "event_type",
+        r4(F.col("exact_p"), 4).alias("exact_p"),
+        "within_bound",
     )
