@@ -379,9 +379,19 @@ def extrema_by_length(
     event, the event holding the extreme attr among the last n arrivals
     per key. ROWS frame + fixed-width (attr|id) ordering key — the same
     arg-extreme encoding the aggregation suite uses for oracle parity
-    (attr must be non-negative; ids pad to 10 digits)."""
+    (attr must be in [0, 1e12) — enforced with raise_error so an
+    overflow fails loudly instead of silently mis-ranking; ids pad to
+    10 digits)."""
     w = _keyed_window(keys, order).rowsBetween(-(n - 1), 0)
-    packed = F.format_string("%012.4f|%010d", attr, F.col(id_col))
+    packed = F.when(
+        (attr < 0) | (attr >= 1e12),
+        F.raise_error(
+            F.format_string(
+                "extrema_by_length attr out of encodable range [0, 1e12): %s",
+                attr.cast("string"),
+            )
+        ),
+    ).otherwise(F.format_string("%017.4f|%010d", attr, F.col(id_col)))
     ext = (F.max if mode == "max" else F.min)(packed).over(w)
     return df.withColumn(
         f"{mode}_by_id", F.split(ext, "\\|")[1].cast("long")

@@ -251,6 +251,40 @@ def embedding_neardup_pairs(
     return pairs.select("id_a", "id_b", r4("cos", 4).alias("cos"))
 
 
+def simhash64_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Portable 64-bit SimHash: per distinct token, the first 16 hex
+    digits of md5(token) supply 64 bits; each bit votes ±1 and the
+    sign of the vote sum becomes that bit of the document hash.
+    Emitted as a 64-char '0'/'1' string (bit 0 first) so the value is
+    engine-portable — no int64 shift/overflow semantics to match.
+    All bit math is Catalyst expressions (conv/shiftright); one
+    explode + one keyed agg, so it scales like exact dedup.
+    The xxhash64 tier (``simhash64``) stays as the fast JVM path."""
+    toks = with_tokens(df, text_col).select(
+        "doc_id", F.explode(F.array_distinct(F.col("tokens"))).alias("_tok")
+    )
+    h = F.md5(F.col("_tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(
+                        F.conv(F.substring(h, i // 4 + 1, 1), 16, 10).cast("int"),
+                        i % 4,
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    bits = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(64)]
+    )
+    return votes.select("doc_id", bits.alias("simhash_bits"))
+
+
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens using xxhash64 (JVM-side): per bit,
     sum of ±1 votes weighted by token presence; sign → bit. Not

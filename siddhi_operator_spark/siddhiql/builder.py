@@ -1245,8 +1245,14 @@ def _run_pattern_streaming(
                 steps.append(
                     (st.op, st.a.predicate or "true", st.b.predicate or "true")
                 )
-                stem_by_alias[st.a.alias or f"e{i}a"] = f"e{i}a"
-                stem_by_alias[st.b.alias or f"e{i}b"] = f"e{i}b"
+                if st.op == "and":
+                    stem_by_alias[st.a.alias or f"e{i}a"] = f"e{i}a"
+                    stem_by_alias[st.b.alias or f"e{i}b"] = f"e{i}b"
+                else:
+                    # or-steps bind ONE event — pattern_nfa emits a
+                    # single e{i} stem, so both aliases map to it
+                    stem_by_alias[st.a.alias or f"e{i}"] = f"e{i}"
+                    stem_by_alias[st.b.alias or f"e{i}"] = f"e{i}"
             else:
                 if st.negated:
                     raise ValueError(
@@ -1278,7 +1284,7 @@ def _run_pattern_streaming(
         expr = it.expr
         # count-step element access e[0].x / e[last].x → first/last stems
         expr = re.sub(
-            r"\b(\w+)\s*\[\s*(0|last)\s*\]\s*\.\s*(\w+)",
+            r"\b([A-Za-z_]\w*)\s*\[\s*(0|last)\s*\]\s*\.\s*([A-Za-z_]\w*)",
             lambda m: f"{stem_by_alias.get(m.group(1), m.group(1))}"
             f"_{'first' if m.group(2) == '0' else 'last'}.{m.group(3)}",
             expr,
@@ -1296,7 +1302,8 @@ def _run_pattern_streaming(
                 f"{ts_col} of a step (got {m.group(0)}); join other "
                 "attributes back on the ids"
             )
-        expr = re.sub(r"\b(\w+)\.(\w+)", _ref, expr)
+        # identifier-anchored: a decimal literal like 1.5 must NOT match
+        expr = re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)", _ref, expr)
         sel.append(F.expr(expr).alias(_auto_alias(it, i)))
     return out.select("key", *sel)
 

@@ -308,13 +308,44 @@ def _parse_single_input(text: str) -> SingleInput:
     )
     if wm:
         kind = wm.group(1)
-        args = [a.strip() for a in wm.group(2).split(",")] if wm.group(2).strip() else []
+        args = _split_window_args(wm.group(2))
         window = WindowSpec(kind=kind, args=args)
     return SingleInput(
         stream=stream,
         filter_expr=translate_expr(filt) if filt else None,
         window=window,
     )
+
+
+def _split_window_args(argstr: str) -> list[str]:
+    """Split window args on top-level commas only — commas inside
+    quoted strings (Quartz lists: `#window.cron('0 0,30 * * * ?')`) or
+    nested parens must not split."""
+    argstr = argstr.strip()
+    if not argstr:
+        return []
+    args, buf, depth, quote = [], [], 0, None
+    for ch in argstr:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    args.append("".join(buf).strip())
+    return args
 
 
 def _has_sequence_commas(text: str) -> bool:
@@ -438,6 +469,22 @@ def _parse_pattern(text: str, strict: bool) -> PatternInput:
     n_atoms = 0
     for p in parts:
         p = p.strip()
+        # strip a fully-enclosing paren pair (grammar allows
+        # `(e1=S[c] or e2=S[c2])` as one step)
+        while p.startswith("(") and p.endswith(")"):
+            depth = 0
+            closes_at_end = True
+            for j, ch in enumerate(p):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and j < len(p) - 1:
+                        closes_at_end = False
+                        break
+            if not closes_at_end:
+                break
+            p = p[1:-1].strip()
         # logical step: top-level `and`/`or` inside one arrow-part
         # (`LogicalPreStateProcessor.java`; absence variant when one
         # side is `not S[c]`)

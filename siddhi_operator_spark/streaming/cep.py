@@ -251,12 +251,20 @@ def pattern_nfa(
                     return not complete_or_advance(p)
                 return True
             # no count match: with >= m collected, the next step's
-            # predicate may take over with THIS event
+            # predicate may take over with THIS event — but ONLY if it
+            # actually fires on it.  A non-matching interloper must not
+            # close the count group (the reference's
+            # CountPreStateProcessor keeps collecting up to n while the
+            # next state is concurrently active): over
+            # click, view, click, purchase with <1:3> clicks, e1_last
+            # must be click#2, not click#1.
             if p.aux >= m and p.step + 1 < n_steps:
-                p.step += 1
-                p.aux = 0
-                p.groups.append([])
-                return feed(p, ev_id, ev_us, fl)
+                nxt = steps[p.step + 1]
+                if any(fl[(p.step + 1, b)] for b in range(len(nxt["preds"]))):
+                    p.step += 1
+                    p.aux = 0
+                    p.groups.append([])
+                    return feed(p, ev_id, ev_us, fl)
             return not strict
 
         for pdf in pdfs:

@@ -254,8 +254,8 @@ def agg_group_concat(spark: SparkSession, sf: str) -> DataFrame:
     "agg_extrema_min_max_by",
     oracle="""
     SELECT event_type,
-           arg_min(event_id, printf('%012.4f|%010d', value, event_id)) AS min_event,
-           arg_max(event_id, printf('%012.4f|%010d', value, event_id)) AS max_event
+           arg_min(event_id, printf('%017.4f|%010d', value, event_id)) AS min_event,
+           arg_max(event_id, printf('%017.4f|%010d', value, event_id)) AS max_event
     FROM events
     GROUP BY event_type
     """,
@@ -267,7 +267,7 @@ def agg_extrema_min_max_by(spark: SparkSession, sf: str) -> DataFrame:
     aggregates. Ties broken deterministically via a fixed-width
     (value, id) ordering key, identical on both oracle sides."""
     e = load(spark, sf, "events")
-    key = F.format_string("%012.4f|%010d", F.col("value"), F.col("event_id"))
+    key = F.format_string("%017.4f|%010d", F.col("value"), F.col("event_id"))
     return e.groupBy("event_type").agg(
         F.min_by("event_id", key).alias("min_event"),
         F.max_by("event_id", key).alias("max_event"),

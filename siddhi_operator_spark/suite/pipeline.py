@@ -126,11 +126,43 @@ def neardup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return D.token_jaccard_pairs(load(spark, sf, "documents"), min_jaccard=0.5)
 
 
-@register("dedup_simhash", oracle=None, tags=("pipeline", "dedup", "simhash"))
+# ---- programmatically build the portable-simhash oracle (same md5 bit
+# derivation as pipeline.dedup.simhash64_md5: bit i of a token = bit
+# (i % 4) of hex digit (i // 4) of md5(token)) ------------------------
+
+_SIMHASH_VOTES = ",\n           ".join(
+    f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hh, {i // 4 + 1}, 1)) - 1)"
+    f" >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(64)
+)
+_SIMHASH_BITS = " || ".join(
+    f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+)
+
+SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, md5(tok) AS hh FROM toks
+    ), votes AS (
+      SELECT doc_id,
+           {_SIMHASH_VOTES}
+      FROM h GROUP BY 1
+    )
+    SELECT doc_id, {_SIMHASH_BITS} AS simhash_bits
+    FROM votes
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_ORACLE, tags=("pipeline", "dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash per document (xxhash64-based — JVM-only, so
-    rows-only check; determinism is covered by tests/test_pipeline.py)."""
-    return D.simhash64(load(spark, sf, "documents"))
+    """Portable 64-bit SimHash per document (md5 bit derivation — the
+    oracle runs the byte-identical computation in SQL, closing round
+    2's permanently-evidence-free "no_oracle" row). The xxhash64 fast
+    tier remains as pipeline.dedup.simhash64, covered by
+    tests/test_pipeline.py."""
+    return D.simhash64_md5(load(spark, sf, "documents"))
 
 
 @register(
@@ -308,9 +340,19 @@ def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched stub feature extraction over binary payloads
     (mapInPandas) — rows-only check; exact values covered by
-    tests/test_pipeline.py."""
+    tests/test_pipeline.py.
+
+    The ``array<double>`` features column is projected through
+    ``to_json`` so the driver's row canonicalizer (which sorts/hashes
+    scalar values) never sees an unhashable list."""
     media = M.to_media(load(spark, sf, "documents"))
-    return M.extract_features(media, fake=True)
+    feats = M.extract_features(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        F.to_json("features").alias("features_json"),
+    )
 
 
 @register(

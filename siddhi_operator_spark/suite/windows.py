@@ -466,7 +466,7 @@ def window_unique_first(spark: SparkSession, sf: str) -> DataFrame:
     "window_extrema_by_time",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           arg_max(event_id, printf('%012.4f|%010d', value, event_id)) AS max_event,
+           arg_max(event_id, printf('%017.4f|%010d', value, event_id)) AS max_event,
            round(1e-9 + max(value), 4) AS max_value
     FROM events
     GROUP BY 1, 2
@@ -478,7 +478,7 @@ def window_extrema_by_time(spark: SparkSession, sf: str) -> DataFrame:
     holding the max value within each tumbling time window — min_by/
     max_by composed with the native window bucket, one keyed agg."""
     e = load(spark, sf, "events")
-    key = F.format_string("%012.4f|%010d", F.col("value"), F.col("event_id"))
+    key = F.format_string("%017.4f|%010d", F.col("value"), F.col("event_id"))
     out = e.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(
@@ -625,7 +625,7 @@ def window_unique_dedup(spark: SparkSession, sf: str) -> DataFrame:
            CAST(split_part(pk, '|', 1) AS DOUBLE) AS max_by_val
     FROM (
       SELECT user_id, event_id, ts,
-             max(printf('%012.4f|%010d', value, event_id)) OVER (
+             max(printf('%017.4f|%010d', value, event_id)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS pk
       FROM events

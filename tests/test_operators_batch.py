@@ -255,3 +255,30 @@ def test_time_current_time_format(spark):
 
     row = spark.range(1).select(REGISTRY["time:currentTime"]().alias("t")).first()
     assert _re.fullmatch(r"\d{2}:\d{2}:\d{2}", row.t)
+
+
+def test_extrema_by_length_overflow_fails_loudly(spark):
+    """Values outside the fixed-width encodable range [0, 1e12) must
+    raise, not silently mis-rank (round-2 advice: 1e8 used to overflow
+    the 12-char field and lexicographic max picked the wrong event)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from siddhi_operator_spark.operators import windows as W
+
+    big = spark.createDataFrame(
+        [(1, 1, 99999999.9999), (2, 1, 100000000.0)],
+        "event_id long, user_id long, value double",
+    )
+    ok = W.extrema_by_length(
+        big, 2, ["user_id"], ["event_id"], F.col("value"), "event_id", "max"
+    )
+    # in-range values now encode correctly: the true max wins
+    assert ok.orderBy("event_id").collect()[-1].max_by_id == 2
+    bad = spark.createDataFrame(
+        [(1, 1, 1e12)], "event_id long, user_id long, value double"
+    )
+    out = W.extrema_by_length(
+        bad, 2, ["user_id"], ["event_id"], F.col("value"), "event_id", "max"
+    )
+    with _pytest.raises(Exception, match="encodable range"):
+        out.collect()

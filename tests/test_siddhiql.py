@@ -678,3 +678,17 @@ def test_app_playback_annotation(spark, events_df):
     a = sorted(r.event_id for r in run_app(app, {"E": events_df}, spark=spark)["Out"].collect())
     b = sorted(r.event_id for r in run_app(decl, {"E": events_df}, spark=spark)["Out"].collect())
     assert a == b == [3]
+
+
+def test_window_args_quote_aware_split():
+    """Quartz comma lists inside quoted cron expressions must survive
+    the window-arg split (round-2 advice: a bare split broke
+    `cron('0 0,30 * * * ?')` into two args)."""
+    from siddhi_operator_spark.siddhiql.parser import _parse_single_input
+
+    inp = _parse_single_input("E#window.cron('0 0,30 * * * ?')")
+    assert inp.window.kind == "cron"
+    assert inp.window.args == ["'0 0,30 * * * ?'"]
+    # top-level commas still split; nested call parens do not
+    inp2 = _parse_single_input("E#window.expression('count() < 5', foo(a, b))")
+    assert inp2.window.args == ["'count() < 5'", "foo(a, b)"]

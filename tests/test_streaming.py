@@ -413,3 +413,61 @@ def test_table_change_feed_with_deletes(spark, tmp_path):
         (2, "b", "delete", 1),
         (3, "c", "insert", 1),
     ]
+
+
+def test_streaming_cep_count_interloper_keeps_collecting(spark):
+    """A non-matching interloper inside an open count group must NOT
+    close the group (the reference's CountPreStateProcessor keeps
+    collecting up to n while the next state is active): over
+    click, view, click, purchase with <1:3> clicks -> purchase, the
+    last bound click is click#3, not click#1."""
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "click", 1.0),
+        (2, "2024-01-01 00:00:02", 1, "view", 1.0),
+        (3, "2024-01-01 00:00:03", 1, "click", 1.0),
+        (4, "2024-01-01 00:00:04", 1, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cep.pattern_nfa(
+        _stream_events(spark, df, n_splits=2),
+        key="user_id",
+        step_predicates=[
+            ("count", "event_type = 'click'", 1, 3),
+            "event_type = 'purchase'",
+        ],
+        every=False,
+    )
+    name = f"ci_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    got = sorted(
+        (r.key, r.e1_first_id, r.e1_last_id, r.e2_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert got == [("1", 1, 3, 4)]
+
+
+def test_front_end_or_pattern_streaming(spark, events_df):
+    """or-steps emit a single e{i} stem — both aliases must resolve to
+    it (round-2 advice: alias mapping used e{i}a/e{i}b and every
+    or-select failed with AnalysisException)."""
+    from siddhi_operator_spark.siddhiql import run_app_streaming
+
+    app = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    from every (e1=E[event_type == 'error'] or e2=E[event_type == 'purchase'])
+    select e1.event_id as hit_id, e1.event_id + 1.5 as shifted
+    insert into Alerts;
+    """
+    s = _stream_events(spark, events_df, n_splits=2)
+    outs = run_app_streaming(app, {"E": s})
+    name = f"orp_{uuid.uuid4().hex[:8]}"
+    _run(outs["Alerts"], name)
+    got = sorted(
+        (r.key, r.hit_id, r.shifted)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+    # purchases 3 (u1), 6 (u2) and error 10 (u2) each complete the or
+    assert got == [("1", 3, 4.5), ("2", 6, 7.5), ("2", 10, 11.5)]
