@@ -465,9 +465,29 @@ def _run_pattern(
         isinstance(st, LogicalStep) or st.negated for st in inp.steps
     ):
         return _run_pattern_special(df, q, inp, ts_col, id_col, key)
-    if any(st.max_count > 1 or st.min_count != 1 for st in inp.steps):
+    if any(_quant(st) for st in inp.steps):
         return _run_pattern_quantified(df, q, inp, ts_col, id_col, key)
     return _run_pattern_simple(df, q, inp, ts_col, id_col, key)
+
+
+# reps a batch plan unrolls an unbounded quantifier (`*`, `+`, `<m:>`)
+# to: lengths m..m+UNROLL_CAP are matched exactly; longer runs emit
+# their length-capped prefix (documented truncation — the streaming NFA
+# is the unbounded path, `within` its bound)
+UNROLL_CAP = 8
+
+
+def _quant(st: PatternStep) -> bool:
+    """Is the step count-quantified?  (`!=` not `>`: max_count is None
+    for unbounded.)"""
+    return st.min_count != 1 or st.max_count != 1
+
+
+def _max_reps(st: PatternStep) -> int:
+    """Effective unroll max for one step (unbounded → capped)."""
+    if st.max_count is None:
+        return min(st.min_count + UNROLL_CAP, 16)
+    return st.max_count
 
 
 def _alias_all(df: DataFrame, alias: str, key: str, key_alias: str = "__k") -> DataFrame:
@@ -594,7 +614,7 @@ def _run_pattern_special(
         pre_q = dataclasses.replace(q, select=[])
         partial = _run_pattern(df, pre_q, pre_inp, ts_col, id_col, key)
         prev = prefix[-1]
-        prev_quant = prev.max_count > 1 or prev.min_count != 1
+        prev_quant = _quant(prev)
         prev_ts = (
             f"{prev.alias}__last_{ts_col}" if prev_quant else f"{prev.alias}_{ts_col}"
         )
@@ -708,7 +728,7 @@ def _run_pattern_quantified(
         s = df
         if st.predicate:
             s = s.filter(F.expr(st.predicate))
-        quant = st.max_count > 1 or st.min_count != 1
+        quant = _quant(st)
         cols = list(base_cols)
         if inp.strict:
             cols.append("__seq")
@@ -717,14 +737,15 @@ def _run_pattern_quantified(
             cols.append("__fseq")
         prepared.append((st, s, cols, quant))
 
-    ranges = [range(st.min_count, st.max_count + 1) for st in inp.steps]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    ranges = [range(st.min_count, _max_reps(st) + 1) for st in inp.steps]
     n_variants = 1
     for r in ranges:
         n_variants *= len(r)
-    if n_variants > 32:
+    if n_variants > 64:
         raise ValueError(
             f"count quantifiers expand to {n_variants} plan variants "
-            "(> 32): narrow the <m:n> ranges"
+            "(> 64): narrow the <m:n> ranges"
         )
 
     def build_variant(lengths: tuple[int, ...]) -> DataFrame:
@@ -775,53 +796,67 @@ def _run_pattern_quantified(
                         .drop("_rn")
                     )
                 prev_pa = pa
-        # canonical schema shared by all variants
+        # canonical schema shared by all variants; zero-length steps
+        # (`?`/`*`/`<0:n>` skipped entirely) contribute typed NULLs
         out_cols = [F.col("__k")]
         for (st, _s, _cols, quant), length in zip(prepared, lengths):
             if quant:
-                for c in base_cols:
-                    out_cols.append(
-                        F.col(f"{st.alias}__0_{c}").alias(f"{st.alias}__first_{c}")
-                    )
-                for c in base_cols:
-                    out_cols.append(
-                        F.col(f"{st.alias}__{length - 1}_{c}").alias(
-                            f"{st.alias}__last_{c}"
+                for part, k2 in (("first", 0), ("last", length - 1)):
+                    for c in base_cols:
+                        out_cols.append(
+                            F.col(f"{st.alias}__{k2}_{c}").alias(
+                                f"{st.alias}__{part}_{c}"
+                            )
+                            if length
+                            else F.lit(None)
+                            .cast(dtypes[c])
+                            .alias(f"{st.alias}__{part}_{c}")
                         )
-                    )
                 out_cols.append(F.lit(length).alias(f"{st.alias}__count"))
             else:
                 for c in base_cols:
                     out_cols.append(F.col(f"{st.alias}_{c}"))
+        # match start = first BOUND event (not the first step, which a
+        # zero-min quantifier may skip) — the greedy-dedup partition key
+        start_pa = next(
+            (
+                (f"{st.alias}__0" if quant else st.alias)
+                for (st, _s, _c, quant), length in zip(prepared, lengths)
+                if length
+            ),
+        )
+        out_cols.append(F.col(f"{start_pa}_{id_col}").alias("__start_id"))
         prio = 0
         for length in lengths:  # leftmost-greedy dominance (base 17 > max 16)
             prio = prio * 17 + length
         out_cols.append(F.lit(prio).alias("__prio"))
         return partial.select(*out_cols)
 
-    variants = [build_variant(lengths) for lengths in product(*ranges)]
+    all_lengths = [ls for ls in product(*ranges) if any(ls)]  # ≥1 bound event
+    if not all_lengths:
+        raise ValueError("pattern needs at least one step with min count ≥ 1")
+    variants = [build_variant(lengths) for lengths in all_lengths]
     out = variants[0]
     for v in variants[1:]:
         out = out.unionByName(v)
 
-    st0, stn = inp.steps[0], inp.steps[-1]
-    first_id = (
-        f"{st0.alias}__first_{id_col}"
-        if (st0.max_count > 1 or st0.min_count != 1)
-        else f"{st0.alias}_{id_col}"
-    )
-    last_quant = stn.max_count > 1 or stn.min_count != 1
+    stn = inp.steps[-1]
+    last_quant = _quant(stn)
     last_ts = f"{stn.alias}__last_{ts_col}" if last_quant else f"{stn.alias}_{ts_col}"
     last_id = f"{stn.alias}__last_{id_col}" if last_quant else f"{stn.alias}_{id_col}"
     if last_quant:
-        order = [F.col("__prio").desc(), F.col(last_ts), F.col(last_id)]
+        order = [
+            F.col("__prio").desc(),
+            F.col(last_ts).asc_nulls_last(),
+            F.col(last_id).asc_nulls_last(),
+        ]
     else:
         order = [F.col(last_ts), F.col(last_id), F.col("__prio").desc()]
-    w = Window.partitionBy("__k", first_id).orderBy(*order)
+    w = Window.partitionBy("__k", "__start_id").orderBy(*order)
     out = (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "__prio")
+        .drop("_rn", "__prio", "__start_id")
     )
     return _rewrite_pattern_select(out, q)
 

@@ -45,10 +45,13 @@ class PatternStep:
     alias: str
     stream: str
     predicate: str | None
-    # count quantifier `<m:n>` (`CountPreStateProcessor.java`):
-    # min_count == max_count == 1 means unquantified
+    # count quantifier `<m:n>` (`CountPreStateProcessor.java`) and the
+    # regex sugar `*` = <0:>, `+` = <1:>, `?` = <0:1>:
+    # min_count == max_count == 1 means unquantified; max_count None is
+    # unbounded (batch unrolls to a documented cap, streaming collects
+    # greedily under `within`)
     min_count: int = 1
-    max_count: int = 1
+    max_count: int | None = 1
     # absence step `not S[c] for t` (`AbsentStreamPreStateProcessor.java`)
     negated: bool = False
     for_seconds: float | None = None

@@ -525,31 +525,34 @@ def _parse_pattern_atom(p: str, idx: int) -> PatternStep:
         )
     m = re.match(
         r"(?:(\w+)\s*=\s*)?(\w+)(?:\s*\[(.*)\])?"
-        r"(?:\s*<\s*(\d+)\s*(?::\s*(\d*))?\s*>)?\s*$",
+        r"(?:\s*<\s*(\d+)\s*(?::\s*(\d*))?\s*>|\s*([*+?]))?\s*$",
         p,
         re.S,
     )
     if not m:
         raise ValueError(f"bad pattern step: {p!r}")
     alias = m.group(1) or f"e{idx + 1}"
-    # count quantifier `<n>` (exact) / `<m:n>` (grammar
-    # `collection_stream`, runtime `CountPreStateProcessor.java`)
-    min_c = max_c = 1
-    if m.group(4) is not None:
+    # count quantifier `<n>` (exact) / `<m:n>` / unbounded `<m:>`, and
+    # the regex sugar `*` = <0:>, `+` = <1:>, `?` = <0:1> (grammar
+    # `collection_stream` sequence suffixes, runtime
+    # `CountPreStateProcessor.java`).  max None = unbounded: the batch
+    # plan unrolls it to a documented cap (builder UNROLL_CAP reps);
+    # the streaming NFA collects greedily with `within` as the bound.
+    min_c: int = 1
+    max_c: int | None = 1
+    if m.group(6) is not None:
+        min_c, max_c = {"*": (0, None), "+": (1, None), "?": (0, 1)}[m.group(6)]
+    elif m.group(4) is not None:
         min_c = int(m.group(4))
         if m.group(5) is None:
             max_c = min_c
         elif m.group(5) == "":
-            raise ValueError(
-                f"unbounded count quantifier <{min_c}:> has no batch "
-                "fixed point; give an explicit max, e.g. "
-                f"<{min_c}:{min_c + 8}>"
-            )
+            max_c = None  # unbounded <m:>
         else:
             max_c = int(m.group(5))
-        if not (1 <= min_c <= max_c):
+        if min_c < 0 or (max_c is not None and not (min_c <= max_c and max_c >= 1)):
             raise ValueError(f"bad count quantifier <{min_c}:{max_c}>")
-        if max_c > 16:
+        if max_c is not None and max_c > 16:
             raise ValueError(
                 f"count quantifier max {max_c} > 16: the batch plan "
                 "expands one join per repetition — restructure the query"

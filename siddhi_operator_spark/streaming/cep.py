@@ -39,6 +39,13 @@ the SiddhiQL front end):
   (`CountPreStateProcessor.java`): greedily collect matches; the step
   completes at n matches, or hands over to the next step once ≥ m
   matches have been collected and the next step's predicate fires.
+  ``n=None`` is unbounded (`<m:>`, `+` = `<1:>`, `*` = `<0:>`) —
+  collection is bounded by `within`; ``m=0`` (`*`, `?`) makes the step
+  skippable: a fresh partial may arm through leading zero-min steps,
+  and a skipped step emits NULL `e{i}_first`/`e{i}_last`.  A TRAILING
+  count step closes greedily when a non-matching event arrives with
+  ≥ m collected (the batch twin's "longest run wins"); trailing
+  zero-min steps are rejected.
 
 Patterns are specified as ordered steps; each step's predicates are
 boolean SQL expression strings evaluated against the input columns
@@ -72,11 +79,21 @@ def _normalize_steps(step_predicates: Sequence) -> list[dict]:
             steps.append({"kind": s[0], "preds": [s[1], s[2]]})
         elif s[0] == "count":
             _, p, m, n = s
-            if not (1 <= m <= n):
-                raise ValueError(f"count quantifier needs 1 <= m <= n, got <{m}:{n}>")
+            if m < 0 or (n is not None and not (m <= n and n >= 1)):
+                raise ValueError(
+                    f"count quantifier needs 0 <= m <= n (n None = unbounded), "
+                    f"got <{m}:{n}>"
+                )
             steps.append({"kind": "count", "preds": [p], "m": m, "n": n})
         else:
             raise ValueError(f"unknown step spec: {s!r}")
+    if steps[-1]["kind"] == "count" and steps[-1]["m"] == 0:
+        raise ValueError(
+            "a trailing zero-min count step (`*`/`?` last) would emit "
+            "empty matches; give it min >= 1 or add a following step"
+        )
+    if all(st["kind"] == "count" and st["m"] == 0 for st in steps):
+        raise ValueError("pattern needs at least one step with min count >= 1")
     return steps
 
 
@@ -154,6 +171,15 @@ def pattern_nfa(
     out_fields = _out_fields(steps)
     out_schema = _match_out_schema(steps)
     within_us = int(within_seconds * 1_000_000) if within_seconds else None
+    # steps a FRESH partial can touch: leading zero-min count steps are
+    # skippable, so arming may fire on any step in this prefix
+    armable = [0]
+    while (
+        steps[armable[-1]]["kind"] == "count"
+        and steps[armable[-1]]["m"] == 0
+        and armable[-1] + 1 < n_steps
+    ):
+        armable.append(armable[-1] + 1)
 
     # compile predicates in Catalyst: one boolean flag column per
     # (step, branch)
@@ -171,6 +197,10 @@ def pattern_nfa(
     def _emit_row(key_str: str, groups: list[list[str]]) -> tuple:
         row: list = [key_str]
         for (stem, sel), grp in zip(out_fields, _regroup(groups)):
+            if not grp:  # zero-min count step skipped → NULL binding
+                row.append(None)
+                row.append(pd.NaT)
+                continue
             if sel[0] == "branch":
                 tok = next((t for t in grp if int(t.split(":")[0]) == sel[1]), grp[0])
             else:
@@ -242,12 +272,12 @@ def pattern_nfa(
                 if p.aux == 0b11:
                     return not complete_or_advance(p)
                 return hit or not strict
-            # count <m:n>
+            # count <m:n> (n None = unbounded)
             m, n = st["m"], st["n"]
             if fl[(p.step, 0)]:
                 p.groups[-1].append(tok0)
                 p.aux += 1
-                if p.aux == n:
+                if n is not None and p.aux == n:
                     return not complete_or_advance(p)
                 return True
             # no count match: with >= m collected, the next step's
@@ -265,6 +295,11 @@ def pattern_nfa(
                     p.aux = 0
                     p.groups.append([])
                     return feed(p, ev_id, ev_us, fl)
+            elif p.aux >= m:
+                # trailing count step: a non-matching event closes a
+                # satisfied run greedily (the batch twin's "longest
+                # run wins outright"; m >= 1 enforced at construction)
+                return not complete_or_advance(p)
             return not strict
 
         for pdf in pdfs:
@@ -291,8 +326,11 @@ def pattern_nfa(
                     )
                     and feed(p, ev_id, ev_us, fl)
                 ]
-                st0 = steps[0]
-                arm_hit = any(fl[(0, b)] for b in range(len(st0["preds"])))
+                arm_hit = any(
+                    fl[(j, b)]
+                    for j in armable
+                    for b in range(len(steps[j]["preds"]))
+                )
                 if arm_hit and (every or not partials):
                     p = _Partial(0, ev_us, 0, [[]])
                     if feed(p, ev_id, ev_us, fl):

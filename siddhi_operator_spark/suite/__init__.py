@@ -68,6 +68,9 @@ _FRONT_NAMES = (
     # round-2 err rows, fixed this round
     "multimodal_features",
     "dedup_simhash",
+    # new round-3 operators
+    "pattern_optional_step",
+    "siddhiql_star_quantifier",
 )
 # Everything registered by a round-3 module (new operators) also belongs in
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).

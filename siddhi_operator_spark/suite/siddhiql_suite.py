@@ -567,3 +567,100 @@ def siddhiql_logical_or_pattern(spark: SparkSession, sf: str) -> DataFrame:
     """
     )
     return run_app(app, {"events": load(spark, sf, "events")})["Either"]
+
+
+@register(
+    "pattern_optional_step",
+    oracle="""
+    SELECT user_id, CAST(NULL AS BIGINT) AS signup_id,
+           event_id AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, signup_id, purchase_id FROM (
+      SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY s.user_id, s.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM events s JOIN events p
+        ON p.user_id = s.user_id
+       AND s.event_type = 'signup' AND p.event_type = 'purchase'
+       AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("siddhiql", "pattern", "quantifier"),
+)
+def pattern_optional_step(spark: SparkSession, sf: str) -> DataFrame:
+    """`?` = `<0:1>` (grammar `SiddhiQL.g4` sequence suffixes,
+    `CountPreStateProcessor.java` zero-min): a lone purchase matches
+    with NULL signup (the optional step skipped); a bound signup pairs
+    with its earliest purchase within the hour. The oracle is the
+    union of both variants."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from every a=events[event_type == 'signup']?
+         -> b=events[event_type == 'purchase']
+         within 1 hour
+    select b.user_id as user_id, a[0].event_id as signup_id,
+           b.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Out"]
+
+
+@register(
+    "siddhiql_star_quantifier",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS fseq
+      FROM events WHERE event_type = 'click'
+    ), starts AS (
+      SELECT user_id, first_id, fseq, purchase_id, p_ts FROM (
+        SELECT c.user_id, c.event_id AS first_id, c.fseq,
+               p.event_id AS purchase_id, p.ts AS p_ts,
+               row_number() OVER (PARTITION BY c.user_id, c.event_id
+                                  ORDER BY p.ts, p.event_id) AS rn
+        FROM clicks c JOIN events p
+          ON p.user_id = c.user_id AND p.event_type = 'purchase'
+         AND p.ts > c.ts
+      ) WHERE rn = 1
+    ), runs AS (
+      SELECT s.user_id, s.first_id, s.fseq, s.purchase_id,
+             LEAST(8, count(*)) AS n
+      FROM starts s JOIN clicks c2
+        ON c2.user_id = s.user_id AND c2.fseq >= s.fseq AND c2.ts < s.p_ts
+      GROUP BY s.user_id, s.first_id, s.fseq, s.purchase_id
+    )
+    SELECT r.user_id, r.first_id, l.event_id AS last_id,
+           CAST(r.n AS BIGINT) AS n, r.purchase_id
+    FROM runs r JOIN clicks l
+      ON l.user_id = r.user_id AND l.fseq = r.fseq + r.n - 1
+    UNION ALL
+    SELECT user_id, CAST(NULL AS BIGINT) AS first_id,
+           CAST(NULL AS BIGINT) AS last_id, CAST(0 AS BIGINT) AS n,
+           event_id AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("siddhiql", "pattern", "quantifier"),
+)
+def siddhiql_star_quantifier(spark: SparkSession, sf: str) -> DataFrame:
+    """`*` = `<0:>` — zero-or-more greedily collected clicks before the
+    earliest following purchase, unrolled in batch to the documented
+    UNROLL_CAP (8) reps; the zero-length variant emits every purchase
+    with NULL run bounds. The oracle computes the same greedy fixed
+    point relationally: per start click, the first later purchase and
+    the capped count of consecutive clicks before it."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from every e=events[event_type == 'click']*
+         -> f=events[event_type == 'purchase']
+    select f.user_id as user_id, e[0].event_id as first_id,
+           e[last].event_id as last_id, e__count as n,
+           f.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Out"]

@@ -459,10 +459,24 @@ def test_count_quantifier_pattern_greedy(spark):
 
 
 def test_count_quantifier_parse_errors():
-    with pytest.raises(ValueError, match="unbounded"):
-        parse_app(_QDEF + "from e=events[value > 0]<2:> select e[0].event_id insert into O;")
     with pytest.raises(ValueError, match="> 16"):
         parse_app(_QDEF + "from e=events[value > 0]<1:40> select e[0].event_id insert into O;")
+    with pytest.raises(ValueError, match="bad count quantifier"):
+        parse_app(_QDEF + "from e=events[value > 0]<3:2> select e[0].event_id insert into O;")
+
+
+def test_quantifier_sugar_parses():
+    """`*` = <0:>, `+` = <1:>, `?` = <0:1>, and unbounded `<m:>`
+    (grammar `SiddhiQL.g4` sequence suffixes)."""
+    app = parse_app(
+        _QDEF
+        + "from a=events[value > 0]? -> b=events[value > 1]+ -> c=events[true]<2:> "
+        "select a.event_id insert into O;"
+    )
+    steps = app.queries[0].input.steps
+    assert (steps[0].min_count, steps[0].max_count) == (0, 1)
+    assert (steps[1].min_count, steps[1].max_count) == (1, None)
+    assert (steps[2].min_count, steps[2].max_count) == (2, None)
 
 
 def _abs_df(spark):
@@ -692,3 +706,53 @@ def test_window_args_quote_aware_split():
     # top-level commas still split; nested call parens do not
     inp2 = _parse_single_input("E#window.expression('count() < 5', foo(a, b))")
     assert inp2.window.args == ["'count() < 5'", "foo(a, b)"]
+
+
+def test_optional_step_pattern(spark):
+    """`a=S[c]? -> b=S[d]` — `?` = <0:1>: b alone matches with a NULL,
+    and a bound `a` pairs with its first b."""
+    app = (
+        _QDEF
+        + """
+    from every a=events[event_type == 'click']? -> b=events[event_type == 'purchase']
+    select a[0].user_id as a_user, b.user_id as user_id,
+           a[0].event_id as click_id, b.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _quant_df(spark)})["Out"]
+    got = {(r.user_id, r.click_id, r.purchase_id) for r in out.collect()}
+    # every purchase emits a skipped-a match; every click start pairs
+    # with its earliest following purchase
+    assert (1, None, 4) in got
+    assert (1, 1, 4) in got and (1, 3, 4) in got
+    assert (3, None, 22) in got and (3, None, 24) in got
+    assert (3, 20, 22) in got and (3, 23, 24) in got
+
+
+def test_plus_quantifier_unbounded_greedy(spark):
+    """`e=S[c]+ -> f=S[d]` — `+` = <1:>: greedy run of clicks before
+    the earliest following purchase (unrolled to the documented cap)."""
+    app = (
+        _QDEF
+        + """
+    from every e=events[event_type == 'click']+
+         -> f=events[event_type == 'purchase']
+    select e[0].user_id as user_id, e[0].event_id as first_id,
+           e[last].event_id as last_id, e__count as n, f.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _quant_df(spark)})["Out"]
+    got = sorted(
+        (r.user_id, r.first_id, r.last_id, r.n, r.purchase_id)
+        for r in out.collect()
+    )
+    assert (1, 1, 3, 3, 4) in got  # greedy: all three clicks
+    assert (1, 2, 3, 2, 4) in got  # every: start at click 2 too
+    assert (1, 3, 3, 1, 4) in got
+    assert (2, 10, 11, 2, 12) in got
+    # user 3: run stops at the earliest purchase (22), click 23 starts anew
+    assert (3, 20, 21, 2, 22) in got
+    assert (3, 23, 23, 1, 24) in got
+    assert (3, 20, 23, 3, 24) not in got

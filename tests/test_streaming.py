@@ -471,3 +471,71 @@ def test_front_end_or_pattern_streaming(spark, events_df):
     )
     # purchases 3 (u1), 6 (u2) and error 10 (u2) each complete the or
     assert got == [("1", 3, 4.5), ("2", 6, 7.5), ("2", 10, 11.5)]
+
+
+def test_streaming_cep_star_quantifier_and_skip_arming(spark):
+    """`e1=S[click]* -> e2=S[purchase]`: zero-min collects greedily,
+    arms through the skippable step (a lone purchase matches with NULL
+    e1), unbounded max is allowed."""
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "click", 1.0),
+        (2, "2024-01-01 00:00:02", 1, "click", 1.0),
+        (3, "2024-01-01 00:00:03", 1, "purchase", 1.0),
+        (4, "2024-01-01 00:00:04", 2, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cep.pattern_nfa(
+        _stream_events(spark, df, n_splits=2),
+        key="user_id",
+        step_predicates=[
+            ("count", "event_type = 'click'", 0, None),
+            "event_type = 'purchase'",
+        ],
+    )
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    got = {
+        (r.key, r.e1_first_id, r.e1_last_id, r.e2_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert ("1", 1, 2, 3) in got          # greedy full run
+    assert ("1", 2, 2, 3) in got          # every re-arms at click 2
+    assert ("1", None, None, 3) in got    # skip-armed at the purchase
+    assert ("2", None, None, 4) in got    # lone purchase, NULL e1
+
+
+def test_streaming_cep_trailing_plus_closes_on_nonmatch(spark):
+    """A trailing `+` run closes greedily when a non-matching event
+    arrives with >= m collected."""
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "signup", 1.0),
+        (2, "2024-01-01 00:00:02", 1, "click", 1.0),
+        (3, "2024-01-01 00:00:03", 1, "click", 1.0),
+        (4, "2024-01-01 00:00:04", 1, "error", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cep.pattern_nfa(
+        _stream_events(spark, df, n_splits=2),
+        key="user_id",
+        step_predicates=[
+            "event_type = 'signup'",
+            ("count", "event_type = 'click'", 1, None),
+        ],
+        every=False,
+    )
+    name = f"tp_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    got = {
+        (r.key, r.e1_id, r.e2_first_id, r.e2_last_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert got == {("1", 1, 2, 3)}
+
+
+def test_streaming_cep_trailing_zero_min_rejected():
+    with pytest.raises(ValueError, match="trailing zero-min"):
+        cep._normalize_steps(["event_type = 'a'", ("count", "true", 0, None)])
