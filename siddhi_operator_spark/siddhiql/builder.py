@@ -926,6 +926,65 @@ def _run_aggregation_def(src: DataFrame, adef, ts_col: str) -> dict[str, DataFra
     return out
 
 
+def _trigger_ticks(spark, td, env, ts_col: str) -> DataFrame:
+    """Batch fixed point of `define trigger`
+    (`[core] trigger/PeriodicTrigger.java` / `CronTrigger` /
+    `StartTrigger`): a tick table spanning the event-time range of the
+    app's inputs — `every p` ticks at lo, lo+p, … ≤ hi; a cron trigger
+    fires at its `operators.cron.cron_fires` instants in (lo, hi];
+    `'start'` is one tick at lo. Streaming mode keeps the rate-source
+    mapping. Emits (`triggered_time` epoch-millis, ts_col timestamp) —
+    the reference's single-attribute trigger stream plus the event-time
+    column so windows compose downstream."""
+    from ..operators.cron import cron_fires
+
+    bounds = None
+    for df in env.values():
+        if ts_col and ts_col in df.columns:
+            b = df.select(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+            bounds = b if bounds is None else bounds.unionByName(b)
+    if bounds is None:
+        raise ValueError(
+            f"trigger {td.name!r} in batch mode needs at least one input "
+            f"stream with a {ts_col!r} column to derive the tick range"
+        )
+    row = bounds.select(F.min("lo").alias("lo"), F.max("hi").alias("hi")).first()
+    lo, hi = row.lo, row.hi
+    if lo is None:
+        return spark.createDataFrame([], f"triggered_time long, {ts_col} timestamp")
+    if td.at_start:
+        ticks = spark.createDataFrame([(lo,)], f"{ts_col} timestamp")
+    elif td.every_seconds is not None:
+        n_ticks = (hi - lo).total_seconds() / td.every_seconds
+        if n_ticks > 1_000_000:
+            raise ValueError(
+                f"trigger {td.name!r}: {n_ticks:.0f} ticks over the input "
+                "range — widen the period or run in streaming mode"
+            )
+        step = (
+            f"INTERVAL {int(td.every_seconds)} SECONDS"
+            if float(td.every_seconds).is_integer()
+            else f"INTERVAL {int(td.every_seconds * 1000)} MILLISECONDS"
+        )
+        ticks = spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast("timestamp"),
+                    F.lit(hi).cast("timestamp"),
+                    F.expr(step),
+                )
+            ).alias(ts_col)
+        )
+    else:
+        fires = cron_fires(td.cron, lo, hi)
+        ticks = spark.createDataFrame(
+            [(d,) for d in fires], f"{ts_col} timestamp"
+        )
+    return ticks.select(
+        F.unix_millis(F.col(ts_col)).alias("triggered_time"), F.col(ts_col)
+    )
+
+
 def run_app(
     app: str | AppModel,
     sources: dict[str, DataFrame] | None = None,
@@ -989,12 +1048,10 @@ def run_app(
     for q in model.queries:
         inp = q.input
         if isinstance(inp, SingleInput) and inp.stream in model.triggers:
-            raise ValueError(
-                f"trigger stream {inp.stream!r} is streaming-only: wire "
-                "streaming.sources.rate_stream(spark, rows_per_second="
-                "1/period) as its source (PeriodicTrigger has no batch "
-                "fixed point)"
-            )
+            if inp.stream not in env:
+                env[inp.stream] = _trigger_ticks(
+                    spark, model.triggers[inp.stream], env, ts_col
+                )
         if isinstance(inp, SingleInput):
             # `from W …` where W is a named window: the shared window
             # definition applies unless the query supplies its own

@@ -71,6 +71,7 @@ _FRONT_NAMES = (
     # new round-3 operators
     "pattern_optional_step",
     "siddhiql_star_quantifier",
+    "siddhiql_trigger",
 )
 # Everything registered by a round-3 module (new operators) also belongs in
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).

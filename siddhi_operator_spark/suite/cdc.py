@@ -64,17 +64,20 @@ def table_cdc_feed(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load(spark, sf, "events").select("user_id", "event_id", "ts", "value")
     d = tempfile.mkdtemp(prefix="cdc_suite_")
+    out_dir = tempfile.mkdtemp(prefix="cdc_feed_")
     try:
         table = ParquetUpsertTable(spark, d, keys=["user_id"])
         table.upsert_batch(e.filter(F.col("ts") < _CUTOFF), 0, order_col="ts")
         table.upsert_batch(e, 1, order_col="ts")
         feed = table.changes(0, 1)
         # drop ts (the oracle derives rows positionally; value+event_id
-        # identify them) and materialize before the tmp dir vanishes
-        rows = feed.select(
+        # identify them), then persist the feed to a stable parquet hop
+        # before the table dir vanishes — executor-side write, never a
+        # driver collect (the feed is O(changed keys), which at scale
+        # can dwarf driver memory)
+        feed.select(
             "user_id", "event_id", "value", "_change_type", "_commit_version"
-        )
-        out = spark.createDataFrame(rows.collect(), rows.schema)
+        ).write.mode("overwrite").parquet(out_dir)
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return out
+    return spark.read.parquet(out_dir)

@@ -664,3 +664,28 @@ def siddhiql_star_quantifier(spark: SparkSession, sf: str) -> DataFrame:
     """
     )
     return run_app(app, {"events": load(spark, sf, "events")})["Out"]
+
+
+@register(
+    "siddhiql_trigger",
+    oracle="""
+    WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events)
+    SELECT epoch_ms(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)))
+             AS triggered_time
+    FROM b
+    """,
+    tags=("siddhiql", "trigger"),
+)
+def siddhiql_trigger(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch `define trigger T at every 1 hour`
+    (`[core] trigger/PeriodicTrigger.java`): ticks spanning the
+    inputs' event-time range — the oracle is DuckDB's generate_series
+    over the same [min(ts), max(ts)] window."""
+    app = (
+        _EVENTS_DEF
+        + """
+    define trigger Hourly at every 1 hour;
+    from Hourly select triggered_time insert into Ticks;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Ticks"]

@@ -320,7 +320,10 @@ def test_define_function_python_udf(spark, events_df):
     assert rows[3] == 110.0 and rows[6] == 55.0
 
 
-def test_define_trigger_parses_and_batch_raises(spark, events_df):
+def test_define_trigger_batch_ticks(spark, events_df):
+    """Batch triggers generate a tick table over the inputs' event-time
+    range: `every p` ticks at lo, lo+p, ... <= hi; `'start'` is one
+    tick at lo (PeriodicTrigger/StartTrigger batch fixed point)."""
     from siddhi_operator_spark.siddhiql.parser import parse_app
 
     app = """
@@ -331,12 +334,18 @@ def test_define_trigger_parses_and_batch_raises(spark, events_df):
     """
     model = parse_app(app)
     assert model.triggers["FiveMin"].every_seconds == 300.0
-    # a query FROM the trigger is streaming-only
-    import pytest as _pytest
-
-    bad = app + "\nfrom FiveMin select triggered_time insert into Ticks;"
-    with _pytest.raises(ValueError, match="streaming-only"):
-        run_app(bad, {"events": events_df})
+    ticks_app = app + "\nfrom FiveMin select triggered_time insert into Ticks;"
+    out = run_app(ticks_app, {"events": events_df})["Ticks"]
+    got = [r.triggered_time for r in out.orderBy("triggered_time").collect()]
+    # fixture spans 00:00:01 .. 02:00:00 → 24 five-minute ticks
+    assert len(got) == 24
+    assert got[1] - got[0] == 300_000
+    start_app = (
+        "define trigger Boot at 'start';\n" + app.split(";", 1)[1].lstrip()
+        + "\nfrom Boot select triggered_time insert into Ticks;"
+    )
+    out2 = run_app(start_app, {"events": events_df})["Ticks"]
+    assert out2.count() == 1
 
 
 def test_partition_range_form(spark, events_df):

@@ -539,3 +539,57 @@ def test_streaming_cep_trailing_plus_closes_on_nonmatch(spark):
 def test_streaming_cep_trailing_zero_min_rejected():
     with pytest.raises(ValueError, match="trailing zero-min"):
         cep._normalize_steps(["event_type = 'a'", ("count", "true", 0, None)])
+
+
+def test_streaming_named_window_shared_hop(spark, events_df, tmp_path):
+    """`define window W` shared by two streaming consumers: the source
+    executes in exactly ONE query (the hop materializer); both
+    consumers read the hop, not the source, and agree with the batch
+    fixed point."""
+    from siddhi_operator_spark.streaming.share import SharedStreamHop
+
+    src_dir = tempfile.mkdtemp(prefix="share_src_")
+    sources.replay_dir(events_df, src_dir, "ts", 2)
+    src = sources.file_stream(spark, src_dir, events_df.schema, max_files_per_trigger=1)
+    windowed = src.filter(F.col("value") > 1.0)  # the shared named window
+
+    hop = SharedStreamHop(windowed, str(tmp_path / "hop"))
+    hop.process_available()
+
+    c1 = hop.consumer(spark).groupBy("user_id").count()
+    c2 = hop.consumer(spark).groupBy("event_type").count()
+    n1 = f"sh1_{uuid.uuid4().hex[:8]}"
+    n2 = f"sh2_{uuid.uuid4().hex[:8]}"
+    q1 = sinks.memory_sink(c1, n1, output_mode="complete")
+    q2 = sinks.memory_sink(c2, n2, output_mode="complete")
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+
+    # exactly one active query reads the source directory — the hop's
+    # materializer; every consumer's file source is the hop path
+    active = spark.streams.active
+    src_readers = [
+        q for q in active if src_dir in (q.lastProgress or {}).get(
+            "sources", [{}])[0].get("description", "")
+    ]
+    assert len(src_readers) == 1 and src_readers[0].id == hop.query.id
+    for q in (q1, q2):
+        desc = (q.lastProgress or {}).get("sources", [{}])[0].get("description", "")
+        assert str(tmp_path / "hop") in desc and src_dir not in desc
+
+    expected = events_df.filter(F.col("value") > 1.0)
+    got1 = {(r.user_id, r["count"]) for r in spark.sql(f"select * from {n1}").collect()}
+    want1 = {
+        (r.user_id, r["count"])
+        for r in expected.groupBy("user_id").count().collect()
+    }
+    assert got1 == want1
+    got2 = {(r.event_type, r["count"]) for r in spark.sql(f"select * from {n2}").collect()}
+    want2 = {
+        (r.event_type, r["count"])
+        for r in expected.groupBy("event_type").count().collect()
+    }
+    assert got2 == want2
+    q1.stop()
+    q2.stop()
+    hop.stop()
