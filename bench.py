@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "pattern_followed_by",
     "window_session",
     "incr_agg_day",
+    "incr_agg_day_retrieval",
     "dedup_minhash_lsh",
     "similarity_bruteforce",
 ]

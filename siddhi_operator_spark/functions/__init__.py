@@ -57,6 +57,7 @@ STR: dict[str, Callable[..., Column]] = {
     "str:startsWith": lambda s, p: s.startswith(p),
     "str:substr": lambda s, pos, ln: F.substring(s, pos, ln),
     "str:split": F.split,
+    "str:coalesce": F.coalesce,
     "str:replaceAll": F.regexp_replace,
     "str:regexp": lambda s, pat: s.rlike(pat),
     "str:charAt": lambda s, i: F.substring(s, i + 1, 1),
@@ -146,12 +147,38 @@ JSON: dict[str, Callable[..., Column]] = {
     "json:isExists": lambda j, p: F.get_json_object(j, p).isNotNull(),
     "json:toObject": F.from_json,
     "json:toString": F.to_json,
+    # getObject returns the raw JSON text of the sub-tree (the reference
+    # returns an opaque OBJECT; downstream fns re-parse it)
+    "json:getObject": F.get_json_object,
+    # setElement/group: reference mutates a JSON tree
+    # (`[ext:execution-json] SetElementJSONFunctionExtension`). Catalyst
+    # has no JSON-pointer writer, so setElement supports top-level keys
+    # ('$.key') via a parse->map_concat->re-serialize round trip, which
+    # is the dominant real-world use; deeper paths need json:toObject +
+    # struct surgery.
+    "json:setElement": lambda j, key, v: F.to_json(
+        F.map_concat(
+            F.map_filter(
+                F.from_json(j, "map<string,string>"), lambda k, _: k != key
+            ),
+            F.create_map(key, v.cast("string")),
+        )
+    ),
+    # group (aggregation): concatenate JSON values into one JSON array
+    "json:group": lambda j: F.concat(
+        F.lit("["), F.array_join(F.collect_list(j), ","), F.lit("]")
+    ),
 }
 
 # --------------------------------------------------- map: / list: / regex:
 MAP: dict[str, Callable[..., Column]] = {
     "map:create": F.create_map,
-    "map:put": lambda m, k, v: F.map_concat(m, F.create_map(k, v)),
+    # put/putAll OVERWRITE existing keys (reference java.util.Map
+    # semantics); map_concat alone throws on duplicates under Spark's
+    # default EXCEPTION dedup policy, so drop the incoming keys first.
+    "map:put": lambda m, k, v: F.map_concat(
+        F.map_filter(m, lambda mk, mv: mk != k), F.create_map(k, v)
+    ),
     "map:get": F.element_at,
     "map:containsKey": lambda m, k: F.array_contains(F.map_keys(m), k),
     "map:keys": F.map_keys,
@@ -159,6 +186,17 @@ MAP: dict[str, Callable[..., Column]] = {
     "map:size": F.size,
     "map:combine": F.map_concat,
     "map:toJSON": F.to_json,
+    "map:putAll": lambda m, other: F.map_concat(
+        F.map_filter(m, lambda k, v: ~F.array_contains(F.map_keys(other), k)),
+        other,
+    ),
+    "map:remove": lambda m, key: F.map_filter(m, lambda k, v: k != key),
+    "map:containsValue": lambda m, v: F.array_contains(F.map_values(m), v),
+    "map:clone": lambda m: m,  # Columns are immutable values — clone is identity
+    # collect (aggregation): rows of (k, v) -> one map
+    "map:collect": lambda k, v: F.map_from_entries(
+        F.collect_list(F.struct(k, v))
+    ),
 }
 LIST: dict[str, Callable[..., Column]] = {
     "list:create": F.array,
@@ -170,6 +208,7 @@ LIST: dict[str, Callable[..., Column]] = {
     "list:indexOf": F.array_position,
     "list:sort": F.array_sort,
     "list:distinct": F.array_distinct,
+    "list:addAll": F.concat,
     "list:collect": F.collect_list,
 }
 REGEX: dict[str, Callable[..., Column]] = {

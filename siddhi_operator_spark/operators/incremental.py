@@ -157,3 +157,26 @@ def query_within_per(
         (F.col("bucket_start") >= F.lit(start)) & (F.col("bucket_start") < F.lit(end))
     )
     return finalize(r)
+
+
+def query_materialized(
+    spark,
+    paths: dict[str, str],
+    per: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Retrieval against a `materialize_cascade` layout — what a
+    deployed aggregation actually serves (`[core]
+    aggregation/IncrementalExecutor.java` reads its tables, not raw
+    events). The `within` range hits the `p_date` PARTITION column
+    first (directory pruning: out-of-range dates are never opened,
+    the 100 TB property) and `bucket_start` second (row-group
+    min/max skip within the boundary dates)."""
+    r = spark.read.parquet(paths[per]).filter(
+        (F.col("p_date") >= F.to_date(F.lit(start)))
+        & (F.col("p_date") <= F.to_date(F.lit(end)))
+        & (F.col("bucket_start") >= F.lit(start).cast("timestamp"))
+        & (F.col("bucket_start") < F.lit(end).cast("timestamp"))
+    )
+    return finalize(r).drop("p_date")

@@ -72,6 +72,11 @@ _FRONT_NAMES = (
     "pattern_optional_step",
     "siddhiql_star_quantifier",
     "siddhiql_trigger",
+    "incr_agg_day_retrieval",
+    "dedup_connected_components",
+    "sample_hash_split",
+    "analytic_window_fns",
+    "set_ops",
 )
 # Everything registered by a round-3 module (new operators) also belongs in
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).

@@ -310,3 +310,71 @@ def agg_ts_regress_forecast(spark: SparkSession, sf: str) -> DataFrame:
             A.forecast(fit["slope"], fit["intercept"], F.lit(1000.0)), 4
         ).alias("forecast_h1000"),
     )
+
+
+@register(
+    "analytic_window_fns",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER w                    AS rn,
+           lag(value)  OVER w                     AS prev_value,
+           lead(value) OVER w                     AS next_value,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+                                                  AS value_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("analytics", "window-functions"),
+)
+def analytic_window_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §3.6: the analytic/ranking family the reference LACKS as
+    a category (its nearest equivalents are sort(n)/extrema:*/
+    unique:first) — exposed natively because Spark gives
+    `Window.partitionBy().orderBy()` for free. Ties broken by event_id
+    so lag/lead are deterministic. One hash-partition shuffle on
+    user_id serves all four functions (single Window spec = single
+    sort), which is the shape a 100 TB run wants."""
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(wr).alias("value_rank"),
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'click_only' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    tags=("analytics", "set-ops"),
+)
+def set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §3.8: the reference has no intersect/except syntax (union
+    is its idiomatic multi-insert into one stream); Spark exposes them
+    free. Clickers ∩ purchasers and clickers ∖ purchasers, labeled and
+    unioned. Both legs are keyed distinct-shuffles (no cross product);
+    `intersect`/`exceptAll` compile to left-semi/anti aggregations."""
+    e = load(spark, sf, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).select(F.lit("both").alias("op"), "user_id")
+    only = clickers.subtract(buyers).select(F.lit("click_only").alias("op"), "user_id")
+    return both.unionByName(only)

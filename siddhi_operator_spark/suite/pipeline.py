@@ -15,8 +15,8 @@ from ..pipeline import text as X
 from ..fpround import r4
 from .registry import register
 
-N_HASHES = 8
-BAND_SIZE = 4
+N_HASHES = 32
+BAND_SIZE = 8
 
 # ---- programmatically build the minhash oracle (same hashes as Spark) --
 
@@ -124,6 +124,54 @@ def neardup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, blocked by source
     (blocking bounds the candidate space at scale)."""
     return D.token_jaccard_pairs(load(spark, sf, "documents"), min_jaccard=0.5)
+
+
+# Connected-components threshold: n_sig_match >= 30 of 32 (jaccard est
+# >= 0.9375) keeps the duplicate graph tight — strong near-dups only.
+CC_THRESHOLD = 30
+
+CC_ORACLE = f"""
+    WITH RECURSIVE fil AS (
+      SELECT id_a, id_b FROM ({MINHASH_ORACLE}) WHERE n_sig_match >= {CC_THRESHOLD}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM fil
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM fil
+    ), reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS doc_id,
+           LEAST(node, MIN(r))         AS component,
+           (LEAST(node, MIN(r)) = node) AS is_canonical
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=CC_ORACLE,
+    tags=("pipeline", "dedup", "clustering"),
+)
+def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-GROUP clustering — the step after candidate
+    generation that real dedup pipelines need: strong minhash pairs
+    (>= 30/32 signature agreement) → connected components via
+    iterative min-label propagation → component id = canonical doc.
+    The oracle computes the same components with a recursive-CTE
+    transitive closure (exact, viable at oracle scale; the Spark loop
+    is the 100 TB path)."""
+    docs = load(spark, sf, "documents")
+    sigs = D.minhash_signature(docs, n_hashes=N_HASHES)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=N_HASHES, band_size=BAND_SIZE)
+    strong = pairs.filter(F.col("n_sig_match") >= CC_THRESHOLD)
+    cc = D.connected_components(strong)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("is_canonical"),
+    )
 
 
 # ---- programmatically build the portable-simhash oracle (same md5 bit
@@ -498,4 +546,38 @@ def multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
         F.col("features")[0].cast("double").alias("f0"),
         F.col("features")[1].cast("double").alias("f1"),
         F.col("features")[2].cast("double").alias("f2"),
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id, lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-free key
+    hash — the training-data-pipeline staple: stable across runs and
+    engines (md5 hex prefix, no RNG), embarrassingly parallel (pure
+    projection — no shuffle, survives any scale), and skew-free
+    (md5 uniformity). Byte thresholds: bucket < 'cc' (204/256 ≈ 79.7%)
+    → train, < 'e6' (230/256 ≈ 10.2%) → valid, else test."""
+    d = load(spark, sf, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "valid")
+        .otherwise("test")
+        .alias("split"),
     )

@@ -282,3 +282,36 @@ def test_extrema_by_length_overflow_fails_loudly(spark):
     )
     with _pytest.raises(Exception, match="encodable range"):
         out.collect()
+
+
+def test_collection_json_fns_round3(spark):
+    """Round-3 registry completions vs SURVEY §3.9: map:putAll/remove/
+    containsValue/clone/collect, list:addAll, str:coalesce,
+    json:setElement/getObject and the json:group aggregation."""
+    from pyspark.sql import functions as F
+    from siddhi_operator_spark.functions import REGISTRY as R
+
+    df = spark.createDataFrame(
+        [(1, '{"a": "1", "b": "2"}'), (2, '{"a": "9"}')],
+        "id long, js string",
+    )
+    m = F.from_json("js", "map<string,string>")
+    row = df.filter("id = 1").select(
+        R["map:remove"](m, "a").alias("removed"),
+        R["map:containsValue"](m, F.lit("2")).alias("has2"),
+        R["map:putAll"](m, F.create_map(F.lit("c"), F.lit("3"))).alias("merged"),
+        R["list:addAll"](F.array(F.lit(1)), F.array(F.lit(2))).alias("cat"),
+        R["str:coalesce"](F.lit(None).cast("string"), F.lit("x")).alias("co"),
+        R["json:setElement"](F.col("js"), F.lit("b"), F.lit(7)).alias("set_b"),
+        R["json:getObject"](F.col("js"), "$.a").alias("obj_a"),
+    ).first()
+    assert row.removed == {"b": "2"} and row.has2 and row.merged["c"] == "3"
+    assert row.cat == [1, 2] and row.co == "x" and row.obj_a == "1"
+    assert '"b":"7"' in row.set_b.replace(" ", "")
+
+    agg = df.agg(
+        R["json:group"](F.col("js")).alias("grouped"),
+        R["map:collect"](F.col("id").cast("string"), F.col("js")).alias("m"),
+    ).first()
+    assert agg.grouped.startswith("[{") and agg.grouped.endswith("}]")
+    assert set(agg.m.keys()) == {"1", "2"}

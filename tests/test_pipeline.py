@@ -108,3 +108,28 @@ def test_multimodal_frame_sample(spark):
     one = out.filter(F.col("doc_id") == 2).orderBy("frame_idx").collect()
     assert [r.frame_idx for r in one] == [0, 1, 2]
     assert all(len(r.frame) <= 8 for r in one)
+
+
+def test_connected_components_basic(spark):
+    """Path graph 1-2-3-4 + isolated pair 10-11: min-label propagation
+    converges to component minima; labels never leave executors."""
+    from siddhi_operator_spark.pipeline import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_non_convergence_raises(spark):
+    """A diameter-5 path cannot converge in 1 round — the cap fails
+    loudly instead of returning half-merged components."""
+    import pytest as _pytest
+    from siddhi_operator_spark.pipeline import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5, 0, -1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=1)

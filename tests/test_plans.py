@@ -201,3 +201,21 @@ def test_cdc_diff_is_keyed_join(spark):
     plan = _fmt(t.changes(0, 1))
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
+
+
+def test_sample_hash_split_no_shuffle(spark):
+    """Deterministic hash split is a pure projection: zero Exchange
+    nodes, and the scan is pruned to the two read columns."""
+    plan = _fmt(REGISTRY["sample_hash_split"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_analytic_window_single_sort_for_shared_spec(spark):
+    """row_number/lag/lead share ONE window spec → one partition
+    exchange on user_id + one sort serves them all; the rank spec adds
+    its own sort but no extra exchange (same partitioning key)."""
+    plan = _fmt(REGISTRY["analytic_window_fns"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
