@@ -42,6 +42,16 @@ CORE: dict[str, Callable[..., Column]] = {
     "default": default,
     "createSet": F.collect_set,
     "sizeOfSet": F.size,
+    # instanceOf*: runtime type checks (`InstanceOf*FunctionExecutor`).
+    # Mostly moot in a statically-typed engine (SURVEY §3.9) but kept
+    # for parity — `typeof` resolves at plan time, so the comparison
+    # constant-folds to a literal boolean.
+    "instanceOfString": lambda x: F.typeof(x) == "string",
+    "instanceOfInteger": lambda x: F.typeof(x) == "int",
+    "instanceOfLong": lambda x: F.typeof(x) == "bigint",
+    "instanceOfFloat": lambda x: F.typeof(x) == "float",
+    "instanceOfDouble": lambda x: F.typeof(x) == "double",
+    "instanceOfBoolean": lambda x: F.typeof(x) == "boolean",
 }
 
 # ---------------------------------------------------------------- str:

@@ -340,12 +340,18 @@ def connected_components(
     graph algorithm (this is GraphFrames' CC shape without the
     dependency).
     """
+    # Materialize the directed pairs FIRST: the symmetrizing union has
+    # two branches that would otherwise each recompute the entire
+    # upstream pipeline (for LSH input that is the full minhash scan,
+    # twice) inside one action.
+    base = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -77,6 +77,8 @@ _FRONT_NAMES = (
     "sample_hash_split",
     "analytic_window_fns",
     "set_ops",
+    "similarity_ann_recall",
+    "text_chunk_dedup_ratio",
 )
 # Everything registered by a round-3 module (new operators) also belongs in
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).

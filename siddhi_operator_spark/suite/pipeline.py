@@ -581,3 +581,126 @@ def sample_hash_split(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_LSH_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << (7 - i)}"
+    for i in range(8)
+)
+
+ANN_RECALL_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      FROM embeddings WHERE vec_id < 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(1e-9 + list_dot_product(q.q_vec, CAST(c.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])))), 4)
+                 DESC, c.vec_id) AS rank
+        FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 3
+    ), b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_LSH_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(1e-9 + list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4) DESC, c.vec_id)
+                 AS rank
+        FROM b c JOIN b q
+          ON c.bucket = q.bucket AND c.vec_id != q.vec_id AND q.vec_id < 5
+      ) WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           count(a.neighbor_id)                          AS n_hit,
+           round(1e-9 + count(a.neighbor_id) / 3.0, 4)   AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+"""
+
+
+@register(
+    "similarity_ann_recall",
+    oracle=ANN_RECALL_ORACLE,
+    tags=("pipeline", "similarity", "eval"),
+)
+def similarity_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measure, don't guess: recall@3 of the sign-LSH ANN tier against
+    the exact brute-force tier, per query — the eval loop every ANN
+    deployment needs before trading exactness for bucket-local work.
+    Both tiers are themselves oracle-verified; this entry verifies the
+    JOINED metric so the recall number itself is engine-portable."""
+    emb = load(spark, sf, "embeddings")
+    exact = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.lsh_topk(emb, k=3, n_bits=8, max_query_id=5).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = exact.join(
+        ann,
+        (exact["query_id"] == ann["aq"]) & (exact["neighbor_id"] == ann["an"]),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").alias("n_hit"),
+        r4(F.count("an") / F.lit(3.0), 4).alias("recall_at_3"),
+    )
+
+
+@register(
+    "text_chunk_dedup_ratio",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, trim(c) AS chunk
+      FROM documents, unnest(string_split(text, '. ')) AS u(c)
+      WHERE length(trim(c)) > 0
+    ), freq AS (
+      SELECT chunk, count(*) AS n FROM ch GROUP BY 1
+    )
+    SELECT ch.doc_id,
+           count(*)                                   AS n_chunks,
+           sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)   AS n_dup_chunks,
+           round(1e-9 + sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4)                       AS dup_ratio
+    FROM ch JOIN freq f ON f.chunk = ch.chunk
+    GROUP BY 1
+    """,
+    tags=("pipeline", "text", "dedup"),
+)
+def text_chunk_dedup_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level (sentence/paragraph) duplication — the C4-style
+    sub-document signal exact whole-doc dedup misses: split on
+    sentence boundaries, count corpus-wide chunk frequency (one keyed
+    agg — the chunk string is the shuffle key; at 100 TB you'd hash
+    the chunk first to keep the shuffle narrow), report per-doc
+    duplicated-chunk ratio for filtering."""
+    d = load(spark, sf, "documents")
+    ch = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", r"\. ")).alias("raw"),
+        )
+        .select("doc_id", F.trim("raw").alias("chunk"))
+        .filter(F.length("chunk") > 0)
+    )
+    freq = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            r4(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+    )

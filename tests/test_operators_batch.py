@@ -315,3 +315,17 @@ def test_collection_json_fns_round3(spark):
     ).first()
     assert agg.grouped.startswith("[{") and agg.grouped.endswith("}]")
     assert set(agg.m.keys()) == {"1", "2"}
+
+
+def test_instanceof_fns(spark):
+    """instanceOf* resolve from the static schema via typeof."""
+    from pyspark.sql import functions as F
+    from siddhi_operator_spark.functions import REGISTRY as R
+
+    row = spark.createDataFrame([(1, "a", 1.5)], "i long, s string, d double").select(
+        R["instanceOfLong"](F.col("i")).alias("il"),
+        R["instanceOfString"](F.col("s")).alias("ss"),
+        R["instanceOfDouble"](F.col("d")).alias("dd"),
+        R["instanceOfInteger"](F.col("i")).alias("ii"),
+    ).first()
+    assert row.il and row.ss and row.dd and not row.ii

@@ -133,3 +133,43 @@ def test_connected_components_non_convergence_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_property(spark):
+    """Randomized graphs vs a pure-python union-find reference —
+    min-label propagation must produce identical components (a
+    hypothesis-style sweep with a fixed seed; one Spark run per graph
+    keeps it affordable)."""
+    import random
+
+    from siddhi_operator_spark.pipeline import dedup as D
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n_nodes = rng.randint(2, 30)
+        n_edges = rng.randint(1, 40)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(n_edges)
+            }
+        )
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in parent}
+        # path-compress to true minimum labels
+        expect = {x: find(x) for x in expect}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.component for r in D.connected_components(pairs).collect()}
+        assert got == expect, f"trial {trial}: {got} != {expect}"
