@@ -497,6 +497,62 @@ def _alias_all(df: DataFrame, alias: str, key: str, key_alias: str = "__k") -> D
     )
 
 
+def _run_pattern_or_chain(
+    df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
+) -> DataFrame:
+    """Chains containing `(a=S[p] or b=S[q])` steps mid-pattern
+    (`LogicalPreStateProcessor` inside a followed-by chain): expand
+    each or-step into its two arms — the second arm carries
+    `q AND NOT p` so an event matching both takes the first-declared
+    branch, the reference's branch priority — run one plain chain per
+    arm combination, null-pad each variant with the other arm's
+    columns, and union. `every` start semantics come free: each arm
+    event starts its own partial in its variant, exactly one variant
+    per event (the arms partition the stream)."""
+    import dataclasses
+    from itertools import product
+
+    dtypes = dict(df.dtypes)
+    choice_lists: list[list[PatternStep | None]] = []
+    all_aliases: list[str] = []
+    for st in inp.steps:
+        if isinstance(st, LogicalStep):
+            a, b = st.a, st.b
+            all_aliases.extend([a.alias, b.alias])
+            arm_a = dataclasses.replace(a)
+            if a.predicate:
+                neg = f"not ({a.predicate})"
+                b_pred = f"({b.predicate}) and {neg}" if b.predicate else neg
+                arm_b = dataclasses.replace(b, predicate=b_pred)
+                choice_lists.append([arm_a, arm_b])
+            else:
+                # first arm matches everything — branch b never fires
+                choice_lists.append([arm_a])
+        else:
+            all_aliases.append(st.alias)
+            choice_lists.append([st])
+    variants = []
+    for combo in product(*choice_lists):
+        v_inp = dataclasses.replace(inp, steps=list(combo))
+        part = _run_pattern_simple(
+            df, q, v_inp, ts_col, id_col, key, project=False
+        )
+        have = {st.alias for st in combo}
+        pads = [
+            F.lit(None).cast(dtypes[c]).alias(f"{al}_{c}")
+            for al in all_aliases
+            if al not in have
+            for c in dtypes
+        ]
+        if pads:
+            part = part.select("*", *pads)
+        variants.append(part)
+    out = variants[0]
+    for v in variants[1:]:
+        out = out.unionByName(v, allowMissingColumns=True)
+    return _rewrite_pattern_select(out, q)
+
+
 def _run_pattern_special(
     df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
 ) -> DataFrame:
@@ -518,6 +574,15 @@ def _run_pattern_special(
     import dataclasses
 
     steps = inp.steps
+    if len(steps) > 1 and any(isinstance(st, LogicalStep) for st in steps):
+        if all(
+            (not isinstance(st, LogicalStep))
+            or (st.op == "or" and not st.a.negated and not st.b.negated)
+            for st in steps
+        ) and not any(
+            getattr(st, "negated", False) for st in steps
+        ):
+            return _run_pattern_or_chain(df, q, inp, ts_col, id_col, key)
     if len(steps) == 1 and isinstance(steps[0], LogicalStep):
         ls = steps[0]
         a, b = ls.a, ls.b
@@ -635,8 +700,68 @@ def _run_pattern_special(
     )
 
 
+def _map_outside_quotes(expr: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``expr`` that are outside
+    single-quoted string literals (so a literal like 'sku3' is never
+    rewritten as a column reference)."""
+    parts = re.split(r"('(?:[^'\\]|\\.)*')", expr)
+    return "".join(p if i % 2 else fn(p) for i, p in enumerate(parts))
+
+
+def _classify_step_predicate(
+    pred: str, alias: str, prior_aliases: list[str], base_cols: list[str]
+) -> tuple[str | None, str | None]:
+    """Split a pattern-step predicate into (pre_filter, deferred).
+
+    A predicate that references only the step's own event (bare columns
+    or `alias.col`) pre-filters the stream (own-alias prefix stripped).
+    One that references EARLIER step aliases (`e2[e2.x > e1.x]` —
+    `StreamPreStateProcessor` evaluates against the partial-match
+    state) must run after the join: every ref is rewritten to the
+    joined frame's `<alias>_<col>` naming, bare columns bind to the
+    current step's event, and the filter applies BEFORE the first-match
+    pick so "first match" means first event satisfying the FULL
+    predicate, as in the reference."""
+    ref_re = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)")
+    uses_prior = False
+
+    def scan(seg: str) -> str:
+        nonlocal uses_prior
+        for m in ref_re.finditer(seg):
+            if m.group(1) in prior_aliases:
+                uses_prior = True
+        return seg
+
+    _map_outside_quotes(pred, scan)
+    if not uses_prior:
+        strip_own = lambda seg: re.sub(rf"\b{re.escape(alias)}\s*\.\s*", "", seg)
+        return _map_outside_quotes(pred, strip_own), None
+
+    known = set(prior_aliases) | {alias}
+
+    def rewrite(seg: str) -> str:
+        seg = ref_re.sub(
+            lambda m: f"{m.group(1)}_{m.group(2)}" if m.group(1) in known else m.group(0),
+            seg,
+        )
+        if base_cols:
+            bare = re.compile(
+                r"(?<![\w.])(" + "|".join(map(re.escape, base_cols)) + r")(?![\w(.])"
+            )
+            seg = bare.sub(lambda m: f"{alias}_{m.group(1)}", seg)
+        return seg
+
+    return None, _map_outside_quotes(pred, rewrite)
+
+
 def _run_pattern_simple(
-    df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
+    df: DataFrame,
+    q: QueryDef,
+    inp: PatternInput,
+    ts_col: str,
+    id_col: str,
+    key: str,
+    project: bool = True,
 ) -> DataFrame:
     """Chain of time-bounded first-match joins — the batch fixed point
     of the NFA. Columns come out as `<alias>_<col>`; select expressions
@@ -652,18 +777,29 @@ def _run_pattern_simple(
         df = df.withColumn("__seq", F.row_number().over(seq_w))
         base_cols = base_cols + ["__seq"]
     partial: DataFrame | None = None
+    prior_aliases: list[str] = []
     for step in inp.steps:
         s = df
+        deferred = None
         if step.predicate:
-            s = s.filter(F.expr(step.predicate))
+            pre, deferred = _classify_step_predicate(
+                step.predicate, step.alias, prior_aliases, base_cols
+            )
+            if pre:
+                s = s.filter(F.expr(pre))
         s = s.select(
             F.col(key).alias("__k"),
             *[F.col(c).alias(f"{step.alias}_{c}") for c in base_cols],
         )
         if partial is None:
+            if deferred:
+                raise ValueError(
+                    f"step '{step.alias}' references a prior alias but is first"
+                )
             partial = s
             first = step.alias
             prev_alias = step.alias
+            prior_aliases.append(step.alias)
             continue
         prev = prev_alias
         if inp.strict:
@@ -681,6 +817,9 @@ def _run_pattern_simple(
                 + F.expr(f"INTERVAL {inp.within_seconds} SECONDS")
             )
         joined = partial.alias("p").join(s.alias("s"), on=cond).drop(F.col("s.__k"))
+        if deferred:
+            # cross-step predicate: filter before the first-match pick
+            joined = joined.filter(F.expr(deferred))
         if inp.strict:
             partial = joined  # adjacency is unique — no first-match pick
         else:
@@ -693,6 +832,9 @@ def _run_pattern_simple(
                 .drop("_rn")
             )
         prev_alias = step.alias
+        prior_aliases.append(step.alias)
+    if not project:
+        return partial
     return _rewrite_pattern_select(partial, q)
 
 
@@ -1047,6 +1189,23 @@ def run_app(
             env[f"{aname}__{gran}"] = gdf
     for q in model.queries:
         inp = q.input
+        # Rate limiting picks first/last BY EVENT TIME after the
+        # projection — if the user's select dropped the ts/id columns,
+        # thread them through invisibly and strip them afterwards (the
+        # reference's rate limiter sits on the event stream and never
+        # depends on the projection keeping the timestamp).
+        _rl_injected: list[str] = []
+        if (
+            q.output_rate is not None
+            and q.output_rate.which in ("first", "last")
+            and q.select
+            and not any(_AGG_RE.search(it.expr) for it in q.select)
+        ):
+            have = {_auto_alias(it, i) for i, it in enumerate(q.select)}
+            for col in (ts_col, id_col):
+                if col not in have:
+                    q.select.append(SelectItem(expr=col, alias=col))
+                    _rl_injected.append(col)
         if isinstance(inp, SingleInput) and inp.stream in model.triggers:
             if inp.stream not in env:
                 env[inp.stream] = _trigger_ticks(
@@ -1114,6 +1273,9 @@ def run_app(
                     df = RL.first_every(df, ts_col, every, rate_keys, id_col)
                 else:
                     df = RL.last_every(df, ts_col, every, rate_keys, id_col)
+                # the emission bucket is rate-limiter internals — the
+                # query's output schema is its projection
+                df = df.drop("bucket")
             else:  # every N events: modulo pick over arrival order
                 n = int(q.output_rate.every_n)
                 wkeys = rate_keys or [F.lit(1)]
@@ -1124,6 +1286,8 @@ def run_app(
                 else:
                     df = df.filter(F.col("_rn") % n == 0)
                 df = df.drop("_rn")
+            if _rl_injected:
+                df = df.drop(*_rl_injected)
             # `all` keeps everything — scheduling-only in batch mode
         for col, asc in q.order_by:
             df = df.orderBy(F.asc(col) if asc else F.desc(col))

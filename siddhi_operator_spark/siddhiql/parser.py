@@ -91,6 +91,24 @@ def translate_expr(expr: str) -> str:
     out = re.sub(r"(?<![<>!=])==", "=", out)
     # Siddhi's zero-arg count() → SQL count(*)
     out = re.sub(r"\bcount\s*\(\s*\)", "count(*)", out)
+    # two-arg cast/convert (`CastFunctionExecutor`): cast(x, 'type') →
+    # CAST(x AS type). Type arg may be Siddhi-spelled ('string', 'int',
+    # 'long', 'float', 'double', 'bool') — map to Spark SQL names.
+    _cast_types = {
+        "string": "STRING", "int": "INT", "long": "BIGINT",
+        "float": "FLOAT", "double": "DOUBLE", "bool": "BOOLEAN",
+        "boolean": "BOOLEAN",
+    }
+
+    def _cast_repl(m: re.Match) -> str:
+        t = m.group(2).strip().strip("'\"").lower()
+        return f"CAST({m.group(1)} AS {_cast_types.get(t, t.upper())})"
+
+    out = re.sub(
+        r"\b(?:cast|convert)\s*\(([^,()]+),\s*('[^']*'|\"[^\"]*\")\s*\)",
+        _cast_repl,
+        out,
+    )
     # namespace:function( → mapped/stripped spark name
     def repl(m: re.Match) -> str:
         full = f"{m.group(1)}:{m.group(2)}"
@@ -881,7 +899,12 @@ def _parse_partition(stmt: str) -> list[QueryDef]:
         re.I,
     )
     queries = []
-    for inner in _split_statements(body.replace("#", "")):
+    # Inner streams (`#Name` — partition-local, `[qapi]
+    # execution/partition/Partition.java`) lose their `#` marker so the
+    # body queries chain through the ordinary env; window/processor
+    # attachments (`S#window.time(..)`, `S#unique:first(..)`) keep
+    # theirs — the marker is a name prefix only when it starts a token.
+    for inner in _split_statements(re.sub(r"(?<![\w)\]])#", "", body)):
         q = _parse_query(inner)
         q.partition_key = key
         q.partition_ranges = ranges

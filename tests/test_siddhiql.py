@@ -765,3 +765,136 @@ def test_plus_quantifier_unbounded_greedy(spark):
     assert (3, 20, 21, 2, 22) in got
     assert (3, 23, 23, 1, 24) in got
     assert (3, 20, 23, 3, 24) not in got
+
+
+def test_cross_step_pattern_predicate(spark):
+    """`o=S[o.x == c.x]` — a step predicate referencing a PRIOR alias
+    (the reference's partial-match-state evaluation,
+    `StreamPreStateProcessor`): must join-filter, not pre-filter, and
+    first-match means first event satisfying the FULL predicate."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click sku A, order sku B (skipped), order sku A
+        (1, t0 + dt.timedelta(seconds=1), 1, "click", "A"),
+        (2, t0 + dt.timedelta(seconds=2), 1, "order", "B"),
+        (3, t0 + dt.timedelta(seconds=3), 1, "order", "A"),
+        (4, t0 + dt.timedelta(seconds=4), 1, "order", "A"),  # later match loses
+        # user 2: click sku 'order' — quoted literal must not rewrite
+        (5, t0 + dt.timedelta(seconds=5), 2, "click", "order"),
+        (6, t0 + dt.timedelta(seconds=6), 2, "order", "order"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, sku string"
+    )
+    app = (
+        "define stream events (event_id long, ts string, user_id long, "
+        "event_type string, sku string);\n"
+        + """
+    from every c=events[event_type == 'click']
+         -> o=events[event_type == 'order' and o.sku == c.sku]
+    select c.event_id as click_id, o.event_id as order_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": df})["Out"]
+    got = {(r.click_id, r.order_id) for r in out.collect()}
+    assert got == {(1, 3), (5, 6)}
+
+
+def test_partition_inner_stream_keeps_window_marker(spark):
+    """`S#window.lengthBatch(n)` INSIDE a partition body: the inner-
+    stream `#` strip must not eat window-attachment markers."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1 + i % 2, 10.0 * (1 + i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    app = """
+    define stream S (event_id long, ts string, user_id long, value double);
+    partition with (user_id of S)
+    begin
+      from S#window.lengthBatch(2)
+      select user_id, sum(value) as spend
+      insert into #Spend;
+
+      from #Spend[spend > 100.0]
+      select user_id, spend
+      insert into Big;
+    end;
+    """
+    out = run_app(app, {"S": df})["Big"]
+    got = sorted((r.user_id, r.spend) for r in out.collect())
+    # user 1 events: v=10,30,50,70 -> batches (10+30)=40, (50+70)=120
+    # user 2 events: v=20,40,60,80 -> batches 60, 140
+    assert got == [(1, 120.0), (2, 140.0)]
+
+
+def test_or_step_mid_chain(spark):
+    """`every (x or y) -> z`: or-steps inside a followed-by chain
+    expand per arm with branch priority; the other arm's columns are
+    NULL in each emission."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=1), 1, "a", 1.0),
+        (2, t0 + dt.timedelta(seconds=2), 1, "b", 2.0),
+        (3, t0 + dt.timedelta(seconds=3), 1, "c", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    app = _QDEF + """
+    from every (x=events[event_type == 'a'] or y=events[event_type == 'b'])
+         -> z=events[event_type == 'c']
+    select x.event_id as x_id, y.event_id as y_id, z.event_id as z_id
+    insert into Out;
+    """
+    out = run_app(app, {"events": df})["Out"]
+    got = {(r.x_id, r.y_id, r.z_id) for r in out.collect()}
+    assert got == {(1, None, 3), (None, 2, 3)}
+
+
+def test_or_step_branch_priority_mid_chain(spark):
+    """An event matching BOTH or-arms takes the first-declared branch
+    (reference `LogicalPreStateProcessor` priority), also mid-chain."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=1), 1, "a", 9.0),  # matches both arms
+        (2, t0 + dt.timedelta(seconds=2), 1, "c", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    app = _QDEF + """
+    from every (x=events[value > 5.0] or y=events[event_type == 'a'])
+         -> z=events[event_type == 'c']
+    select x.event_id as x_id, y.event_id as y_id, z.event_id as z_id
+    insert into Out;
+    """
+    out = run_app(app, {"events": df})["Out"]
+    got = {(r.x_id, r.y_id, r.z_id) for r in out.collect()}
+    assert got == {(1, None, 2)}
+
+
+def test_two_arg_cast_and_rate_limit_projection(spark, events_df):
+    """Siddhi's `cast(x,'type')` two-arg form, and `output last every`
+    when the projection drops the event-time column (the engine must
+    thread ts through invisibly and strip it after)."""
+    app = _QDEF + """
+    from events
+    select event_id, cast(value, 'long') as lv
+    output last every 10 min
+    insert into Out;
+    """
+    out = run_app(app, {"events": events_df})["Out"]
+    assert dict(out.dtypes)["lv"] == "bigint"
+    assert set(out.columns) == {"event_id", "lv"}
+    assert out.count() >= 1
