@@ -15,6 +15,7 @@ of the streaming NFA (`..streaming.cep.pattern_nfa`).
 
 from __future__ import annotations
 
+import dataclasses
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -220,6 +221,59 @@ def playback_config(model: AppModel) -> dict[str, float] | None:
                     out[k] = time_constant_seconds(ann.options[k])
             return out
     return None
+
+
+def _rewrite_table_membership(
+    src: DataFrame, filt: str, env: dict, model: AppModel
+) -> tuple[DataFrame, str, list[str]]:
+    """`attr in TableName` inside a filter (grammar `basic_source` IN
+    condition, `[core] executor/condition/InConditionExpressionExecutor
+    .java`): each membership atom becomes a broadcast left join against
+    the table's distinct keys plus a boolean flag column, so arbitrary
+    boolean composition (`not (x in T) and y > 5`) keeps working. The
+    table column is the one named like the attribute, or the table's
+    only column. Returns (joined frame, rewritten filter, flag cols)."""
+    joins: list[tuple[str, str, int]] = []
+
+    def seg_repl(seg: str) -> str:
+        def mark(m: re.Match) -> str:
+            attr, tname = m.group(1), m.group(2)
+            sdef = model.streams.get(tname)
+            if sdef is None or not sdef.is_table or tname not in env:
+                return m.group(0)
+            tdf = env[tname]
+            if attr in tdf.columns:
+                keycol = attr
+            elif len(tdf.columns) == 1:
+                keycol = tdf.columns[0]
+            else:
+                raise ValueError(
+                    f"`{attr} in {tname}`: table has no column {attr!r} "
+                    "and is not single-column"
+                )
+            i = len(joins)
+            joins.append((attr, keycol, i))
+            _tables.append(tdf)
+            return f"__in_{i}"
+
+        return re.sub(r"\b(\w+)\s+in\s+(\w+)\b", mark, seg)
+
+    _tables: list[DataFrame] = []
+    new_filt = _map_outside_quotes(filt, seg_repl)
+    flags: list[str] = []
+    for (attr, keycol, i), tdf in zip(joins, _tables):
+        keys = (
+            tdf.select(F.col(keycol).alias(f"__mv_{i}"))
+            .distinct()
+            .withColumn(f"__in_{i}", F.lit(True))
+        )
+        src = (
+            src.join(F.broadcast(keys), src[attr] == F.col(f"__mv_{i}"), "left")
+            .withColumn(f"__in_{i}", F.coalesce(F.col(f"__in_{i}"), F.lit(False)))
+            .drop(f"__mv_{i}")
+        )
+        flags.append(f"__in_{i}")
+    return src, new_filt, flags
 
 
 def _run_single(
@@ -1236,6 +1290,13 @@ def run_app(
                 src = src.withColumn(q.partition_key, bucket).filter(
                     F.col(q.partition_key).isNotNull()
                 )
+            if inp.filter_expr and re.search(r"\b\w+\s+in\s+\w+", inp.filter_expr):
+                src, nf, flags = _rewrite_table_membership(
+                    src, inp.filter_expr, env, model
+                )
+                if flags:
+                    src = src.filter(F.expr(nf)).drop(*flags)
+                    inp = dataclasses.replace(inp, filter_expr=None)
             df = _run_single(src, q, inp, ts_col, id_col)
         elif isinstance(inp, JoinInput):
             df = _run_join(env, q, inp, ts_col)
@@ -1475,6 +1536,33 @@ def _run_pattern_streaming(
         stream = None
         steps: list = []
         stem_by_alias = {}
+        _all_aliases = set()
+        for st in sts:
+            if isinstance(st, LogicalStep):
+                _all_aliases.update({st.a.alias, st.b.alias})
+            else:
+                _all_aliases.add(st.alias)
+        _all_aliases.discard(None)
+
+        def _ctx(pred: str | None, own: str | None) -> str:
+            """NFA predicates are per-event Catalyst flag columns
+            (context-free). Own-alias refs (`o.sku`) are stripped to
+            bare columns; refs to OTHER step aliases need the partial-
+            match state and are batch-mode only — fail with guidance,
+            not an unresolved-column AnalysisException."""
+            if not pred:
+                return "true"
+            for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]\w*", pred):
+                if m.group(1) in _all_aliases and m.group(1) != own:
+                    raise ValueError(
+                        f"cross-step predicate reference {m.group(0)!r} is "
+                        "not supported in streaming mode (NFA step "
+                        "predicates are per-event, Catalyst-compiled "
+                        "flags) — run this pattern in batch mode"
+                    )
+            if own:
+                pred = re.sub(rf"\b{re.escape(own)}\s*\.\s*", "", pred)
+            return pred
 
         def _use(s: str | None) -> None:
             nonlocal stream
@@ -1499,7 +1587,11 @@ def _run_pattern_streaming(
                 _use(st.a.stream)
                 _use(st.b.stream)
                 steps.append(
-                    (st.op, st.a.predicate or "true", st.b.predicate or "true")
+                    (
+                        st.op,
+                        _ctx(st.a.predicate, st.a.alias),
+                        _ctx(st.b.predicate, st.b.alias),
+                    )
                 )
                 if st.op == "and":
                     stem_by_alias[st.a.alias or f"e{i}a"] = f"e{i}a"
@@ -1518,10 +1610,15 @@ def _run_pattern_streaming(
                 _use(st.stream)
                 if st.min_count != 1 or st.max_count != 1:
                     steps.append(
-                        ("count", st.predicate or "true", st.min_count, st.max_count)
+                        (
+                            "count",
+                            _ctx(st.predicate, st.alias),
+                            st.min_count,
+                            st.max_count,
+                        )
                     )
                 else:
-                    steps.append(st.predicate or "true")
+                    steps.append(_ctx(st.predicate, st.alias))
                 stem_by_alias[st.alias or f"e{i}"] = f"e{i}"
         out = cep.pattern_nfa(
             env[stream],

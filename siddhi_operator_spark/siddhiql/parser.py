@@ -70,6 +70,14 @@ _FN_MAP = {
     "maximum": "greatest",
     "minimum": "least",
     "eventTimestamp": "unix_millis",
+    "default": "coalesce",
+    "UUID": "uuid",
+    "time:currentTimestamp": "current_timestamp",
+    "time:currentDate": "current_date",
+    "time:date": "to_date",
+    "time:dateDiff": "datediff",
+    "time:dateFormat": "date_format",
+    "time:dayOfWeek": "dayofweek",
 }
 
 
@@ -107,6 +115,33 @@ def translate_expr(expr: str) -> str:
     out = re.sub(
         r"\b(?:cast|convert)\s*\(([^,()]+),\s*('[^']*'|\"[^\"]*\")\s*\)",
         _cast_repl,
+        out,
+    )
+    # time: fns whose Siddhi arg order differs from SQL
+    # (`[ext:time]` DateAdd/DateSub/ExtractAttributesFunctionExtension):
+    # dateAdd(ts, n, 'unit') → timestampadd(UNIT, n, ts);
+    # extract('unit', ts) → extract(unit FROM ts);
+    # currentTimeMillis() → unix_millis(current_timestamp())
+    out = re.sub(
+        r"\btime:dateAdd\s*\(([^,()]+),([^,()]+),\s*'(\w+)'\s*\)",
+        lambda m: f"timestampadd({m.group(3).upper().rstrip('S')},"
+        f"{m.group(2)},{m.group(1)})",
+        out,
+    )
+    out = re.sub(
+        r"\btime:dateSub\s*\(([^,()]+),([^,()]+),\s*'(\w+)'\s*\)",
+        lambda m: f"timestampadd({m.group(3).upper().rstrip('S')},"
+        f"-({m.group(2).strip()}),{m.group(1)})",
+        out,
+    )
+    out = re.sub(
+        r"\btime:extract\s*\(\s*'(\w+)'\s*,([^()]+)\)",
+        lambda m: f"extract({m.group(1).upper()} FROM{m.group(2)})",
+        out,
+    )
+    out = re.sub(
+        r"\bcurrentTimeMillis\s*\(\s*\)",
+        "unix_millis(current_timestamp())",
         out,
     )
     # namespace:function( → mapped/stripped spark name

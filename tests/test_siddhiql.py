@@ -898,3 +898,58 @@ def test_two_arg_cast_and_rate_limit_projection(spark, events_df):
     assert dict(out.dtypes)["lv"] == "bigint"
     assert set(out.columns) == {"event_id", "lv"}
     assert out.count() >= 1
+
+
+def test_in_table_membership_filter(spark, events_df):
+    """`attr in Table` (IN condition): broadcast-semi semantics with
+    arbitrary boolean composition (`not (… in …)`)."""
+    bl = events_df.sparkSession.createDataFrame(
+        [("click",)], "event_type string"
+    )
+    app = _QDEF + """
+    define table BlockList (event_type string);
+    from events[not (event_type in BlockList)]
+    select event_id, event_type
+    insert into Out;
+    """
+    out = run_app(app, {"events": events_df, "BlockList": bl})["Out"]
+    got = {r.event_type for r in out.collect()}
+    assert "click" not in got and len(got) > 0
+
+
+def test_time_fns_arg_reorder(spark, events_df):
+    """time:dateAdd/dateSub/extract use Siddhi arg order; the parser
+    reorders into timestampadd/extract SQL."""
+    app = _QDEF + """
+    from events
+    select event_id, time:dateAdd(ts, 2, 'hour') as plus2,
+           time:dateSub(ts, 30, 'minute') as minus30,
+           time:extract('hour', ts) as hr, default(value, 0.0) as v2
+    insert into Out;
+    """
+    out = run_app(app, {"events": events_df})["Out"]
+    r = out.orderBy("event_id").first()
+    base = events_df.orderBy("event_id").first()
+    import datetime as dt
+
+    assert r.plus2 - base.ts == dt.timedelta(hours=2)
+    assert base.ts - r.minus30 == dt.timedelta(minutes=30)
+    assert r.hr == base.ts.hour and r.v2 == base.value
+
+
+def test_streaming_cross_step_predicate_clear_error(spark, events_df):
+    """Cross-step predicate refs in streaming mode fail with guidance,
+    not an unresolved-column AnalysisException; own-alias refs are
+    stripped and work."""
+    import pytest as _pytest
+    from siddhi_operator_spark.siddhiql import parse_app
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+
+    app = _QDEF + """
+    from every c=events[event_type == 'click']
+         -> o=events[event_type == 'purchase' and o.value > c.value]
+    select c.event_id as c_id, o.event_id as o_id
+    insert into Out;
+    """
+    with _pytest.raises(ValueError, match="batch mode"):
+        run_app_streaming(app, {"events": events_df})
