@@ -73,6 +73,13 @@ def _apply_window_groupby(
         dur = _duration_str(win.args[0])
         df = df.withColumn("session_w", F.session_window(ts_col, dur))
         extra = ["session_w"]
+        if len(win.args) > 1:
+            # session(gap, key): the key argument IS the partition —
+            # no explicit `group by` required (reference session
+            # window signature)
+            skey = win.args[1].strip("'\" ")
+            if skey not in q.group_by:
+                q.group_by = [skey] + q.group_by
     elif kind == "delay":
         df = df.withColumn(
             ts_col, F.col(ts_col) + F.expr(f"INTERVAL {_duration_str(win.args[0])}")
@@ -1251,7 +1258,7 @@ def run_app(
         _rl_injected: list[str] = []
         if (
             q.output_rate is not None
-            and q.output_rate.which in ("first", "last")
+            and q.output_rate.which in ("first", "last", "snapshot")
             and q.select
             and not any(_AGG_RE.search(it.expr) for it in q.select)
         ):
@@ -1317,6 +1324,26 @@ def run_app(
             raise TypeError(type(inp))
         if q.having:
             df = df.filter(F.expr(q.having))
+        if q.output_rate is not None and q.output_rate.which == "snapshot":
+            # `output snapshot every N sec` — periodic current-state
+            # emission (`[core] …/ratelimit/snapshot/`); time form only,
+            # as in the reference grammar
+            from ..operators import ratelimit as RL
+
+            if q.output_rate.unit != "seconds":
+                raise ValueError("output snapshot takes a time period")
+            if ts_col not in df.columns:
+                raise ValueError(
+                    "output snapshot needs the event-time column in "
+                    f"the projection (missing {ts_col!r})"
+                )
+            rate_keys = [q.partition_key] if q.partition_key else []
+            df = RL.snapshot_every(
+                df, ts_col, f"{q.output_rate.every_n} seconds", rate_keys,
+                id_col if id_col in df.columns else ts_col,
+            ).drop("bucket")
+            if _rl_injected:
+                df = df.drop(*_rl_injected)
         if q.output_rate is not None and q.output_rate.which in ("first", "last"):
             # `output first|last every N sec|events` — batch fixed
             # point of the rate limiter (`[core] query/output/ratelimit/`)
@@ -1736,6 +1763,14 @@ def run_app_streaming(
                 "streaming.frequent operators"
             )
         src = env[inp.stream]
+        if inp.filter_expr and re.search(r"\b\w+\s+in\s+\w+", inp.filter_expr):
+            # `attr in Table` — stream-static broadcast join + flag
+            src, nf, flags = _rewrite_table_membership(
+                src, inp.filter_expr, env, model
+            )
+            if flags:
+                src = src.filter(F.expr(nf)).drop(*flags)
+                inp = dataclasses.replace(inp, filter_expr=None)
         has_agg = any(_AGG_RE.search(it.expr) for it in q.select)
         if has_agg:
             wm_col = (

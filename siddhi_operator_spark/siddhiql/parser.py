@@ -647,7 +647,7 @@ def _split_select_items(sel: str) -> list[SelectItem]:
 
 
 _OUTPUT_RATE_RE = re.compile(
-    r"output\s+(all|first|last)?\s*every\s+(\d+(?:\.\d+)?)\s*(\w+)",
+    r"output\s+(all|first|last|snapshot)?\s*every\s+(\d+(?:\.\d+)?)\s*(\w+)",
     re.I,
 )
 

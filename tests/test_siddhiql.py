@@ -953,3 +953,18 @@ def test_streaming_cross_step_predicate_clear_error(spark, events_df):
     """
     with _pytest.raises(ValueError, match="batch mode"):
         run_app_streaming(app, {"events": events_df})
+
+
+def test_output_snapshot_front_end(spark, events_df):
+    """`output snapshot every N sec` through the front end: periodic
+    current-state emissions at bucket boundaries."""
+    app = _QDEF + """
+    from events
+    select user_id, value
+    output snapshot every 30 min
+    insert into Out;
+    """
+    out = run_app(app, {"events": events_df})["Out"]
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert set(out.columns) == {"user_id", "value"}

@@ -593,3 +593,58 @@ def test_streaming_named_window_shared_hop(spark, events_df, tmp_path):
     q1.stop()
     q2.stop()
     hop.stop()
+
+
+def test_front_end_session_key_arg_streaming(spark, events_df):
+    """`#window.session(gap, key)` in streaming mode: the key argument
+    is the partition — no explicit `group by` required."""
+    from siddhi_operator_spark.siddhiql import run_app_streaming
+
+    app = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    from E#window.session(30 sec, user_id)
+    select user_id, count() as n
+    insert into Out;
+    """
+    s = _stream_events(spark, events_df, n_splits=2)
+    outs = run_app_streaming(app, {"E": s})
+    name = f"sk_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Out"]
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"select * from {name}").collect()
+    assert len(rows) > 0
+    assert {c for c in spark.sql(f"select * from {name}").columns} >= {
+        "user_id", "n"
+    }
+
+
+def test_front_end_membership_filter_streaming(spark, events_df):
+    """`attr in Table` in streaming mode: stream-static broadcast
+    join + flag, appended rows exclude blocked keys."""
+    from siddhi_operator_spark.siddhiql import run_app_streaming
+
+    bl = spark.createDataFrame([("click",)], "event_type string")
+    app = """
+    define stream E (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    define table BL (event_type string);
+    from E[not (event_type in BL)]
+    select event_id, event_type
+    insert into Out;
+    """
+    s = _stream_events(spark, events_df, n_splits=2)
+    outs = run_app_streaming(app, {"E": s, "BL": bl})
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = outs["Out"].writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_type for r in spark.sql(f"select * from {name}").collect()}
+    assert "click" not in got and len(got) > 0
