@@ -1,0 +1,236 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+masking, repetition-based quality signals, eval-set decontamination,
+deterministic domain re-balancing, sequence packing, and winnowing
+fingerprints.
+
+Everything here is pure Catalyst (no Python UDFs): per-row regex /
+array work runs inside whole-stage codegen over the parquet scan; the
+only shuffles are the explicit keyed aggregations and keyed window
+functions, each of which partitions by a corpus key (``doc_id``,
+``source``) that remains well-distributed at 100 TB.
+
+Reference parity: the upstream engine has no corpus-curation layer —
+these operators extend the engine in the direction BASELINE.json's
+"LLM-data-pipeline" north star asks for, alongside
+``pipeline/dedup.py`` and ``pipeline/text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..fpround import r4
+
+# Redaction patterns (RE2- and java.util.regex-compatible — the same
+# strings drive the DuckDB oracle).  Order matters: emails before
+# phones (an email local-part may contain digits), IPs before phones
+# (dots keep the phone charset from crossing an IP, but masking IPs
+# first makes that independent of charset choices).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def pii_mask(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails / IPv4s / phone-shaped digit runs with typed
+    placeholder tokens and report per-document redaction counts.
+
+    Pure projection — no shuffle at any scale; the regexes compile
+    once per task and run inside codegen (`regexp_replace` /
+    `regexp_count` are Catalyst expressions, not UDFs).
+    """
+    c = F.col(text_col)
+    n_email = F.regexp_count(c, F.lit(PII_EMAIL))
+    after_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(after_email, F.lit(PII_IPV4))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(after_ip, F.lit(PII_PHONE))
+    masked = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        n_email.cast("bigint").alias("n_email"),
+        n_ip.cast("bigint").alias("n_ip"),
+        n_phone.cast("bigint").alias("n_phone"),
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    top-word fraction (the n=1 instance of "fraction of characters in
+    the most common n-gram").
+
+    Two keyed aggregations — (doc_id, word) then doc_id — both
+    map-side combinable; the shuffle key cardinality is bounded by the
+    vocabulary actually present per partition, so partial aggregation
+    absorbs most of the volume before the exchange.
+    """
+    words = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("n").alias("top_word_n"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        r4(1.0 - F.col("n_distinct_words") / F.col("n_words"), 4).alias(
+            "dup_word_ratio"
+        ),
+        r4(F.col("top_word_n") / F.col("n_words"), 4).alias("top_word_ratio"),
+    )
+
+
+def _word_ngrams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, pos, gram) word n-grams via a keyed window — the
+    per-doc window is narrow (documents, not the corpus, bound the
+    partition) so this scales with ordinary keyed parallelism."""
+    words = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    grams = words.select(
+        "doc_id", "pos", F.concat_ws(" ", *parts).alias("gram"),
+        parts[-1].alias("_tail"),
+    )
+    return grams.filter(F.col("_tail").isNotNull()).drop("_tail")
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    eval_mod: int = 97,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with the held-out eval slice (here: ``doc_id %
+    eval_mod == 0``, standing in for an external benchmark table).
+
+    The eval gram set is small by construction — broadcast it and the
+    containment check is a map-side semi join over the training grams;
+    no large shuffle survives at 100 TB.
+    """
+    grams = _word_ngrams(df, text_col, n)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select(F.col("gram").alias("eg"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % eval_mod != 0)
+    hits = train.join(
+        F.broadcast(eval_grams), train["gram"] == eval_grams["eg"], "inner"
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_overlap_grams")
+    )
+    return per_doc.select(
+        "doc_id", "n_overlap_grams", F.lit(1).alias("contaminated")
+    )
+
+
+def domain_mix_sample(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified re-balancing toward a uniform domain
+    mix: every ``source`` is down-sampled to the size of the smallest
+    one via a content-free integer hash gate (Knuth multiplicative
+    hash of the key, reduced mod 2^16 — stable across runs AND
+    engines, no RNG; the mod-first form keeps the product inside
+    int64 at any key magnitude).
+
+    Per-source counts are one map-combinable aggregation; the
+    per-source keep-rate table is tiny and broadcast back, so the gate
+    itself is a pure projection over the corpus scan.
+    """
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    target = counts.select(F.min("n_total").alias("tgt"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "source", "n_total", (F.col("tgt") / F.col("n_total")).alias("rate")
+    )
+    frac = (
+        (F.col(key_col).cast("bigint") % 65536) * F.lit(2654435761)
+    ) % 65536 / F.lit(65536.0)
+    kept = (
+        df.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            r4(F.col("rate"), 4).alias("rate"),
+        )
+    )
+
+
+def seq_pack_bins(
+    df: DataFrame, budget: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Sequence packing: assign documents, in stable ``doc_id`` order
+    within each ``source`` shard, to fixed token-budget bins (bin =
+    floor(preceding-cumulative-tokens / budget)) and report per-bin
+    fill. The greedy-by-cumsum rule is the shuffle-free analog of
+    first-fit packing used by training loaders.
+
+    The window partitions by ``source`` — at 100 TB packing is always
+    per-shard (a global order would serialize the corpus through one
+    partition), and per-shard order is what a sharded loader consumes.
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+    d = df.select("source", "doc_id", toks.alias("n_tokens"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(win)
+    binned = d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).alias("bin_id"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every word k-gram, slide a w-wide window over the hash sequence,
+    keep each window's minimum — a guaranteed-coverage rolling-hash
+    fingerprint set. Reported per doc: gram count and distinct
+    fingerprint count (the fingerprint density near-dup detectors key
+    on).
+
+    Keyed windows over (doc_id, pos) only — per-document state, no
+    corpus-wide shuffle beyond the final per-doc aggregation.
+    """
+    grams = _word_ngrams(df, text_col, k).select(
+        "doc_id", "pos", F.md5(F.col("gram")).alias("h")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    tail = F.lead("h", w - 1).over(Window.partitionBy("doc_id").orderBy("pos"))
+    fps = grams.select(
+        "doc_id", F.min("h").over(win).alias("fp"), tail.alias("_full")
+    ).filter(F.col("_full").isNotNull())
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )

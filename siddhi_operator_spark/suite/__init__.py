@@ -79,6 +79,12 @@ _FRONT_NAMES = (
     "set_ops",
     "similarity_ann_recall",
     "text_chunk_dedup_ratio",
+    "pii_mask",
+    "quality_repetition",
+    "decontaminate_ngram",
+    "domain_mix_sample",
+    "seq_pack_bins",
+    "text_winnow_fingerprint",
 )
 # Everything registered by a round-3 module (new operators) also belongs in
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).

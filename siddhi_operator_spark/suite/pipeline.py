@@ -704,3 +704,215 @@ def text_chunk_dedup_ratio(spark: SparkSession, sf: str) -> DataFrame:
             r4(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (pipeline/curation.py) — PII masking, repetition
+# quality, decontamination, domain re-balancing, sequence packing,
+# winnowing fingerprints.
+# ---------------------------------------------------------------------------
+
+from ..pipeline import curation as C  # noqa: E402
+
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 call +1-202-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+PII_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents
+    ), m1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{C.PII_EMAIL}')) AS n_email,
+             regexp_replace(t, '{C.PII_EMAIL}', '<EMAIL>', 'g') AS t
+      FROM s
+    ), m2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t, '{C.PII_IPV4}')) AS n_ip,
+             regexp_replace(t, '{C.PII_IPV4}', '<IP>', 'g') AS t
+      FROM m1
+    ), m3 AS (
+      SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(t, '{C.PII_PHONE}')) AS n_phone,
+             regexp_replace(t, '{C.PII_PHONE}', '<PHONE>', 'g') AS t
+      FROM m2
+    )
+    SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS masked_md5 FROM m3
+"""
+
+
+@register("pii_mask", oracle=PII_ORACLE, tags=("pipeline", "curation", "pii"))
+def pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training corpus runs
+    before anything else: typed placeholder masking for emails, IPv4s
+    and phone-shaped digit runs, plus per-doc redaction counts for
+    audit. The fixture corpus contains no PII, so the entry injects a
+    deterministic specimen per document (same expression in the
+    oracle) to keep the regex path actually exercised. Pure projection
+    — zero shuffles at any scale."""
+    d = load(spark, sf, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1-202-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return C.pii_mask(d.select("doc_id", synth.alias("text")))
+
+
+@register(
+    "quality_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, t AS w
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE t != ''
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS n FROM w GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT)                           AS n_words,
+           count(*)                                         AS n_distinct_words,
+           round(1e-9 + 1.0 - count(*) * 1.0 / sum(n), 4)   AS dup_word_ratio,
+           round(1e-9 + max(n) * 1.0 / sum(n), 4)           AS top_word_ratio
+    FROM wc GROUP BY 1
+    """,
+    tags=("pipeline", "curation", "quality"),
+)
+def quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher rules): duplicate
+    -word fraction and most-common-word mass per document — the cheap
+    filters that catch boilerplate and keyword-stuffed pages exact
+    dedup never sees."""
+    return C.repetition_stats(load(spark, sf, "documents"))
+
+
+@register(
+    "decontaminate_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))) AS gram
+      FROM t
+    ), e AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), h AS (
+      SELECT g.doc_id, g.gram FROM g JOIN e USING (gram)
+      WHERE g.doc_id % 97 != 0
+    )
+    SELECT doc_id, count(DISTINCT gram) AS n_overlap_grams,
+           1 AS contaminated
+    FROM h GROUP BY 1
+    """,
+    tags=("pipeline", "curation", "decontamination"),
+)
+def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with the held-out slice (doc_id % 97 == 0 stands in for the
+    external benchmark table). n=3 here so the tiny synthetic
+    vocabulary actually produces overlaps; production corpora use
+    n=13. The eval gram set broadcasts; the containment check is a
+    map-side semi join — no corpus-wide shuffle."""
+    return C.decontaminate(load(spark, sf, "documents"), n=3, eval_mod=97)
+
+
+@register(
+    "domain_mix_sample",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n_total FROM documents GROUP BY 1
+    ), t AS (
+      SELECT min(n_total) AS tgt FROM c
+    ), r AS (
+      SELECT source, n_total, tgt * 1.0 / n_total AS rate FROM c, t
+    ), k AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN r USING (source)
+      WHERE ((d.doc_id % 65536) * 2654435761) % 65536 / 65536.0 < r.rate
+      GROUP BY 1
+    )
+    SELECT r.source, r.n_total,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           round(1e-9 + r.rate, 4) AS rate
+    FROM r LEFT JOIN k USING (source)
+    """,
+    tags=("pipeline", "curation", "sampling"),
+)
+def domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain re-balancing: deterministically down-sample every source
+    to the smallest source's size with an engine-portable integer hash
+    gate — the "data mixing" step of corpus assembly, reported as
+    per-source kept counts."""
+    return C.domain_mix_sample(load(spark, sf, "documents"))
+
+
+@register(
+    "seq_pack_bins",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens) / 256) AS BIGINT) AS bin_id
+      FROM d
+    )
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("pipeline", "curation", "packing"),
+)
+def seq_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: stable-order token-budget binning per source
+    shard (budget 256), the loader-side step that turns a filtered
+    corpus into fixed-size training sequences. Keyed window only — a
+    global order would serialize the corpus; per-shard order is what a
+    sharded loader consumes."""
+    return C.seq_pack_bins(load(spark, sf, "documents"), budget=256)
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws) - 1),
+                            i -> md5(array_to_string(ws[i:i+2], ' '))) AS hs
+      FROM t
+    ), f AS (
+      SELECT doc_id,
+             list_transform(range(1, len(hs) - 2),
+                            j -> list_min(hs[j:j+3])) AS fps
+      FROM h WHERE len(hs) >= 4
+    )
+    SELECT doc_id, len(fps) AS n_windows,
+           len(list_distinct(fps)) AS n_fingerprints
+    FROM f
+    """,
+    tags=("pipeline", "curation", "fingerprint"),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (the MOSS algorithm): hash
+    every word 3-gram, keep each 4-window's minimum hash — the
+    guaranteed-coverage document fingerprint set near-dup detectors
+    index. Per-doc keyed windows only; no corpus-wide shuffle beyond
+    the final aggregation."""
+    return C.winnow_fingerprints(load(spark, sf, "documents"), k=3, w=4)

@@ -173,3 +173,82 @@ def test_connected_components_property(spark):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.node: r.component for r in D.connected_components(pairs).collect()}
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (pipeline/curation.py)
+# ---------------------------------------------------------------------------
+
+from siddhi_operator_spark.pipeline import curation as C  # noqa: E402
+
+
+def test_pii_mask_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org, host 10.0.0.1, tel +1-202-555-0199"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in C.pii_mask(df).collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 1, 1)
+    assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 0, 0)
+    # masking is deterministic: same input → same digest
+    again = {r.doc_id: r.masked_md5 for r in C.pii_mask(df).collect()}
+    assert again[1] == out[1].masked_md5
+
+
+def test_repetition_stats_flags_stuffing(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in C.repetition_stats(df).collect()}
+    assert out[1].dup_word_ratio == 0.75 and out[1].top_word_ratio == 1.0
+    assert out[2].dup_word_ratio == 0.0 and out[2].top_word_ratio == 0.25
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # eval doc (0 % 5 == 0)
+            (1, "x alpha beta gamma y"),            # shares 3-gram with eval
+            (2, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_overlap_grams for r in
+           C.decontaminate(df, n=3, eval_mod=5).collect()}
+    assert out == {1: 1}  # only "alpha beta gamma" is shared
+
+
+def test_domain_mix_targets_smallest_source(spark):
+    rows = [(i, "w", "big") for i in range(40)] + [
+        (100 + i, "w", "small") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in C.domain_mix_sample(df).collect()}
+    assert out["small"].n_kept == 10          # rate 1.0 keeps everything
+    assert out["big"].rate == 0.25
+    assert 0 < out["big"].n_kept < 40         # gate thins the majority class
+
+
+def test_seq_pack_bins_budget(spark):
+    # 10 docs x 4 tokens, budget 8 → bins of exactly 2 docs / 8 tokens
+    rows = [(i, "a b c d", "s") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = C.seq_pack_bins(df, budget=8).collect()
+    assert len(out) == 5
+    assert all(r.n_docs == 2 and r.bin_tokens == 8 for r in out)
+
+
+def test_winnow_fingerprints_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c")],  # doc 2: 1 gram < w → dropped
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in C.winnow_fingerprints(df, k=3, w=4).collect()}
+    # doc 1: 6 grams → 3 windows of 4 hashes
+    assert out[1].n_windows == 3
+    assert 1 <= out[1].n_fingerprints <= 3
+    assert 2 not in out

@@ -219,3 +219,34 @@ def test_analytic_window_single_sort_for_shared_spec(spark):
     plan = _fmt(REGISTRY["analytic_window_fns"].fn(spark, SF))
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
+
+
+def test_pii_mask_pure_projection(spark):
+    plan = _fmt(REGISTRY["pii_mask"].fn(spark, SF))
+    # zero shuffles: the whole redaction pipeline is one codegen stage
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    plan = _fmt(REGISTRY["decontaminate_ngram"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_gate_is_broadcast_projection(spark):
+    plan = _fmt(REGISTRY["domain_mix_sample"].fn(spark, SF))
+    # the rate table joins broadcast; the corpus side never sort-merges
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_seq_pack_window_partitioned_by_shard(spark):
+    plan = _fmt(REGISTRY["seq_pack_bins"].fn(spark, SF))
+    # the packing window must hash-partition by source, not collapse
+    # to a single global partition
+    assert "SinglePartition" not in plan.split("\n\n")[0] or (
+        "hashpartitioning(source" in plan
+    )
+    assert "hashpartitioning(source" in plan
