@@ -467,15 +467,17 @@ def _run_join(
         for side in (inp.left, inp.right):
             if side.window and side.window.kind in ("time", "timeBatch"):
                 within = time_constant_seconds(side.window.args[0])
-    j = left.alias(inp.left.stream).join(
-        right.alias(inp.right.stream),
+    lname = inp.left.alias or inp.left.stream
+    rname = inp.right.alias or inp.right.stream
+    j = left.alias(lname).join(
+        right.alias(rname),
         on=cond
         if within is None
         else cond
         & (
             F.abs(
-                F.unix_micros(F.col(f"{inp.left.stream}.{ts_col}"))
-                - F.unix_micros(F.col(f"{inp.right.stream}.{ts_col}"))
+                F.unix_micros(F.col(f"{lname}.{ts_col}"))
+                - F.unix_micros(F.col(f"{rname}.{ts_col}"))
             )
             <= int(within * 1_000_000)
         ),
@@ -501,10 +503,43 @@ def _pattern_idx_repl(m: re.Match) -> str:
     )
 
 
+_SQL_BARE_SKIP = frozenset(
+    "as and or not in is null true false case when then else end cast "
+    "like between distinct interval".split()
+)
+
+
+def _resolve_bare_attrs(expr: str, columns: list[str]) -> str:
+    """Unaliased attribute references (`select event_id` after an
+    unaliased pattern step) resolve against the step-prefixed output:
+    a bare identifier that is not already a column but matches exactly
+    ONE `<step>_<attr>` column rewrites to it (the reference resolves
+    bare names when unambiguous; ambiguity keeps the name and fails
+    analysis loudly)."""
+    colset = set(columns)
+
+    def repl(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok.lower() in _SQL_BARE_SKIP or tok in colset:
+            return tok
+        cands = [c for c in columns if c.endswith(f"_{tok}")]
+        return cands[0] if len(cands) == 1 else tok
+
+    # identifiers not part of a dotted path, not function calls, and
+    # not inside string literals (split on quotes, rewrite outside)
+    parts = re.split(r"('[^']*')", expr)
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(
+            r"(?<![\w.])[A-Za-z_]\w*\b(?!\s*[(.])", repl, parts[i]
+        )
+    return "".join(parts)
+
+
 def _rewrite_pattern_select(out: DataFrame, q: QueryDef) -> DataFrame:
     """Pattern select expressions reference `e1.x` (→ `e1_x`) and, for
     count-quantified steps, `e[0].x` / `e[last].x` (→ `e__first_x` /
-    `e__last_x`) — the index-access surface of `StateEvent` slots."""
+    `e__last_x`) — the index-access surface of `StateEvent` slots.
+    Bare (unaliased) attribute names resolve when unambiguous."""
     if not q.select:
         return out
     sel = []
@@ -515,6 +550,7 @@ def _rewrite_pattern_select(out: DataFrame, q: QueryDef) -> DataFrame:
             it.expr,
         )
         expr = re.sub(r"\b(\w+)\.(\w+)", r"\1_\2", expr)
+        expr = _resolve_bare_attrs(expr, out.columns)
         sel.append(F.expr(expr).alias(_auto_alias(it, i)))
     return out.select(*sel)
 

@@ -26,6 +26,9 @@ class SingleInput:
     stream: str
     filter_expr: str | None = None
     window: WindowSpec | None = None
+    # `from S … as x` — the join-side reference name (grammar
+    # `join_source: … (AS alias)?`); defaults to the stream name
+    alias: str | None = None
 
 
 @dataclass

@@ -337,6 +337,14 @@ def _parse_single_input(text: str) -> SingleInput:
     the fault stream of S (`@OnError(action='STREAM')`,
     `[core] stream/StreamJunction.java` fault propagation)."""
     text = text.strip()
+    # trailing `as x` — the join-side reference name; strip it BEFORE
+    # window parsing (the window regex is end-anchored and a leftover
+    # alias would silently swallow the window spec)
+    alias = None
+    am = re.search(r"\s+as\s+([A-Za-z_]\w*)\s*$", text, re.I)
+    if am:
+        alias = am.group(1)
+        text = text[: am.start()].rstrip()
     m = re.match(r"(!?\w+)", text)
     stream = m.group(1)
     rest = text[m.end() :].strip()
@@ -367,6 +375,7 @@ def _parse_single_input(text: str) -> SingleInput:
         stream=stream,
         filter_expr=translate_expr(filt) if filt else None,
         window=window,
+        alias=alias,
     )
 
 

@@ -968,3 +968,39 @@ def test_output_snapshot_front_end(spark, events_df):
     rows = out.collect()
     assert len(rows) >= 1
     assert set(out.columns) == {"user_id", "value"}
+
+
+def test_join_side_aliases(spark, events_df):
+    """`from A … as l join B … as r on l.x == r.x` — per-side `as`
+    aliases must qualify the join condition AND must not swallow the
+    window spec they follow."""
+    app = """
+    define stream A (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    define stream B (event_id long, ts string, user_id long,
+                     event_type string, value double);
+    from A#window.time(5 min) as l join B#window.time(5 min) as r
+      on l.user_id == r.user_id and l.event_id != r.event_id
+    select l.event_id as a_id, r.event_id as b_id, l.user_id as u
+    insert into J;
+    """
+    out = run_app(app, {"A": events_df, "B": events_df})["J"]
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {"a_id", "b_id", "u"}
+    assert all(r.a_id != r.b_id for r in rows)
+
+
+def test_pattern_bare_attribute_select(spark, events_df):
+    """Unaliased pattern steps allow bare attribute references in the
+    select when unambiguous (here only the positive step has
+    attributes — the absence step contributes none)."""
+    app = _QDEF + """
+    from events[event_type == 'signup']
+      -> not events[event_type == 'purchase'] for 30 min
+    select event_id as signup_id, value
+    insert into Stuck;
+    """
+    out = run_app(app, {"events": events_df})["Stuck"]
+    assert set(out.columns) == {"signup_id", "value"}
+    assert out.count() > 0
