@@ -283,11 +283,51 @@ def _rewrite_table_membership(
     return src, new_filt, flags
 
 
+def _normalize_expr_group_keys(df: DataFrame, q: QueryDef) -> DataFrame:
+    """`group by <expression>` (e.g. ``group by str:upper(x)``):
+    materialize each non-identifier key as a derived column so every
+    downstream path (agg groupBy, window partitionBy, sort keys) can
+    treat group keys as plain columns; select items that repeat the
+    same expression are rewritten to the derived name, so grouped
+    projection resolves. Derived columns shuffle like any key — no
+    plan-shape change vs a named column."""
+    if not q.group_by:
+        return df
+    new_gb: list[str] = []
+    derived: dict[str, str] = {}
+    for i, k in enumerate(q.group_by):
+        if re.fullmatch(r"[A-Za-z_]\w*", k):
+            new_gb.append(k)
+            continue
+        # reuse the select alias as the derived name so grouped
+        # projection emits the user's column name, not a synthetic one
+        name = f"__g{i}"
+        for it in q.select:
+            if (
+                it.expr == k
+                and it.alias
+                and re.fullmatch(r"[A-Za-z_]\w*", it.alias)
+                and it.alias not in df.columns
+            ):
+                name = it.alias
+                break
+        df = df.withColumn(name, F.expr(k))
+        derived[k] = name
+        new_gb.append(name)
+    if derived:
+        q.group_by = new_gb
+        for it in q.select:
+            if it.expr in derived:
+                it.expr = derived[it.expr]
+    return df
+
+
 def _run_single(
     df: DataFrame, q: QueryDef, inp: SingleInput, ts_col: str, id_col: str
 ) -> DataFrame:
     if inp.filter_expr:
         df = df.filter(F.expr(inp.filter_expr))
+    df = _normalize_expr_group_keys(df, q)
     win = inp.window
     has_agg = any(_AGG_RE.search(it.expr) for it in q.select)
 

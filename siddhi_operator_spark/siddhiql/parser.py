@@ -762,7 +762,12 @@ def _parse_query(stmt: str) -> QueryDef:
         select_items = _split_select_items(sel_text)
         if gi != -1:
             g_end = min([x for x in (hi, oi, li) if x > gi] + [len(section)])
-            group_by = [c.strip() for c in section[gi + 8 : g_end].split(",")]
+            # expression keys (`group by str:upper(x)`) carry commas
+            # inside calls — split top-level only, then translate
+            group_by = [
+                translate_expr(c.strip())
+                for c in _split_window_args(section[gi + 8 : g_end])
+            ]
         if hi != -1:
             h_end = min([x for x in (oi, li) if x > hi] + [len(section)])
             having = translate_expr(section[hi + 6 : h_end].strip())

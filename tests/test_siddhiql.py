@@ -1004,3 +1004,29 @@ def test_pattern_bare_attribute_select(spark, events_df):
     out = run_app(app, {"events": events_df})["Stuck"]
     assert set(out.columns) == {"signup_id", "value"}
     assert out.count() > 0
+
+
+def test_expression_group_by_key(spark, events_df):
+    """`group by <expression>` — non-identifier keys (function calls,
+    possibly with commas inside) are materialized as derived columns so
+    grouping, having, and grouped projection all resolve."""
+    app = _QDEF + """
+    from events
+    select str:upper(event_type) as etype, sum(value) as total
+    group by str:upper(event_type)
+    having total > 0
+    insert into Out;
+    """
+    out = run_app(app, {"events": events_df})["Out"]
+    rows = {r.etype: r.total for r in out.collect()}
+    assert set(out.columns) == {"etype", "total"}
+    assert rows and all(k == k.upper() for k in rows)
+
+    expect = {
+        r.k: r.t
+        for r in events_df.groupBy(F.upper("event_type").alias("k"))
+        .agg(F.sum("value").alias("t"))
+        .collect()
+        if r.t > 0  # mirror the `having total > 0`
+    }
+    assert rows == pytest.approx(expect)
