@@ -123,3 +123,152 @@ def join_aggregation(
     if end is not None:
         rollup = rollup.filter(F.col(bucket_col) < end)
     return stream.join(F.broadcast(rollup), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tolerance_seconds: float | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the LATEST right row
+    with ``right.ts <= left.ts`` per key (the canonical timeseries
+    enrichment the reference expresses as a length(1)-window join per
+    partition; beyond-reference operator for training-data pipelines).
+
+    Scale design — NOT an inequality join. A naive `l.ts >= r.ts` theta
+    join is O(n·m) per key and explodes on hot keys. Instead: tag both
+    sides, union, and run ONE window pass per key ordered by
+    (ts, side, tiebreak): `last(right_col, ignorenulls=True)` carries
+    the most recent right values forward onto each left row. Cost = one
+    shuffle of (left + right) on the key — identical asymptotics to any
+    keyed join, no range blowup, AQE handles key skew. Right rows sort
+    BEFORE left rows at equal ts (side 0 < 1), so ties match, matching
+    `ASOF JOIN`'s `>=` semantics.
+
+    ``right_cols`` are the payload columns to carry (prefixed in the
+    output as given); ``tolerance_seconds`` nulls matches older than
+    the tolerance. ``tiebreak`` orders concurrent right rows (last one
+    wins); pre-dedup the right side for full determinism.
+    """
+    keys = list(keys)
+    lcols = [c for c in left.columns]
+    payload = list(right_cols) or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols if c not in keys and c != left_ts],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        *[
+            F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}")
+            for t in tiebreak
+        ],
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in keys and c != left_ts],
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(t).alias(f"__tb_{t}") for t in tiebreak],
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side", *[f"__tb_{t}" for t in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("__m_ts").isNull()
+            | (F.col("__ts").cast("double") - F.col("__m_ts").cast("double")
+               > float(tolerance_seconds))
+        )
+        out = out.select(
+            "*",
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"__m_{c}"))
+                .alias(f"__mm_{c}")
+                for c in payload
+            ],
+            F.when(stale, F.lit(None)).otherwise(F.col("__m_ts")).alias("__mm_ts"),
+        )
+        m = lambda c: f"__mm_{c}"  # noqa: E731
+        mts = "__mm_ts"
+    else:
+        m = lambda c: f"__m_{c}"  # noqa: E731
+        mts = "__m_ts"
+    return out.select(
+        *[F.col(k) for k in keys],
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols if c not in keys and c != left_ts],
+        *[F.col(m(c)).alias(f"r_{c}") for c in payload],
+        F.col(mts).alias(f"r_{right_ts}"),
+    )
+
+
+def range_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_ts: str = "start",
+    end_ts: str = "end",
+    bucket_seconds: int = 600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: pair each point with every interval
+    containing it (`start <= point.ts < end`) — the shape behind
+    "events inside maintenance windows / sessions / campaigns".
+
+    Scale design — a bare inequality join is a cartesian range probe
+    (O(points × intervals)). Instead each interval EXPLODES into the
+    fixed-width time buckets it covers (`sequence()` — bounded by
+    interval_length / bucket_seconds rows), points map to exactly one
+    bucket, and the join becomes an equi-join on bucket with the exact
+    range check as a residual. Candidate volume is O(points +
+    intervals × L/g) — tunable, shuffle-partitioned on bucket, AQE
+    splits hot buckets. Pick ``bucket_seconds`` ≈ median interval
+    length so most intervals explode into 1–2 buckets.
+    """
+    b = F.lit(int(bucket_seconds))
+    pts = points.withColumn(
+        "__bucket", (F.col(point_ts).cast("long") / b).cast("long")
+    )
+    ivs = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_ts).cast("long") / b).cast("long"),
+                # end is exclusive: a point at exactly `end` never
+                # matches, so the last candidate bucket is the one
+                # containing end - 1s
+                ((F.col(end_ts).cast("long") - 1) / b).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (pts["__bucket"] == ivs["__bucket"])
+        & (pts[point_ts] >= ivs[start_ts])
+        & (pts[point_ts] < ivs[end_ts])
+    )
+    return pts.join(ivs, on=cond, how=how).drop("__bucket")

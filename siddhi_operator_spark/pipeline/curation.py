@@ -234,3 +234,112 @@ def winnow_fingerprints(
         F.count(F.lit(1)).alias("n_windows"),
         F.countDistinct("fp").alias("n_fingerprints"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic corpus sampling to a token budget: order documents
+    by a hash of their id (a reproducible shuffle) and keep the prefix
+    whose cumulative whitespace-token count stays within
+    ``budget_tokens`` — the standard "give me ~N tokens of this
+    corpus" cut for training-mix construction.
+
+    Scale design — a global running sum over one `ORDER BY hash`
+    window would serialize onto a single task. Instead the classic
+    distributed prefix sum: documents land in ``n_buckets`` ordered
+    hash buckets; pass 1 aggregates per-bucket token totals (a few
+    hundred rows, computed map-side), whose running offsets are
+    broadcast back; pass 2 runs the cumulative window PER BUCKET
+    (parallel across buckets) and adds the bucket offset. Both passes
+    are one shuffle each, bucket-partitioned, skew-free (md5 is
+    uniform).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    docs = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tok"),
+        h.alias("__h"),
+        # first byte of the hash = ordered bucket (hex sorts like the
+        # full string because buckets are a string prefix)
+        F.substring(h, 1, 2).alias("__b"),
+    )
+    per_bucket = docs.groupBy("__b").agg(F.sum("n_tok").alias("__btok"))
+    offsets = per_bucket.select(
+        "__b",
+        (
+            F.sum("__btok").over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("__btok")
+        ).alias("__off"),
+    )
+    in_bucket = Window.partitionBy("__b").orderBy("__h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs.join(F.broadcast(offsets), "__b")
+        .select(
+            id_col,
+            "n_tok",
+            (F.sum("n_tok").over(in_bucket) + F.col("__off")).alias("cum_tok"),
+        )
+        .filter(F.col("cum_tok") <= F.lit(int(budget_tokens)))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (A-ES / Efraimidis-
+    Spirakis): each row gets key = u^(1/w) — equivalently
+    ln(u)/w ordered descending — with u a deterministic md5-derived
+    uniform; the global top-k by key IS a weighted sample without
+    replacement. Used for weight-proportional corpus subsampling
+    (e.g. by document length or per-source priority).
+
+    Scale design: top-k by a computed key needs NO full sort — Spark
+    executes it as per-partition partial top-k then a single merge of
+    k·partitions rows on the driver-side-free final reduce (the
+    `sort().limit()` TakeOrderedAndProject plan). Deterministic across
+    runs and cluster layouts because u depends only on the row id.
+
+    Ordering uses the RAW key: distinct ids give keys separated far
+    above ln()'s cross-engine ulp noise, while rounding would create
+    artificial tie groups (and −0.0 artifacts) near zero. The output
+    reports the rank, not the float key.
+    """
+    # u in (0,1): first 8 hex chars of md5 → uniform 32-bit int
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967298.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    top = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("__key"),
+        )
+        # key is ln(u)/w (negative); the BEST draws are the LEAST
+        # negative → descending. TakeOrderedAndProject: partial top-k
+        # per partition, never a full sort.
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+    rank_w = Window.orderBy(F.col("__key").desc(), F.col(id_col))
+    return top.select(
+        id_col,
+        "weight",
+        F.row_number().over(rank_w).cast("bigint").alias("rank"),
+    )

@@ -291,3 +291,31 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", r4("cos", 4).alias("cos"), "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean) in long form
+    (label, dim, centroid) — the building block for IVF coarse
+    quantizers, cluster summaries, and drift monitoring.
+
+    Scale design: `posexplode` the vector to (label, dim, value) rows —
+    n·d rows but each tiny — then ONE keyed agg on (label, dim) with
+    map-side partial aggregation; cardinality of the shuffle output is
+    labels·dims, i.e. trivially small however large the input. Long
+    form keeps the result driver-hashable and join-able; pivot back to
+    arrays with `array_agg` ordered by dim when a dense vector is
+    needed.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        r4(F.avg("v")).alias("centroid"),
+        F.count("*").cast("bigint").alias("n_vectors"),
+    )

@@ -91,3 +91,52 @@ def shingle_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
         F.size(shingles).alias("n_shingles"),
         F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF keyword extraction: the ``top_k`` highest-scoring terms
+    per document, score = tf · ln(N / df) with raw term counts and
+    document frequency over the corpus.
+
+    Scale design: one explode to (doc, term) pairs → map-side-combined
+    counts keyed by (doc, term); document frequency is a second keyed
+    agg on term whose output (≤ vocabulary size) broadcasts back onto
+    the per-doc counts; ranking is a per-doc window (partitioned by
+    doc_id — well distributed). No all-pairs, no Python.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()  # scalar, one job; at 100 TB read from stats
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_raw").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            r4(F.col("tfidf_raw")).alias("tfidf"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -85,6 +85,13 @@ _FRONT_NAMES = (
     "domain_mix_sample",
     "seq_pack_bins",
     "text_winnow_fingerprint",
+    # round-3 second batch: scale joins + corpus sampling/analysis
+    "join_asof",
+    "join_range_interval",
+    "corpus_token_budget",
+    "corpus_weighted_sample",
+    "text_tfidf_top_terms",
+    "embedding_centroids",
 )
 # Everything registered by a round-3 module (new operators) also belongs in
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).

@@ -276,3 +276,108 @@ def join_unidirectional(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l.event_id").alias("click_id"),
         F.col("r.event_id").alias("view_id"),
     )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    ), purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           c.event_id AS click_id,
+           round(1e-9 + c.value, 4) AS click_value,
+           date_diff('second', c.ts, p.ts) AS lag_sec
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (beyond-reference timeseries op): each
+    purchase picks up the latest prior-or-equal click of the same
+    user. Union-tag + last(ignorenulls) window — ONE keyed shuffle,
+    no inequality-join range explosion (operators/joins.asof_join)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = J.asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        right_cols=["event_id", "value"],
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("r_event_id").alias("click_id"),
+        r4(F.col("r_value")).alias("click_value"),
+        (F.col("ts").cast("long") - F.col("r_ts").cast("long")).alias("lag_sec"),
+    )
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+    WITH windows AS (
+      SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTES AS w_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id AS event_id, w.window_id AS window_id,
+           date_diff('second', w.w_start, e.ts) AS offset_sec
+    FROM events e JOIN windows w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    WHERE e.event_type != 'error' OR e.event_id != w.window_id
+    """,
+    tags=("join", "range"),
+)
+def join_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join (beyond-reference range op): pair every
+    event with each 10-minute error window containing it. Intervals
+    explode into covered time buckets → equi-join on bucket + exact
+    range residual; candidate volume O(points + intervals·L/g) instead
+    of the O(n·m) cartesian range probe
+    (operators/joins.range_interval_join)."""
+    e = load(spark, sf, "events")
+    windows = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    pts = e.select("event_id", "ts", "event_type")
+    j = J.range_interval_join(
+        pts, windows, point_ts="ts", start_ts="w_start", end_ts="w_end",
+        bucket_seconds=600,
+    )
+    return j.filter(
+        (F.col("event_type") != "error") | (F.col("event_id") != F.col("window_id"))
+    ).select(
+        "event_id",
+        "window_id",
+        (F.col("ts").cast("long") - F.col("w_start").cast("long")).alias(
+            "offset_sec"
+        ),
+    )

@@ -916,3 +916,117 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     index. Per-doc keyed windows only; no corpus-wide shuffle beyond
     the final aggregation."""
     return C.winnow_fingerprints(load(spark, sf, "documents"), k=3, w=4)
+
+
+@register(
+    "corpus_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_tok
+      FROM t
+    )
+    SELECT doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 6000
+    """,
+    tags=("pipeline", "curation", "sampling"),
+)
+def corpus_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus cut: hash-shuffled order, keep the prefix
+    whose running token total fits the budget. Distributed prefix sum
+    (per-bucket windows + broadcast bucket offsets) — no global
+    single-task ORDER BY window (pipeline/curation.token_budget_sample)."""
+    from ..pipeline import curation as C
+
+    return C.token_budget_sample(load(spark, sf, "documents"), budget_tokens=6000)
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars AS weight,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 1.0) / 4294967298.0) / n_chars AS k
+      FROM documents
+    ), top AS (
+      SELECT doc_id, weight, k FROM t ORDER BY k DESC, doc_id LIMIT 50
+    )
+    SELECT doc_id, weight,
+           row_number() OVER (ORDER BY k DESC, doc_id) AS rank
+    FROM top
+    """,
+    tags=("pipeline", "curation", "sampling"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): deterministic hash-uniform per doc, key = ln(u)/w, global
+    top-k. Executes as per-partition partial top-k (TakeOrderedAndProject)
+    — no full sort, no shuffle of the corpus
+    (pipeline/curation.weighted_sample)."""
+    from ..pipeline import curation as C
+
+    return C.weighted_sample(
+        load(spark, sf, "documents"), k=50, weight_col="n_chars"
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * ln((SELECT count(*) FROM documents) / dfreq.df::DOUBLE)
+               AS tfidf_raw
+      FROM tf JOIN dfreq USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tf, df,
+             round(1e-9 + tfidf_raw, 4) AS tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_raw DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("pipeline", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document. Explode →
+    map-side-combined (doc,term) counts; document frequency (≤ vocab)
+    broadcasts back; per-doc window ranks (pipeline/text.tfidf_top_terms)."""
+    return X.tfidf_top_terms(load(spark, sf, "documents"), top_k=3)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, dim,
+           round(1e-9 + avg(v), 4) AS centroid,
+           count(*) AS n_vectors
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "similarity", "centroid"),
+)
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, mean):
+    posexplode + ONE keyed agg with map-side partials; shuffle output
+    cardinality = labels × dims regardless of input size
+    (pipeline/similarity.label_centroids)."""
+    return S.label_centroids(load(spark, sf, "embeddings")).withColumn(
+        "dim", F.col("dim").cast("bigint")
+    )

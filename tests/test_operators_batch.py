@@ -329,3 +329,82 @@ def test_instanceof_fns(spark):
         R["instanceOfInteger"](F.col("i")).alias("ii"),
     ).first()
     assert row.il and row.ss and row.dd and not row.ii
+
+
+def test_asof_join_basic_ties_and_tolerance(spark):
+    from siddhi_operator_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],
+        "user_id long, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "c1", 9.0), (1, 100, "c2", 10.0), (1, 150, "c3", 15.0),
+         (2, 60, "c4", 6.0)],
+        "user_id long, ts long, cid string, v double",
+    )
+    out = {
+        r.pid: (r.r_cid, r.r_ts)
+        for r in J.asof_join(
+            left, right, keys=["user_id"], right_cols=["cid", "v"]
+        ).collect()
+    }
+    # equal timestamps match (ASOF >= semantics): p1@100 sees c2@100
+    assert out["p1"] == ("c2", 100)
+    assert out["p2"] == ("c3", 150)
+    # no right row at or before ts=50 for user 2 → null match
+    assert out["p3"] == (None, None)
+
+    # tolerance: p2@200 matched c3@150 (lag 50) — a 30s tolerance nulls it
+    tol = {
+        r.pid: r.r_cid
+        for r in J.asof_join(
+            left, right, keys=["user_id"], right_cols=["cid", "v"],
+            tolerance_seconds=30,
+        ).collect()
+    }
+    assert tol["p1"] == "c2" and tol["p2"] is None
+
+
+def test_range_interval_join_boundaries(spark):
+    from siddhi_operator_spark.operators import joins as J
+
+    pts = spark.createDataFrame(
+        [(1, 100), (2, 600), (3, 599), (4, 1200), (5, 99)],
+        "pid long, ts long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ivs = spark.createDataFrame(
+        [(10, 100, 600)], "iid long, s long, e long"
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = sorted(
+        r.pid
+        for r in J.range_interval_join(
+            pts, ivs, point_ts="ts", start_ts="s", end_ts="e",
+            bucket_seconds=250,
+        ).collect()
+    )
+    # start inclusive (100), end exclusive (600), 599 in, outside out
+    assert got == [1, 3]
+
+
+def test_token_budget_sample_prefix_property(spark, docs_df=None):
+    from siddhi_operator_spark.pipeline import curation as C
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 7 + 1).cast("int"))).alias("text"),
+    )
+    out = C.token_budget_sample(df, budget_tokens=300).collect()
+    assert out, "budget should admit some docs"
+    assert max(r.cum_tok for r in out) <= 300
+    # cum_tok is a true prefix sum over the hash order: sorting by it
+    # reproduces consecutive partial sums of n_tok
+    rows = sorted(out, key=lambda r: r.cum_tok)
+    run = 0
+    for r in rows:
+        run += r.n_tok
+        assert r.cum_tok == run
