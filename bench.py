@@ -72,17 +72,18 @@ def ensure_scaled(spark, scale: int) -> str:
     replicated ``scale``× with shifted keys, dims symlinked."""
     from pyspark.sql import functions as F
 
-    from siddhi_operator_spark.catalog import SCHEMAS, TABLES
+    from siddhi_operator_spark.catalog import SCHEMAS, TABLES, load
 
     out = f"{SCALE_BASE}/x{scale}"
     if os.path.exists(f"{out}/_READY"):
         return out
     os.makedirs(out, exist_ok=True)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     k = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("k")
     kl = F.col("k").cast("long")
 
-    ev = spark.read.schema(SCHEMAS["events"]).parquet(f"{SF_DIR}/events.parquet")
+    # catalog.load normalizes ts to TimestampType regardless of the
+    # fixture's physical vintage, so the scaled copy is always native.
+    ev = load(spark, SF_DIR, "events")
     umax = int(ev.agg(F.max("user_id")).first()[0]) + 1
     (
         ev.select("*", k)

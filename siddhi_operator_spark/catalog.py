@@ -9,6 +9,7 @@ footer-sampling on huge directories.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,14 +83,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is physically TIMESTAMP(NANOS) in the fixture parquet, which
-    # Spark's reader rejects as TimestampType; we read the raw int64
-    # nanos (legacy.parquet.nanosAsLong) and convert to micros in
-    # load() — the same ns→µs truncation DuckDB applies.
+    # Logical schema: ts IS a timestamp (event time). The fixture's
+    # physical parquet type has flipped between vintages
+    # (TIMESTAMP(NANOS) in early rounds, TIMESTAMP(MICROS) now), so
+    # load() sniffs the footer and branches — see _events_ts_kind.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -117,20 +118,81 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLES = tuple(SCHEMAS)
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with its declared schema."""
-    if name == "events":
+@functools.lru_cache(maxsize=None)
+def _events_ts_kind(sf_dir: str) -> str:
+    """Sniff the events parquet footer: 'native' when ts is a parquet
+    TIMESTAMP Spark reads directly (µs/ms), 'nanos' when it is
+    TIMESTAMP(NANOS) / raw int64 nanos (which Spark only reads via
+    ``legacy.parquet.nanosAsLong`` as a long). The fixture has shipped
+    in both vintages, so the reader must survive either."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(f"{path}/*.parquet"))
+        if not parts:
+            return "native"
+        path = parts[0]
+    t = str(pq.read_schema(path).field("ts").type)
+    if t.startswith("timestamp[ns") or t == "int64":
+        return "nanos"
+    return "native"
+
+
+# Read-schema for the legacy nanos vintage: ts arrives as int64 nanos.
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in SCHEMAS["events"].fields
+    ]
+)
+
+
+def _events_stream_or_batch(spark: SparkSession, sf_dir: str, reader):
+    """Shared events read: branch on the sniffed physical ts type so
+    batch (`load`) and streaming (`load_events_stream`) can never
+    diverge. ``reader(schema) -> DataFrame`` supplies the actual scan."""
+    if _events_ts_kind(sf_dir) == "nanos":
+        # Session-level conf is required by Spark to accept
+        # TIMESTAMP(NANOS) at all; only set on this legacy path.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # already set / immutable in this session
-        df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        df = reader(_EVENTS_NANOS_SCHEMA)
+        # ns→µs truncation matches DuckDB's read of the same file.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader(SCHEMAS["events"])
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its declared schema."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        return _events_stream_or_batch(
+            spark, sf_dir, lambda schema: spark.read.schema(schema).parquet(path)
         )
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
+
+
+def load_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """events.parquet as a file-source stream, ts normalized exactly as
+    in `load` (single conversion point for both execution modes)."""
+    return _events_stream_or_batch(
+        spark,
+        sf_dir,
+        lambda schema: (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", glob)
+            .parquet(sf_dir)
+        ),
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -26,24 +26,20 @@ from . import sketches  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 3.  The per-round correctness gate records
-# only the FIRST 50 registry entries in registration order.  Rounds 1-2
-# together produced hard driver rows for 97 of 125 queries; this round pins
-# the 26 entries that have NEVER had a driver row (streaming_* twins, the new
-# r2 window family, list/map fns, sketches, ratelimit, extrema/regress aggs,
-# the CDC feed) plus the two round-2 err rows (multimodal_features — now a
-# driver-hashable to_json projection — and the re-registered portable simhash)
-# and every query added this round into slots 0-49.  Iteration order of a
-# dict is insertion order, so rebuilding REGISTRY re-ranks the entries
-# without touching any registration site.
+# Driver-window rotation, round 4.  The per-round correctness gate records
+# only the FIRST 50 registry entries in registration order.  Round 3's 26
+# non-green rows all traced to the events ts-ingest misread (fixed this
+# round in catalog.py); they go FIRST so the fix is proven by the driver,
+# not just locally.  Then the new r4 row (streaming absence NFA), then 23
+# of the 49 queries whose only driver row is from round 1 — prioritized to
+# the events-reading ones, which were last verified against the OLD fixture
+# vintage and therefore exercise the new footer-sniffing read path.
+# Iteration order of a dict is insertion order, so rebuilding REGISTRY
+# re-ranks entries without touching any registration site.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # never driver-checked through r2 (exact CORRECTNESS_r01 ∪ r02 gap)
-    "list_fns",
-    "map_fns",
-    "approx_distinct_bound",
-    "sketch_count_min",
-    "approx_percentile_bound",
+    # the 26 round-3 non-green rows (24 ts-ingest reds + 2 oracle=None errs,
+    # both of which gain oracles this round)
     "ratelimit_first",
     "ratelimit_last",
     "ratelimit_snapshot",
@@ -59,39 +55,43 @@ _FRONT_NAMES = (
     "window_unique_timebatch",
     "window_unique_dedup",
     "window_extrema_by_length",
-    "window_topk",
-    "window_batch_chunk",
     "window_expired_events",
-    "agg_extrema_min_max_by",
     "agg_ts_regress_forecast",
     "table_cdc_feed",
-    # round-2 err rows, fixed this round
     "multimodal_features",
-    "dedup_simhash",
-    # new round-3 operators
     "pattern_optional_step",
-    "siddhiql_star_quantifier",
     "siddhiql_trigger",
     "incr_agg_day_retrieval",
-    "dedup_connected_components",
-    "sample_hash_split",
-    "analytic_window_fns",
-    "set_ops",
-    "similarity_ann_recall",
     "text_chunk_dedup_ratio",
-    "pii_mask",
-    "quality_repetition",
-    "decontaminate_ngram",
-    "domain_mix_sample",
-    "seq_pack_bins",
-    "text_winnow_fingerprint",
-    # round-3 second batch: scale joins + corpus sampling/analysis
     "join_asof",
     "join_range_interval",
     "corpus_token_budget",
-    "corpus_weighted_sample",
-    "text_tfidf_top_terms",
-    "embedding_centroids",
+    # new round-4 rows
+    "streaming_cep_absence",
+    # longest-unchecked (r1-only driver rows), events-reading first
+    "window_length",
+    "window_lengthbatch",
+    "window_sliding_time",
+    "window_timebatch",
+    "window_timelength",
+    "window_delay",
+    "window_session",
+    "window_externaltimebatch",
+    "window_frequent",
+    "window_lossy_frequent",
+    "window_sort_topk",
+    "window_extrema_by_time",
+    "window_expression_batch",
+    "window_unique_first",
+    "window_unique_last",
+    "join_windowed_self",
+    "join_stream_table",
+    "join_stream_aggregation",
+    "join_outer_stream_table",
+    "join_unidirectional",
+    "join_theta_residual",
+    "named_window_fanout",
+    "partition_range_agg",
 )
 # Everything registered by a round-3 module (new operators) also belongs in
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).

@@ -77,8 +77,13 @@ def _materialized_paths(spark: SparkSession, sf: str) -> dict[str, str]:
     cascade on ingest and retrieval never touches raw events."""
     import os
 
+    from ..catalog import _events_ts_kind
+
     src = f"{sf.rstrip('/')}/events.parquet"
-    stamp = int(os.stat(src).st_mtime)
+    # Key by mtime AND the sniffed physical ts vintage AND a reader
+    # version, so a reader fix (r4: nanos→native) or a fixture flip
+    # invalidates caches built under the old interpretation.
+    stamp = f"{int(os.stat(src).st_mtime)}-{_events_ts_kind(sf)}-v2"
     base = f"/tmp/spark_graft_incr/{os.path.basename(sf.rstrip('/'))}-{stamp}"
     marker = f"{base}/_READY"
     paths = {g: f"{base}/gran={g}" for g in ("hour", "day", "month")}

@@ -16,7 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import SCHEMAS, load
+from ..catalog import load, load_events_stream
 from ..fpround import r4
 from ..streaming import cep
 from ..streaming import windows as SW
@@ -24,20 +24,9 @@ from .registry import register
 
 
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
-    """events.parquet as a file-source stream (ts converted like
-    catalog.load)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    # the fixture is a single file; the file-stream source requires a
-    # directory → watch the sf dir with a glob pinned to events.parquet
-    raw = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events.parquet as a file-source stream — single conversion point
+    shared with batch lives in catalog.load_events_stream."""
+    return load_events_stream(spark, sf)
 
 
 def _materialize(stream: DataFrame, mode: str) -> str:
@@ -143,11 +132,35 @@ def streaming_length_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("streaming_session_window", oracle=None, tags=("streaming", "session"))
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL 30 MINUTES    AS session_end,
+           count(*)                         AS n,
+           round(1e-9 + sum(value), 4)             AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
 def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
-    """Streaming session windows (rows-only: session merging across the
-    replay equals the batch twin, asserted in tests; here the driver
-    checks stable execution + row count)."""
+    """Streaming session windows over the replayed stream must merge
+    sessions exactly like the batch twin — same gap-island oracle as
+    `window_session` (lag + cumsum session ids; end = last + gap)."""
     s = _events_stream(spark, sf)
     agg = SW.session_agg(
         s,
@@ -158,7 +171,9 @@ def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
         aggs=[F.count(F.lit(1)).alias("n"), r4(F.sum("value"), 4).alias("sum_value")],
     )
     name = _materialize(agg, "complete")
-    return spark.sql(f"SELECT * FROM {name}")
+    return spark.sql(
+        f"SELECT user_id, session_start, session_end, n, sum_value FROM {name}"
+    )
 
 
 @register(
