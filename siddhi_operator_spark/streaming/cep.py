@@ -433,21 +433,46 @@ def absence_nfa(
                 for r in range(len(ev_ids)):
                     ev_us = int(ev_uss[r])
                     if diss[r]:
-                        # disarm timers still inside their window
+                        # disarm timers whose window contains this
+                        # event (u < ev ≤ u+t); a disarm at exactly
+                        # u does NOT disarm (strict `b.ts > a.ts`)
                         keep_i, keep_u = [], []
                         for i, u in zip(armed_ids, armed_us):
                             if ev_us - u > for_us:
                                 fired.append((i, u))  # already survived
+                            elif ev_us <= u:
+                                keep_i.append(i)
+                                keep_u.append(u)
                             # else: disarmed, drop
                         armed_ids, armed_us = keep_i, keep_u
                     if arms[r]:
                         armed_ids.append(int(ev_ids[r]))
                         armed_us.append(ev_us)
 
+            # a single micro-batch can span far more event time than
+            # `for_us` (bulk replay): timers whose deadline the
+            # watermark has already passed survived every disarm
+            # opportunity — fire them now, both for correctness and
+            # because setTimeoutTimestamp rejects deadlines behind
+            # the watermark.
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            if armed_ids and wm_us > 0:
+                keep_i, keep_u = [], []
+                for i, u in zip(armed_ids, armed_us):
+                    if u + for_us <= wm_us:
+                        fired.append((i, u))
+                    else:
+                        keep_i.append(i)
+                        keep_u.append(u)
+                armed_ids, armed_us = keep_i, keep_u
+
         if armed_ids:
             state.update((armed_ids, armed_us))
             deadline_ms = (min(armed_us) + for_us) // 1000
-            state.setTimeoutTimestamp(deadline_ms)
+            # µs→ms floor can land exactly on the watermark: bump past
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
         else:
             state.update(([], []))
 

@@ -384,22 +384,56 @@ def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     return media.select("doc_id", "media_type", "byte_len")
 
 
-@register("multimodal_features", oracle=None, tags=("pipeline", "multimodal"))
+@register(
+    "multimodal_features",
+    # The stub decode is a pure function of the payload byte-sum
+    # (k-th feature = (sum % prime_k) / prime_k), and the fixture text
+    # is ASCII, so the UTF-8 byte-sum equals the codepoint-sum — which
+    # DuckDB recomputes exactly. Features round to 4 dp on both sides;
+    # k/p (p an odd prime) can never sit on a half-ulp of the 4-dp
+    # grid (|20000k − (2m+1)p| ≥ 1 by parity), so float32-vs-float64
+    # drift cannot flip the rounding.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'audio/wav'
+               ELSE 'video/mp4' END AS media_type,
+             CAST(length(text) AS INT) AS byte_len,
+             list_sum(list_transform(string_split(text, ''),
+                                     x -> unicode(x))) AS bsum
+      FROM documents
+    )
+    SELECT doc_id, media_type, byte_len,
+           round(1e-9 + (bsum % 251) / 251.0, 4) AS f0,
+           round(1e-9 + (bsum % 241) / 241.0, 4) AS f1,
+           round(1e-9 + (bsum % 239) / 239.0, 4) AS f2,
+           round(1e-9 + (bsum % 233) / 233.0, 4) AS f3,
+           round(1e-9 + (bsum % 229) / 229.0, 4) AS f4,
+           round(1e-9 + (bsum % 227) / 227.0, 4) AS f5,
+           round(1e-9 + (bsum % 223) / 223.0, 4) AS f6,
+           round(1e-9 + (bsum % 211) / 211.0, 4) AS f7
+    FROM s
+    """,
+    tags=("pipeline", "multimodal"),
+)
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched stub feature extraction over binary payloads
-    (mapInPandas) — rows-only check; exact values covered by
-    tests/test_pipeline.py.
-
-    The ``array<double>`` features column is projected through
-    ``to_json`` so the driver's row canonicalizer (which sorts/hashes
-    scalar values) never sees an unhashable list."""
+    (mapInPandas), value-checked against a DuckDB recomputation of the
+    deterministic stub (byte-sum mod primes). The array column is
+    unpacked to rounded scalar columns so the driver's row
+    canonicalizer hashes plain floats."""
     media = M.to_media(load(spark, sf, "documents"))
     feats = M.extract_features(media, fake=True)
     return feats.select(
         "doc_id",
         "media_type",
         "byte_len",
-        F.to_json("features").alias("features_json"),
+        *[
+            r4(F.col("features")[i].cast("double"), 4).alias(f"f{i}")
+            for i in range(8)
+        ],
     )
 
 

@@ -177,6 +177,64 @@ def streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_cep_absence",
+    oracle="""
+    SELECT CAST(a.user_id AS VARCHAR) AS key,
+           a.event_id AS e1_id, a.ts AS e1_ts
+    FROM events a
+    WHERE a.event_type = 'signup'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      )
+    """,
+    tags=("streaming", "cep", "absence"),
+)
+def streaming_cep_absence(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming absence NFA `e1=events[signup] -> not events[purchase]
+    for 1h` over a multi-batch replay of the events table — must equal
+    the batch time-bounded anti-join oracle. A sentinel event 2h past
+    the timeline end advances the watermark so timers armed near the
+    end still fire (the reference's scheduler fires them on shutdown;
+    here the event-time timeout + a final no-data micro-batch does)."""
+    import tempfile
+
+    from ..catalog import SCHEMAS
+    from ..streaming import sources as SRC
+
+    e = load(spark, sf, "events")
+    sentinel = e.orderBy(F.desc("ts")).limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__wm__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = tempfile.mkdtemp(prefix="replay_abs_")
+    SRC.replay_dir(
+        e.select(*SCHEMAS["events"].fieldNames()).unionByName(sentinel),
+        d,
+        "ts",
+        3,
+    )
+    s = SRC.file_stream(
+        spark, d, SCHEMAS["events"], max_files_per_trigger=1
+    )
+    out = cep.absence_nfa(
+        s,
+        key="user_id",
+        arm_predicate="event_type = 'signup'",
+        absent_predicate="event_type = 'purchase'",
+        for_seconds=3600,
+        watermark="10 minutes",
+    )
+    name = _materialize(out, "append")
+    return spark.sql(f"SELECT key, e1_id, e1_ts FROM {name}")
+
+
+@register(
     "streaming_cep_count_quantifier",
     oracle="""
     WITH ordered AS (

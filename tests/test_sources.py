@@ -658,3 +658,67 @@ def test_kafka_sink_options_and_value_serde(spark):
         assert sorted(tuple(r) for r in back.collect()) == [
             ("A", 1.5, 3), ("B", 2.25, 9)
         ], fmt
+
+
+def test_kafka_contract_end_to_end_via_file_transport(spark, tmp_path):
+    """Kafka contract test: producer serde → broker log → consumer
+    serde, with a parquet file standing in for the broker (the sandbox
+    has no kafka jar; the transport swap is `format("kafka")` with the
+    same options — everything else below is exactly the deployed
+    code path).
+
+    The on-disk frame uses the EXACT schema Spark's kafka consumer
+    yields (key/value binary + topic/partition/offset/timestamp/
+    timestampType), so `parse_kafka_value` is exercised against the
+    real wire shape for every mapper format."""
+    import pyspark.sql.functions as F
+
+    from siddhi_operator_spark.siddhiql import parse_app
+    from siddhi_operator_spark.sources import (
+        format_sink_value,
+        kafka_options,
+        kafka_sink_options,
+        parse_kafka_value,
+    )
+
+    model = parse_app("define stream T (sym string, price double, vol long);")
+    sdef = model.streams["T"]
+    rows = [("A", 1.5, 3), ("B", 2.25, 9), ("C", -0.5, 0)]
+    df = spark.createDataFrame(rows, "sym string, price double, vol long")
+
+    sink = parse_annotation(
+        "@sink(type='kafka', bootstrap.servers='h1:9092', topic='t1', "
+        "@map(type='json'))"
+    )
+    assert kafka_sink_options(sink) == {
+        "kafka.bootstrap.servers": "h1:9092",
+        "topic": "t1",
+    }
+
+    for fmt in ("json", "csv", "keyvalue", "avro", "protobuf", "binary"):
+        mp = parse_annotation(f"@map(type='{fmt}')")
+        wire = format_sink_value(df, mp, sdef)
+
+        # broker-log shape: exactly what readStream.format('kafka')
+        # hands the consumer after the jar swap
+        log = wire.select(
+            F.lit(None).cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.lit("t1").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.monotonically_increasing_id().alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+        path = str(tmp_path / f"broker_{fmt}")
+        log.write.mode("overwrite").parquet(path)
+        consumed = spark.read.parquet(path)
+        assert consumed.schema["value"].dataType.typeName() == "binary"
+
+        src = parse_annotation(
+            "@source(type='kafka', bootstrap.servers='h1:9092', "
+            f"topic.list='t1', @map(type='{fmt}'))"
+        )
+        assert kafka_options(src)["subscribe"] == "t1"
+        back = parse_kafka_value(consumed, src, sdef)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(rows), fmt
