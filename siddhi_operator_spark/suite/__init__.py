@@ -24,6 +24,7 @@ from . import siddhiql_suite  # noqa: E402,F401
 from . import collections  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
+from . import ml_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation, round 4.  The per-round correctness gate records
@@ -68,6 +69,8 @@ _FRONT_NAMES = (
     "corpus_token_budget",
     # new round-4 rows
     "streaming_cep_absence",
+    "ml_kmeans",
+    "ml_perceptron_online",
     # longest-unchecked (r1-only driver rows), events-reading first
     "window_length",
     "window_lengthbatch",
@@ -91,7 +94,6 @@ _FRONT_NAMES = (
     "join_unidirectional",
     "join_theta_residual",
     "named_window_fanout",
-    "partition_range_agg",
 )
 # Everything registered by a round-3 module (new operators) also belongs in
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).
