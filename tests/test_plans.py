@@ -250,3 +250,16 @@ def test_seq_pack_window_partitioned_by_shard(spark):
         "hashpartitioning(source" in plan
     )
     assert "hashpartitioning(source" in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """k-means assignment must be a broadcast of the (tiny) centroid
+    set against the point scan — no shuffle of the points, no
+    cartesian against an unbroadcast side."""
+    from siddhi_operator_spark.operators.ml import kmeans_lloyd
+
+    out = kmeans_lloyd(spark, load(spark, SF, "embeddings"), k=4, iters=1)
+    plan = _fmt(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
