@@ -126,25 +126,18 @@ def ensure_scaled(spark, scale: int) -> str:
     return out
 
 
-def duckdb_views(con, sf_dir: str, scaled: bool) -> None:
+def duckdb_views(con, sf_dir: str) -> None:
     from siddhi_operator_spark.catalog import TABLES
 
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # Spark-written table = part-file dir
             path = f"{path}/*.parquet"
-        if t == "events" and scaled:
-            # scaled events carry raw int64 nanos (written by Spark);
-            # rebuild the timestamp exactly as catalog.load does (ns→µs)
-            con.execute(
-                f"CREATE OR REPLACE VIEW events AS SELECT event_id, "
-                f"make_timestamp(ts // 1000) AS ts, user_id, event_type, "
-                f"value, props FROM '{path}'"
-            )
-        else:
-            con.execute(
-                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'"
-            )
+        # the scaled copy is written through catalog.load, so events ts
+        # is always a native parquet timestamp — one view shape for all
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'"
+        )
 
 
 def main() -> None:
@@ -173,7 +166,7 @@ def main() -> None:
 
         con = duckdb.connect()
         con.execute(f"SET threads = {os.cpu_count() or 32}")
-        duckdb_views(con, sf_dir, scaled=SCALE > 1)
+        duckdb_views(con, sf_dir)
 
     results: dict[str, float] = {}
     duck: dict[str, float] = {}

@@ -120,11 +120,16 @@ TABLES = tuple(SCHEMAS)
 
 @functools.lru_cache(maxsize=None)
 def _events_ts_kind(sf_dir: str) -> str:
-    """Sniff the events parquet footer: 'native' when ts is a parquet
-    TIMESTAMP Spark reads directly (µs/ms), 'nanos' when it is
-    TIMESTAMP(NANOS) / raw int64 nanos (which Spark only reads via
-    ``legacy.parquet.nanosAsLong`` as a long). The fixture has shipped
-    in both vintages, so the reader must survive either."""
+    """Sniff the events parquet footer: 'native' when ts is a type
+    Spark reads directly as TimestampType (TIMESTAMP(MICROS/MILLIS),
+    or INT96 — Spark's own legacy timestamp), 'nanos' when it is
+    INT64 TIMESTAMP(NANOS) / raw int64 nanos (which Spark only reads
+    via ``legacy.parquet.nanosAsLong`` as a long). The fixture has
+    shipped in both vintages, so the reader must survive either.
+
+    Uses the parquet-level (not arrow) schema: pyarrow presents BOTH
+    INT96 and TIMESTAMP(NANOS) as ``timestamp[ns]``, but only the
+    latter needs the long-read path."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -135,9 +140,18 @@ def _events_ts_kind(sf_dir: str) -> str:
         if not parts:
             return "native"
         path = parts[0]
-    t = str(pq.read_schema(path).field("ts").type)
-    if t.startswith("timestamp[ns") or t == "int64":
-        return "nanos"
+    schema = pq.ParquetFile(path).schema
+    col = next(
+        schema.column(i)
+        for i in range(len(schema))
+        if schema.column(i).name == "ts"
+    )
+    if col.physical_type == "INT96":
+        return "native"
+    if col.physical_type == "INT64":
+        lt = str(col.logical_type)
+        if "Timestamp" not in lt or "nanoseconds" in lt.lower():
+            return "nanos"  # raw epoch nanos, or TIMESTAMP(NANOS)
     return "native"
 
 

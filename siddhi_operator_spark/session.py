@@ -45,6 +45,10 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # write timestamps as TIMESTAMP(MICROS), not legacy INT96 —
+        # every modern reader (DuckDB, pyarrow, Spark) takes the fast
+        # path, and the footer-sniffing events loader stays trivial
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # streaming state: RocksDB scales past heap for big keyed state
         .config(
             "spark.sql.streaming.stateStore.providerClass",
