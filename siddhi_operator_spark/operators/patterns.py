@@ -33,6 +33,7 @@ def followed_by(
     within_seconds: float,
     every: bool = True,
     first_match_only: bool = True,
+    bucket: bool = False,
 ) -> DataFrame:
     """`from every e1=S[p1] -> e2=S[p2] within t` — non-contiguous
     followed-by (`StreamPreStateProcessor.java`).
@@ -58,18 +59,30 @@ def followed_by(
         F.col(ts).alias("e2_ts"),
         F.col("event_id").alias("e2_id"),
     )
-    joined = e1.join(
-        e2,
-        on=(
-            (F.col("k") == F.col("k2"))
-            & (F.col("e2_ts") > F.col("e1_ts"))
-            & (
-                F.col("e2_ts")
-                <= F.col("e1_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS")
-            )
-        ),
-        how="inner",
-    ).drop("k2")
+    # bucket=True additionally coarsens time into `t`-wide epochs and
+    # joins on (key, epoch): e2 ∈ (e1, e1+t] lives in e1's epoch or the
+    # next, so per-key pair production stays bounded however DENSE one
+    # key is (hot-key insurance). Measured ×100 on the horizontally
+    # scaled fixture (constant per-key density) it is ~1.8× SLOWER than
+    # the plain keyed join — the explode + wider shuffle costs more
+    # than the pruning returns — so it stays opt-in (SCALEBENCH.md).
+    cond = (
+        (F.col("k") == F.col("k2"))
+        & (F.col("e2_ts") > F.col("e1_ts"))
+        & (
+            F.col("e2_ts")
+            <= F.col("e1_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS")
+        )
+    )
+    if bucket:
+        w_us = int(within_seconds * 1_000_000)
+        e2 = e2.withColumn(
+            "_tb", F.floor(F.unix_micros(F.col("e2_ts")) / F.lit(w_us))
+        )
+        b1 = F.floor(F.unix_micros(F.col("e1_ts")) / F.lit(w_us))
+        e1 = e1.withColumn("_tb", F.explode(F.array(b1, b1 + F.lit(1))))
+        cond = cond & (e1["_tb"] == e2["_tb"])
+    joined = e1.join(e2, on=cond, how="inner").drop("k2", "_tb")
     if first_match_only:
         w = Window.partitionBy("k", "e1_id").orderBy("e2_ts", "e2_id")
         joined = (

@@ -408,3 +408,51 @@ def test_token_budget_sample_prefix_property(spark, docs_df=None):
     for r in rows:
         run += r.n_tok
         assert r.cum_tok == run
+
+
+def test_bucketed_windowed_join_matches_plain(spark, events_df):
+    """The opt-in epoch-bucketed join strategy (hot-key insurance) must
+    produce exactly the plain keyed join's rows, symmetric and
+    unidirectional, including window-boundary pairs."""
+    from siddhi_operator_spark.operators import joins as J
+    from siddhi_operator_spark.operators import patterns as P
+
+    clicks = events_df.filter(F.col("event_type") == "click")
+    other = events_df.filter(F.col("event_type") != "click")
+
+    for uni in (False, True):
+        want = sorted(
+            (r[0], r[1])
+            for r in J.windowed_stream_join(
+                clicks, other, "ts", "ts", [("user_id", "user_id")],
+                within_seconds=60, unidirectional=uni,
+            ).select(F.col("l.event_id"), F.col("r.event_id")).collect()
+        )
+        got = sorted(
+            (r[0], r[1])
+            for r in J.windowed_stream_join(
+                clicks, other, "ts", "ts", [("user_id", "user_id")],
+                within_seconds=60, unidirectional=uni, bucket=True,
+            ).select(F.col("l.event_id"), F.col("r.event_id")).collect()
+        )
+        assert got == want, f"unidirectional={uni}"
+
+    plain = sorted(
+        (r["e1_id"], r["e2_id"])
+        for r in P.followed_by(
+            events_df, "user_id", "ts",
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            within_seconds=600,
+        ).collect()
+    )
+    bucketed = sorted(
+        (r["e1_id"], r["e2_id"])
+        for r in P.followed_by(
+            events_df, "user_id", "ts",
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            within_seconds=600, bucket=True,
+        ).collect()
+    )
+    assert bucketed == plain
