@@ -378,3 +378,88 @@ def set_ops(spark: SparkSession, sf: str) -> DataFrame:
     both = clickers.intersect(buyers).select(F.lit("both").alias("op"), "user_id")
     only = clickers.subtract(buyers).select(F.lit("click_only").alias("op"), "user_id")
     return both.unionByName(only)
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT round(1e-9 + sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.05
+      AND l_quantity < 24
+    """,
+    tags=("agg", "tpch"),
+)
+def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 — forecast revenue change: the maximally selective
+    scan+agg. Every predicate must reach the parquet scan as a pushed
+    filter; the agg is a single global partial+final pair."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(1e-9 + sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, o_orderpriority standing in for the
+    fixture's missing o_shippriority): selective dimension → broadcast
+    into the fact scan, one keyed agg, TopK via sort+limit. The
+    customer filter prunes BEFORE the join so only matching custkeys
+    ship to executors."""
+    c = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            r4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

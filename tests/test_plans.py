@@ -263,3 +263,24 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q3_broadcasts_dims_no_smj(spark):
+    """Q3: the filtered customer→orders dimension side broadcasts into
+    the lineitem scan — no fact-side sort-merge, one keyed agg, TopK."""
+    plan = _fmt(REGISTRY["tpch_q3"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    """Q6: every predicate reaches the parquet scan; only the 4
+    referenced columns are read."""
+    plan = _fmt(REGISTRY["tpch_q6"].fn(spark, SF))
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_extendedprice" in rs and "l_orderkey" not in rs
