@@ -64,14 +64,15 @@ def sliding_time(
     Siddhi semantics: each arriving event sees the set of events from the
     last `t` — i.e. a per-event aggregate over `[ts - t, ts]`. That is an
     analytic frame: RANGE BETWEEN t PRECEDING AND CURRENT ROW over the
-    event-time axis (epoch seconds, fractional), partitioned by key.
+    event-time axis (integer µs — rangeBetween only takes long offsets,
+    and µs keeps sub-second windows exact), partitioned by key.
     """
     if not keys:
         raise ValueError("sliding time windows require partition keys at scale")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts).cast("double"))
-        .rangeBetween(-seconds, 0)
+        .orderBy(F.unix_micros(F.col(ts)))
+        .rangeBetween(-int(seconds * 1_000_000), 0)
     )
     out = df
     for name, c in aggs.items():

@@ -45,6 +45,11 @@ def _auto_alias(item: SelectItem, idx: int) -> str:
         return item.alias
     if re.fullmatch(r"\w+", item.expr):
         return item.expr
+    # qualified attribute ref (`StreamName.attr`) → the attribute name,
+    # matching the reference's output schema for unaliased projections
+    m = re.fullmatch(r"\w+\.(\w+)", item.expr)
+    if m:
+        return m.group(1)
     return f"col{idx}"
 
 
@@ -398,10 +403,16 @@ def _run_single(
                 .rowsBetween(-(int(win.args[0]) - 1), 0)
             )
         elif win.kind == "time":
+            # RANGE frame on the µs axis: rangeBetween takes long
+            # offsets (a float here raised Py4JError for any non-round
+            # constant like `30 min`), and integer µs is exact where
+            # the old double-seconds axis rounded
             w = (
                 Window.partitionBy(*keys)
-                .orderBy(F.col(ts_col).cast("double"))
-                .rangeBetween(-time_constant_seconds(win.args[0]), 0)
+                .orderBy(F.unix_micros(F.col(ts_col)))
+                .rangeBetween(
+                    -int(time_constant_seconds(win.args[0]) * 1_000_000), 0
+                )
             )
         else:  # lengthBatch → tumbling count batches
             n = int(win.args[0])

@@ -1030,3 +1030,42 @@ def test_expression_group_by_key(spark, events_df):
         if r.t > 0  # mirror the `having total > 0`
     }
     assert rows == pytest.approx(expect)
+
+
+def test_example_app_user_activity_monitoring(spark):
+    """The canonical multi-feature example app runs end-to-end: table
+    enrichment, named-window fan-out, recovery pattern, partitioned
+    totals — each output cross-checked against its direct DataFrame
+    equivalent."""
+    from siddhi_operator_spark.catalog import load
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    vip = spark.createDataFrame(
+        [(i, "gold" if i % 2 else "silver") for i in range(50)],
+        "user_id long, tier string",
+    )
+    app = open("/root/repo/examples/user_activity_monitoring.siddhi").read()
+    outs = run_app(app, {"Events": e, "VipUsers": vip})
+
+    assert set(outs) == {
+        "VipPurchases", "RecentErrors", "ErrorCounts", "Recovered",
+        "TypeTotals",
+    }
+    # unaliased qualified projections keep the attribute name
+    assert outs["VipPurchases"].columns == ["user_id", "value", "tier"]
+    want_vip = (
+        e.filter(F.col("event_type") == "purchase").join(vip, "user_id").count()
+    )
+    assert outs["VipPurchases"].count() == want_vip
+    n_err = e.filter(F.col("event_type") == "error").count()
+    assert outs["RecentErrors"].count() == n_err
+    assert outs["ErrorCounts"].count() == n_err  # per-arrival emission
+    want_types = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    )
+    got_types = {r["event_type"]: (r["n"], r["total"]) for r in outs["TypeTotals"].collect()}
+    for r in want_types:
+        n, total = got_types[r["event_type"]]
+        assert n == r["n"] and abs(total - r["total"]) < 1e-6
