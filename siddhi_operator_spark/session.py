@@ -49,6 +49,12 @@ def build_session(
         # every modern reader (DuckDB, pyarrow, Spark) takes the fast
         # path, and the footer-sniffing events loader stays trivial
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # ×100 A/B sweep (SCALEBENCH.md round 4): 8192 is ~8% faster on
+        # scan+agg shapes than the 4096 default, neutral elsewhere
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_READER_BATCH", "8192"),
+        )
         # streaming state: RocksDB scales past heap for big keyed state
         .config(
             "spark.sql.streaming.stateStore.providerClass",
