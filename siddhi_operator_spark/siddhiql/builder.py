@@ -1775,6 +1775,106 @@ def _run_pattern_streaming(
     return out.select("key", *sel)
 
 
+def _split_equi_on(
+    on_expr: str, lname: str, rname: str
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """Split a join ON conjunction into (left_col, right_col) equi
+    pairs and residual predicate strings (side names rewritten to the
+    l/r join aliases)."""
+    equi: list[tuple[str, str]] = []
+    residual: list[str] = []
+    for part in re.split(r"\band\b", on_expr, flags=re.I):
+        m = re.fullmatch(
+            r"\s*(\w+)\.(\w+)\s*==?\s*(\w+)\.(\w+)\s*", part
+        )
+        if m:
+            a, ac, b, bc = m.groups()
+            if a == lname and b == rname:
+                equi.append((ac, bc))
+                continue
+            if a == rname and b == lname:
+                equi.append((bc, ac))
+                continue
+        p = re.sub(rf"\b{lname}\.", "l.", part.strip())
+        p = re.sub(rf"\b{rname}\.", "r.", p)
+        residual.append(p)
+    return equi, residual
+
+
+def _run_join_streaming(
+    env: dict[str, DataFrame],
+    model: AppModel,
+    q: QueryDef,
+    inp: JoinInput,
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Streaming JoinInput: stream ⋈ table → stream-static broadcast
+    probe; stream ⋈ stream → watermarked windowed join (state bounded
+    by the window span). The ON conjunction's `A.x == B.y` terms become
+    the equi keys (hash join, not a range probe); everything else is a
+    residual condition."""
+    from ..streaming import joins as SJ
+
+    lname = inp.left.alias or inp.left.stream
+    rname = inp.right.alias or inp.right.stream
+    left = env[inp.left.stream]
+    right = env[inp.right.stream]
+    if inp.left.filter_expr:
+        left = left.filter(F.expr(inp.left.filter_expr))
+    if inp.right.filter_expr:
+        right = right.filter(F.expr(inp.right.filter_expr))
+    how = {"inner": "inner", "left outer": "left", "right outer": "right",
+           "full outer": "full"}[inp.kind]
+
+    right_def = model.streams.get(inp.right.stream)
+    if right_def is not None and right_def.is_table:
+        j = SJ.stream_table_join(
+            left.alias(lname), right.alias(rname),
+            on=F.expr(inp.on_expr), how=how,
+        )
+        if q.select:
+            return j.select(*[
+                F.expr(it.expr).alias(_auto_alias(it, i))
+                for i, it in enumerate(q.select)
+            ])
+        return j
+
+    within = inp.within_seconds
+    if within is None:
+        for side in (inp.left, inp.right):
+            if side.window and side.window.kind in ("time", "timeBatch"):
+                within = time_constant_seconds(side.window.args[0])
+    if within is None:
+        raise ValueError(
+            "streaming stream-stream join needs a time bound "
+            "(#window.time(t) on a side, or `within t`) so state is "
+            "evictable"
+        )
+    equi, residual = _split_equi_on(inp.on_expr, lname, rname)
+    if not equi:
+        raise ValueError(
+            "streaming stream-stream join needs at least one "
+            "`A.x == B.y` equi term in the ON condition (a pure range "
+            "probe shuffles everything everywhere)"
+        )
+    extra = F.expr(" AND ".join(residual)) if residual else None
+    j = SJ.stream_stream_join(
+        left, right,
+        left_ts=ts_col, right_ts=ts_col,
+        equi_keys=equi, within_seconds=within,
+        watermark=watermark, extra_cond=extra, how=how,
+    )
+    if q.select:
+        sel = []
+        for i, it in enumerate(q.select):
+            expr = re.sub(rf"\b{lname}\.", "l.", it.expr)
+            expr = re.sub(rf"\b{rname}\.", "r.", expr)
+            sel.append(F.expr(expr).alias(_auto_alias(it, i)))
+        return j.select(*sel)
+    return j
+
+
 def run_app_streaming(
     app: str | AppModel,
     sources: dict[str, DataFrame] | None = None,
@@ -1833,10 +1933,22 @@ def run_app_streaming(
             env[q.out_stream] = outputs[q.out_stream]
             continue
         if not isinstance(inp, SingleInput):
+            if isinstance(inp, JoinInput) and inp.per is None:
+                df = _run_join_streaming(
+                    env, model, q, inp, ts_col, watermark
+                )
+                if q.having:
+                    df = df.filter(F.expr(q.having))
+                if q.out_stream in outputs:
+                    outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
+                else:
+                    outputs[q.out_stream] = df
+                env[q.out_stream] = outputs[q.out_stream]
+                continue
             raise ValueError(
-                "streaming runner covers single-input queries and "
-                "patterns; use the dedicated streaming operators for "
-                "joins (streaming.joins.windowed_stream_join)"
+                "streaming runner covers single-input queries, patterns, "
+                "stream-stream windowed joins and stream-table joins; "
+                "aggregation retrieval (`per`) is a batch/serving query"
             )
         if inp.window is not None and inp.window.kind not in (
             "timeBatch",

@@ -1069,3 +1069,85 @@ def test_example_app_user_activity_monitoring(spark):
     for r in want_types:
         n, total = got_types[r["event_type"]]
         assert n == r["n"] and abs(total - r["total"]) < 1e-6
+
+
+def test_run_app_streaming_stream_stream_join(spark):
+    """Streaming QL stream⋈stream windowed join (watermarked, state
+    bounded by the window span) must emit exactly the batch runner's
+    rows — equi terms from the ON conjunction become the join keys,
+    the comparison term stays a residual."""
+    import uuid
+
+    from siddhi_operator_spark.catalog import load, load_events_stream
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+
+    app = """
+    define stream Clicks (event_id long, ts string, user_id long, event_type string, value double);
+    define stream Views (event_id long, ts string, user_id long, event_type string, value double);
+    from Clicks#window.time(12 hour) join Views#window.time(12 hour)
+      on Clicks.user_id == Views.user_id and Clicks.value > Views.value
+    select Clicks.user_id as user_id, Clicks.event_id as click_id, Views.event_id as view_id
+    insert into Pairs;
+    """
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "events")
+    want = sorted(
+        tuple(r)
+        for r in run_app(
+            app,
+            {
+                "Clicks": e.filter(F.col("event_type") == "click"),
+                "Views": e.filter(F.col("event_type") == "view"),
+            },
+        )["Pairs"].collect()
+    )
+    assert want  # the fixture must actually produce matches
+    cs = load_events_stream(spark, sf).filter(F.col("event_type") == "click")
+    vs = load_events_stream(spark, sf).filter(F.col("event_type") == "view")
+    outs = run_app_streaming(
+        app, {"Clicks": cs, "Views": vs}, watermark="13 hours"
+    )
+    name = f"sj_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Pairs"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    assert got == want
+
+
+def test_run_app_streaming_stream_table_join(spark):
+    """Streaming QL stream⋈table: stream-static broadcast probe, same
+    rows as batch."""
+    import uuid
+
+    from siddhi_operator_spark.catalog import load, load_events_stream
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    define table Vip (user_id long, tier string);
+    from Events join Vip on Events.user_id == Vip.user_id
+    select Events.event_id as event_id, Vip.tier as tier
+    insert into Enriched;
+    """
+    sf = "/root/testdata/sf0.001"
+    vip = spark.createDataFrame(
+        [(i, "g") for i in range(30)], "user_id long, tier string"
+    )
+    want = run_app(
+        app, {"Events": load(spark, sf, "events"), "Vip": vip}
+    )["Enriched"].count()
+    outs = run_app_streaming(
+        app, {"Events": load_events_stream(spark, sf), "Vip": vip}
+    )
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Enriched"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.table(name).count() == want
