@@ -71,7 +71,7 @@ def sliding_time(
         raise ValueError("sliding time windows require partition keys at scale")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts)))
+        .orderBy(F.unix_micros(F.col(ts).cast("timestamp")))
         .rangeBetween(-int(seconds * 1_000_000), 0)
     )
     out = df

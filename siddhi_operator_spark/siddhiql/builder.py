@@ -407,9 +407,11 @@ def _run_single(
             # offsets (a float here raised Py4JError for any non-round
             # constant like `30 min`), and integer µs is exact where
             # the old double-seconds axis rounded
+            # cast: unix_micros rejects TIMESTAMP_NTZ (inferred-schema
+            # parquet reads); for TIMESTAMP the cast is a no-op
             w = (
                 Window.partitionBy(*keys)
-                .orderBy(F.unix_micros(F.col(ts_col)))
+                .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
                 .rangeBetween(
                     -int(time_constant_seconds(win.args[0]) * 1_000_000), 0
                 )
