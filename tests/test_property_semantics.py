@@ -151,3 +151,64 @@ def test_sliding_time_count_matches_bruteforce(spark, evs):
         )
         want.append((i1, n))
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=events_strategy)
+def test_unique_deduplicate_matches_bruteforce(spark, evs):
+    """unique:deduplicate(user, 60s): drop an event when the previous
+    ARRIVAL with the same key is ≤ 60 s older (strictly-greater gap
+    emits); every arrival refreshes the guard, emitted or not."""
+    from siddhi_operator_spark.operators.windows import unique_deduplicate
+
+    out = unique_deduplicate(
+        _df(spark, evs), "ts", ["user_id"], 60, tiebreak="event_id"
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    rows = sorted(
+        (u, BASE + datetime.timedelta(seconds=off), i)
+        for i, (u, off, _t) in enumerate(evs)
+    )
+    want = []
+    last_arrival: dict[int, datetime.datetime] = {}
+    for u, t, i in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        prev = last_arrival.get(u)
+        if prev is None or (t - prev).total_seconds() > 60:
+            want.append(i)
+        last_arrival[u] = t  # unconditional refresh
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=events_strategy)
+def test_ratelimit_first_last_match_bruteforce(spark, evs):
+    """output first/last every 2 min (per event_type): the bucket edge
+    belongs to the NEXT bucket (window() is [start, end))."""
+    from siddhi_operator_spark.operators.ratelimit import first_every, last_every
+
+    df = _df(spark, evs)
+    got_first = sorted(
+        r["event_id"]
+        for r in first_every(df, "ts", "2 minutes", ["event_type"], "event_id").collect()
+    )
+    got_last = sorted(
+        r["event_id"]
+        for r in last_every(df, "ts", "2 minutes", ["event_type"], "event_id").collect()
+    )
+    buckets: dict[tuple[str, int], list[tuple[datetime.datetime, int]]] = {}
+    for i, (u, off, t) in enumerate(evs):
+        ts = BASE + datetime.timedelta(seconds=off)
+        b = off // 120
+        buckets.setdefault((t, b), []).append((ts, i))
+    want_first = sorted(min(v)[1] for v in buckets.values())
+    want_last = sorted(max(v)[1] for v in buckets.values())
+    assert got_first == want_first
+    assert got_last == want_last
