@@ -82,6 +82,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 32,
     band_size: int = 8,
     cache: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures (band hash = md5 of the band's sigs) and
     self-join per band bucket → candidate pairs (id_a < id_b), with the
@@ -101,7 +102,20 @@ def lsh_candidate_pairs(
     frame is cached before the self-join (each join side would
     otherwise recompute the full minhash scan — at 100 TB you always
     materialize the signature table before pairing; swap `.cache()`
-    for a parquet checkpoint there)."""
+    for a parquet checkpoint there).
+
+    ``max_bucket``: deterministic super-bucket guard. Candidate pairs
+    grow quadratically in bucket size, so ONE degenerate bucket
+    (boilerplate, empty docs, a template repeated millions of times)
+    produces a pair explosion that no amount of cluster buys back —
+    measured on a 100k-doc corpus with dense duplicate clusters, the
+    uncapped join spilled >70 GB and died. With a cap, buckets larger
+    than ``max_bucket`` are dropped WHOLE (deterministic, no sampling):
+    their members are near-certain duplicates that the cheap exact /
+    fingerprint tiers already collapse, which is how production dedup
+    pipelines treat super-shingles. None (default) keeps the exhaustive
+    behavior for oracle parity at test scale; ALWAYS set it at corpus
+    scale."""
     n_bands = n_hashes // band_size
     sig_cols = [F.col(f"sig_{i}") for i in range(n_hashes)]
     band_structs = F.array(
@@ -132,6 +146,15 @@ def lsh_candidate_pairs(
     banded = sig_table.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.band_hash"))
+    if max_bucket is not None:
+        counts = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = (
+            banded.join(counts, on=["band", "band_hash"])
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     pairs = (
         banded.alias("a")
         .join(

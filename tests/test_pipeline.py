@@ -252,3 +252,23 @@ def test_winnow_fingerprints_shape(spark):
     assert out[1].n_windows == 3
     assert 1 <= out[1].n_fingerprints <= 3
     assert 2 not in out
+
+
+def test_lsh_max_bucket_drops_degenerate_buckets(spark):
+    """`max_bucket` drops super-buckets whole (deterministic): a
+    template repeated many times stops producing quadratic pairs, while
+    distinct docs' pairs are unaffected."""
+    from siddhi_operator_spark.pipeline import dedup as D
+
+    rows = [(i, "common boilerplate template text repeated verbatim") for i in range(30)]
+    rows += [(100, "a genuinely unique document about spark"),
+             (101, "a genuinely unique document about spark engines")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signature(docs)
+    uncapped = D.lsh_candidate_pairs(sigs)
+    capped = D.lsh_candidate_pairs(sigs, max_bucket=10)
+    # the 30-clone template bucket alone yields 30*29/2 = 435 pairs
+    assert uncapped.filter("id_a < 100").count() >= 435
+    assert capped.filter("id_a < 100").count() == 0  # super-bucket dropped
+    # the small near-dup pair survives the cap
+    assert capped.filter("id_a = 100 AND id_b = 101").count() == 1
