@@ -96,6 +96,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return D.lsh_candidate_pairs(sigs, n_hashes=N_HASHES, band_size=BAND_SIZE)
 
 
+LSH_CAP = 20
+
+MINHASH_CAPPED_ORACLE = f"""
+    WITH sigs AS (
+      SELECT doc_id,
+         {_SIG_EXPRS}
+      FROM documents
+    ), banded AS ({_BANDED}),
+    keep AS (
+      SELECT band, band_hash FROM banded
+      GROUP BY 1, 2 HAVING count(*) <= {LSH_CAP}
+    ), fb AS (
+      SELECT banded.* FROM banded JOIN keep USING (band, band_hash)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           {_MATCHES} AS n_sig_match,
+           ({_MATCHES}) / {float(N_HASHES)} AS jaccard_est
+    FROM fb a JOIN fb b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle=MINHASH_CAPPED_ORACLE,
+    tags=("pipeline", "dedup", "lsh"),
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-scale LSH path: super-buckets above `max_bucket` drop
+    whole before pairing (SCALEBENCH.md round 4 — one boilerplate
+    bucket otherwise explodes quadratically). Oracle applies the same
+    deterministic HAVING-count filter in SQL."""
+    docs = load(spark, sf, "documents")
+    sigs = D.minhash_signature(docs, n_hashes=N_HASHES)
+    return D.lsh_candidate_pairs(
+        sigs, n_hashes=N_HASHES, band_size=BAND_SIZE, max_bucket=LSH_CAP
+    )
+
+
 @register(
     "neardup_token_jaccard",
     oracle="""
