@@ -99,6 +99,12 @@ _FRONT_NAMES = (
 # the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).
 _R3_MODULES: tuple[str, ...] = ()
 
+# Round-5 rotation TODO: promote the r4-late additions that have no
+# driver row yet (tpch_q3, tpch_q6, dedup_minhash_lsh_capped) plus the
+# remaining r1-only tail (filter_project, tpch_q1, scalar_* family,
+# agg_* family, json/regex fns, partition/setops/udtf rows —
+# see CORRECTNESS_r01 ∖ (r02 ∪ r03 ∪ r04)).
+
 
 def _rotate_for_driver_window() -> None:
     def rank(item):
