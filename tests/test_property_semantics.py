@@ -212,3 +212,61 @@ def test_ratelimit_first_last_match_bruteforce(spark, evs):
     want_last = sorted(max(v)[1] for v in buckets.values())
     assert got_first == want_first
     assert got_last == want_last
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=events_strategy)
+def test_incremental_cascade_matches_bruteforce(spark, evs):
+    """hour→day cascade: the day table is derived from the hour table's
+    composable state (sum/cnt/sum_sq/min/max), never from raw events —
+    its finalized avg/stddev must still equal a direct computation."""
+    import math
+
+    from siddhi_operator_spark.operators import incremental as I
+
+    df = _df(spark, evs).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 37 MINUTES") * (F.col("event_id") % 50)
+    )
+    casc = I.rollup_cascade(
+        df, "ts", "value", keys=("user_id",), granularities=("hour", "day")
+    )
+    day = I.query_within_per(
+        casc, "day", "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    )
+    got = {
+        (r["bucket_start"], r["user_id"]): (
+            r["cnt"],
+            round(r["sum_v"], 6),
+            round(r["avg_v"], 6),
+            round(r["stddev_v"], 6),
+        )
+        for r in day.collect()
+    }
+    # brute force directly from the raw rows
+    raw = [
+        (
+            (BASE + datetime.timedelta(seconds=off)
+             + datetime.timedelta(minutes=37) * (i % 50)),
+            u,
+            float(i),
+        )
+        for i, (u, off, _t) in enumerate(evs)
+    ]
+    groups: dict[tuple, list[float]] = {}
+    for t, u, v in raw:
+        b = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        groups.setdefault((b, u), []).append(v)
+    assert set(got) == set(groups)
+    for k, vals in groups.items():
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / n
+        cnt, sum_v, avg_v, std_v = got[k]
+        assert cnt == n
+        assert abs(sum_v - sum(vals)) < 1e-6
+        assert abs(avg_v - mean) < 1e-6
+        assert abs(std_v - math.sqrt(var)) < 1e-6
