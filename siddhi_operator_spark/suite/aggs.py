@@ -463,3 +463,55 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           round(1e-9 + sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): five-way join where every
+    dimension chain (region→nation→supplier, customer→orders)
+    broadcasts into the single lineitem fact scan — the deepest
+    broadcast-tree shape in the suite."""
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf, "customer")
+    co = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    li = load(spark, sf, "lineitem")
+    joined = li.join(
+        F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(
+        F.broadcast(s),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    return joined.groupBy("n_name").agg(
+        r4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
