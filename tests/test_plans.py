@@ -284,3 +284,12 @@ def test_tpch_q6_all_predicates_pushed(spark):
         assert col in pushed, col
     rs = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_extendedprice" in rs and "l_orderkey" not in rs
+
+
+def test_tpch_q5_all_dims_broadcast(spark):
+    """Q5: all five dimension joins broadcast — the lineitem fact side
+    is never shuffled for a join."""
+    plan = _fmt(REGISTRY["tpch_q5"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
