@@ -64,7 +64,9 @@ _FN_MAP = {
     "time:timestampInMilliseconds": "unix_millis",
     "json:getString": "get_json_object",
     "json:getDouble": "get_json_object",
-    "distinctCount": "count_distinct",
+    # NB: `count_distinct` is a DataFrame-API name only; in SQL text the
+    # exact form is `count(DISTINCT x)` — special-cased in normalize
+    # below, so it must NOT go through the plain-rename map.
     "stdDev": "stddev_pop",
     "ifThenElse": "if",
     "maximum": "greatest",
@@ -156,6 +158,9 @@ def translate_expr(expr: str) -> str:
     for k, v in _FN_MAP.items():
         if ":" not in k:
             out = re.sub(rf"\b{k}\s*\(", v + "(", out)
+    # exact distinct count: SQL spells it count(DISTINCT x), and the
+    # DISTINCT must land inside the argument list
+    out = re.sub(r"\bdistinctCount\s*\(", "count(DISTINCT ", out)
     # Siddhi has no decimal type (§2.2): float literals are doubles.
     # Spark SQL parses bare `0.1` as DECIMAL(1,1) — suffix with D, but
     # never inside string literals.

@@ -1151,3 +1151,23 @@ def test_run_app_streaming_stream_table_join(spark):
     q.processAllAvailable()
     q.stop()
     assert spark.table(name).count() == want
+
+
+def test_distinct_count_through_ql(spark, events_df):
+    """`distinctCount(x)` must compile to SQL `count(DISTINCT x)` —
+    `count_distinct` is a DataFrame-API-only name and previously failed
+    analysis inside F.expr."""
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events select event_type, distinctCount(user_id) as du
+    group by event_type having du >= 1 insert into O;
+    """
+    out = run_app(app, {"Events": events_df})["O"]
+    got = {r["event_type"]: r["du"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["du"]
+        for r in events_df.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("du"))
+        .collect()
+    }
+    assert got == want
