@@ -354,9 +354,11 @@ def _run_single(
             )
         keys = [q.partition_key] if q.partition_key else (q.group_by or [])
         if win.kind == "time":
-            dur = win.args[0].strip("'\" ")
+            # normalize Siddhi unit spellings (`10 min`) to seconds —
+            # Spark's INTERVAL literal rejects abbreviated units
             exp = df.withColumn(
-                "expired_ts", F.col(ts_col) + F.expr(f"INTERVAL {dur}")
+                "expired_ts",
+                F.col(ts_col) + F.expr(f"INTERVAL {_duration_str(win.args[0])}"),
             )
         else:
             n = int(win.args[0])
@@ -538,6 +540,41 @@ def _run_join(
              "full outer": "full"}[inp.kind],
     )
     if q.select:
+        if any(_AGG_RE.search(it.expr) for it in q.select):
+            # aggregate over the joined stream (`join … select k,
+            # sum(x) group by k`): group keys may be qualified
+            # (`Vip.tier`), so alias them at groupBy time and map
+            # unaggregated select items back to those aliases
+            gb_alias: dict[str, str] = {}
+            gcols = []
+            for k in q.group_by or []:
+                a = k.split(".")[-1] if re.fullmatch(r"[\w.]+", k) else f"_g{len(gcols)}"
+                gb_alias[k] = a
+                gcols.append(F.expr(k).alias(a))
+            agg_idx = {
+                i for i, it in enumerate(q.select) if _AGG_RE.search(it.expr)
+            }
+            aggs = [
+                F.expr(it.expr).alias(_auto_alias(it, i))
+                for i, it in enumerate(q.select)
+                if i in agg_idx
+            ]
+            out = j.groupBy(*gcols).agg(*aggs) if gcols else j.agg(*aggs)
+            final = []
+            for i, it in enumerate(q.select):
+                if i in agg_idx:
+                    final.append(F.col(_auto_alias(it, i)))
+                else:
+                    name = gb_alias.get(it.expr)
+                    if name is None:
+                        cands = [
+                            a
+                            for k, a in gb_alias.items()
+                            if k.split(".")[-1] == it.expr
+                        ]
+                        name = cands[0] if cands else it.expr
+                    final.append(F.col(name).alias(_auto_alias(it, i)))
+            return out.select(*final)
         j = j.select(
             *[F.expr(it.expr).alias(_auto_alias(it, i)) for i, it in enumerate(q.select)]
         )
@@ -1393,6 +1430,25 @@ def run_app(
                 if flags:
                     src = src.filter(F.expr(nf)).drop(*flags)
                     inp = dataclasses.replace(inp, filter_expr=None)
+            if (
+                q.output_rate is not None
+                and q.output_rate.which in ("first", "last")
+                and q.group_by
+                and any(_AGG_RE.search(it.expr) for it in q.select)
+                and inp.window is None
+            ):
+                # grouped output rate limiting
+                # (`GroupByPerTimeOutputRateLimiter`): every event
+                # updates the group's running aggregate; the limiter
+                # emits the first/last update per interval per group.
+                df = _grouped_rate_limited(src, q, ts_col, id_col)
+                env[q.out_stream] = df
+                outputs[q.out_stream] = (
+                    outputs[q.out_stream].unionByName(df)
+                    if q.out_stream in outputs
+                    else df
+                )
+                continue
             df = _run_single(src, q, inp, ts_col, id_col)
         elif isinstance(inp, JoinInput):
             df = _run_join(env, q, inp, ts_col)
@@ -1498,6 +1554,67 @@ _SIDDHI_TO_SPARK_TYPE = {
     "double": "double",
     "bool": "boolean",
 }
+
+
+_RUNNING_AGG_RE = re.compile(
+    r"\b(sum|count|avg|min|max|stddev_pop)\s*\(([^()]*)\)", re.I
+)
+
+
+def _grouped_rate_limited(
+    src: DataFrame, q: QueryDef, ts_col: str, id_col: str
+) -> DataFrame:
+    """`select k, agg(x) group by k output first|last every N sec` —
+    the reference's per-group time rate limiter over a continuously
+    updating aggregate. Batch fixed point: rewrite each aggregate to a
+    RUNNING aggregate per group (ROWS UNBOUNDED PRECEDING in event-time
+    order), then keep the first/last update per (group, interval).
+    One keyed sort + one row_number — no join, no state."""
+    if q.output_rate.unit != "seconds":
+        raise ValueError("grouped output rate limiting takes a time period")
+    if q.input.filter_expr:
+        src = src.filter(F.expr(q.input.filter_expr))
+    keys = list(q.group_by)
+    over = (
+        f" OVER (PARTITION BY {', '.join(keys)} ORDER BY {ts_col}, {id_col}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    sel = []
+    for i, it in enumerate(q.select):
+        new, nsub = _RUNNING_AGG_RE.subn(
+            lambda m: f"{m.group(1)}({m.group(2)}){over}", it.expr
+        )
+        if nsub == 0 and _AGG_RE.search(it.expr):
+            raise ValueError(
+                f"grouped rate limiting: cannot rewrite {it.expr!r} to a "
+                "running aggregate (nested aggregate arguments)"
+            )
+        sel.append(F.expr(new).alias(_auto_alias(it, i)))
+    per_event = src.select(
+        *sel,
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        *[F.expr(k).alias(f"__k{j}") for j, k in enumerate(keys)],
+    )
+    b = per_event.withColumn(
+        "__bucket",
+        F.window("__ts", f"{q.output_rate.every_n} seconds")["start"],
+    )
+    kcols = [f"__k{j}" for j in range(len(keys))]
+    order = (
+        [F.desc("__ts"), F.desc("__id")]
+        if q.output_rate.which == "last"
+        else [F.asc("__ts"), F.asc("__id")]
+    )
+    w = Window.partitionBy("__bucket", *kcols).orderBy(*order)
+    out = (
+        b.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__ts", "__id", "__bucket", *kcols)
+    )
+    if q.having:
+        out = out.filter(F.expr(q.having))
+    return out
 
 
 def _register_script_udf(spark, fd) -> None:

@@ -188,10 +188,12 @@ def _split_statements(text: str) -> list[str]:
         if ch in "'\"":
             in_str = ch
             buf.append(ch)
-        elif ch == "(":
+        elif ch in "({":
+            # braces: a script-function body (`define function f[js]
+            # return double { ...; }`) may contain semicolons
             depth += 1
             buf.append(ch)
-        elif ch == ")":
+        elif ch in ")}":
             depth -= 1
             buf.append(ch)
         elif ch == ";" and depth == 0:

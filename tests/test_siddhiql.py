@@ -1171,3 +1171,68 @@ def test_distinct_count_through_ql(spark, events_df):
         .collect()
     }
     assert got == want
+
+
+def test_agg_over_join_through_ql(spark, events_df):
+    """`join … select k, sum(x) group by k` — aggregation over a joined
+    stream (previously raised MISSING_GROUP_BY)."""
+    vip = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    define table Vip (user_id long, tier string);
+    from Events join Vip on Events.user_id == Vip.user_id
+    select Vip.tier as tier, sum(Events.value) as s, count() as n
+    group by Vip.tier
+    insert into O;
+    """
+    out = run_app(app, {"Events": events_df, "Vip": vip})["O"]
+    got = {r["tier"]: (round(r["s"], 4), r["n"]) for r in out.collect()}
+    want = {
+        r["tier"]: (round(r["s"], 4), r["n"])
+        for r in events_df.join(vip, "user_id")
+        .groupBy("tier")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_grouped_output_rate_limit_last(spark, events_df):
+    """`group by k output last every N sec`: per interval per group,
+    the LAST update of the running aggregate (the reference's
+    GroupByPerTimeOutputRateLimiter semantics)."""
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events select user_id, sum(value) as s group by user_id
+    output last every 1 hour insert into O;
+    """
+    out = run_app(app, {"Events": events_df})["O"]
+    got = sorted((r["user_id"], round(r["s"], 4)) for r in out.collect())
+    rows = sorted(
+        (r["ts"], r["event_id"], r["user_id"], r["value"])
+        for r in events_df.collect()
+    )
+    run: dict[int, float] = {}
+    best: dict[tuple, float] = {}
+    for ts, _eid, u, v in rows:
+        run[u] = run.get(u, 0.0) + v
+        best[(ts.replace(minute=0, second=0, microsecond=0), u)] = run[u]
+    want = sorted((u, round(s, 4)) for (_b, u), s in best.items())
+    assert got == want
+
+
+def test_script_udf_body_with_semicolons(spark, events_df):
+    """Statement splitting must not break inside a function body
+    containing `;` (brace depth tracked)."""
+    app = """
+    define function halve[python] return double (x) { x * 0.5; };
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events select halve(value) as v, event_id insert into O;
+    """
+    # a python expression statement with a trailing `;` still evals
+    out = run_app(app, {"Events": events_df})["O"]
+    assert out.count() == events_df.count()
+    want = events_df.agg(F.max("value")).first()[0] * 0.5
+    assert abs(out.agg(F.max("v")).first()[0] - want) < 1e-9
