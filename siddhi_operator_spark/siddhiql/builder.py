@@ -1350,6 +1350,16 @@ def run_app(
         for fd in model.functions.values():
             _register_script_udf(spark, fd)
     for name, sdef in model.streams.items():
+        if name not in env and sdef.is_table:
+            # `define table` with no bound data starts EMPTY (the
+            # reference's in-memory table initial state) — DML queries
+            # then populate it through the replay fixed point
+            from ..sources import siddhi_schema
+
+            env[name] = spark.createDataFrame(
+                [], siddhi_schema(list(sdef.attributes))
+            )
+            continue
         if name not in env and not sdef.is_table:
             # annotation-driven file source (`FileSource` +
             # `@map` serde); a stream with neither a passed frame nor a

@@ -1236,3 +1236,23 @@ def test_script_udf_body_with_semicolons(spark, events_df):
     assert out.count() == events_df.count()
     want = events_df.agg(F.max("value")).first()[0] * 0.5
     assert abs(out.agg(F.max("v")).first()[0] - want) < 1e-9
+
+
+def test_declared_table_starts_empty(spark, events_df):
+    """`define table` with no bound data starts EMPTY (the reference's
+    in-memory table initial state); DML queries populate it."""
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    define table Totals (user_id long, total double);
+    from Events select user_id, sum(value) as total group by user_id
+    update or insert into Totals on Totals.user_id == user_id;
+    """
+    out = run_app(app, {"Events": events_df})["Totals"]
+    got = {r["user_id"]: round(r["total"], 4) for r in out.collect()}
+    want = {
+        r["user_id"]: round(r["t"], 4)
+        for r in events_df.groupBy("user_id")
+        .agg(F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
