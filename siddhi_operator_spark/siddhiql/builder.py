@@ -1875,6 +1875,17 @@ def _run_pattern_streaming(
         )
     if not q.select:
         return out
+    # alias.id_col → stem_id, alias.ts_col → stem_ts; the pattern KEY
+    # is carried by every match, so alias.<key> resolves to the key
+    # column (cast back to the source attribute's type — the NFA keys
+    # are strings)
+    key_type = None
+    first_stream = (
+        sts[0].a.stream if isinstance(sts[0], LogicalStep) else sts[0].stream
+    )
+    if first_stream in env and key in env[first_stream].columns:
+        key_type = env[first_stream].schema[key].dataType.simpleString()
+    key_projected = [False]
     sel = []
     for i, it in enumerate(q.select):
         expr = it.expr
@@ -1885,7 +1896,7 @@ def _run_pattern_streaming(
             f"_{'first' if m.group(2) == '0' else 'last'}.{m.group(3)}",
             expr,
         )
-        # alias.id_col → stem_id, alias.ts_col → stem_ts
+
         def _ref(m: re.Match) -> str:
             stem = stem_by_alias.get(m.group(1), m.group(1))
             attr = m.group(2)
@@ -1893,6 +1904,9 @@ def _run_pattern_streaming(
                 return f"{stem}_id"
             if attr == ts_col:
                 return f"{stem}_ts"
+            if attr == key and key_type is not None:
+                key_projected[0] = True
+                return f"CAST(key AS {key_type})"
             raise ValueError(
                 f"streaming pattern select can reference {id_col}/"
                 f"{ts_col} of a step (got {m.group(0)}); join other "
@@ -1901,6 +1915,11 @@ def _run_pattern_streaming(
         # identifier-anchored: a decimal literal like 1.5 must NOT match
         expr = re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)", _ref, expr)
         sel.append(F.expr(expr).alias(_auto_alias(it, i)))
+    # the match key rides along implicitly UNLESS the user projected it
+    # themselves (alias.<key> → CAST(key …)) — then batch/streaming
+    # column sets agree exactly
+    if key_projected[0]:
+        return out.select(*sel)
     return out.select("key", *sel)
 
 

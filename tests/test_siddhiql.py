@@ -1256,3 +1256,41 @@ def test_declared_table_starts_empty(spark, events_df):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_pattern_key_reference(spark, events_df):
+    """Streaming pattern selects may reference the pattern key by its
+    original attribute name (`e1.user_id`) — it resolves to the match
+    key, cast back to the source type, and exactly matches the batch
+    runner's output columns and rows."""
+    import uuid
+
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+    from siddhi_operator_spark.streaming import sources as SRC
+    import tempfile
+
+    app = """
+    define stream E (event_id long, ts string, user_id long, event_type string, value double);
+    from every e1=E[event_type == 'signup'] -> e2=E[event_type == 'purchase'] within 1 hour
+    select e1.user_id as u, e1.event_id as sid, e2.event_id as pid
+    insert into O;
+    """
+    want = sorted(
+        tuple(r) for r in run_app(app, {"E": events_df})["O"].collect()
+    )
+    assert want
+    d = tempfile.mkdtemp(prefix="replay_kp_")
+    SRC.replay_dir(events_df, d, "ts", 2)
+    s = SRC.file_stream(spark, d, events_df.schema, max_files_per_trigger=1)
+    outs = run_app_streaming(app, {"E": s})
+    name = f"kp_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["O"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.table(name).columns == ["u", "sid", "pid"]
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    assert got == want
+    assert str(spark.table(name).schema["u"].dataType) == "LongType()"
