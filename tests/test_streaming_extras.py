@@ -150,3 +150,44 @@ def test_lossy_counting_prunes_state(spark):
     # only the heavy hitter passes the support threshold
     assert {r.item for r in final} == {"hot"}
     assert all(r.count_lb >= 0.35 * r.n_seen for r in final)
+
+
+def test_streaming_ql_construct_coverage(spark, events_df):
+    """One pass over streaming-runner constructs probed in round 4:
+    delay window, externalTimeBatch, having, table membership, count
+    patterns — each must run and match its batch twin's row count."""
+    import tempfile
+    import uuid
+
+    from siddhi_operator_spark.siddhiql import run_app
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    S = (
+        "define stream E (event_id long, ts string, user_id long, "
+        "event_type string, value double);"
+    )
+    vip = spark.createDataFrame([(1, "g"), (2, "g")], "user_id long, tier string")
+    cases = [
+        (S + "from E#window.delay(5 min) select event_id, ts insert into O;", "append"),
+        (S + "from E#window.externalTimeBatch(ts, 1 hour) select count() as n group by event_type insert into O;", "complete"),
+        (S + "define table Vip (user_id long, tier string); from E[user_id in Vip] select event_id insert into O;", "append"),
+        (S + "from every e=E[event_type=='click']<2:2> select e[0].event_id as a, e[last].event_id as b insert into O;", "append"),
+    ]
+    for app, mode in cases:
+        srcs = {"E": events_df}
+        if "Vip" in app:
+            srcs["Vip"] = vip
+        want = run_app(app, dict(srcs))["O"].count()
+        d = tempfile.mkdtemp(prefix="replay_cov_")
+        SRC.replay_dir(events_df, d, "ts", 2)
+        srcs["E"] = SRC.file_stream(spark, d, events_df.schema, max_files_per_trigger=1)
+        outs = run_app_streaming(app, srcs)
+        name = f"cov_{uuid.uuid4().hex[:8]}"
+        q = (
+            outs["O"].writeStream.format("memory")
+            .queryName(name).outputMode(mode).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert spark.table(name).count() == want, app[:80]
