@@ -83,6 +83,38 @@ _FN_MAP = {
 }
 
 
+_INSTANCEOF_TYPES = {
+    "instanceOfString": "string",
+    "instanceOfInteger": "int",
+    "instanceOfLong": "bigint",
+    "instanceOfFloat": "float",
+    "instanceOfDouble": "double",
+    "instanceOfBoolean": "boolean",
+}
+
+
+def _rewrite_instanceof(s: str) -> str:
+    """`instanceOfX(expr)` → `(typeof(expr) = 'x')` — the SQL spelling
+    of the runtime type checks (`InstanceOf*FunctionExecutor`); the
+    argument may itself contain parens, so scan to the balanced close."""
+    for name, t in _INSTANCEOF_TYPES.items():
+        while True:
+            m = re.search(rf"\b{name}\s*\(", s)
+            if not m:
+                break
+            start = m.end()
+            depth, i = 1, start
+            while i < len(s) and depth:
+                if s[i] == "(":
+                    depth += 1
+                elif s[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = s[start : i - 1]
+            s = s[: m.start()] + f"(typeof({inner}) = '{t}')" + s[i:]
+    return s
+
+
 def time_constant_seconds(text: str) -> float:
     """`1 min`, `30 sec`, `500 milliseconds` → seconds."""
     m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", text)
@@ -161,6 +193,7 @@ def translate_expr(expr: str) -> str:
     # exact distinct count: SQL spells it count(DISTINCT x), and the
     # DISTINCT must land inside the argument list
     out = re.sub(r"\bdistinctCount\s*\(", "count(DISTINCT ", out)
+    out = _rewrite_instanceof(out)
     # Siddhi has no decimal type (§2.2): float literals are doubles.
     # Spark SQL parses bare `0.1` as DECIMAL(1,1) — suffix with D, but
     # never inside string literals.

@@ -1294,3 +1294,21 @@ def test_streaming_pattern_key_reference(spark, events_df):
     got = sorted(tuple(r) for r in spark.table(name).collect())
     assert got == want
     assert str(spark.table(name).schema["u"].dataType) == "LongType()"
+
+
+def test_instanceof_through_ql(spark, events_df):
+    """`instanceOfDouble(value)` etc. compile to typeof checks in SQL
+    text (previously UNRESOLVED_ROUTINE through the front end)."""
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events
+    select event_id, instanceOfDouble(value) as isd,
+           instanceOfString(event_type) as iss,
+           instanceOfLong(coalesce(user_id, event_id)) as isl,
+           instanceOfFloat(value) as isf
+    insert into O;
+    """
+    out = run_app(app, {"Events": events_df})["O"]
+    r = out.first()
+    assert r["isd"] is True and r["iss"] is True and r["isl"] is True
+    assert r["isf"] is False  # double, not float
