@@ -243,3 +243,88 @@ REGISTRY: dict[str, Callable[..., Column]] = {
 def fn(name: str) -> Callable[..., Column]:
     """Look up a reference function by `namespace:name`."""
     return REGISTRY[name]
+
+
+# ---------------------------------------------------------------- UDAF
+# `[core] query/selector/attribute/aggregator/AttributeAggregatorExecutor
+# .java` — the user-defined aggregator SPI. The reference's contract is
+# an accumulator object with processAdd/processRemove/getResult; the
+# Spark-native equivalent is a pandas GROUPED_AGG UDF: the engine hands
+# the whole group to the function as an Arrow-backed pandas Series (or
+# several, for multi-arg aggregators) and the return scalar becomes the
+# aggregate value. Catalyst still does the shuffle/partial-agg planning;
+# only the final reduce runs in Python, Arrow-batched per group.
+#
+# Registered UDAFs are usable exactly like built-in aggregators:
+#   udaf("custom:geomean")(F.col("value"))  inside  df.groupBy(...).agg(...)
+
+# name → (python reducer, return type). The pandas_udf wrap is LAZY —
+# pyspark materializes the UDF against the active SparkSession, so
+# wrapping at import time would demand a session before one exists.
+UDAF_REGISTRY: dict[str, tuple[Callable, str]] = {}
+_UDAF_WRAPPED: dict[str, Callable[..., Column]] = {}
+
+
+def register_udaf(name: str, return_type: str = "double"):
+    """Register a user-defined aggregator under `namespace:name`.
+
+    The decorated function takes one or more ``pandas.Series``
+    (one per aggregated argument, each holding a full group) and
+    returns a scalar of ``return_type``. Example — the worked
+    geometric-mean aggregator the reference would write as an
+    `AttributeAggregatorExecutor` subclass::
+
+        @register_udaf("custom:geomean")
+        def geomean(v: pd.Series) -> float:
+            import numpy as np
+            return float(np.exp(np.log(v[v > 0]).mean()))
+
+    Scale note: GROUPED_AGG UDFs skip map-side partial aggregation
+    (the whole group must reach one task), so a skewed group key is
+    the caller's to salt; for algebraic aggregates prefer composing
+    Catalyst builtins (see `operators/incremental.py` for the
+    sum/count decomposition pattern).
+
+    Spark constraint: one `agg()` can hold EITHER pandas aggregators
+    OR JVM builtins, not both ([INVALID_PANDAS_UDF_PLACEMENT]) —
+    compute them in separate aggs over the same keys and join.
+    """
+
+    def deco(f):
+        UDAF_REGISTRY[name] = (f, return_type)
+        _UDAF_WRAPPED.pop(name, None)
+        return f
+
+    return deco
+
+
+def udaf(name: str) -> Callable[..., Column]:
+    """Look up a registered user-defined aggregator by name (wraps the
+    reducer in a pandas GROUPED_AGG UDF on first use)."""
+    if name not in _UDAF_WRAPPED:
+        from pyspark.sql.functions import pandas_udf
+
+        f, rtype = UDAF_REGISTRY[name]
+        _UDAF_WRAPPED[name] = pandas_udf(f, rtype)
+    return _UDAF_WRAPPED[name]
+
+
+def _geomean(v: "pd.Series") -> float:
+    """Geometric mean — the canonical UDAF the built-in set lacks.
+    exp(mean(ln(x))) over the positive values of the group."""
+    import numpy as np
+
+    pos = v[v > 0]
+    return float(np.exp(np.log(pos).mean())) if len(pos) else float("nan")
+
+
+def _wavg(v: "pd.Series", w: "pd.Series") -> float:
+    """Weighted average — multi-argument UDAF shape (value, weight)."""
+    den = float(w.sum())
+    return float((v * w).sum() / den) if den else float("nan")
+
+
+import pandas as pd  # noqa: E402  (type hints drive pandas_udf inference)
+
+register_udaf("custom:geomean")(_geomean)
+register_udaf("custom:wavg")(_wavg)

@@ -25,6 +25,7 @@ from . import collections  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import cdc  # noqa: E402,F401
 from . import ml_suite  # noqa: E402,F401
+from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation, round 4.  The per-round correctness gate records

@@ -515,3 +515,33 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
     )
+
+
+@register(
+    "agg_udaf_custom",
+    oracle="""
+    SELECT event_type,
+           round(1e-9 + exp(avg(ln(value))), 4) AS geo_mean,
+           round(1e-9 + sum(value * (user_id % 7 + 1))
+                 / sum(user_id % 7 + 1), 4)     AS w_avg
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+    tags=("agg", "udaf"),
+)
+def agg_udaf_custom(spark: SparkSession, sf: str) -> DataFrame:
+    """User-defined aggregators through the engine's UDAF SPI
+    (`[core] AttributeAggregatorExecutor.java` → pandas GROUPED_AGG,
+    `functions.register_udaf`): the worked geometric-mean aggregator
+    plus the multi-argument weighted-average one, used exactly like
+    built-ins inside agg(). Arrow ships each group's column(s) to the
+    Python reducer in one batch; Catalyst still plans the shuffle."""
+    from ..functions import udaf
+
+    e = load(spark, sf, "events").filter(F.col("value") > 0)
+    w = (F.col("user_id") % 7 + 1).cast("double")
+    return e.groupBy("event_type").agg(
+        r4(udaf("custom:geomean")(F.col("value")), 4).alias("geo_mean"),
+        r4(udaf("custom:wavg")(F.col("value"), w), 4).alias("w_avg"),
+    )

@@ -742,8 +742,9 @@ def similarity_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT ch.doc_id,
            count(*)                                   AS n_chunks,
-           sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)   AS n_dup_chunks,
-           round(1e-9 + sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) * 1.0
+           CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_dup_chunks,
+           round(1e-9 + CAST(sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
                  / count(*), 4)                       AS dup_ratio
     FROM ch JOIN freq f ON f.chunk = ch.chunk
     GROUP BY 1
@@ -1000,8 +1001,8 @@ def text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT doc_id, n_tok,
-             sum(n_tok) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cum_tok
+             CAST(sum(n_tok) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cum_tok
       FROM t
     )
     SELECT doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 6000

@@ -1,0 +1,157 @@
+"""Suite: the §3.1 source/mapper connector layer, driver-proven.
+
+Each entry stages the events fixture into the transport's wire format
+(a /tmp directory of CSV lines, or a kafka-shaped binary-value frame),
+then makes the ENGINE read it back through the annotation path —
+``@source(type=…, @map(type=…))`` → ``_read_mapped`` /
+``parse_kafka_value`` — and aggregates. The oracle runs the same
+aggregate on the parquet table, so a serde bug anywhere in the
+source→mapper→schema chain flips the value hash.
+
+Upstream surfaces proven here: `[ext:io-file] FileSource`,
+`[ext:map-csv] CSVSourceMapper`, `[ext:io-kafka] KafkaSource`'s value
+decode, `[ext:map-json] JsonSourceMapper`'s JSONPath `@attributes`
+projection.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..fpround import r4
+from .registry import register
+
+
+def _stage_dir(sf: str, kind: str) -> str:
+    return f"/tmp/spark_graft_src_{kind}_{os.path.basename(os.path.normpath(sf))}"
+
+
+@register(
+    "source_file_csv_mapper",
+    oracle="""
+    SELECT event_type,
+           count(*)                        AS n,
+           round(1e-9 + sum(value), 4)     AS sum_value,
+           CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source", "mapper", "csv"),
+)
+def source_file_csv_mapper(spark: SparkSession, sf: str) -> DataFrame:
+    """`@source(type='file', @map(type='csv'))` end-to-end
+    (`[ext:io-file] FileSource` + `[ext:map-csv] CSVSourceMapper`):
+    the events fixture is staged as pipe-delimited CSV, then the
+    engine reads it back through the annotation path — declared
+    siddhi types drive the CSV parse — and aggregates per event
+    type. The oracle aggregates the parquet directly, so a mapper
+    type-coercion bug (long ts read as string, double truncated)
+    breaks the hash, not just the row count."""
+    from ..sources import load_file_source
+    from ..siddhiql.model import StreamDef
+
+    stage = _stage_dir(sf, "csv")
+    (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .option("sep", "|")
+        .csv(stage)
+    )
+    stream = StreamDef(
+        name="CsvEvents",
+        attributes=[
+            ("event_id", "long"),
+            ("ts_ms", "long"),
+            ("user_id", "long"),
+            ("event_type", "string"),
+            ("value", "double"),
+        ],
+        annotations=[
+            f"@source(type='file', dir.uri='file:{stage}', "
+            "@map(type='csv', delimiter='|'))"
+        ],
+    )
+    df = load_file_source(spark, stream)
+    assert df is not None
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.sum("value"), 4).alias("sum_value"),
+        F.min("ts_ms").alias("first_ms"),
+    )
+
+
+@register(
+    "source_kafka_json_value",
+    oracle="""
+    SELECT user_id,
+           count(*)                    AS n,
+           round(1e-9 + sum(value), 4) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("source", "mapper", "kafka", "json"),
+)
+def source_kafka_json_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Kafka value decode end-to-end (`[ext:io-kafka] KafkaSource` +
+    `[ext:map-json] JsonSourceMapper` JSONPath `@attributes`): events
+    are re-shaped into kafka wire rows — binary `value` holding a
+    NESTED json envelope `{"meta": …, "payload": …}`, plus
+    key/topic/partition/offset/timestamp columns exactly as Spark's
+    kafka reader yields them — then `parse_kafka_value` projects the
+    declared schema back out via `$.payload.…`/`$.meta.…` JSONPaths.
+    Pure Catalyst (`get_json_object`); no broker needed, which is
+    precisely why the decode is engine logic and the transport is
+    `format("kafka")` config."""
+    from ..sources import parse_annotation, parse_kafka_value
+    from ..siddhiql.model import StreamDef
+
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    wire = ev.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(
+                F.struct(F.col("user_id").alias("uid")).alias("meta"),
+                F.struct(
+                    F.col("event_id").alias("id"), F.col("value").alias("amount")
+                ).alias("payload"),
+            )
+        )
+        .cast("binary")
+        .alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    src = parse_annotation(
+        "@source(type='kafka', bootstrap.servers='demo:9092', "
+        "topic.list='events', "
+        "@map(type='json', @attributes(user_id='$.meta.uid', "
+        "event_id='$.payload.id', value='$.payload.amount')))"
+    )
+    stream = StreamDef(
+        name="KafkaEvents",
+        attributes=[
+            ("user_id", "long"),
+            ("event_id", "long"),
+            ("value", "double"),
+        ],
+        annotations=[],
+    )
+    decoded = parse_kafka_value(wire, src, stream)
+    return decoded.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.sum("value"), 4).alias("sum_value"),
+    )
