@@ -82,7 +82,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 32,
     band_size: int = 8,
     cache: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | None | str = "auto",
 ) -> DataFrame:
     """Band the signatures (band hash = md5 of the band's sigs) and
     self-join per band bucket → candidate pairs (id_a < id_b), with the
@@ -113,9 +113,17 @@ def lsh_candidate_pairs(
     than ``max_bucket`` are dropped WHOLE (deterministic, no sampling):
     their members are near-certain duplicates that the cheap exact /
     fingerprint tiers already collapse, which is how production dedup
-    pipelines treat super-shingles. None (default) keeps the exhaustive
-    behavior for oracle parity at test scale; ALWAYS set it at corpus
-    scale."""
+    pipelines treat super-shingles.
+
+    The DEFAULT is ``"auto"``: cap = max(2000, 1% of the corpus doc
+    count) — generous enough that healthy corpora lose nothing (at
+    test scale no bucket comes near it), tight enough that a
+    degenerate bucket can't go quadratic. Deriving it costs one
+    count() over the signature table, which doubles as the cache
+    materialization the self-join wants anyway. Pass an int to pin
+    the cap, or ``None`` to opt into the exhaustive all-pairs
+    behavior (exact-parity runs at small scale only — this is the
+    path that died at 20× docs)."""
     n_bands = n_hashes // band_size
     sig_cols = [F.col(f"sig_{i}") for i in range(n_hashes)]
     band_structs = F.array(
@@ -146,6 +154,8 @@ def lsh_candidate_pairs(
     banded = sig_table.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.band_hash"))
+    if max_bucket == "auto":
+        max_bucket = max(2000, sig_table.count() // 100)
     if max_bucket is not None:
         counts = banded.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("_bn")

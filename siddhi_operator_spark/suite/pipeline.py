@@ -90,10 +90,15 @@ def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates
     (shingle→minhash→band→bucket-join). md5-based hashes — the oracle
-    runs the byte-identical pipeline in SQL."""
+    runs the byte-identical pipeline in SQL. `max_bucket=None` opts
+    out of the production-default auto cap — exact all-pairs parity
+    with the exhaustive oracle (see dedup_minhash_lsh_capped for the
+    corpus-scale guarded path)."""
     docs = load(spark, sf, "documents")
     sigs = D.minhash_signature(docs, n_hashes=N_HASHES)
-    return D.lsh_candidate_pairs(sigs, n_hashes=N_HASHES, band_size=BAND_SIZE)
+    return D.lsh_candidate_pairs(
+        sigs, n_hashes=N_HASHES, band_size=BAND_SIZE, max_bucket=None
+    )
 
 
 LSH_CAP = 20
@@ -203,7 +208,9 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     is the 100 TB path)."""
     docs = load(spark, sf, "documents")
     sigs = D.minhash_signature(docs, n_hashes=N_HASHES)
-    pairs = D.lsh_candidate_pairs(sigs, n_hashes=N_HASHES, band_size=BAND_SIZE)
+    pairs = D.lsh_candidate_pairs(
+        sigs, n_hashes=N_HASHES, band_size=BAND_SIZE, max_bucket=None
+    )  # None: parity with the oracle's exhaustive transitive closure
     strong = pairs.filter(F.col("n_sig_match") >= CC_THRESHOLD)
     cc = D.connected_components(strong)
     return cc.select(

@@ -265,8 +265,11 @@ def test_lsh_max_bucket_drops_degenerate_buckets(spark):
              (101, "a genuinely unique document about spark engines")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     sigs = D.minhash_signature(docs)
-    uncapped = D.lsh_candidate_pairs(sigs)
+    uncapped = D.lsh_candidate_pairs(sigs, max_bucket=None)
     capped = D.lsh_candidate_pairs(sigs, max_bucket=10)
+    # default "auto" derives a generous cap (>= 2000) — nothing drops here
+    auto = D.lsh_candidate_pairs(sigs)
+    assert auto.count() == uncapped.count()
     # the 30-clone template bucket alone yields 30*29/2 = 435 pairs
     assert uncapped.filter("id_a < 100").count() >= 435
     assert capped.filter("id_a < 100").count() == 0  # super-bucket dropped
