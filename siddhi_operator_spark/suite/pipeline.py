@@ -290,6 +290,38 @@ def similarity_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "similarity_knn_graph",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(1e-9 + list_dot_product(q.vec, c.vec)
+               / (sqrt(list_dot_product(q.vec, q.vec))
+                  * sqrt(list_dot_product(c.vec, c.vec))), 4) AS cos
+      FROM v q JOIN v c ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("pipeline", "similarity", "knn"),
+)
+def similarity_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs kNN graph — the query side IS the corpus, the workload
+    the broadcast tier cannot serve (collecting it to the driver is
+    exactly what `MAX_BROADCAST_QUERIES` forbids at scale). Uses the
+    cogroup block-matmul tier: corpus hash-blocked, queries replicated
+    per block, one BLAS matmul per cell, block-local top-k, global
+    merge of n_blocks × k candidates per query
+    (`similarity._brute_force_topk_cogroup`)."""
+    emb = load(spark, sf, "embeddings")
+    return S.brute_force_topk(emb, emb, k=3, impl="cogroup")
+
+
+@register(
     "similarity_lsh",
     oracle="""
     WITH b AS (

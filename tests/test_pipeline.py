@@ -275,3 +275,29 @@ def test_lsh_max_bucket_drops_degenerate_buckets(spark):
     assert capped.filter("id_a < 100").count() == 0  # super-bucket dropped
     # the small near-dup pair survives the cap
     assert capped.filter("id_a = 100 AND id_b = 101").count() == 1
+
+
+def test_brute_force_tiers_agree_and_guard(spark):
+    """The cogroup block tier returns byte-identical results to the
+    broadcast tier (same rounding, same tiebreak), and the broadcast
+    tier refuses query sets over MAX_BROADCAST_QUERIES."""
+    import pytest
+
+    from siddhi_operator_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = S.brute_force_topk(emb, emb, k=3, impl="arrow")
+    b = S.brute_force_topk(emb, emb, k=3, impl="cogroup")
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+
+    old = S.MAX_BROADCAST_QUERIES
+    S.MAX_BROADCAST_QUERIES = 10
+    try:
+        with pytest.raises(ValueError, match="cogroup"):
+            S.brute_force_topk(emb, emb, k=3, impl="arrow").collect()
+        # auto silently routes to the distributed tier instead
+        assert S.brute_force_topk(emb, emb.limit(20), k=3, impl="auto").count() > 0
+    finally:
+        S.MAX_BROADCAST_QUERIES = old

@@ -293,3 +293,13 @@ def test_tpch_q5_all_dims_broadcast(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_graph_cogroup_no_cartesian(spark):
+    """The all-pairs kNN graph tier is a blocked cogroup, not a
+    cartesian: the plan shows FlatMapCoGroupsInPandas keyed by the
+    block id and no CartesianProduct / BroadcastNestedLoopJoin."""
+    plan = _fmt(REGISTRY["similarity_knn_graph"].fn(spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
