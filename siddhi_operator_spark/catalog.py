@@ -197,7 +197,20 @@ def load_events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
     """events.parquet as a file-source stream, ts normalized exactly as
-    in `load` (single conversion point for both execution modes)."""
+    in `load` (single conversion point for both execution modes).
+
+    Fixture shape matters: `pathGlobFilter` matches LEAF file names
+    only, so when events.parquet is a DIRECTORY of part files (how
+    Spark itself writes, and how bench's scaled copies ship) the
+    globbed read of the parent would silently stream zero rows —
+    readStream the directory directly in that case."""
+    target = os.path.join(sf_dir, glob)
+    if "*" not in glob and os.path.isdir(target):
+        return _events_stream_or_batch(
+            spark,
+            sf_dir,
+            lambda schema: spark.readStream.schema(schema).parquet(target),
+        )
     return _events_stream_or_batch(
         spark,
         sf_dir,

@@ -138,8 +138,11 @@ def session(
     (`streaming.windows.session_agg`) keeps native `session_window`,
     which is what makes incremental stateful merging possible there."""
     w = Window.partitionBy(*keys).orderBy(ts)
+    # timestamp_seconds(0) is the epoch INSTANT (tz-independent), unlike
+    # a string literal cast, which parses in the session timezone and
+    # would offset the gap by the zone shift on non-UTC sessions.
     gap_us = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {gap}")
+        F.timestamp_seconds(F.lit(0)) + F.expr(f"INTERVAL {gap}")
     )
     prev = F.lag(F.col(ts)).over(w)
     new_s = F.when(

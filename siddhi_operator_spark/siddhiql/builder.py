@@ -547,8 +547,20 @@ def _run_join(
             # unaggregated select items back to those aliases
             gb_alias: dict[str, str] = {}
             gcols = []
+            # two keys sharing a last segment (`A.region, B.region`)
+            # would collide on the bare alias — qualify those with the
+            # stream alias (`A_region`) so the output stays unambiguous
+            seg_counts: dict[str, int] = {}
             for k in q.group_by or []:
-                a = k.split(".")[-1] if re.fullmatch(r"[\w.]+", k) else f"_g{len(gcols)}"
+                if re.fullmatch(r"[\w.]+", k):
+                    seg = k.split(".")[-1]
+                    seg_counts[seg] = seg_counts.get(seg, 0) + 1
+            for k in q.group_by or []:
+                if re.fullmatch(r"[\w.]+", k):
+                    seg = k.split(".")[-1]
+                    a = seg if seg_counts[seg] == 1 else k.replace(".", "_")
+                else:
+                    a = f"_g{len(gcols)}"
                 gb_alias[k] = a
                 gcols.append(F.expr(k).alias(a))
             agg_idx = {
@@ -572,6 +584,14 @@ def _run_join(
                             for k, a in gb_alias.items()
                             if k.split(".")[-1] == it.expr
                         ]
+                        if len(cands) > 1:
+                            raise ValueError(
+                                f"select item {it.expr!r} is ambiguous: "
+                                f"group keys {sorted(gb_alias)} share that "
+                                "attribute name — qualify it with the "
+                                "stream alias (e.g. "
+                                f"'{next(iter(gb_alias))}')"
+                            )
                         name = cands[0] if cands else it.expr
                     final.append(F.col(name).alias(_auto_alias(it, i)))
             return out.select(*final)

@@ -80,3 +80,31 @@ def test_events_stream_matches_batch_read(spark):
 def test_all_tables_load_nonempty(spark):
     for t in TABLES:
         assert load(spark, SF, t).limit(1).count() == 1, t
+
+
+def test_events_stream_reads_directory_fixture(spark, tmp_path):
+    """When events.parquet is a DIRECTORY of part files (Spark's own
+    write layout, and bench's scaled copies), the stream must read it —
+    pathGlobFilter matches leaf file names only and would silently
+    stream zero rows from the parent glob."""
+    import pyspark.sql.functions as F
+
+    sf_dir = str(tmp_path)
+    batch = load(spark, SF, "events")
+    batch.write.parquet(f"{sf_dir}/events.parquet")
+
+    s = load_events_stream(spark, sf_dir)
+    name = "ingest_stream_dir_check"
+    q = (
+        s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert (
+        spark.table(name).count() == batch.count() != 0
+    )

@@ -1312,3 +1312,38 @@ def test_instanceof_through_ql(spark, events_df):
     r = out.first()
     assert r["isd"] is True and r["iss"] is True and r["isl"] is True
     assert r["isf"] is False  # double, not float
+
+
+def test_agg_over_join_same_named_group_keys(spark, events_df):
+    """Two group keys sharing an attribute name (`Events.user_id,
+    Vip.user_id`) must not collide: colliding keys get stream-alias-
+    qualified output columns, and a bare ambiguous select item raises
+    a clear error instead of silently picking one side."""
+    import pytest as _pytest
+
+    vip = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    define table Vip (user_id long, tier string);
+    from Events join Vip on Events.user_id == Vip.user_id
+    select Events.user_id as eu, Vip.user_id as vu, count() as n
+    group by Events.user_id, Vip.user_id
+    insert into O;
+    """
+    out = run_app(app, {"Events": events_df, "Vip": vip})["O"]
+    assert out.columns == ["eu", "vu", "n"]
+    for r in out.collect():
+        assert r["eu"] == r["vu"]  # equi-join: both sides agree
+
+    ambiguous = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    define table Vip (user_id long, tier string);
+    from Events join Vip on Events.user_id == Vip.user_id
+    select user_id, count() as n
+    group by Events.user_id, Vip.user_id
+    insert into O;
+    """
+    with _pytest.raises(ValueError, match="ambiguous"):
+        run_app(ambiguous, {"Events": events_df, "Vip": vip})
