@@ -28,86 +28,98 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 4.  The per-round correctness gate records
-# only the FIRST 50 registry entries in registration order.  Round 3's 26
-# non-green rows all traced to the events ts-ingest misread (fixed this
-# round in catalog.py); they go FIRST so the fix is proven by the driver,
-# not just locally.  Then the new r4 row (streaming absence NFA), then 23
-# of the 49 queries whose only driver row is from round 1 — prioritized to
-# the events-reading ones, which were last verified against the OLD fixture
-# vintage and therefore exercise the new footer-sniffing read path.
+# Driver-window rotation, round 5.  The per-round correctness gate records
+# only the FIRST 50 registry entries in registration order.  This round:
+# (1) the two round-4 hash-reds, freshly CAST-fixed, go first so the fix is
+# driver-proven; (2) the four never-driver-checked entries; (3) the four
+# NEW round-5 rows (source/mapper layer, UDAF, kNN-graph cogroup tier);
+# (4) 40 of the 76 queries whose latest driver row is r1/r2, prioritized to
+# the paths that CHANGED since they were last checked -- the whole siddhiql
+# family (builder touched r3/r4/r5), batch patterns + aggs (events-reading,
+# last verified pre-ts-fix), similarity (tiering changed r5), and
+# dedup_minhash_lsh (cap default changed r5).  The remaining 36 r1/r2-stale
+# rows (scalar/text/multimodal/table/dedup-exact families) rotate in r6.
 # Iteration order of a dict is insertion order, so rebuilding REGISTRY
 # re-ranks entries without touching any registration site.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # the 26 round-3 non-green rows (24 ts-ingest reds + 2 oracle=None errs,
-    # both of which gain oracles this round)
-    "ratelimit_first",
-    "ratelimit_last",
-    "ratelimit_snapshot",
-    "streaming_timebatch",
-    "streaming_cep_followed_by",
-    "streaming_length_window",
-    "streaming_session_window",
-    "streaming_cep_count_quantifier",
-    "streaming_cep_logical_and",
-    "streaming_join_windowed",
-    "window_expression",
-    "window_cron",
-    "window_unique_timebatch",
-    "window_unique_dedup",
-    "window_extrema_by_length",
-    "window_expired_events",
-    "agg_ts_regress_forecast",
-    "table_cdc_feed",
-    "multimodal_features",
-    "pattern_optional_step",
-    "siddhiql_trigger",
-    "incr_agg_day_retrieval",
+    # (1) round-4 hash-reds, oracle CAST-fixed this round
     "text_chunk_dedup_ratio",
-    "join_asof",
-    "join_range_interval",
     "corpus_token_budget",
-    # new round-4 rows
-    "streaming_cep_absence",
-    "ml_kmeans",
-    "ml_perceptron_online",
-    # longest-unchecked (r1-only driver rows), events-reading first
-    "window_length",
-    "window_lengthbatch",
-    "window_sliding_time",
-    "window_timebatch",
-    "window_timelength",
-    "window_delay",
-    "window_session",
-    "window_externaltimebatch",
-    "window_frequent",
-    "window_lossy_frequent",
-    "window_sort_topk",
-    "window_extrema_by_time",
-    "window_expression_batch",
-    "window_unique_first",
-    "window_unique_last",
-    "join_windowed_self",
-    "join_stream_table",
-    "join_stream_aggregation",
-    "join_outer_stream_table",
-    "join_unidirectional",
-    "join_theta_residual",
+    # (2) never driver-checked
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "dedup_minhash_lsh_capped",
+    # (3) new round-5 rows
+    "source_file_csv_mapper",
+    "source_kafka_json_value",
+    "agg_udaf_custom",
+    "similarity_knn_graph",
+    # (4a) siddhiql family -- front end changed since its r1 driver rows
+    "siddhiql_filter",
+    "siddhiql_timebatch_agg",
+    "siddhiql_join",
+    "siddhiql_join_aggregation",
+    "siddhiql_pattern",
+    "siddhiql_sequence",
+    "siddhiql_absence_pattern",
+    "siddhiql_logical_and_pattern",
+    "siddhiql_logical_or_pattern",
+    "siddhiql_count_quantifier",
+    "siddhiql_named_window",
+    "siddhiql_partition",
+    "siddhiql_partition_range",
+    "siddhiql_table_upsert",
+    "siddhiql_output_rate_last",
+    "siddhiql_define_aggregation",
+    "siddhiql_file_source",
+    # (4b) batch CEP patterns -- events-reading, r1-only rows
+    "pattern_followed_by",
+    "pattern_sequence_adjacent",
+    "pattern_absence",
+    "pattern_absence_logical",
+    "pattern_logical_and",
+    "pattern_logical_or",
+    "pattern_count_quantifier",
+    "pattern_first_match",
+    # (4c) aggregation family -- events-reading, r1-only rows
+    "agg_basic",
+    "agg_bool",
+    "agg_forever_extrema",
+    "agg_group_concat",
+    "agg_having_orderby_limit",
+    "agg_multikey",
+    "agg_rollup_cube",
+    "agg_unionset",
+    # (4d) similarity tiering + LSH cap-default changed this round
+    "similarity_bruteforce",
+    "similarity_lsh",
+    "similarity_ivf",
+    "dedup_minhash_lsh",
+    # (4e) singles: carried over from the r4 window miss + verdict asks
     "named_window_fanout",
+    "filter_project",
+    "tpch_q1",
 )
-# Everything registered by a round-3 module (new operators) also belongs in
-# the window: rank = (0, front-pos) | (1, r3-module order) | (2, green tail).
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-5 rotation TODO: promote the r4-late additions that have no
-# driver row yet (tpch_q3, tpch_q6, dedup_minhash_lsh_capped) plus the
-# remaining r1-only tail (filter_project, tpch_q1, scalar_* family,
-# agg_* family, json/regex fns, partition/setops/udtf rows —
-# see CORRECTNESS_r01 ∖ (r02 ∪ r03 ∪ r04)).
+# Round-6 rotation TODO: the remaining 36 r1/r2-stale rows -- scalar_*
+# (6), cast_convert, conditional_fns, json_struct_roundtrip, regex_fns,
+# text_* (4), multimodal_* (3), table_* (3), join_in/not_in/multiway,
+# udtf_tokenize, union_streams, setops_intersect, partition_range_agg,
+# ondemand_sql, incr_agg_day/hour_slice/month, dedup_exact/fingerprint/
+# embedding_cosine, neardup_token_jaccard, filter_compound.
 
 
 def _rotate_for_driver_window() -> None:
+    # the driver records ONLY the first 50 — a 51st front name silently
+    # falls out of the window (bit round 4: named_window_fanout), and a
+    # typo'd name silently rotates nothing in.
+    assert len(_FRONT_NAMES) <= 50, f"{len(_FRONT_NAMES)} front names > 50"
+    unknown = [n for n in _FRONT_NAMES if n not in REGISTRY]
+    assert not unknown, f"front names not in REGISTRY: {unknown}"
+
     def rank(item):
         name, spec = item
         if name in _FRONT_NAMES:
