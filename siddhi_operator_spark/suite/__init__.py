@@ -54,6 +54,7 @@ _FRONT_NAMES = (
     # (3) new round-5 rows
     "source_file_csv_mapper",
     "source_kafka_json_value",
+    "source_cdc_debezium",
     "agg_udaf_custom",
     "similarity_knn_graph",
     # (4a) siddhiql family -- front end changed since its r1 driver rows
@@ -82,7 +83,6 @@ _FRONT_NAMES = (
     "pattern_logical_and",
     "pattern_logical_or",
     "pattern_count_quantifier",
-    "pattern_first_match",
     # (4c) aggregation family -- events-reading, r1-only rows
     "agg_basic",
     "agg_bool",
@@ -109,7 +109,8 @@ _R3_MODULES: tuple[str, ...] = ()
 # text_* (4), multimodal_* (3), table_* (3), join_in/not_in/multiway,
 # udtf_tokenize, union_streams, setops_intersect, partition_range_agg,
 # ondemand_sql, incr_agg_day/hour_slice/month, dedup_exact/fingerprint/
-# embedding_cosine, neardup_token_jaccard, filter_compound.
+# embedding_cosine, neardup_token_jaccard, filter_compound,
+# pattern_first_match (displaced by source_cdc_debezium this round).
 
 
 def _rotate_for_driver_window() -> None:

@@ -155,3 +155,64 @@ def source_kafka_json_value(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         r4(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "source_cdc_debezium",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, round(1e-9 + value, 4) AS value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+    tags=("source", "cdc", "debezium"),
+)
+def source_cdc_debezium(spark: SparkSession, sf: str) -> DataFrame:
+    """Inbound CDC end-to-end (`[ext:io-cdc] CDCSource` via Debezium
+    envelopes): the events fixture is re-shaped into a Debezium change
+    log — errors become deletes (`op:'d'`, `before` only), everything
+    else upserts (`op:'u'`, `after`) — staged as JSON lines, then the
+    engine ingests it back (`parse_debezium`) and folds the log into
+    the current table state (`apply_cdc`: one keyed max_by, no global
+    sort). The oracle derives the same final state relationally:
+    latest change per user wins, deleted users absent."""
+    from ..fpround import r4 as _r4
+    from ..siddhiql.model import StreamDef
+    from ..sources.cdc_source import apply_cdc, parse_debezium
+
+    stage = _stage_dir(sf, "cdc")
+    ev = load(spark, sf, "events")
+    row = F.struct(
+        F.col("user_id"), F.col("event_id"), F.col("value")
+    )
+    is_del = F.col("event_type") == "error"
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                F.when(is_del, row).alias("before"),
+                F.when(~is_del, row).alias("after"),
+                F.unix_millis("ts").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    ev.select(envelope.alias("value")).write.mode("overwrite").text(stage)
+
+    raw = spark.read.text(stage).withColumnRenamed("value", "value")
+    stream = StreamDef(
+        name="UserRows",
+        attributes=[
+            ("user_id", "long"),
+            ("event_id", "long"),
+            ("value", "double"),
+        ],
+        annotations=[],
+    )
+    changes = parse_debezium(raw, stream)
+    state = apply_cdc(changes, keys=["user_id"], order_cols=("ts_ms", "event_id"))
+    return state.select("user_id", "event_id", _r4("value", 4).alias("value"))

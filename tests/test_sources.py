@@ -722,3 +722,32 @@ def test_kafka_contract_end_to_end_via_file_transport(spark, tmp_path):
         assert kafka_options(src)["subscribe"] == "t1"
         back = parse_kafka_value(consumed, src, sdef)
         assert sorted(tuple(r) for r in back.collect()) == sorted(rows), fmt
+
+
+def test_debezium_parse_and_apply(spark):
+    """Debezium envelope decode + change-log fold: inserts/updates win
+    by change order, deletes tombstone the key, `before` serves the
+    delete payload, unknown fields are ignored."""
+    from siddhi_operator_spark.siddhiql.model import StreamDef
+    from siddhi_operator_spark.sources.cdc_source import apply_cdc, parse_debezium
+
+    rows = [
+        ('{"payload":{"op":"c","after":{"id":1,"v":10.0},"ts_ms":100}}',),
+        ('{"payload":{"op":"u","after":{"id":1,"v":20.0},"ts_ms":200,"source":{"db":"x"}}}',),
+        ('{"payload":{"op":"c","after":{"id":2,"v":5.0},"ts_ms":150}}',),
+        ('{"payload":{"op":"d","before":{"id":2,"v":5.0},"ts_ms":300}}',),
+        ('{"payload":{"op":"r","after":{"id":3,"v":7.5},"ts_ms":50}}',),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    stream = StreamDef(
+        name="T", attributes=[("id", "long"), ("v", "double")], annotations=[]
+    )
+    changes = parse_debezium(raw, stream)
+    got = {(r.id, r.op): (r.v, r.ts_ms) for r in changes.collect()}
+    assert got[(1, "insert")] == (10.0, 100)
+    assert got[(1, "update")] == (20.0, 200)
+    assert got[(2, "delete")] == (5.0, 300)  # payload from `before`
+    assert got[(3, "read")] == (7.5, 50)
+
+    state = {r.id: r.v for r in apply_cdc(changes, keys=["id"]).collect()}
+    assert state == {1: 20.0, 3: 7.5}  # key 2 tombstoned, key 1 latest
