@@ -115,15 +115,17 @@ def lsh_candidate_pairs(
     fingerprint tiers already collapse, which is how production dedup
     pipelines treat super-shingles.
 
-    The DEFAULT is ``"auto"``: cap = max(2000, 1% of the corpus doc
-    count) — generous enough that healthy corpora lose nothing (at
-    test scale no bucket comes near it), tight enough that a
-    degenerate bucket can't go quadratic. Deriving it costs one
-    count() over the signature table, which doubles as the cache
-    materialization the self-join wants anyway. Pass an int to pin
-    the cap, or ``None`` to opt into the exhaustive all-pairs
-    behavior (exact-parity runs at small scale only — this is the
-    path that died at 20× docs)."""
+    The DEFAULT is ``"auto"`` = a flat 2000. The cap must be ABSOLUTE,
+    not corpus-proportional: pair work per bucket is cap²·bands/2, so
+    a cap that grows with the corpus re-opens the quadratic door
+    exactly when it matters (measured: a 1%-of-500k cap admitted 322 M
+    candidate pairs from one ×100 replica corpus; the flat cap bounds
+    any one bucket at ≤2 M pairs forever). Healthy buckets at sane
+    shingle cardinality sit orders of magnitude below 2000 — at test
+    scale nothing approaches it, so auto is also oracle-parity-safe
+    there. Pass an int to tune, or ``None`` for the exhaustive
+    all-pairs behavior (exact-parity runs at small scale only — this
+    is the path that died at 20× docs)."""
     n_bands = n_hashes // band_size
     sig_cols = [F.col(f"sig_{i}") for i in range(n_hashes)]
     band_structs = F.array(
@@ -155,7 +157,7 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.band_hash"))
     if max_bucket == "auto":
-        max_bucket = max(2000, sig_table.count() // 100)
+        max_bucket = 2000
     if max_bucket is not None:
         counts = banded.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("_bn")

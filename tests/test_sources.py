@@ -751,3 +751,65 @@ def test_debezium_parse_and_apply(spark):
 
     state = {r.id: r.v for r in apply_cdc(changes, keys=["id"]).collect()}
     assert state == {1: 20.0, 3: 7.5}  # key 2 tombstoned, key 1 latest
+
+
+def test_store_option_translation():
+    """@store annotations translate to Spark DataSource format+options
+    without any connector present (deploy-time classpath concern)."""
+    import pytest as _pytest
+
+    from siddhi_operator_spark.sources import parse_annotation
+    from siddhi_operator_spark.sources.stores import store_options
+
+    fmt, opts = store_options(parse_annotation(
+        "@store(type='rdbms', jdbc.url='jdbc:postgresql://db:5432/app', "
+        "username='u', password='p', table.name='users', "
+        "jdbc.driver.name='org.postgresql.Driver', "
+        "spark.numPartitions='8', spark.partitionColumn='id')"
+    ))
+    assert fmt == "jdbc"
+    assert opts["url"].startswith("jdbc:postgresql")
+    assert opts["dbtable"] == "users" and opts["user"] == "u"
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["numPartitions"] == "8"  # parallel-read passthrough
+
+    fmt, opts = store_options(parse_annotation(
+        "@store(type='mongodb', mongodb.uri='mongodb://m:27017', "
+        "collection.name='c', database.name='d')"
+    ))
+    assert fmt == "mongodb" and opts["collection"] == "c" and opts["database"] == "d"
+
+    fmt, opts = store_options(parse_annotation(
+        "@store(type='elasticsearch', hostname='es1', index.name='idx', port='9200')"
+    ))
+    assert fmt == "org.elasticsearch.spark.sql"
+    assert opts["es.nodes"] == "es1" and opts["es.port"] == "9200"
+
+    with _pytest.raises(ValueError, match="redis"):
+        store_options(parse_annotation("@store(type='redis', host='r')"))
+    with _pytest.raises(ValueError, match="jdbc.url"):
+        store_options(parse_annotation("@store(type='rdbms', table.name='t')"))
+
+
+def test_store_parquet_roundtrip(spark, tmp_path):
+    """The default parquet store reads/writes through the same @store
+    seam the external backends use."""
+    from siddhi_operator_spark.siddhiql.model import StreamDef
+    from siddhi_operator_spark.sources.stores import load_store, write_store
+
+    path = f"{tmp_path}/users_store"
+    stream = StreamDef(
+        name="Users",
+        attributes=[("user_id", "long"), ("tier", "string")],
+        is_table=True,
+        annotations=[f"@store(type='parquet', path='{path}')"],
+    )
+    df = spark.createDataFrame([(1, "gold"), (2, "silver")], "user_id long, tier string")
+    assert write_store(df, stream, mode="overwrite")
+    back = load_store(spark, stream)
+    assert sorted((r.user_id, r.tier) for r in back.collect()) == [
+        (1, "gold"), (2, "silver"),
+    ]
+    no_store = StreamDef(name="T", attributes=[("a", "int")], is_table=True)
+    assert load_store(spark, no_store) is None
+    assert write_store(df, no_store) is False
