@@ -356,6 +356,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate-group clustering: connected components over a
     candidate-pair graph → (node, component) where component = the
@@ -379,13 +380,37 @@ def connected_components(
     # two branches that would otherwise each recompute the entire
     # upstream pipeline (for LSH input that is the full minhash scan,
     # twice) inside one action.
-    base = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
-    edges = (
+    #
+    # Materialization tier: localCheckpoint pins partitions in executor
+    # memory/disk -- fine to ~10^7 edges, but a corpus-scale edge list
+    # (measured: 241 M strong pairs at x100 docs) blows the heap.
+    # `checkpoint_dir` switches every round to parquet-on-disk
+    # materialization: constant memory, lineage truncated by the file
+    # boundary, and on a cluster the dir is just a scratch path on the
+    # job's distributed FS.
+    if checkpoint_dir is not None:
+        import uuid as _uuid
+
+        _ckpt_base = f"{checkpoint_dir.rstrip('/')}/cc_{_uuid.uuid4().hex[:8]}"
+        _n = [0]
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            path = f"{_ckpt_base}/{_n[0]}"
+            _n[0] += 1
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    base = _materialize(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    )
+    edges = _materialize(
         base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -407,7 +432,8 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = _materialize(updated)
         changed = updated.filter(F.col("old") != F.col("component")).count()
         labels = updated.select("node", "component")
         if changed == 0:

@@ -301,3 +301,19 @@ def test_brute_force_tiers_agree_and_guard(spark):
         assert S.brute_force_topk(emb, emb.limit(20), k=3, impl="auto").count() > 0
     finally:
         S.MAX_BROADCAST_QUERIES = old
+
+
+def test_connected_components_disk_checkpoint_tier(spark, tmp_path):
+    """checkpoint_dir materializes rounds as parquet (constant memory)
+    with identical results to the in-memory tier."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    mem = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    disk = {
+        r.node: r.component
+        for r in D.connected_components(
+            pairs, checkpoint_dir=str(tmp_path)
+        ).collect()
+    }
+    assert mem == disk == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -303,3 +303,16 @@ def test_knn_graph_cogroup_no_cartesian(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_fold_partial_agg_single_shuffle(spark):
+    """apply_cdc folds the change log with one keyed max_by aggregation:
+    partial map-side + final after a SINGLE key exchange (struct-ordered
+    max_by plans as SortAggregate — the sorts are per-partition, on the
+    table key), never a window over the whole log."""
+    plan = _fmt(REGISTRY["source_cdc_debezium"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "max_by" in plan
+    assert "Window" not in tree
+    assert tree.count("SortAggregate") == 2  # partial + final
+    assert tree.count("Exchange") == 1  # one shuffle on the table key

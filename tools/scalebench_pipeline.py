@@ -124,8 +124,10 @@ def main() -> None:
     _timed("capped LSH pairs (auto)", pairs.count)
     strong = pairs.filter(F.col("n_sig_match") >= 30)
     _timed(
-        "connected components",
-        lambda: D.connected_components(strong).count(),
+        "connected components (disk ckpt)",
+        lambda: D.connected_components(
+            strong, checkpoint_dir=f"{BASE}/cc_ckpt"
+        ).count(),
     )
 
     print(f"== embeddings x{emb_scale} ==", flush=True)
