@@ -1371,11 +1371,21 @@ def run_app(
             _register_script_udf(spark, fd)
     for name, sdef in model.streams.items():
         if name not in env and sdef.is_table:
-            # `define table` with no bound data starts EMPTY (the
-            # reference's in-memory table initial state) — DML queries
-            # then populate it through the replay fixed point
+            # `define table` with `@store(type=…)` binds to the external
+            # system (rdbms/mongodb/elasticsearch via DataSource options,
+            # parquet natively — SURVEY.md §2 Table); without @store the
+            # table starts EMPTY (the reference's in-memory table initial
+            # state) — DML queries populate it through the replay fixed
+            # point
             from ..sources import siddhi_schema
+            from ..sources.stores import load_store
 
+            stored = load_store(spark, sdef)
+            if stored is not None:
+                env[name] = stored.select(
+                    *[c for c, _t in sdef.attributes]
+                )
+                continue
             env[name] = spark.createDataFrame(
                 [], siddhi_schema(list(sdef.attributes))
             )

@@ -1347,3 +1347,31 @@ def test_agg_over_join_same_named_group_keys(spark, events_df):
     """
     with _pytest.raises(ValueError, match="ambiguous"):
         run_app(ambiguous, {"Events": events_df, "Vip": vip})
+
+
+def test_table_store_annotation_binds_external_data(spark, events_df, tmp_path):
+    """`define table … @store(type='parquet', path=…)` loads the table
+    from the external store through the @store seam — a stream⋈table
+    probe then joins against the stored rows (rdbms/mongodb translate
+    the same way, with connector jars at deploy time)."""
+    path = f"{tmp_path}/vip_store"
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    ).write.parquet(path)
+    app = f"""
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    @store(type='parquet', path='{path}')
+    define table Vip (user_id long, tier string);
+    from Events join Vip on Events.user_id == Vip.user_id
+    select Events.event_id as event_id, Vip.tier as tier
+    insert into O;
+    """
+    out = run_app(app, {"Events": events_df})["O"]
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    want = {
+        r["event_id"]: r["tier"]
+        for r in events_df.join(
+            spark.read.parquet(path), "user_id"
+        ).collect()
+    }
+    assert got == want and got
