@@ -113,6 +113,11 @@ def main() -> None:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if docs_scale == 0:  # 0 skips the docs tier (embeddings-only run)
+        _run_embeddings(spark, emb_scale)
+        spark.stop()
+        return
+
     print(f"== documents x{docs_scale} ==", flush=True)
     ddir = ensure_docs(spark, docs_scale)
     docs = spark.read.schema(SCHEMAS["documents"]).parquet(
@@ -129,6 +134,16 @@ def main() -> None:
             strong, checkpoint_dir=f"{BASE}/cc_ckpt"
         ).count(),
     )
+
+    _run_embeddings(spark, emb_scale)
+    spark.stop()
+
+
+def _run_embeddings(spark, emb_scale: int) -> None:
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.catalog import SCHEMAS
+    from siddhi_operator_spark.pipeline import similarity as S
 
     print(f"== embeddings x{emb_scale} ==", flush=True)
     edir = ensure_embeddings(spark, emb_scale)
@@ -153,7 +168,6 @@ def main() -> None:
         f"cogroup block top-3 ({nq} queries)",
         lambda: S.brute_force_topk(emb, big_q, k=3, impl="cogroup").count(),
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
