@@ -110,7 +110,9 @@ _R3_MODULES: tuple[str, ...] = ()
 # udtf_tokenize, union_streams, setops_intersect, partition_range_agg,
 # ondemand_sql, incr_agg_day/hour_slice/month, dedup_exact/fingerprint/
 # embedding_cosine, neardup_token_jaccard, filter_compound,
-# pattern_first_match (displaced by source_cdc_debezium this round).
+# pattern_first_match (displaced by source_cdc_debezium this round) —
+# plus the r5-late never-checked rows source_file_xml_mapper /
+# source_file_keyvalue_mapper.
 
 
 def _rotate_for_driver_window() -> None:

@@ -216,3 +216,88 @@ def source_cdc_debezium(spark: SparkSession, sf: str) -> DataFrame:
     changes = parse_debezium(raw, stream)
     state = apply_cdc(changes, keys=["user_id"], order_cols=("ts_ms", "event_id"))
     return state.select("user_id", "event_id", _r4("value", 4).alias("value"))
+
+
+@register(
+    "source_file_xml_mapper",
+    oracle="""
+    SELECT event_id, user_id, round(1e-9 + value, 4) AS value
+    FROM events
+    WHERE event_type = 'click'
+    """,
+    tags=("source", "mapper", "xml"),
+)
+def source_file_xml_mapper(spark: SparkSession, sf: str) -> DataFrame:
+    """`@map(type='xml')` over the file transport (`[ext:map-xml]
+    XmlSourceMapper`): one `<event>…</event>` element per line, xpath
+    projection per declared attribute (Catalyst `xpath_string`)."""
+    from ..siddhiql.model import StreamDef
+    from ..sources import _read_mapped, parse_annotation
+
+    stage = _stage_dir(sf, "xml")
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "click")
+    xml = F.concat(
+        F.lit("<event><event_id>"), F.col("event_id").cast("string"),
+        F.lit("</event_id><user_id>"), F.col("user_id").cast("string"),
+        F.lit("</user_id><value>"), F.col("value").cast("string"),
+        F.lit("</value></event>"),
+    )
+    ev.select(xml.alias("value")).write.mode("overwrite").text(stage)
+    src = parse_annotation(
+        f"@source(type='file', dir.uri='file:{stage}', @map(type='xml'))"
+    )
+    stream = StreamDef(
+        name="XmlEvents",
+        attributes=[
+            ("event_id", "long"),
+            ("user_id", "long"),
+            ("value", "double"),
+        ],
+        annotations=[],
+    )
+    df = _read_mapped(spark.read, src, stream, stage)
+    from ..fpround import r4 as _r4
+
+    return df.select("event_id", "user_id", _r4("value", 4).alias("value"))
+
+
+@register(
+    "source_file_keyvalue_mapper",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(1e-9 + max(value), 4) AS max_value
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY user_id
+    """,
+    tags=("source", "mapper", "keyvalue"),
+)
+def source_file_keyvalue_mapper(spark: SparkSession, sf: str) -> DataFrame:
+    """`@map(type='keyvalue')` over the file transport
+    (`[ext:map-keyvalue] KeyValueSourceMapper`): `k:v,k:v` messages,
+    `@attributes` remapping attribute → wire key (`str_to_map`)."""
+    from ..siddhiql.model import StreamDef
+    from ..sources import _read_mapped, parse_annotation
+
+    stage = _stage_dir(sf, "kv")
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "view")
+    kv = F.concat(
+        F.lit("u:"), F.col("user_id").cast("string"),
+        F.lit(",v:"), F.col("value").cast("string"),
+    )
+    ev.select(kv.alias("value")).write.mode("overwrite").text(stage)
+    src = parse_annotation(
+        f"@source(type='file', dir.uri='file:{stage}', "
+        "@map(type='keyvalue', @attributes(user_id='u', value='v')))"
+    )
+    stream = StreamDef(
+        name="KvEvents",
+        attributes=[("user_id", "long"), ("value", "double")],
+        annotations=[],
+    )
+    df = _read_mapped(spark.read, src, stream, stage)
+    from ..fpround import r4 as _r4
+
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r4(F.max("value"), 4).alias("max_value"),
+    )
