@@ -111,8 +111,9 @@ _R3_MODULES: tuple[str, ...] = ()
 # ondemand_sql, incr_agg_day/hour_slice/month, dedup_exact/fingerprint/
 # embedding_cosine, neardup_token_jaccard, filter_compound,
 # pattern_first_match (displaced by source_cdc_debezium this round) —
-# plus the r5-late never-checked rows source_file_xml_mapper /
-# source_file_keyvalue_mapper.
+# plus the r5-late never-checked rows source_file_xml_mapper,
+# source_file_keyvalue_mapper, source_avro_wire_roundtrip,
+# source_onerror_fault_split, siddhiql_define_function.
 
 
 def _rotate_for_driver_window() -> None:

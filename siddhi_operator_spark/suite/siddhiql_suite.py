@@ -689,3 +689,39 @@ def siddhiql_trigger(spark: SparkSession, sf: str) -> DataFrame:
     """
     )
     return run_app(app, {"events": load(spark, sf, "events")})["Ticks"]
+
+
+@register(
+    "siddhiql_define_function",
+    oracle="""
+    SELECT event_id,
+           round(1e-9 + value * 1.18, 4) AS taxed,
+           round(1e-9 + value * 0.5, 4)  AS halved
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("siddhiql", "udf", "function"),
+)
+def siddhiql_define_function(spark: SparkSession, sf: str) -> DataFrame:
+    """`define function f[python] return T { … }` — the script-UDF
+    surface (`[core] function/Script.java` analog): two inline Python
+    functions registered per-app and called from the select, executed
+    as Series-at-a-time pandas UDFs (one eval per Arrow batch)."""
+    app = (
+        _EVENTS_DEF
+        + """
+    define function taxed[python] return double (v, rate) { v * (1.0 + rate) };
+    define function halve[python] return double (x) { x * 0.5 };
+    from events[event_type == 'purchase']
+    select event_id, taxed(value, 0.18) as taxed, halve(value) as halved
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": load(spark, sf, "events")})["Out"]
+    from ..fpround import r4
+
+    return out.select(
+        "event_id",
+        r4("taxed", 4).alias("taxed"),
+        r4("halved", 4).alias("halved"),
+    )

@@ -301,3 +301,108 @@ def source_file_keyvalue_mapper(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _r4(F.max("value"), 4).alias("max_value"),
     )
+
+
+@register(
+    "source_avro_wire_roundtrip",
+    oracle="""
+    SELECT user_id,
+           count(*)                    AS n,
+           round(1e-9 + sum(value), 4) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("source", "mapper", "avro", "wire"),
+)
+def source_avro_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro wire serde round trip (`[ext:map-avro] AvroSinkMapper` →
+    `AvroSourceMapper`): purchase events encode to avro binary records
+    through the SINK mapper (`encode_message_value`, Arrow-batched
+    pure-python codec), stage as a binary column, then decode back
+    through the SOURCE mapper (`map_message_value`) and aggregate.
+    A byte-level asymmetry anywhere in the zigzag/varint/IEEE layout
+    breaks the value hash. On a cluster with spark-avro the same
+    mapper seam swaps to `to_avro`/`from_avro`."""
+    from ..siddhiql.model import StreamDef
+    from ..sources import (
+        encode_message_value,
+        map_message_value,
+        parse_annotation,
+    )
+
+    stage = _stage_dir(sf, "avro")
+    stream = StreamDef(
+        name="AvroEvents",
+        attributes=[
+            ("user_id", "long"),
+            ("event_id", "long"),
+            ("value", "double"),
+        ],
+        annotations=[],
+    )
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    wire = encode_message_value(
+        ev.select("user_id", "event_id", "value"), "avro", stream
+    )
+    wire.write.mode("overwrite").parquet(stage)
+
+    raw = spark.read.parquet(stage)
+    mp = parse_annotation("@map(type='avro')")
+    decoded = map_message_value(raw, mp, stream)
+    return decoded.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "source_onerror_fault_split",
+    oracle="""
+    SELECT 'clean' AS lane, count(*) AS n
+    FROM events WHERE event_type != 'error'
+    UNION ALL
+    SELECT 'fault', count(*) FROM events WHERE event_type = 'error'
+    """,
+    tags=("source", "onerror", "fault"),
+)
+def source_onerror_fault_split(spark: SparkSession, sf: str) -> DataFrame:
+    """`@OnError(action='STREAM')` fault routing (`[core]
+    StreamJunction` fault propagation): the staged change log holds
+    valid JSON for non-error events and MALFORMED lines for error
+    events; the fault-splitting reader must route every malformed line
+    to the `!stream` lane and every clean line to the stream — the
+    oracle pins both lane counts from the relational side."""
+    from ..siddhiql.model import StreamDef
+    from ..sources import load_file_source_with_faults
+
+    stage = _stage_dir(sf, "onerror")
+    ev = load(spark, sf, "events")
+    is_err = F.col("event_type") == "error"
+    line = F.when(
+        is_err,
+        # malformed on purpose: unclosed brace
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
+    ).otherwise(
+        F.to_json(F.struct("event_id", "user_id", "value"))
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(stage)
+
+    stream = StreamDef(
+        name="ErrEvents",
+        attributes=[
+            ("event_id", "long"),
+            ("user_id", "long"),
+            ("value", "double"),
+        ],
+        annotations=[
+            f"@source(type='file', dir.uri='file:{stage}', @map(type='json'))",
+            "@OnError(action='STREAM')",
+        ],
+    )
+    pair = load_file_source_with_faults(spark, stream)
+    assert pair is not None
+    clean, faults = pair
+    return clean.select(F.lit("clean").alias("lane")).union(
+        faults.select(F.lit("fault").alias("lane"))
+    ).groupBy("lane").agg(F.count(F.lit(1)).alias("n"))
