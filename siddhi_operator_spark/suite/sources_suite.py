@@ -324,36 +324,7 @@ def source_avro_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     A byte-level asymmetry anywhere in the zigzag/varint/IEEE layout
     breaks the value hash. On a cluster with spark-avro the same
     mapper seam swaps to `to_avro`/`from_avro`."""
-    from ..siddhiql.model import StreamDef
-    from ..sources import (
-        encode_message_value,
-        map_message_value,
-        parse_annotation,
-    )
-
-    stage = _stage_dir(sf, "avro")
-    stream = StreamDef(
-        name="AvroEvents",
-        attributes=[
-            ("user_id", "long"),
-            ("event_id", "long"),
-            ("value", "double"),
-        ],
-        annotations=[],
-    )
-    ev = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
-    wire = encode_message_value(
-        ev.select("user_id", "event_id", "value"), "avro", stream
-    )
-    wire.write.mode("overwrite").parquet(stage)
-
-    raw = spark.read.parquet(stage)
-    mp = parse_annotation("@map(type='avro')")
-    decoded = map_message_value(raw, mp, stream)
-    return decoded.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        r4(F.sum("value"), 4).alias("sum_value"),
-    )
+    return _wire_roundtrip(spark, sf, "avro")
 
 
 @register(
@@ -406,3 +377,70 @@ def source_onerror_fault_split(spark: SparkSession, sf: str) -> DataFrame:
     return clean.select(F.lit("clean").alias("lane")).union(
         faults.select(F.lit("fault").alias("lane"))
     ).groupBy("lane").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _wire_roundtrip(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
+    """Shared body for the avro/protobuf/binary wire serde rows."""
+    from ..siddhiql.model import StreamDef
+    from ..sources import (
+        encode_message_value,
+        map_message_value,
+        parse_annotation,
+    )
+
+    stage = _stage_dir(sf, fmt)
+    stream = StreamDef(
+        name=f"{fmt.title()}Events",
+        attributes=[
+            ("user_id", "long"),
+            ("event_id", "long"),
+            ("value", "double"),
+        ],
+        annotations=[],
+    )
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    wire = encode_message_value(
+        ev.select("user_id", "event_id", "value"), fmt, stream
+    )
+    wire.write.mode("overwrite").parquet(stage)
+    raw = spark.read.parquet(stage)
+    decoded = map_message_value(raw, parse_annotation(f"@map(type='{fmt}')"), stream)
+    return decoded.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_WIRE_ORACLE = """
+    SELECT user_id,
+           count(*)                    AS n,
+           round(1e-9 + sum(value), 4) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """
+
+
+@register(
+    "source_protobuf_wire_roundtrip",
+    oracle=_WIRE_ORACLE,
+    tags=("source", "mapper", "protobuf", "wire"),
+)
+def source_protobuf_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Protobuf wire serde round trip (`[ext:map-protobuf]
+    ProtobufSinkMapper` → `ProtobufSourceMapper`): varint/fixed64
+    field encoding, field number = attribute position + 1; the JVM
+    swap is `to_protobuf`/`from_protobuf`."""
+    return _wire_roundtrip(spark, sf, "protobuf")
+
+
+@register(
+    "source_binary_wire_roundtrip",
+    oracle=_WIRE_ORACLE,
+    tags=("source", "mapper", "binary", "wire"),
+)
+def source_binary_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Siddhi binary wire serde round trip (`[ext:map-binary]`,
+    `BinaryEventConverter` layout family): schema-ordered big-endian
+    fixed-width numerics + length-prefixed UTF-8."""
+    return _wire_roundtrip(spark, sf, "binary")
