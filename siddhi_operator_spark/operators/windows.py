@@ -427,6 +427,39 @@ def extrema_by_length(
     ).withColumn(f"{mode}_by_val", F.split(ext, "\\|")[0].cast("double"))
 
 
+def extrema_by_time(
+    df: DataFrame,
+    seconds: float,
+    keys: Sequence[str],
+    ts_col: str,
+    attr: Column,
+    id_col: str,
+    mode: str = "max",
+) -> DataFrame:
+    """`extrema:maxByTime(attr, t)` / `minByTime` (`[ext:extrema]`
+    `MaxByTimeWindowProcessor.java`): for each event, the event holding
+    the extreme attr within the trailing t window per key — the RANGE-
+    frame sibling of `extrema_by_length`, same fixed-width (attr|id)
+    arg-extreme encoding and range guard."""
+    base = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    w = base.orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).rangeBetween(-int(seconds * 1_000_000), 0)
+    packed = F.when(
+        (attr < 0) | (attr >= 1e12),
+        F.raise_error(
+            F.format_string(
+                "extrema_by_time attr out of encodable range [0, 1e12): %s",
+                attr.cast("string"),
+            )
+        ),
+    ).otherwise(F.format_string("%017.4f|%010d", attr, F.col(id_col)))
+    ext = (F.max if mode == "max" else F.min)(packed).over(w)
+    return df.withColumn(
+        f"{mode}_by_id", F.split(ext, "\\|")[1].cast("long")
+    ).withColumn(f"{mode}_by_val", F.split(ext, "\\|")[0].cast("double"))
+
+
 def topk_items(
     df: DataFrame,
     k: int,

@@ -30,6 +30,7 @@ from .model import (
     QueryDef,
     SelectItem,
     SingleInput,
+    WindowSpec,
 )
 from .parser import parse_app, time_constant_seconds
 
@@ -127,6 +128,28 @@ def _run_extension_window(
         return OW.cron_window(
             df, ts_col, win.args[0].strip("'\" "), keys=keys, aggs=_aggs()
         )
+    if kind == "frequent":
+        # `frequent(n, attr…)` (`FrequentWindowProcessor.java`): the
+        # retained heavy-hitter set; batch = the exact fixed point.
+        attrs = [a.strip() for a in win.args[1:]]
+        if not attrs:
+            raise ValueError("frequent(n, attr…) needs the counted attributes")
+        out = OW.frequent(df, int(win.args[0]), keys=keys, group_cols=attrs)
+        return _project(out)
+    if kind == "lossyFrequent":
+        # `lossyFrequent(support, error, attr…)`: batch computes the
+        # exact support-threshold set, so `error` (the sketch's slack
+        # term) is accepted and unused — strictly inside the contract.
+        attrs = [a.strip() for a in win.args[2:]]
+        if not attrs:
+            raise ValueError(
+                "lossyFrequent(support, error, attr…) needs the "
+                "counted attributes"
+            )
+        out = OW.lossy_frequent(
+            df, float(win.args[0]), keys=keys, group_cols=attrs
+        )
+        return _project(out)
     if kind == "batch":
         return OW.batch_chunks(df, keys=keys, aggs=_aggs())
     if kind in ("expression", "expressionBatch"):
@@ -194,6 +217,17 @@ def _run_extension_window(
             attr=F.col(win.args[0]),
             id_col=id_col,
             mode="max" if kind.endswith("maxByLength") else "min",
+        )
+        return _project(out)
+    if kind in ("extrema:maxByTime", "extrema:minByTime"):
+        out = OW.extrema_by_time(
+            df,
+            time_constant_seconds(win.args[1]),
+            keys=keys,
+            ts_col=ts_col,
+            attr=F.col(win.args[0]),
+            id_col=id_col,
+            mode="max" if kind.endswith("maxByTime") else "min",
         )
         return _project(out)
     if kind in ("extrema:topK", "extrema:bottomK"):
@@ -338,7 +372,15 @@ def _run_single(
 
     if win and (
         ":" in win.kind
-        or win.kind in ("cron", "expression", "expressionBatch", "batch")
+        or win.kind
+        in (
+            "cron",
+            "expression",
+            "expressionBatch",
+            "batch",
+            "frequent",
+            "lossyFrequent",
+        )
     ):
         return _run_extension_window(df, q, win, ts_col, id_col)
 
@@ -392,12 +434,58 @@ def _run_single(
             _proj(expu, ["emit_ts", "etype"])
         )
 
-    if win and win.kind in ("length", "lengthBatch", "time") and has_agg:
+    if (
+        win
+        and win.kind
+        in ("length", "lengthBatch", "time", "externalTime", "timeLength")
+        and has_agg
+    ):
         # per-event frame aggregation over the trailing window, keyed by
         # the group-by attributes (SURVEY.md §3.3 mappings)
         keys = q.group_by or []
         if not keys:
             raise ValueError(f"{win.kind} window needs `group by` keys in batch mode")
+        if win.kind == "externalTime":
+            # externalTime(tsAttr, t): the sliding time window driven by
+            # a declared attribute clock — identical frame, explicit axis
+            ts_col = win.args[0]
+            win = WindowSpec(kind="time", args=[win.args[1]])
+        if win.kind == "timeLength":
+            # timeLength(t, n) (`TimeLengthWindowProcessor.java`):
+            # whichever bound evicts first. Both retained sets are
+            # suffixes of the per-key ordered stream, so the window SET
+            # is the smaller suffix — ANY aggregate over it equals a
+            # per-row pick between the RANGE-frame and ROWS-frame
+            # results, keyed on the range count.
+            dur_us = int(time_constant_seconds(win.args[0]) * 1_000_000)
+            n = int(win.args[1])
+            wr = (
+                Window.partitionBy(*keys)
+                .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                .rangeBetween(-dur_us, 0)
+            )
+            wn = (
+                Window.partitionBy(*keys)
+                .orderBy(ts_col, id_col)
+                .rowsBetween(-(n - 1), 0)
+            )
+            cnt_r = F.count(F.lit(1)).over(wr)
+            out = df
+            for i, it in enumerate(q.select):
+                name = _auto_alias(it, i)
+                if _AGG_RE.search(it.expr):
+                    out = out.withColumn(
+                        name,
+                        F.when(cnt_r <= n, F.expr(it.expr).over(wr)).otherwise(
+                            F.expr(it.expr).over(wn)
+                        ),
+                    )
+            return out.select(
+                *[
+                    _auto_alias(it, i) if _AGG_RE.search(it.expr) else it.expr
+                    for i, it in enumerate(q.select)
+                ]
+            )
         if win.kind == "length":
             w = (
                 Window.partitionBy(*keys)

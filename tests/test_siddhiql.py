@@ -1375,3 +1375,118 @@ def test_table_store_annotation_binds_external_data(spark, events_df, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_frequent_windows_through_ql(spark, events_df):
+    """`#window.frequent(n, attr)` and `#window.lossyFrequent(support,
+    error, attr)` route through the QL front end onto the batch
+    heavy-hitter operators (exact fixed points of the reference's
+    Misra-Gries / lossy-counting sketches)."""
+    from siddhi_operator_spark.operators import windows as W
+
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events#window.frequent(3, user_id)
+    select user_id, freq group by event_type insert into Top;
+    """
+    out = run_app(app, {"Events": events_df})["Top"]
+    want = W.frequent(events_df, 3, keys=["event_type"], group_cols=["user_id"])
+    assert sorted(map(tuple, out.select("user_id", "freq").collect())) == sorted(
+        map(tuple, want.select("user_id", "freq").collect())
+    )
+
+    app2 = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events#window.lossyFrequent(0.2, 0.01, user_id)
+    select user_id, freq group by event_type insert into Hot;
+    """
+    out2 = run_app(app2, {"Events": events_df})["Hot"]
+    want2 = W.lossy_frequent(
+        events_df, 0.2, keys=["event_type"], group_cols=["user_id"]
+    )
+    assert sorted(map(tuple, out2.select("user_id", "freq").collect())) == sorted(
+        map(tuple, want2.select("user_id", "freq").collect())
+    )
+
+
+def test_timelength_and_externaltime_through_ql(spark, events_df):
+    """`#window.timeLength(t, n)` = whichever bound evicts first (any
+    aggregate: per-row pick between the RANGE and ROWS frames);
+    `#window.externalTime(ts, t)` = the sliding frame on the declared
+    attribute clock."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W_
+
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events#window.timeLength(10 min, 3)
+    select event_id, sum(value) as s, count() as n group by user_id
+    insert into O;
+    """
+    out = run_app(app, {"Events": events_df})["O"]
+    ev = events_df.withColumn("ts_t", F.col("ts").cast("timestamp"))
+    wr = (
+        W_.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts_t"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    wn = W_.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    cnt = F.count(F.lit(1)).over(wr)
+    want = ev.select(
+        "event_id",
+        F.when(cnt <= 3, F.sum("value").over(wr))
+        .otherwise(F.sum("value").over(wn))
+        .alias("s"),
+        F.when(cnt <= 3, F.count(F.lit(1)).over(wr))
+        .otherwise(F.count(F.lit(1)).over(wn))
+        .alias("n"),
+    )
+    got = sorted((r["event_id"], round(r["s"], 4), r["n"]) for r in out.collect())
+    exp = sorted((r["event_id"], round(r["s"], 4), r["n"]) for r in want.collect())
+    assert got == exp
+
+    app2 = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events#window.externalTime(ts, 10 min)
+    select event_id, count() as n group by user_id insert into O2;
+    """
+    out2 = run_app(app2, {"Events": events_df})["O2"]
+    want2 = ev.select(
+        "event_id", F.count(F.lit(1)).over(wr).alias("n")
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(
+        (r["event_id"], r["n"]) for r in want2.collect()
+    )
+
+
+def test_extrema_by_time_through_ql(spark, events_df):
+    """`#extrema:maxByTime(attr, t)`: the arg-max event within the
+    trailing window per key, cross-checked against a brute-force
+    pandas fold."""
+    import pandas as pd
+
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events#extrema:maxByTime(value, 10 min)
+    select event_id, max_by_id, max_by_val group by user_id insert into O;
+    """
+    out = run_app(app, {"Events": events_df})["O"]
+    rows = events_df.select("event_id", "ts", "user_id", "value").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (pd.Timestamp(r.ts), r.event_id, r.value)
+        )
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        for t, eid, v in evs:
+            window = [
+                (x_v, x_id)
+                for (x_t, x_id, x_v) in evs
+                if t - pd.Timedelta(minutes=10) <= x_t <= t
+            ]
+            best_v, best_id = max(window, key=lambda p: (round(p[0], 4), p[1]))
+            expect[eid] = best_id
+    got = {r["event_id"]: r["max_by_id"] for r in out.collect()}
+    assert got == expect
