@@ -444,3 +444,157 @@ def source_binary_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     `BinaryEventConverter` layout family): schema-ordered big-endian
     fixed-width numerics + length-prefixed UTF-8."""
     return _wire_roundtrip(spark, sf, "binary")
+
+
+@register(
+    "source_http_json_stream",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(1e-9 + sum(value), 4) AS sum_value
+    FROM events
+    WHERE event_type = 'signup'
+    GROUP BY user_id
+    """,
+    tags=("source", "http", "streaming"),
+)
+def source_http_json_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """`@source(type='http', receiver.url=…, @map(type='json'))`
+    (`[ext:io-http] HttpSource`) end-to-end over a REAL socket: a
+    local server serves the signup events as JSON-line payloads, the
+    engine's http transport streams + maps them, and the aggregate
+    must match the relational oracle. Completion is deterministic:
+    the payload count is known up front, so the reader drains until
+    exactly that many rows arrived (bounded by a deadline)."""
+    import json as _json
+    import socket
+    import threading
+    import time
+    import uuid
+
+    from ..siddhiql.model import StreamDef
+    from ..sources import stream_http_source
+
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "value")
+        .collect()
+    )
+    payloads = [
+        _json.dumps(
+            {"event_id": r.event_id, "user_id": r.user_id, "value": r.value}
+        )
+        for r in ev
+    ]
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("localhost", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve() -> None:
+        try:
+            conn, _ = server.accept()
+            with conn:
+                conn.sendall(("\n".join(payloads) + "\n").encode())
+                time.sleep(60)  # hold the transport open while Spark drains
+        except OSError:
+            pass
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = StreamDef(
+        name="HttpEvents",
+        attributes=[
+            ("event_id", "long"),
+            ("user_id", "long"),
+            ("value", "double"),
+        ],
+        annotations=[
+            f"@source(type='http', receiver.url='http://localhost:{port}/e', "
+            "@map(type='json'))"
+        ],
+    )
+    s = stream_http_source(spark, stream)
+    assert s is not None
+    name = f"http_{uuid.uuid4().hex[:8]}"
+    q = (
+        s.writeStream.format("memory").queryName(name).outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table(name).count() >= len(payloads):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        server.close()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "sink_file_csv_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*)                    AS n,
+           round(1e-9 + sum(value), 4) AS sum_value
+    FROM events
+    WHERE value > 250
+    GROUP BY event_type
+    """,
+    tags=("sink", "mapper", "csv"),
+)
+def sink_file_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """`@sink(type='file', @map(type='csv'))` (`[ext:io-file] FileSink`
+    + `[ext:map-csv] CSVSinkMapper`): a front-end app filters events
+    and writes its output stream through the annotated sink; the row
+    is the re-READ of what the sink serialized, aggregated — so a
+    sink-mapper truncation or quoting bug flips the hash."""
+    from ..siddhiql.model import StreamDef
+    from ..sources import load_file_source, write_file_sink
+
+    stage = _stage_dir(sf, "sinkcsv")
+    out_def = StreamDef(
+        name="BigEvents",
+        attributes=[
+            ("event_id", "long"),
+            ("event_type", "string"),
+            ("value", "double"),
+        ],
+        annotations=[
+            f"@sink(type='file', dir.uri='file:{stage}', "
+            "@map(type='csv', header='true'))"
+        ],
+    )
+    filtered = (
+        load(spark, sf, "events")
+        .filter(F.col("value") > 250)
+        .select("event_id", "event_type", "value")
+    )
+    path = write_file_sink(filtered, out_def)
+    assert path == stage
+
+    reread_def = StreamDef(
+        name="BigEventsIn",
+        attributes=out_def.attributes,
+        annotations=[
+            f"@source(type='file', dir.uri='file:{stage}', "
+            "@map(type='csv', header='true'))"
+        ],
+    )
+    back = load_file_source(spark, reread_def)
+    assert back is not None
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.sum("value"), 4).alias("sum_value"),
+    )
