@@ -813,3 +813,36 @@ def test_store_parquet_roundtrip(spark, tmp_path):
     no_store = StreamDef(name="T", attributes=[("a", "int")], is_table=True)
     assert load_store(spark, no_store) is None
     assert write_store(df, no_store) is False
+
+
+def test_debezium_apply_cdc_property(spark):
+    """Randomized change logs vs a pure-python fold: apply_cdc's keyed
+    max_by must equal replaying the log in (ts_ms, seq) order with
+    last-writer-wins and delete tombstones."""
+    import random
+
+    from siddhi_operator_spark.sources.cdc_source import apply_cdc
+
+    rng = random.Random(11)
+    for trial in range(5):
+        n = rng.randint(5, 60)
+        rows = []
+        for seq in range(n):
+            key = rng.randint(1, 8)
+            op = rng.choice(["insert", "update", "update", "delete", "read"])
+            rows.append((key, float(rng.randint(0, 999)), op, rng.randint(1, 20), seq))
+        df = spark.createDataFrame(
+            rows, "id long, v double, op string, ts_ms long, seq long"
+        )
+        got = {
+            r.id: r.v
+            for r in apply_cdc(df, keys=["id"], order_cols=("ts_ms", "seq")).collect()
+        }
+        state: dict = {}
+        for key, v, op, ts_ms, seq in sorted(rows, key=lambda r: (r[3], r[4])):
+            if op == "delete":
+                state[key] = None
+            else:
+                state[key] = v
+        expect = {k: v for k, v in state.items() if v is not None}
+        assert got == expect, f"trial {trial}"
