@@ -8,10 +8,13 @@ then makes the ENGINE read it back through the annotation path —
 aggregate on the parquet table, so a serde bug anywhere in the
 source→mapper→schema chain flips the value hash.
 
-Upstream surfaces proven here: `[ext:io-file] FileSource`,
-`[ext:map-csv] CSVSourceMapper`, `[ext:io-kafka] KafkaSource`'s value
-decode, `[ext:map-json] JsonSourceMapper`'s JSONPath `@attributes`
-projection.
+Upstream surfaces proven here: `[ext:io-file] FileSource`/`FileSink`,
+`[ext:io-http] HttpSource` (real socket), `[ext:io-kafka]
+KafkaSource`'s value decode, `[ext:io-cdc] CDCSource` (Debezium
+envelopes + change-log fold), the `@map` families json (JSONPath
+`@attributes`)/csv/xml/keyvalue, the avro/protobuf/siddhi-binary wire
+codecs (sink→source byte roundtrips), and `@OnError(action='STREAM')`
+fault routing.
 """
 
 from __future__ import annotations
