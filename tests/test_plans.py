@@ -316,3 +316,14 @@ def test_cdc_fold_partial_agg_single_shuffle(spark):
     assert "Window" not in tree
     assert tree.count("SortAggregate") == 2  # partial + final
     assert tree.count("Exchange") == 1  # one shuffle on the table key
+
+
+def test_udaf_single_exchange_pushed_filter(spark):
+    """The UDAF path is one key exchange into the Arrow grouped
+    aggregation, with the filter pushed to the scan — no extra
+    shuffles, no row-Python."""
+    plan = _fmt(REGISTRY["agg_udaf_custom"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "ArrowAggregatePython" in tree
+    assert tree.count("Exchange") == 1
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,0.0)]" in plan
