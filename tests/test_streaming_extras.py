@@ -191,3 +191,50 @@ def test_streaming_ql_construct_coverage(spark, events_df):
         q.processAllAvailable()
         q.stop()
         assert spark.table(name).count() == want, app[:80]
+
+
+def test_debezium_stream_equals_batch(spark, tmp_path):
+    """parse_debezium is pure Catalyst, so the SAME decode must yield
+    identical rows over readStream (tailing a change-log dir) as over
+    spark.read (backfill) — the batch≡stream contract of the CDC
+    source."""
+    import json as _json
+    import uuid
+
+    from siddhi_operator_spark.siddhiql.model import StreamDef
+    from siddhi_operator_spark.sources.cdc_source import parse_debezium
+
+    lines = [
+        _json.dumps(
+            {
+                "payload": {
+                    "op": "u" if i % 3 else "d",
+                    "before": {"id": i, "v": i * 1.5} if i % 3 == 0 else None,
+                    "after": {"id": i, "v": i * 1.5} if i % 3 else None,
+                    "ts_ms": 1000 + i,
+                }
+            }
+        )
+        for i in range(30)
+    ]
+    log_dir = tmp_path / "cdclog"
+    log_dir.mkdir()
+    (log_dir / "part-0.txt").write_text("\n".join(lines) + "\n")
+
+    stream_def = StreamDef(
+        name="T", attributes=[("id", "long"), ("v", "double")], annotations=[]
+    )
+    batch = parse_debezium(spark.read.text(str(log_dir)), stream_def)
+
+    s = parse_debezium(spark.readStream.text(str(log_dir)), stream_def)
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        s.writeStream.format("memory").queryName(name).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(map(tuple, spark.table(name).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
