@@ -208,6 +208,172 @@ def length_window(
     )
 
 
+# coarse-bucket state: flat parallel arrays over ALL keys in the bucket,
+# grouped by key in storage order (each key's segment is its deque)
+_LENGTH_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("tss", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def length_window_bucketed(
+    stream: DataFrame,
+    n: int,
+    key: str,
+    n_buckets: int = 128,
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """`length(n)` per key with COARSE state buckets — identical output
+    to `length_window` (pinned by test), different state sharding.
+
+    `applyInPandasWithState` costs ~0.3 ms per (group × micro-batch)
+    python call (measured: 100 k user keys × 4 batches = 127 s of pure
+    per-group overhead at ×100 — SCALEBENCH round 5), so keying the
+    STATE by the semantic key makes high-cardinality count windows
+    overhead-bound. Here the state key is `hash(key) % n_buckets`; one
+    python call handles every user in the bucket, with the per-key
+    windows computed vectorized across key segments (sort by (key,
+    state-first arrival order), segment-reset prefix sums). Per-call
+    overhead amortizes over |keys|/n_buckets users.
+
+    Trade-off: each batch rewrites the whole bucket's state (read/write
+    amplification ~1 for high-churn streams where most keys appear
+    every batch — exactly the regime where the per-group overhead
+    hurts; for sparse-key streams keep the per-key variant). Size
+    n_buckets so one bucket's state (n × keys/bucket rows) fits a
+    task comfortably."""
+
+    def _seg_end(keys_s: "np.ndarray") -> "np.ndarray":
+        # index of the LAST row of each row's key segment
+        m = len(keys_s)
+        if not m:
+            return np.empty(0, dtype="int64")
+        change_next = np.concatenate([keys_s[1:] != keys_s[:-1], [True]])
+        ends = np.nonzero(change_next)[0]
+        seg_id = np.cumsum(
+            np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+        ) - 1
+        return ends[seg_id]
+
+    def proc(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            x = state.get
+            # 'U' dtype: numpy sorts fixed-width unicode ~3x faster
+            # than object arrays (measured on 2.5M keys)
+            st_keys = np.asarray(x[0], dtype=str)
+            st_ids = np.asarray(x[1], dtype="int64")
+            st_tss = np.asarray(x[2], dtype="int64")
+            st_vals = np.asarray(x[3], dtype="float64")
+        else:
+            st_keys = np.empty(0, dtype=str)
+            st_ids = np.empty(0, dtype="int64")
+            st_tss = np.empty(0, dtype="int64")
+            st_vals = np.empty(0, dtype="float64")
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["__sem_key", ts, id_col])
+            b_keys = pdf["__sem_key"].to_numpy(dtype=str)
+            b_ids = pdf[id_col].to_numpy(dtype="int64")
+            b_ts_ns = pdf[ts].to_numpy().astype("datetime64[ns]").astype("int64")
+            b_vals = pdf[value_col].to_numpy(dtype="float64")
+
+            # merge order per key: state rows first (stored order),
+            # then batch rows by (ts, id) — the cross-batch arrival
+            # order of the per-key variant, reproduced exactly
+            keys_all = np.concatenate([st_keys, b_keys])
+            ids_all = np.concatenate([st_ids, b_ids])
+            tss_all = np.concatenate([st_tss, b_ts_ns // 1000])
+            vals_all = np.concatenate([st_vals, b_vals])
+            is_new = np.concatenate(
+                [np.zeros(len(st_keys), dtype=bool), np.ones(len(b_keys), dtype=bool)]
+            )
+            # stable sort by key only: state rows precede batch rows of
+            # the same key (state indices are smaller), batch rows stay
+            # in (ts, id) order from the pre-sort
+            sort_idx = np.argsort(keys_all, kind="stable")
+            keys_s = keys_all[sort_idx]
+            vals_s = vals_all[sort_idx]
+            new_s = is_new[sort_idx]
+
+            seg_start = np.zeros(len(keys_s), dtype="int64")
+            if len(keys_s):
+                change = np.concatenate(
+                    [[True], keys_s[1:] != keys_s[:-1]]
+                )
+                seg_first = np.nonzero(change)[0]
+                seg_start = seg_first[np.cumsum(change) - 1]
+            pos = np.arange(len(keys_s))
+            cs = np.concatenate([[0.0], np.cumsum(vals_s)])
+            lo = np.maximum(seg_start, pos + 1 - n)
+            sums = cs[pos + 1] - cs[lo]
+            counts = (pos + 1 - lo).astype("int32")
+
+            m = new_s
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": keys_s[m],
+                        "event_id": ids_all[sort_idx][m],
+                        "ts": (tss_all[sort_idx][m] * 1000).astype(
+                            "datetime64[ns]"
+                        ),
+                        "n_in_window": counts[m],
+                        "sum_value": sums[m],
+                        "avg_value": sums[m] / counts[m],
+                    }
+                )
+            )
+            # new state: last n rows per key segment, in order
+            keep = pos >= np.maximum(seg_start, _seg_end(keys_s) + 1 - n)
+            st_keys = keys_s[keep]
+            st_ids = ids_all[sort_idx][keep]
+            st_tss = tss_all[sort_idx][keep]
+            st_vals = vals_s[keep]
+        state.update(
+            (
+                [str(k) for k in st_keys],
+                [int(i) for i in st_ids],
+                [int(t) for t in st_tss],
+                [float(v) for v in st_vals],
+            )
+        )
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                columns=[
+                    "key",
+                    "event_id",
+                    "ts",
+                    "n_in_window",
+                    "sum_value",
+                    "avg_value",
+                ]
+            )
+        )
+
+    projected = stream.withColumn(
+        "__sem_key", F.col(key).cast("string")
+    ).withColumn("__bucket", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+    return projected.groupBy("__bucket").applyInPandasWithState(
+        proc,
+        _LENGTH_OUT,
+        _LENGTH_BUCKET_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 _LBATCH_OUT = T.StructType(
     [
         T.StructField("key", T.StringType()),

@@ -238,3 +238,46 @@ def test_debezium_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, spark.table(name).collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_length_window_bucketed_equals_per_key(spark, tmp_path):
+    """The coarse-bucket state variant of the streaming length window
+    must emit the same rows as the per-key variant across multiple
+    micro-batches (the per-group-overhead amortization must not change
+    semantics). Sums compare under the engine's rounding contract —
+    the bucket-wide vectorized prefix scan accumulates in a different
+    FP order (~1e-9 relative), which the suite's 4-decimal epsilon
+    rounding absorbs by design."""
+    import uuid
+
+    from siddhi_operator_spark.catalog import load_events_stream
+    from siddhi_operator_spark.streaming import windows as SW
+
+    outs = {}
+    for variant in ("per_key", "bucketed"):
+        s = load_events_stream(spark, "/root/testdata/sf0.001")
+        win = (
+            SW.length_window(s, 5, "user_id")
+            if variant == "per_key"
+            else SW.length_window_bucketed(s, 5, "user_id", n_buckets=7)
+        )
+        name = f"lw_{variant}_{uuid.uuid4().hex[:6]}"
+        q = (
+            win.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        outs[variant] = sorted(
+            (r["key"], r["event_id"], r["ts"], r["n_in_window"],
+             round(r["sum_value"], 6))
+            for r in spark.table(name).select(
+                "key", "event_id", "ts", "n_in_window", "sum_value"
+            ).collect()
+        )
+    assert outs["per_key"] == outs["bucketed"]
+    assert len(outs["per_key"]) > 0
