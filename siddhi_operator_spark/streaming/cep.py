@@ -135,6 +135,17 @@ _NFA_STATE = T.StructType(
 )
 
 
+_NFA_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("next_step", T.ArrayType(T.IntegerType())),
+        T.StructField("start_us", T.ArrayType(T.LongType())),
+        T.StructField("aux", T.ArrayType(T.IntegerType())),
+        T.StructField("toks", T.ArrayType(T.StringType())),
+    ]
+)
+
+
 class _Partial:
     __slots__ = ("step", "start_us", "aux", "groups")
 
@@ -154,6 +165,7 @@ def pattern_nfa(
     within_seconds: float | None = None,
     every: bool = True,
     strict: bool = False,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """`from every e1=S[p1] -> e2=S[p2] … within t` (or, with
     ``strict=True``, the contiguous sequence form `e1=S[p1], e2=S[p2]`),
@@ -218,24 +230,10 @@ def pattern_nfa(
             out.extend([grp] * reps)
         return out
 
-    def proc(
-        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            s_step, s_start, s_aux, s_toks = state.get
-            partials = [
-                _Partial(
-                    st,
-                    su,
-                    ax,
-                    [g.split("|") if g else [] for g in tk.split(";")],
-                )
-                for st, su, ax, tk in zip(s_step, s_start, s_aux, s_toks)
-            ]
-        else:
-            partials = []
-        matches: list[tuple] = []
-        key_str = str(key_tuple[0])
+    def _make_feed(matches: list, key_str: str):
+        """Per-key closures: feed/advance bound to this key's match
+        sink (shared verbatim by the per-key and bucketed state
+        layouts, so the two cannot drift)."""
 
         def complete_or_advance(p: _Partial) -> bool:
             """Move p to the next step; True if the match completed."""
@@ -302,40 +300,73 @@ def pattern_nfa(
                 return not complete_or_advance(p)
             return not strict
 
+        return feed
+
+    def _run_events(partials, ids, tss, flags, lo, hi, matches, key_str):
+        """Advance one key's NFA over rows [lo, hi) of the sorted
+        batch arrays; returns the surviving partials."""
+        feed = _make_feed(matches, key_str)
+        for r in range(lo, hi):
+            ev_id = int(ids[r])
+            ev_us = int(tss[r] // 1000)
+            fl = {k: bool(v[r]) for k, v in flags.items()}
+            # advance all partials with the current event once,
+            # then consider arming (the reference's order: an event
+            # must not seed AND advance the same partial twice)
+            partials = [
+                p
+                for p in partials
+                if not (
+                    within_us is not None and ev_us - p.start_us > within_us
+                )
+                and feed(p, ev_id, ev_us, fl)
+            ]
+            arm_hit = any(
+                fl[(j, b)]
+                for j in armable
+                for b in range(len(steps[j]["preds"]))
+            )
+            if arm_hit and (every or not partials):
+                p = _Partial(0, ev_us, 0, [[]])
+                if feed(p, ev_id, ev_us, fl):
+                    partials.append(p)
+        return partials
+
+    def _flags_of(pdf):
+        return {
+            (i, b): pdf[f"__p{i}_{b}"].fillna(False).to_numpy()
+            for i, st in enumerate(steps)
+            for b in range(len(st["preds"]))
+        }
+
+    cols = ["key"]
+    for stem, _ in out_fields:
+        cols += [f"{stem}_id", f"{stem}_ts"]
+
+    def _load_partial(st, su, ax, tk) -> _Partial:
+        return _Partial(
+            st, su, ax, [g.split("|") if g else [] for g in tk.split(";")]
+        )
+
+    def proc(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            partials = [
+                _load_partial(*t) for t in zip(*state.get)
+            ]
+        else:
+            partials = []
+        matches: list[tuple] = []
+        key_str = str(key_tuple[0])
         for pdf in pdfs:
             pdf = pdf.sort_values(["__ts", "__id"])
-            flags = {
-                (i, b): pdf[f"__p{i}_{b}"].fillna(False).to_numpy()
-                for i, st in enumerate(steps)
-                for b in range(len(st["preds"]))
-            }
+            flags = _flags_of(pdf)
             ids = pdf["__id"].to_numpy()
             tss = pdf["__ts"].astype("int64").to_numpy()  # ns
-            for r in range(len(ids)):
-                ev_id = int(ids[r])
-                ev_us = int(tss[r] // 1000)
-                fl = {k: bool(v[r]) for k, v in flags.items()}
-                # advance all partials with the current event once,
-                # then consider arming (the reference's order: an event
-                # must not seed AND advance the same partial twice)
-                partials = [
-                    p
-                    for p in partials
-                    if not (
-                        within_us is not None and ev_us - p.start_us > within_us
-                    )
-                    and feed(p, ev_id, ev_us, fl)
-                ]
-                arm_hit = any(
-                    fl[(j, b)]
-                    for j in armable
-                    for b in range(len(steps[j]["preds"]))
-                )
-                if arm_hit and (every or not partials):
-                    p = _Partial(0, ev_us, 0, [[]])
-                    if feed(p, ev_id, ev_us, fl):
-                        partials.append(p)
-
+            partials = _run_events(
+                partials, ids, tss, flags, 0, len(ids), matches, key_str
+            )
         state.update(
             (
                 [p.step for p in partials],
@@ -344,11 +375,69 @@ def pattern_nfa(
                 [";".join("|".join(g) for g in p.groups) for p in partials],
             )
         )
-        cols = ["key"]
-        for stem, _ in out_fields:
-            cols += [f"{stem}_id", f"{stem}_ts"]
         yield pd.DataFrame(matches, columns=cols)
 
+    def proc_bucketed(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # dict of per-key partial lists inside ONE state entry — the
+        # per-(group × batch) python-call overhead (~0.3 ms, SCALEBENCH
+        # round 5) amortizes over every key in the bucket; the per-key
+        # event loop is _run_events, shared verbatim with `proc`.
+        per_key: dict[str, list[_Partial]] = {}
+        if state.exists:
+            s_keys, s_step, s_start, s_aux, s_toks = state.get
+            for k, st, su, ax, tk in zip(s_keys, s_step, s_start, s_aux, s_toks):
+                per_key.setdefault(k, []).append(_load_partial(st, su, ax, tk))
+        matches: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["__key", "__ts", "__id"])
+            flags = _flags_of(pdf)
+            ids = pdf["__id"].to_numpy()
+            tss = pdf["__ts"].astype("int64").to_numpy()  # ns
+            keys_arr = pdf["__key"].to_numpy(dtype=str)
+            bounds = (
+                [0]
+                + list((keys_arr[1:] != keys_arr[:-1]).nonzero()[0] + 1)
+                + [len(keys_arr)]
+            )
+            for si in range(len(bounds) - 1):
+                lo, hi = bounds[si], bounds[si + 1]
+                k = str(keys_arr[lo])
+                survivors = _run_events(
+                    per_key.get(k, []), ids, tss, flags, lo, hi, matches, k
+                )
+                if survivors:
+                    per_key[k] = survivors
+                else:
+                    per_key.pop(k, None)
+        flat = [
+            (k, p) for k, ps in per_key.items() for p in ps
+        ]
+        state.update(
+            (
+                [k for k, _ in flat],
+                [p.step for _, p in flat],
+                [p.start_us for _, p in flat],
+                [p.aux for _, p in flat],
+                [";".join("|".join(g) for g in p.groups) for _, p in flat],
+            )
+        )
+        yield pd.DataFrame(matches, columns=cols)
+
+    if state_buckets is not None:
+        bucketed = flagged.withColumn(
+            "__bucket", F.pmod(F.hash(F.col("__key")), F.lit(state_buckets))
+        )
+        return bucketed.groupBy("__bucket").applyInPandasWithState(
+            proc_bucketed,
+            out_schema,
+            _NFA_BUCKET_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     return flagged.groupBy("__key").applyInPandasWithState(
         proc,
         out_schema,

@@ -281,3 +281,41 @@ def test_length_window_bucketed_equals_per_key(spark, tmp_path):
         )
     assert outs["per_key"] == outs["bucketed"]
     assert len(outs["per_key"]) > 0
+
+
+def test_cep_nfa_bucketed_equals_per_key(spark):
+    """The coarse-bucket NFA state layout must produce the identical
+    match set as the per-key layout (the event loop is shared code;
+    this pins the state (de)serialization and segment routing)."""
+    import uuid
+
+    from siddhi_operator_spark.catalog import load_events_stream
+    from siddhi_operator_spark.streaming import cep
+
+    outs = {}
+    for variant, buckets in (("per_key", None), ("bucketed", 7)):
+        s = load_events_stream(spark, "/root/testdata/sf0.001")
+        out = cep.pattern_nfa(
+            s,
+            key="user_id",
+            step_predicates=[
+                "event_type = 'signup'",
+                "event_type = 'purchase'",
+            ],
+            within_seconds=3600,
+            state_buckets=buckets,
+        )
+        name = f"nfa_{variant}_{uuid.uuid4().hex[:6]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        outs[variant] = sorted(map(tuple, spark.table(name).collect()))
+    assert outs["per_key"] == outs["bucketed"]
+    assert len(outs["per_key"]) > 0
