@@ -241,6 +241,26 @@ def _run_extension_window(
     raise ValueError(f"unsupported extension window {kind!r}")
 
 
+def _state_buckets(model: AppModel) -> int | None:
+    """`@app:stateBuckets('128')`: opt into the coarse-bucket state
+    layout for stateful-custom operators (CEP NFA, count windows) —
+    amortizes the per-(group × micro-batch) python-call constant over
+    every key in a bucket (measured 6–8× at ×100, SCALEBENCH round 5).
+    Default off: per-key state is better for sparse-key streams."""
+    from ..sources import parse_annotation
+
+    for raw in model.annotations:
+        ann = parse_annotation(raw)
+        if ann.name.lower() in ("app:statebuckets", "statebuckets"):
+            v = ann.options.get("value")
+            if v is None:
+                # positional form `@app:stateBuckets('128')` parses as a
+                # bare key with empty value
+                v = next(iter(ann.options), None)
+            return int(str(v).strip("'\" ")) if v else 128
+    return None
+
+
 def playback_config(model: AppModel) -> dict[str, float] | None:
     """`@app:playback[(idle.time='…', increment='…')]`
     (`[core] util/SiddhiAppRuntimeBuilder` playback mode; SURVEY §2.1
@@ -1854,6 +1874,7 @@ def _run_pattern_streaming(
     id_col: str,
     key: str,
     watermark: str,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Route a front-end pattern query to the streaming NFA
     (`..streaming.cep`): followed-by / strict sequence / logical
@@ -1990,6 +2011,7 @@ def _run_pattern_streaming(
             within_seconds=inp.within_seconds,
             every=inp.every,
             strict=inp.strict,
+            state_buckets=state_buckets,
         )
     if not q.select:
         return out
@@ -2188,7 +2210,7 @@ def run_app_streaming(
         if isinstance(inp, PatternInput):
             df = _run_pattern_streaming(
                 env, q, inp, ts_col, id_col, q.partition_key or pattern_key,
-                watermark,
+                watermark, state_buckets=_state_buckets(model),
             )
             if q.having:
                 df = df.filter(F.expr(q.having))

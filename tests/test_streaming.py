@@ -648,3 +648,40 @@ def test_front_end_membership_filter_streaming(spark, events_df):
     q.stop()
     got = {r.event_type for r in spark.sql(f"select * from {name}").collect()}
     assert "click" not in got and len(got) > 0
+
+
+def test_state_buckets_annotation_routes_pattern(spark, events_df):
+    """`@app:stateBuckets('7')` opts pattern queries into the coarse-
+    bucket NFA state layout through the front end — same matches as
+    the default per-key layout."""
+    import tempfile
+    import uuid
+
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    base = """
+    define stream E (event_id long, ts string, user_id long, event_type string, value double);
+    from every s=E[event_type=='signup'] -> p=E[event_type=='purchase'] within 1 hour
+    select s.event_id as sid, p.event_id as pid insert into O;
+    """
+    results = {}
+    for variant, app in (
+        ("per_key", base),
+        ("bucketed", "@app:stateBuckets('7')\n" + base),
+    ):
+        d = tempfile.mkdtemp(prefix="replay_sb_")
+        SRC.replay_dir(events_df, d, "ts", 2)
+        s = SRC.file_stream(spark, d, events_df.schema, max_files_per_trigger=1)
+        outs = run_app_streaming(app, {"E": s})
+        name = f"sb_{uuid.uuid4().hex[:8]}"
+        q = (
+            outs["O"].writeStream.format("memory")
+            .queryName(name).outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[variant] = sorted(map(tuple, spark.table(name).collect()))
+    assert results["per_key"] == results["bucketed"]
