@@ -17,7 +17,9 @@ these operators extend the engine in the direction BASELINE.json's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..fpround import r4
@@ -132,6 +134,104 @@ def decontaminate(
     )
     return per_doc.select(
         "doc_id", "n_overlap_grams", F.lit(1).alias("contaminated")
+    )
+
+
+def _bloom_positions(col: Column, k: int = 4) -> list[Column]:
+    """``k`` 20-bit bloom positions from non-overlapping 5-hex-digit
+    slices of md5 — portable across engines (the DuckDB oracle derives
+    the byte-identical positions with strpos digit arithmetic)."""
+    assert 1 <= k <= 6, "md5 has 32 hex digits = six 5-digit slices"
+    h = F.md5(col)
+    return [
+        F.conv(F.substring(h, 5 * j + 1, 5), 16, 10).cast("long")
+        for j in range(k)
+    ]
+
+
+def bloom_build(grams: DataFrame, gram_col: str = "gram", k: int = 4) -> DataFrame:
+    """Aggregate a gram set into a 2^20-bit bloom filter laid out as
+    (word_idx, word) 64-bit words via ``bit_or`` — at most 16 384 rows
+    (~128 KB broadcast) REGARDLESS of how large the eval/blocklist set
+    grows. That fixed size is the scale story: the exact-gram broadcast
+    in :func:`decontaminate` grows linearly with the benchmark suite,
+    this one never does."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(gram_col), k))).alias("pos")
+    return (
+        grams.select(pos)
+        .groupBy(F.expr("shiftright(pos, 6)").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    gram_col: str = "gram",
+    keys: Sequence[str] = ("doc_id",),
+    k: int = 4,
+) -> DataFrame:
+    """Keep the rows whose ``gram_col`` is (probably) in the bloom set:
+    every one of the k bit positions must be set. Map-side only — the
+    bloom word table broadcasts; a row explodes to k probe rows and
+    folds back with ``min(hit)``; no corpus-wide shuffle beyond the
+    per-(keys, gram) fold."""
+    keys = list(keys)
+    probe = df.select(
+        *keys,
+        gram_col,
+        F.explode(F.array(*_bloom_positions(F.col(gram_col), k))).alias("pos"),
+    ).withColumn("word_idx", F.expr("shiftright(pos, 6)"))
+    joined = probe.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (
+        F.col("word").isNotNull()
+        & (F.expr("shiftright(word, CAST(pos % 64 AS INT)) & 1") == 1)
+    ).cast("int")
+    return (
+        joined.select(*keys, gram_col, hit.alias("_hit"))
+        .groupBy(*keys, gram_col)
+        .agg(F.min("_hit").alias("_all_hit"))
+        .filter(F.col("_all_hit") == 1)
+        .drop("_all_hit")
+    )
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    eval_mod: int = 97,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB path of
+    :func:`decontaminate`. The exact variant broadcasts the eval gram
+    STRINGS (grows with the benchmark suite; 13-grams are ~100 B each);
+    this one folds them into a 2^20-bit / 16 384-word bloom filter
+    (~128 KB, fixed) and probes each training gram with k=4 hashes —
+    one tiny broadcast join inside the scan, false-positive rate
+    (1 - e^(-k·n/m))^k ≈ 2e-6 at 10 k eval grams, i.e. over-flagging
+    a handful of documents per billion, the right trade for a filter
+    whose cost must not scale with the eval suite.
+
+    Output matches :func:`decontaminate` (doc_id, n_flagged_grams,
+    contaminated) so the two are drop-in interchangeable; the DuckDB
+    oracle replays the bit-exact position membership, so the driver
+    proves the bloom semantics, FPs included."""
+    grams = _word_ngrams(df, text_col, n)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % eval_mod == 0).select("gram").distinct()
+    )
+    bloom = bloom_build(eval_grams, "gram", k)
+    train = grams.filter(F.col("doc_id") % eval_mod != 0)
+    flagged = bloom_probe(train, bloom, "gram", keys=("doc_id",), k=k)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_flagged_grams"))
+        .select("doc_id", "n_flagged_grams", F.lit(1).alias("contaminated"))
     )
 
 

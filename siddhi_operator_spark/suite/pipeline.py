@@ -938,6 +938,76 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     return C.decontaminate(load(spark, sf, "documents"), n=3, eval_mod=97)
 
 
+# ---- programmatically build the bloom-decontamination oracle: the
+# same k=4 20-bit positions as pipeline.curation._bloom_positions
+# (position j = int(md5(gram)[5j : 5j+5], 16)), membership = every
+# position in the union position set of the eval grams — which is
+# exactly what testing k bits against the bloom word table computes,
+# false positives included, so the driver proves the bloom semantics
+# bit-for-bit. ---------------------------------------------------------
+
+
+def _duck_hex5(start: int) -> str:
+    """DuckDB expression: 5 hex digits of column hh at 1-based
+    ``start`` as an integer (no native hex→int in DuckDB ≤1.x)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(hh, {start + d}, 1)) - 1)"
+            f" * {16 ** (4 - d)}"
+            for d in range(5)
+        )
+        + ")"
+    )
+
+
+_BLOOM_POS = [_duck_hex5(5 * j + 1) for j in range(4)]
+
+BLOOM_DECONTAM_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(ws[i:i+2], ' '))) AS gram
+      FROM t
+    ), eh AS (
+      SELECT DISTINCT md5(gram) AS hh FROM g WHERE doc_id % 97 = 0
+    ), epos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{", ".join(_BLOOM_POS)}]) AS pos FROM eh
+      )
+    ), th AS (
+      SELECT DISTINCT doc_id, gram, md5(gram) AS hh
+      FROM g WHERE doc_id % 97 != 0
+    ), hit AS (
+      SELECT doc_id, gram FROM th
+      WHERE {" AND ".join(f"{p} IN (SELECT pos FROM epos)" for p in _BLOOM_POS)}
+    )
+    SELECT doc_id, count(DISTINCT gram) AS n_flagged_grams, 1 AS contaminated
+    FROM hit GROUP BY 1
+"""
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=BLOOM_DECONTAM_ORACLE,
+    tags=("pipeline", "curation", "decontamination", "bloom"),
+)
+def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB path of
+    `decontaminate_ngram`: the eval gram set folds into a 2^20-bit
+    bloom filter stored as ≤16 384 (word_idx, word) rows via `bit_or`
+    (~128 KB broadcast, FIXED no matter how many benchmarks join the
+    suite), and every training gram probes k=4 bits map-side. The
+    oracle replays the identical position membership in DuckDB, so
+    this row is driver-proven bit-for-bit, false positives included."""
+    return C.decontaminate_bloom(
+        load(spark, sf, "documents"), n=3, eval_mod=97, k=4
+    )
+
+
 @register(
     "domain_mix_sample",
     oracle="""

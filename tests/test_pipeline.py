@@ -222,6 +222,43 @@ def test_decontaminate_flags_overlap_only(spark):
     assert out == {1: 1}  # only "alpha beta gamma" is shared
 
 
+def test_decontaminate_bloom_superset_of_exact(spark):
+    """The bloom path must flag every exactly-contaminated gram (no
+    false negatives — bloom's guarantee) and, on a vocabulary this
+    small, nothing else (FP rate ≈ 2e-6 per probe). Counts per doc
+    must match the exact path wherever both flag."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma w{i * 7 % 13} end tok{i}") for i in range(30)]
+        + [(100, "alpha beta gamma delta"), (105, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id: r.n_overlap_grams
+             for r in C.decontaminate(df, n=3, eval_mod=5).collect()}
+    bloom = {r.doc_id: r.n_flagged_grams
+             for r in C.decontaminate_bloom(df, n=3, eval_mod=5).collect()}
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n
+    assert bloom == exact  # no FP at this vocabulary size
+
+
+def test_bloom_word_table_is_bounded(spark):
+    """The bloom table never exceeds 2^20/64 = 16384 words no matter
+    the gram-set size — the fixed-broadcast property the 100 TB
+    decontamination path rests on."""
+    grams = spark.range(5000).select(
+        F.concat(F.lit("gram-"), F.col("id")).alias("gram")
+    )
+    words = C.bloom_build(grams, "gram", k=4)
+    assert words.count() <= 16384
+    # every gram must probe back positive (zero false negatives)
+    hits = C.bloom_probe(
+        grams.withColumn("doc_id", F.col("gram")), words, "gram",
+        keys=("doc_id",), k=4,
+    )
+    assert hits.count() == 5000
+
+
 def test_domain_mix_targets_smallest_source(spark):
     rows = [(i, "w", "big") for i in range(40)] + [
         (100 + i, "w", "small") for i in range(10)

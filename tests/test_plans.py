@@ -235,6 +235,17 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_bloom_word_table_broadcasts(spark):
+    """The bloom path's only join is the ≤16 384-row word table probe —
+    it must broadcast; the corpus side must never sort-merge or go
+    cartesian, and the whole probe stays JVM-side (no Python)."""
+    plan = _fmt(REGISTRY["decontaminate_bloom"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
 def test_domain_mix_gate_is_broadcast_projection(spark):
     plan = _fmt(REGISTRY["domain_mix_sample"].fn(spark, SF))
     # the rate table joins broadcast; the corpus side never sort-merges
