@@ -140,3 +140,72 @@ def tfidf_top_terms(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: the ``top_k`` best-matching documents for a
+    fixed query term set — the ranked-lookup primitive a training-data
+    pipeline uses for targeted decontamination and eval-neighbor
+    audits (``idf·tf/(tf + k1·(1−b+b·len/avglen))`` with the standard
+    Robertson idf ``ln(1 + (N−df+0.5)/(df+0.5))``).
+
+    Scale design — this never builds a corpus-wide posting list:
+    per-query-term tf is a pure PROJECTION (``size(filter(tokens, …))``
+    per term — |Q| array scans inside codegen, zero shuffle), the
+    corpus statistics (N, avg doclen, per-term df) are ONE scalar
+    aggregation row that broadcasts back, and the final top-k compiles
+    to TakeOrderedAndProject (per-partition heap + driver merge of
+    top_k·n_partitions rows, never a global sort). At 100 TB the only
+    exchange is the single-row stats agg.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+    def _tf(q: str) -> Column:
+        # NB: a `lambda t, q=q:` default-arg closure would make the
+        # higher-order filter pass the array INDEX as the second param
+        return F.size(F.filter(toks, lambda t: t == F.lit(q)))
+
+    tf_cols = [
+        _tf(q).cast("double").alias(f"_tf{i}") for i, q in enumerate(query_terms)
+    ]
+    base = df.select(F.col(id_col), F.size(toks).cast("double").alias("_len"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_len").alias("_avglen"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        part = idf * F.col(f"_tf{i}") / (
+            F.col(f"_tf{i}")
+            + k1 * (1.0 - b + b * F.col("_len") / F.col("_avglen"))
+        )
+        score = part if score is None else score + part
+    scored = scored.select(F.col(id_col), score.alias("_score")).filter(
+        F.col("_score") > 0
+    )
+    # 6-dp epsilon-rounded sort key: engine-portable deterministic
+    # order (ln differs ~1e-15 across engines; raw-float ordering
+    # would make the top-k cutoff a coin flip on near-ties)
+    key = F.round(F.col("_score") + 1e-9, 6)
+    return (
+        scored.orderBy(key.desc(), F.col(id_col))
+        .limit(top_k)
+        .select(id_col, r4(F.col("_score")).alias("score"))
+    )

@@ -1192,6 +1192,70 @@ def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return X.tfidf_top_terms(load(spark, sf, "documents"), top_k=3)
 
 
+# ---- programmatically build the BM25 oracle so the query terms and
+# constants live in exactly one place ---------------------------------
+
+BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_TFS = ",\n             ".join(
+    f"CAST(len(list_filter(ws, x -> x = '{q}')) AS DOUBLE) AS tf{i}"
+    for i, q in enumerate(BM25_TERMS)
+)
+_BM25_DFS = ",\n             ".join(
+    f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+    for i in range(len(BM25_TERMS))
+)
+_BM25_SCORE = "\n           + ".join(
+    f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i}"
+    f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avglen))"
+    for i in range(len(BM25_TERMS))
+)
+
+BM25_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(ws) AS DOUBLE) AS dl,
+             {_BM25_TFS}
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS ws
+            FROM documents)
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avglen,
+             {_BM25_DFS}
+      FROM base
+    ), scored AS (
+      SELECT doc_id,
+             {_BM25_SCORE} AS score
+      FROM base, stats
+    )
+    SELECT doc_id, round(1e-9 + score, 4) AS score
+    FROM scored WHERE score > 0
+    ORDER BY round(1e-9 + score, 6) DESC, doc_id LIMIT 20
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=BM25_ORACLE,
+    tags=("pipeline", "text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query over the corpus — the
+    targeted-decontamination / eval-neighbor-audit primitive. Per-term
+    tf is a pure projection (array filters in codegen, no posting-list
+    shuffle), corpus stats are ONE scalar agg row broadcast back, and
+    the top-k compiles to TakeOrderedAndProject (per-partition heaps,
+    never a global sort) — the plan shape that survives 100 TB."""
+    return X.bm25_topk(
+        load(spark, sf, "documents"),
+        list(BM25_TERMS),
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_k=20,
+    )
+
+
 @register(
     "embedding_centroids",
     oracle="""

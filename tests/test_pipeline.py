@@ -259,6 +259,31 @@ def test_bloom_word_table_is_bounded(spark):
     assert hits.count() == 5000
 
 
+def test_bm25_ranking_semantics(spark):
+    """More distinct query terms beats one repeated term (tf
+    saturation), rarer terms weigh more (idf), and docs with no query
+    term are absent."""
+    from siddhi_operator_spark.pipeline import text as X
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark join window extra words here"),   # all 3 terms
+            (1, "spark spark spark spark filler filler"),  # 1 term, high tf
+            (2, "spark join other tokens padding x"),    # 2 terms
+            (3, "nothing relevant at all q z"),          # 0 terms
+            (4, "spark alone padding padding padding y"),  # 1 term, tf=1
+        ],
+        "doc_id long, text string",
+    )
+    out = X.bm25_topk(df, ["spark", "join", "window"], top_k=10).collect()
+    ranked = [r.doc_id for r in out]
+    assert 3 not in ranked
+    assert ranked[0] == 0  # all three terms wins
+    assert ranked.index(2) < ranked.index(1)  # 2 distinct > 1 saturated
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[4]  # ... but tf still counts within a term
+
+
 def test_domain_mix_targets_smallest_source(spark):
     rows = [(i, "w", "big") for i in range(40)] + [
         (100 + i, "w", "small") for i in range(10)

@@ -246,6 +246,17 @@ def test_decontaminate_bloom_word_table_broadcasts(spark):
     assert "Python" not in plan
 
 
+def test_bm25_take_ordered_no_posting_list(spark):
+    """BM25: per-term tf is a projection (no (doc,term) explode
+    shuffle), corpus stats broadcast as one row, and the top-k is
+    TakeOrderedAndProject — never a global Sort."""
+    plan = _fmt(REGISTRY["text_bm25_topk"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "Python" not in plan
+
+
 def test_domain_mix_gate_is_broadcast_projection(spark):
     plan = _fmt(REGISTRY["domain_mix_sample"].fn(spark, SF))
     # the rate table joins broadcast; the corpus side never sort-merges
