@@ -354,3 +354,30 @@ def streaming_join_windowed(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = _materialize(out, "append")
     return spark.table(name)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact-dedup — Siddhi `#window.unique:deduplicate`'s
+    twin and the ingest-time tier of the corpus dedup stack:
+    `dropDuplicatesWithinWatermark` keys state by (user_id,
+    event_type), emits first arrivals (append mode) and EXPIRES state
+    as the watermark passes, so dedup state at 100 TB ingest is
+    bounded by keys-per-watermark-window, not corpus history. The
+    replay is a single micro-batch, so every in-fixture duplicate is
+    within one watermark window and the oracle is plain DISTINCT;
+    multi-batch state expiry is covered in tests/test_streaming.py."""
+    s = _events_stream(spark, sf).withWatermark("ts", "10 minutes")
+    out = (
+        s.select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)

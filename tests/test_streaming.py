@@ -685,3 +685,35 @@ def test_state_buckets_annotation_routes_pattern(spark, events_df):
             q.stop()
         results[variant] = sorted(map(tuple, spark.table(name).collect()))
     assert results["per_key"] == results["bucketed"]
+
+
+def test_streaming_dedup_watermark_expires_state(spark):
+    """dropDuplicatesWithinWatermark semantics across micro-batches:
+    a duplicate inside the delay window is dropped, but once the
+    watermark passes (first_ts + delay) the key's state expires and a
+    later identical key is a FRESH emission — bounded state, not
+    forever-dedup (that distinction is the whole point vs
+    dropDuplicates)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:00:30", 1, "click", 1.0),  # dup inside delay
+        (3, "2024-01-01 00:01:00", 2, "click", 1.0),
+        (4, "2024-01-01 01:00:00", 9, "noise", 0.0),  # advances watermark
+        (6, "2024-01-01 01:30:00", 8, "noise", 0.0),  # extra batch: state
+        # eviction runs at commit with the PREVIOUS batch's watermark,
+        # so expiry lands one batch after the advance
+        (5, "2024-01-01 02:00:00", 1, "click", 1.0),  # state expired → emits
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    s = _stream_events(spark, df, n_splits=6).withWatermark("ts", "10 minutes")
+    out = s.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    name = f"dedupwm_{uuid.uuid4().hex[:8]}"
+    _run(out, name)
+    got = spark.table(name).collect()
+    assert len(got) == 5
+    u1 = sorted(str(r.ts) for r in got if r.user_id == 1)
+    assert u1 == ["2024-01-01 00:00:00", "2024-01-01 02:00:00"]
