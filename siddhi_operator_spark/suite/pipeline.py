@@ -622,6 +622,61 @@ def similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "similarity_pq",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), sub AS (
+      SELECT vec_id, j, vec[j*8+1 : j*8+8] AS sv
+      FROM v, (SELECT unnest(range(0, 8)) AS j)
+    ), cb AS (
+      SELECT j AS cb_j, vec_id AS code, sv AS c_vec FROM sub WHERE vec_id < 16
+    ), enc AS (
+      SELECT s.vec_id, s.j, c.code,
+             round(1e-9 + list_dot_product(s.sv, s.sv)
+                   - 2 * list_dot_product(s.sv, c.c_vec)
+                   + list_dot_product(c.c_vec, c.c_vec), 6) AS d2
+      FROM sub s JOIN cb c ON s.j = c.cb_j
+    ), codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d2, code) AS rn
+        FROM enc) WHERE rn = 1
+    ), lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.code,
+             list_dot_product(s.sv, c.c_vec) AS qdot
+      FROM sub s JOIN cb c ON s.j = c.cb_j
+      WHERE s.vec_id < 5
+    ), cand AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.qdot) AS approx_dot
+      FROM codes k JOIN lut l
+        ON k.j = l.j AND k.code = l.code AND k.vec_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           round(1e-9 + approx_dot, 4) AS approx_dot, rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY round(1e-9 + approx_dot, 4) DESC, neighbor_id) AS rank
+          FROM cand)
+    WHERE rank <= 3
+    """,
+    tags=("pipeline", "similarity", "pq"),
+)
+def similarity_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (the PQ half of IVFADC): 64 float32
+    dims compress to 8 one-byte codes (32×), queries rank via ADC
+    lookup-table sums without ever touching the original vectors — the
+    memory-bound tier between `similarity_ivf` (partition pruning) and
+    `similarity_bruteforce` (exact). Codebooks are sample-seeded (the
+    first 16 vectors' subvectors) so the oracle reproduces the whole
+    encode+ADC pipeline bit-for-bit; k-means codebooks swap in without
+    changing the plan. All Catalyst array expressions — no Python."""
+    emb = load(spark, sf, "embeddings")
+    return S.pq_topk(emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5)
+
+
+@register(
     "multimodal_decode_real",
     oracle="""
     SELECT doc_id,

@@ -379,3 +379,28 @@ def test_connected_components_disk_checkpoint_tier(spark, tmp_path):
         ).collect()
     }
     assert mem == disk == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_pq_topk_adc_approximates_exact(spark):
+    """PQ/ADC sanity on the real fixture: deterministic output, k rows
+    per query, and the ADC ranking recovers a decent share of the
+    exact cosine top-3 (codebooks are only sample-seeded, so expect
+    approximation, not equality)."""
+    from siddhi_operator_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    pq = S.pq_topk(emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5)
+    rows = pq.collect()
+    assert len(rows) == 15  # 5 queries x k=3
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    # determinism: a second run returns the identical ranking
+    again = S.pq_topk(emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # recall@3 vs the exact tier: weak but nonzero approximation bar
+    exact = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    # near-uniform synthetic vectors are PQ's worst case and the
+    # codebooks are sample-seeded, so demand signal, not fidelity:
+    # random guessing on ~50 candidates would land ~1 of 15 slots
+    assert len(ex & got) >= 3
