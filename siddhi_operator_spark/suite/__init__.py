@@ -113,7 +113,10 @@ _R3_MODULES: tuple[str, ...] = ()
 # pattern_first_match (displaced by source_cdc_debezium this round) —
 # plus the r5-late never-checked rows source_file_xml_mapper,
 # source_file_keyvalue_mapper, source_avro_wire_roundtrip,
-# source_onerror_fault_split, siddhiql_define_function.
+# source_onerror_fault_split, siddhiql_define_function — and the
+# round-5 second-session additions decontaminate_bloom, text_bm25_topk,
+# streaming_dedup_watermark, similarity_pq (all locally oracle-green,
+# never driver-checked).
 
 
 def _rotate_for_driver_window() -> None:

@@ -1059,7 +1059,7 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays the identical position membership in DuckDB, so
     this row is driver-proven bit-for-bit, false positives included."""
     return C.decontaminate_bloom(
-        load(spark, sf, "documents"), n=3, eval_mod=97, k=4
+        load(spark, sf, "documents"), n=3, eval_mod=97, k=4, hash_fn="md5"
     )
 
 

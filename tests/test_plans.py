@@ -235,12 +235,16 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_decontaminate_bloom_word_table_broadcasts(spark):
-    """The bloom path's only join is the ≤16 384-row word table probe —
-    it must broadcast; the corpus side must never sort-merge or go
-    cartesian, and the whole probe stays JVM-side (no Python)."""
+def test_decontaminate_bloom_probe_is_projection(spark):
+    """The bloom probe attaches ONE broadcast map row (nested-loop on
+    a single row) and tests bits as pure expressions — no hash/merge
+    join of the corpus grams, no cartesian over anything larger, no
+    Python. The only aggregations are the bloom build and the final
+    per-doc count."""
     plan = _fmt(REGISTRY["decontaminate_bloom"].fn(spark, SF))
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the single-row attach
+    # the only hash join is the 16384-row dense-array build, never the
+    # corpus gram stream
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan

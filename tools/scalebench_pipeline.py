@@ -124,18 +124,36 @@ def main() -> None:
         f"{ddir}/documents.parquet"
     )
     _timed("doc count", docs.count)
-    sigs = D.minhash_signature(docs, n_hashes=32)
-    pairs = D.lsh_candidate_pairs(sigs, n_hashes=32, band_size=8)  # auto cap
-    _timed("capped LSH pairs (auto)", pairs.count)
-    strong = pairs.filter(F.col("n_sig_match") >= 30)
+    if os.environ.get("SPARK_GRAFT_SB_SKIP_DEDUP", "0") != "1":
+        sigs = D.minhash_signature(docs, n_hashes=32)
+        pairs = D.lsh_candidate_pairs(sigs, n_hashes=32, band_size=8)  # auto cap
+        _timed("capped LSH pairs (auto)", pairs.count)
+        strong = pairs.filter(F.col("n_sig_match") >= 30)
+        _timed(
+            "connected components (disk ckpt)",
+            lambda: D.connected_components(
+                strong, checkpoint_dir=f"{BASE}/cc_ckpt"
+            ).count(),
+        )
+
+    from siddhi_operator_spark.pipeline import curation as C
+    from siddhi_operator_spark.pipeline import text as X
+
     _timed(
-        "connected components (disk ckpt)",
-        lambda: D.connected_components(
-            strong, checkpoint_dir=f"{BASE}/cc_ckpt"
-        ).count(),
+        "bloom decontamination (k=4, 2^20 bits)",
+        lambda: C.decontaminate_bloom(docs, n=3, eval_mod=97).count(),
+    )
+    _timed(
+        "exact-broadcast decontamination (baseline)",
+        lambda: C.decontaminate(docs, n=3, eval_mod=97).count(),
+    )
+    _timed(
+        "BM25 top-20 (3-term query)",
+        lambda: X.bm25_topk(docs, ["spark", "join", "window"], top_k=20).count(),
     )
 
-    _run_embeddings(spark, emb_scale)
+    if emb_scale > 0:
+        _run_embeddings(spark, emb_scale)
     spark.stop()
 
 
@@ -160,6 +178,12 @@ def _run_embeddings(spark, emb_scale: int) -> None:
     _timed(
         "IVF top-3 (5 queries)",
         lambda: S.ivf_topk(emb, n_cells=8, nprobe=2, k=3, max_query_id=5).count(),
+    )
+    _timed(
+        "PQ encode+ADC top-3 (5 queries, m=8, 16 codes)",
+        lambda: S.pq_topk(
+            emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5
+        ).count(),
     )
     big_q = emb.filter(F.pmod(F.hash("vec_id"), F.lit(100)) == 0)  # ~1%
     nq = big_q.count()
