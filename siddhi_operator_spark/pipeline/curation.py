@@ -312,6 +312,45 @@ def domain_mix_sample(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     )
 
 
+def domain_mix_temperature(
+    df: DataFrame, tau: float = 0.5, key_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-based domain re-balancing — the multilingual /
+    multi-source sampling rule (sampled mass ∝ n_s^τ): keep-rate per
+    source = (n_min / n_s)^(1-τ), so the smallest source keeps
+    everything and larger sources are down-weighted with temperature
+    ``tau`` (τ=1 no change, τ=0 uniform — the :func:`domain_mix_sample`
+    special case).
+
+    Same scale shape as the uniform variant: one map-combinable
+    per-source count, a tiny broadcast rate table, and a deterministic
+    Knuth-hash gate as a pure projection — no RNG, no shuffle of the
+    corpus beyond the count.
+    """
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    target = counts.select(F.min("n_total").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "source",
+        "n_total",
+        F.pow(F.col("n_min") / F.col("n_total"), F.lit(1.0 - tau)).alias("rate"),
+    )
+    frac = (
+        (F.col(key_col).cast("bigint") % 65536) * F.lit(2654435761)
+    ) % 65536 / F.lit(65536.0)
+    kept = (
+        df.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(F.broadcast(kept), "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        r4(F.col("rate"), 4).alias("rate"),
+    )
+
+
 def seq_pack_bins(
     df: DataFrame, budget: int = 256, text_col: str = "text"
 ) -> DataFrame:

@@ -1064,6 +1064,38 @@ def decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "domain_mix_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n_total FROM documents GROUP BY 1
+    ), t AS (
+      SELECT min(n_total) AS n_min FROM c
+    ), r AS (
+      SELECT source, n_total,
+             pow(n_min * 1.0 / n_total, 0.5) AS rate
+      FROM c, t
+    ), k AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN r USING (source)
+      WHERE ((d.doc_id % 65536) * 2654435761) % 65536 / 65536.0 < r.rate
+      GROUP BY 1
+    )
+    SELECT r.source, r.n_total,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           round(1e-9 + r.rate, 4) AS rate
+    FROM r LEFT JOIN k USING (source)
+    """,
+    tags=("pipeline", "curation", "sampling"),
+)
+def domain_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature sampling (τ=0.5, keep-rate (n_min/n_s)^(1-τ)) — the
+    multilingual-corpus mixing rule, deterministic Knuth-hash gate, no
+    RNG; per-source kept counts reported. Same broadcast-rate-table
+    shape as the uniform `domain_mix_sample`."""
+    return C.domain_mix_temperature(load(spark, sf, "documents"), tau=0.5)
+
+
+@register(
     "domain_mix_sample",
     oracle="""
     WITH c AS (

@@ -404,3 +404,23 @@ def test_pq_topk_adc_approximates_exact(spark):
     # codebooks are sample-seeded, so demand signal, not fidelity:
     # random guessing on ~50 candidates would land ~1 of 15 slots
     assert len(ex & got) >= 3
+
+
+def test_domain_mix_temperature_limits(spark):
+    """τ=1 keeps everything; τ=0 equals the uniform re-balancing; in
+    between, rates interpolate monotonically (bigger source → lower
+    rate) and the smallest source always keeps rate 1."""
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "big" if i < 80 else ("mid" if i < 95 else "small"))
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    r_half = {r.source: r for r in C.domain_mix_temperature(df, tau=0.5).collect()}
+    assert r_half["small"].rate == 1.0
+    assert r_half["small"].n_kept == r_half["small"].n_total
+    assert r_half["big"].rate < r_half["mid"].rate < 1.0
+    r_one = {r.source: r.rate for r in C.domain_mix_temperature(df, tau=1.0).collect()}
+    assert all(v == 1.0 for v in r_one.values())
+    r_zero = {r.source: r.rate for r in C.domain_mix_temperature(df, tau=0.0).collect()}
+    uniform = {r.source: r.rate for r in C.domain_mix_sample(df).collect()}
+    assert r_zero == uniform

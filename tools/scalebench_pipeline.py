@@ -185,6 +185,8 @@ def _run_embeddings(spark, emb_scale: int) -> None:
             emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5
         ).count(),
     )
+    if os.environ.get("SPARK_GRAFT_SB_SKIP_COGROUP", "0") == "1":
+        return
     big_q = emb.filter(F.pmod(F.hash("vec_id"), F.lit(100)) == 0)  # ~1%
     nq = big_q.count()
     print(f"cogroup query side: {nq}", flush=True)
