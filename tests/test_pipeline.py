@@ -424,3 +424,17 @@ def test_domain_mix_temperature_limits(spark):
     r_zero = {r.source: r.rate for r in C.domain_mix_temperature(df, tau=0.0).collect()}
     uniform = {r.source: r.rate for r in C.domain_mix_sample(df).collect()}
     assert r_zero == uniform
+
+
+def test_pq_arrow_tier_matches_catalyst(spark):
+    """The BLAS encode+ADC kernel must reproduce the Catalyst tier
+    exactly under the engine rounding contract (6-dp half-up argmin,
+    4-dp half-up rank keys)."""
+    from siddhi_operator_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = S.pq_topk(emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5)
+    b = S.pq_topk(
+        emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5, impl="arrow"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -180,9 +180,15 @@ def _run_embeddings(spark, emb_scale: int) -> None:
         lambda: S.ivf_topk(emb, n_cells=8, nprobe=2, k=3, max_query_id=5).count(),
     )
     _timed(
-        "PQ encode+ADC top-3 (5 queries, m=8, 16 codes)",
+        "PQ encode+ADC top-3 catalyst (5 queries, m=8, 16 codes)",
         lambda: S.pq_topk(
             emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5
+        ).count(),
+    )
+    _timed(
+        "PQ encode+ADC top-3 arrow (5 queries, m=8, 16 codes)",
+        lambda: S.pq_topk(
+            emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5, impl="arrow"
         ).count(),
     )
     if os.environ.get("SPARK_GRAFT_SB_SKIP_COGROUP", "0") == "1":
