@@ -184,3 +184,31 @@ class ParquetUpsertTable:
             .outputMode("update")
             .start()
         )
+
+
+def store_sink(
+    stream: DataFrame,
+    stream_def,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Stream → `@store`-bound external table (`[ext:store-rdbms]`
+    RDBMSTable sink et al.): each micro-batch appends through the
+    standard DataSource writer resolved from the `@store` annotation
+    (JDBC/Mongo/parquet — `sources.stores.store_options`).
+
+    foreachBatch + checkpointing gives at-least-once into stores
+    without transactional writers (JDBC appends are not idempotent on
+    replay; exactly-once needs a store-side MERGE keyed by an event id
+    — the same caveat the reference's RDBMS sink carries)."""
+    from ..sources.stores import write_store
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        write_store(batch, stream_def, mode="append")
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

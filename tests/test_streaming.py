@@ -717,3 +717,40 @@ def test_streaming_dedup_watermark_expires_state(spark):
     assert len(got) == 5
     u1 = sorted(str(r.ts) for r in got if r.user_id == 1)
     assert u1 == ["2024-01-01 00:00:00", "2024-01-01 02:00:00"]
+
+
+def test_streaming_store_sink_jdbc_derby(spark, events_df, tmp_path):
+    """Streaming @store sink: micro-batches append into a real JDBC
+    table (embedded Derby) through the annotation-resolved writer —
+    the RDBMS-sink contract, end-to-end."""
+    from siddhi_operator_spark.siddhiql import parse_app
+    from siddhi_operator_spark.sources.stores import store_options
+    from siddhi_operator_spark.sources import parse_annotation
+
+    url = f"jdbc:derby:{tmp_path}/sinkdb;create=true"
+    ann_txt = (
+        f"@store(type='rdbms', jdbc.url='{url}', table.name='EVENTS_OUT', "
+        "jdbc.driver.name='org.apache.derby.jdbc.EmbeddedDriver')"
+    )
+    # seed the table so JDBC append has a target schema
+    fmt, opts = store_options(parse_annotation(ann_txt))
+    spark.createDataFrame([], "event_id long, value double").write.format(
+        fmt
+    ).options(**opts).mode("overwrite").save()
+
+    app = parse_app(f"""
+    {ann_txt}
+    define table EVENTS_OUT (event_id long, value double);
+    define stream S (event_id long, value double);
+    """)
+    s = _stream_events(spark, events_df, n_splits=3).select("event_id", "value")
+    q = sinks.store_sink(
+        s, app.streams["EVENTS_OUT"], str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.format(fmt).options(**opts).load()
+    assert back.count() == events_df.count()
+    assert {r.event_id for r in back.collect()} == {
+        r.event_id for r in events_df.collect()
+    }
