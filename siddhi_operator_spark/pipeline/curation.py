@@ -522,3 +522,41 @@ def weighted_sample(
         "weight",
         F.row_number().over(rank_w).cast("bigint").alias("rank"),
     )
+
+
+def leakage_safe_split(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-group-aware train/valid/test split — the leakage guard
+    plain per-doc hash splits miss: two near-identical documents split
+    by `sample_hash_split` can land on opposite sides of the
+    train/test boundary and leak the test set into training. Here the
+    split key is the duplicate GROUP (bag-of-words fingerprint, the
+    same grouping `fingerprint_dedup` collapses), so every member of a
+    group shares one assignment by construction.
+
+    One keyed shuffle (the fingerprint window for the group minimum);
+    the split gate itself is the usual content-free md5-prefix
+    projection. Swap the fingerprint for a minhash connected-component
+    id to widen the guard to banded near-dups — same plan shape.
+    """
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.col(text_col), r"\s+"))
+            ),
+            " ",
+        )
+    )
+    w = Window.partitionBy("_fp")
+    with_group = df.withColumn("_fp", fp).withColumn(
+        "group_id", F.min("doc_id").over(w)
+    )
+    bucket = F.substring(F.md5(F.col("group_id").cast("string")), 1, 2)
+    return with_group.select(
+        "doc_id",
+        "group_id",
+        bucket.alias("bucket"),
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

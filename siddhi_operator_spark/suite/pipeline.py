@@ -750,6 +750,37 @@ def sample_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_leakage_safe_split",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents
+    ), g AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS group_id FROM f
+    )
+    SELECT doc_id, group_id,
+           substr(md5(CAST(group_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'valid'
+                ELSE 'test' END AS split
+    FROM g
+    """,
+    tags=("pipeline", "sampling", "dedup"),
+)
+def sample_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-group-aware split: the split key is the fingerprint
+    group's canonical doc id, so exact and word-shuffle duplicates
+    never straddle the train/test boundary (the leakage guard per-doc
+    hash splits miss). Same md5-prefix gate and thresholds as
+    sample_hash_split."""
+    return C.leakage_safe_split(load(spark, sf, "documents"))
+
+
 _LSH_BUCKET_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << (7 - i)}"
     for i in range(8)

@@ -438,3 +438,13 @@ def test_pq_arrow_tier_matches_catalyst(spark):
         emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5, impl="arrow"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_leakage_safe_split_groups_stay_together(spark, docs):
+    """Exact and word-shuffle duplicates (shared fingerprint) must get
+    ONE split assignment; distinct content may differ."""
+    out = {r.doc_id: (r.group_id, r.split)
+           for r in C.leakage_safe_split(docs).collect()}
+    assert out[0] == out[1] == out[2]  # dup group rides together
+    assert out[0][0] == 0  # canonical = min doc_id
+    assert out[3][0] == 3
