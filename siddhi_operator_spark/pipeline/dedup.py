@@ -51,13 +51,24 @@ def fingerprint_dedup(
 
 
 def minhash_signature(
-    df: DataFrame, n_hashes: int = 32, text_col: str = "text"
+    df: DataFrame, n_hashes: int = 32, text_col: str = "text", impl: str = "catalyst"
 ) -> DataFrame:
     """MinHash signatures: sig_i = min over tokens of md5(i || '|' ||
     token). md5 keeps it engine-portable; the min of a uniform hash
     over the token set is the classic Jaccard estimator. Adds columns
     sig_0..sig_{n-1}. Computed with array transforms — no explode, no
-    shuffle."""
+    shuffle.
+
+    ``impl="arrow"``: byte-identical signatures from an Arrow kernel
+    that MEMOIZES per-token hash vectors across the partition (md5 of
+    a token is recomputed per occurrence in the expression tier, but
+    natural-language token frequency is Zipfian — the cache hit rate
+    is the repetition rate) and reduces mins with one vectorized
+    bytes-min per document. Same hash family, same output (pinned by
+    test + the unchanged oracle); kept opt-in like the other Arrow
+    tiers."""
+    if impl == "arrow":
+        return _minhash_signature_arrow(df, n_hashes, text_col)
     toks = with_tokens(df, text_col)
 
     # NB: the lambda must take exactly one parameter — PySpark's
@@ -76,6 +87,70 @@ def minhash_signature(
             f"sig_{i}", F.array_min(F.transform(F.col("_dtok"), hasher(i)))
         )
     return out.drop("_dtok")
+
+
+def _minhash_signature_arrow(
+    df: DataFrame, n_hashes: int, text_col: str
+) -> DataFrame:
+    """Arrow kernel for `minhash_signature` — see its docstring. The
+    token split replicates Spark's `split(text, '\\s+')` (trailing
+    empties kept, limit −1) so the `tokens` column and every sig_i are
+    byte-identical to the expression tier."""
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("tokens", T.ArrayType(T.StringType()))]
+        + [T.StructField(f"sig_{i}", T.StringType()) for i in range(n_hashes)]
+    )
+    rx = re.compile(TOKEN_SPLIT)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        cache: dict[str, np.ndarray] = {}
+
+        def tok_vec(tok: str) -> "np.ndarray":
+            v = cache.get(tok)
+            if v is None:
+                v = np.array(
+                    [
+                        hashlib.md5(f"{i}|{tok}".encode()).hexdigest()
+                        for i in range(n_hashes)
+                    ],
+                    dtype="S32",
+                )
+                if len(cache) < 1_000_000:  # bound partition memory
+                    cache[tok] = v
+            return v
+
+        for pdf in batches:
+            tok_lists = [
+                rx.split(t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            sigs = np.empty((len(pdf), n_hashes), dtype=object)
+            for r, toks in enumerate(tok_lists):
+                if not toks:
+                    sigs[r, :] = None
+                    continue
+                # np.min lacks a bytes ufunc; column-sort row 0 is the
+                # per-signature lexicographic min (token sets are small)
+                m = np.sort(np.stack([tok_vec(t) for t in set(toks)]), axis=0)[0]
+                sigs[r, :] = [b.decode("ascii") for b in m]
+            out = pdf.copy()
+            out["tokens"] = tok_lists
+            for i in range(n_hashes):
+                out[f"sig_{i}"] = sigs[:, i]
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def lsh_candidate_pairs(

@@ -95,7 +95,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     with the exhaustive oracle (see dedup_minhash_lsh_capped for the
     corpus-scale guarded path)."""
     docs = load(spark, sf, "documents")
-    sigs = D.minhash_signature(docs, n_hashes=N_HASHES)
+    sigs = D.minhash_signature(docs, n_hashes=N_HASHES, impl="arrow")
     return D.lsh_candidate_pairs(
         sigs, n_hashes=N_HASHES, band_size=BAND_SIZE, max_bucket=None
     )
@@ -134,7 +134,7 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf: str) -> DataFrame:
     bucket otherwise explodes quadratically). Oracle applies the same
     deterministic HAVING-count filter in SQL."""
     docs = load(spark, sf, "documents")
-    sigs = D.minhash_signature(docs, n_hashes=N_HASHES)
+    sigs = D.minhash_signature(docs, n_hashes=N_HASHES, impl="arrow")
     return D.lsh_candidate_pairs(
         sigs, n_hashes=N_HASHES, band_size=BAND_SIZE, max_bucket=LSH_CAP
     )
@@ -207,7 +207,7 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     transitive closure (exact, viable at oracle scale; the Spark loop
     is the 100 TB path)."""
     docs = load(spark, sf, "documents")
-    sigs = D.minhash_signature(docs, n_hashes=N_HASHES)
+    sigs = D.minhash_signature(docs, n_hashes=N_HASHES, impl="arrow")
     pairs = D.lsh_candidate_pairs(
         sigs, n_hashes=N_HASHES, band_size=BAND_SIZE, max_bucket=None
     )  # None: parity with the oracle's exhaustive transitive closure

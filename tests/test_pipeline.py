@@ -448,3 +448,16 @@ def test_leakage_safe_split_groups_stay_together(spark, docs):
     assert out[0] == out[1] == out[2]  # dup group rides together
     assert out[0][0] == 0  # canonical = min doc_id
     assert out[3][0] == 3
+
+
+def test_minhash_arrow_tier_byte_identical(spark):
+    """The memoized Arrow minhash kernel must produce byte-identical
+    signatures to the expression tier (same md5 family, same Spark
+    split semantics incl. trailing empties)."""
+    from siddhi_operator_spark.catalog import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    cols = ["doc_id"] + [f"sig_{i}" for i in range(16)]
+    a = D.minhash_signature(d, 16).select(*cols).collect()
+    b = D.minhash_signature(d, 16, impl="arrow").select(*cols).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
