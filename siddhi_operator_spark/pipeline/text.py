@@ -209,3 +209,41 @@ def bm25_topk(
         .limit(top_k)
         .select(id_col, r4(F.col("_score")).alias("score"))
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Materialize the inverted index (term → sorted posting list +
+    document frequency + total tf) — the retrieval-side artifact a
+    corpus pipeline persists next to the parquet: BM25/decontamination
+    lookups then read one term's row instead of scanning the corpus.
+
+    One explode → one (term, doc) map-combinable count → one term-keyed
+    fold. The posting ARRAY is capped at ``max_posting`` ids (head of
+    the sorted list) so a stop-word's row cannot balloon a record —
+    past the cap a reader falls back to the scan path; `df` keeps the
+    TRUE document frequency either way. Term is the shuffle key:
+    vocabulary-bounded cardinality, Zipf skew absorbed by partial
+    aggregation (the heavy terms combine map-side)."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.slice(
+                F.sort_array(F.collect_list(F.col(id_col))), 1, max_posting
+            ).alias("postings"),
+        )
+        .select("term", "df", "total_tf", "postings")
+    )

@@ -1375,6 +1375,30 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_inverted_index",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2
+    )
+    SELECT term, count(*) AS df, sum(tf) AS total_tf,
+           (list_sort(list(doc_id)))[1:1000] AS postings
+    FROM tf GROUP BY 1
+    """,
+    tags=("pipeline", "text", "retrieval"),
+)
+def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index materialization: term -> capped sorted posting
+    list + df + total tf. Term-keyed fold, Zipf skew absorbed by
+    map-side partial aggregation; posting arrays capped at 1000 so no
+    stop-word record balloons (true df kept regardless)."""
+    return X.inverted_index(load(spark, sf, "documents"), max_posting=1000)
+
+
+@register(
     "embedding_centroids",
     oracle="""
     SELECT label, dim,

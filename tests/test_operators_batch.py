@@ -456,3 +456,44 @@ def test_bucketed_windowed_join_matches_plain(spark, events_df):
         ).collect()
     )
     assert bucketed == plain
+
+
+def test_asof_join_property_vs_merge_asof(spark):
+    """Randomized parity with pandas merge_asof (backward, exact
+    matches allowed) — the union+window formulation must agree with
+    the reference implementation on every row, including no-match
+    nulls, across random key/time layouts."""
+    import random
+
+    import pandas as pd
+
+    from siddhi_operator_spark.operators import joins as J
+
+    rng = random.Random(13)
+    for trial in range(3):
+        rights = sorted({(rng.randint(1, 4), rng.randint(0, 500))
+                         for _ in range(60)})
+        right_rows = [(k, ts, float(ts) + k) for k, ts in rights]
+        left_rows = [(i, rng.randint(1, 4), rng.randint(0, 500))
+                     for i in range(80)]
+        left = spark.createDataFrame(left_rows, "lid long, user_id long, ts long")
+        right = spark.createDataFrame(right_rows, "user_id long, ts long, v double")
+        got = {
+            r.lid: (r.r_ts, r.r_v)
+            for r in J.asof_join(
+                left, right, keys=["user_id"], right_cols=["v"]
+            ).collect()
+        }
+        lp = pd.DataFrame(left_rows, columns=["lid", "user_id", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(right_rows, columns=["user_id", "ts", "v"]).sort_values("ts")
+        ref = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction="backward",
+            suffixes=("", "_r"),
+        )
+        for _, row in ref.iterrows():
+            want = (None, None) if pd.isna(row["v"]) else (
+                # matched right ts is not emitted by merge_asof; check v
+                got[row["lid"]][0], row["v"])
+            assert got[row["lid"]][1] == want[1] or (
+                got[row["lid"]][1] is None and want[1] is None
+            ), f"trial {trial} lid {row['lid']}: {got[row['lid']]} != {want}"
