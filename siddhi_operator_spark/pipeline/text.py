@@ -247,3 +247,49 @@ def inverted_index(
         )
         .select("term", "df", "total_tf", "postings")
     )
+
+
+def char_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-bigram LM quality score — the perplexity-proxy junk
+    filter (mojibake, base64 blobs, binary spill score far from the
+    corpus distribution): per document, the mean negative log2
+    probability of its char bigrams under the corpus's own add-1-
+    smoothed bigram model.
+
+    Scale shape: the MODEL is alphabet²-bounded — one (bigram → count)
+    aggregation whose output broadcasts back (plus a single scalar
+    total/vocab row); the per-doc pass is one explode → broadcast-hash
+    lookup → per-doc mean, all map-side except the final doc-keyed
+    fold. No iteration, no Python.
+    """
+    c = F.col(text_col)
+    bigrams = df.filter(F.length(c) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - 1),
+                lambda i: c.substr(i, F.lit(2)),
+            )
+        ).alias("bigram"),
+    )
+    model = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    stats = model.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = (
+        bigrams.join(F.broadcast(model), "bigram")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                -F.log2((F.col("c") + 1.0) / (F.col("total") + F.col("v")))
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        r4(F.avg("nll"), 4).alias("avg_neg_log2p"),
+    )

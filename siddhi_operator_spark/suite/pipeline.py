@@ -1399,6 +1399,36 @@ def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_char_lm_score",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text)),
+                                   i -> substr(text, i, 2))) AS bigram
+      FROM documents WHERE length(text) >= 2
+    ), model AS (
+      SELECT bigram, count(*) AS c FROM bg GROUP BY 1
+    ), stats AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM model
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(1e-9 + avg(-log2((c + 1.0) / (total + v))), 4) AS avg_neg_log2p
+    FROM bg JOIN model USING (bigram), stats
+    GROUP BY 1
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_char_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-bigram LM quality score (perplexity proxy): mean −log2 P of
+    a doc's bigrams under the corpus's add-1-smoothed bigram model —
+    the cheap mojibake/binary-junk filter. Alphabet²-bounded model
+    broadcasts; one explode + doc-keyed mean."""
+    return X.char_lm_score(load(spark, sf, "documents"))
+
+
+@register(
     "embedding_centroids",
     oracle="""
     SELECT label, dim,

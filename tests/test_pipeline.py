@@ -461,3 +461,16 @@ def test_minhash_arrow_tier_byte_identical(spark):
     a = D.minhash_signature(d, 16).select(*cols).collect()
     b = D.minhash_signature(d, 16, impl="arrow").select(*cols).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_char_lm_score_flags_junk(spark):
+    """Documents from an alien character distribution must score a
+    higher mean -log2 P than documents that share the corpus's
+    dominant bigrams."""
+    from siddhi_operator_spark.pipeline import text as X
+
+    normal = "the cat sat on the mat and the dog sat too"
+    rows = [(i, normal) for i in range(8)] + [(100, "zq#9@!xk~%vw^&(pj)")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_neg_log2p for r in X.char_lm_score(df).collect()}
+    assert out[100] > out[0] * 1.5
