@@ -1,0 +1,112 @@
+"""End-to-end corpus curation example — the full training-data path
+composed from the engine's pipeline operators, in the order a real
+pretraining ingest runs them:
+
+  1. quality gate        (cheap per-row filters: token stats + char-LM)
+  2. PII masking         (typed redaction, audit counts)
+  3. exact dedup         (content-hash groups)
+  4. near-dup clustering (minhash → capped LSH → connected components)
+  5. decontamination     (bloom-filter n-gram probe vs the eval slice)
+  6. leakage-safe split  (duplicate groups never straddle train/test)
+  7. token-budget cut    (distributed prefix sum to a corpus budget)
+
+Run: python examples/curate_corpus.py [sf_dir]   (default sf0.01)
+
+Every step is a Catalyst plan (the only Python is the Arrow minhash
+kernel); nothing collects to the driver except tiny model tables.
+The same composition scales to a 1000-executor cluster unchanged —
+each stage's 100 TB rationale lives in its operator docstring.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from siddhi_operator_spark.catalog import load  # noqa: E402
+from siddhi_operator_spark.pipeline import curation as C  # noqa: E402
+from siddhi_operator_spark.pipeline import dedup as D  # noqa: E402
+from siddhi_operator_spark.pipeline import text as X  # noqa: E402
+from siddhi_operator_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session("curate-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, sf, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate: drop short or junk-scored docs
+    q = X.quality_score(docs).select("doc_id", "quality")
+    lm = X.char_lm_score(docs).select("doc_id", "avg_neg_log2p")
+    kept = (
+        docs.join(q, "doc_id")
+        .join(lm, "doc_id")
+        .filter((F.col("quality") > 0.2) & (F.col("avg_neg_log2p") < 12.0))
+        .drop("quality", "avg_neg_log2p")
+    )
+    n1 = kept.count()
+
+    # 2. PII masking audit (masking itself would rewrite text_col)
+    pii = C.pii_mask(kept)
+    n_pii = pii.filter(
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone")) > 0
+    ).count()
+
+    # 3. exact dedup: keep one doc per content hash
+    exact = D.exact_dedup(kept)
+    survivors = kept.join(
+        exact.select(F.col("canonical_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    n2 = survivors.count()
+
+    # 4. near-dup clusters: minhash (arrow tier) → capped LSH → CC;
+    #    keep each cluster's canonical (minimum) doc
+    sigs = D.minhash_signature(survivors, n_hashes=32, impl="arrow")
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=32, band_size=8)  # auto cap
+    strong = pairs.filter(F.col("n_sig_match") >= 30)
+    cc = D.connected_components(strong)
+    dupes = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = survivors.join(dupes, "doc_id", "left_anti")
+    n3 = survivors.count()
+
+    # 5. decontamination: bloom probe against the held-out slice
+    contaminated = C.decontaminate_bloom(survivors, n=3, eval_mod=97).select(
+        "doc_id"
+    )
+    survivors = survivors.join(contaminated, "doc_id", "left_anti")
+    n4 = survivors.count()
+
+    # 6. leakage-safe split
+    split = C.leakage_safe_split(survivors)
+    split_counts = {
+        r.split: r.n for r in split.groupBy("split").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+
+    # 7. token-budget cut on the train shard
+    train = survivors.join(
+        split.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    budget = C.token_budget_sample(train, budget_tokens=5_000)
+    n5 = budget.count()
+
+    print(
+        f"docs {n0} -> quality {n1} -> exact-dedup {n2} -> "
+        f"neardup {n3} -> decontaminated {n4} "
+        f"(pii-flagged {n_pii}; splits {split_counts}; "
+        f"train@5k-tokens {n5})"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
