@@ -96,14 +96,14 @@ def main() -> None:
         "doc_id",
         "left_semi",
     )
-    budget = C.token_budget_sample(train, budget_tokens=5_000)
+    budget = C.token_budget_sample(train, budget_tokens=2_000)
     n5 = budget.count()
 
     print(
         f"docs {n0} -> quality {n1} -> exact-dedup {n2} -> "
         f"neardup {n3} -> decontaminated {n4} "
         f"(pii-flagged {n_pii}; splits {split_counts}; "
-        f"train@5k-tokens {n5})"
+        f"train@2k-tokens {n5})"
     )
     spark.stop()
 
