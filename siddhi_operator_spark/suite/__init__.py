@@ -115,8 +115,9 @@ _R3_MODULES: tuple[str, ...] = ()
 # source_file_keyvalue_mapper, source_avro_wire_roundtrip,
 # source_onerror_fault_split, siddhiql_define_function — and the
 # round-5 second-session additions decontaminate_bloom, text_bm25_topk,
-# streaming_dedup_watermark, similarity_pq (all locally oracle-green,
-# never driver-checked).
+# streaming_dedup_watermark, similarity_pq, domain_mix_temperature,
+# sample_leakage_safe_split, text_inverted_index, text_char_lm_score
+# (all locally oracle-green, never driver-checked).
 
 
 def _rotate_for_driver_window() -> None:
