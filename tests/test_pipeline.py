@@ -474,3 +474,28 @@ def test_char_lm_score_flags_junk(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.avg_neg_log2p for r in X.char_lm_score(df).collect()}
     assert out[100] > out[0] * 1.5
+
+
+def test_text_ops_null_and_empty_text(spark):
+    """Null / empty / whitespace-only text must not crash any text or
+    curation op, and the two minhash tiers must agree on the edge
+    cases (null → null sigs; whitespace-only → the empty-token
+    signature, same as the expression tier's split semantics)."""
+    from siddhi_operator_spark.pipeline import text as X
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    assert len(X.token_stats(df).collect()) == 4
+    assert len(X.quality_score(df).collect()) == 4
+    assert len(C.pii_mask(df).collect()) == 4
+    assert len(X.char_lm_score(df).collect()) == 2  # <2 chars filtered
+    a = D.minhash_signature(df, 4).select("doc_id", "sig_0", "sig_3").collect()
+    b = D.minhash_signature(df, 4, impl="arrow").select(
+        "doc_id", "sig_0", "sig_3"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_id = {r.doc_id: r.sig_0 for r in a}
+    assert by_id[1] is None
+    assert by_id[2] == by_id[4]  # "" and "  " both tokenize to {""}
