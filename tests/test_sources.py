@@ -893,3 +893,49 @@ def test_store_rdbms_embedded_derby_roundtrip(spark, tmp_path):
     out = run_app(app, {"S": s}, ts_col="", id_col="")["Out"]
     got = {(r.user_id, r.tier, r.amount) for r in out.collect()}
     assert got == {(1, "gold", 10.0), (2, "silver", 5.0)}
+
+
+def test_cli_run_cr_siddhiprocess(spark, tmp_path, capsys):
+    """`run-cr process.yaml` — the operator's ACTUAL user input (a
+    `kind: SiddhiProcess` CR) runs directly: every spec.apps[*].script
+    executes; configMap refs and wrong kinds fail with clear errors."""
+    import pytest as _pytest
+
+    from siddhi_operator_spark.__main__ import main
+    from siddhi_operator_spark.siddhiql.cr import load_cr_scripts
+
+    data = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("A", 1.0), ("B", 25.0)], "sym string, price double"
+    ).write.parquet(data)
+    cr_path = str(tmp_path / "process.yaml")
+    with open(cr_path, "w") as f:
+        f.write(f"""
+apiVersion: siddhi.io/v1alpha2
+kind: SiddhiProcess
+metadata:
+  name: demo-process
+spec:
+  apps:
+    - script: |
+        @App:name("CrApp")
+        @source(type='file', dir.uri='file:{data}', @map(type='parquet'))
+        define stream S (sym string, price double);
+        from S[price > 10] select sym, price insert into Big;
+  runner: "0.2.2"
+""")
+    rc = main(["run-cr", cr_path, "--show", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "== Big ==" in out and "25.0" in out
+
+    with _pytest.raises(ValueError, match="ConfigMap"):
+        load_cr_scripts(
+            "kind: SiddhiProcess\nspec:\n  apps:\n    - configMap: cm1\n"
+        )
+    with _pytest.raises(ValueError, match="expected 'SiddhiProcess'"):
+        load_cr_scripts("kind: Deployment\nspec: {}\n")
+    # legacy v1alpha1 single-query field
+    assert load_cr_scripts(
+        "kind: SiddhiProcess\nspec:\n  query: 'define stream X (a int);'\n"
+    ) == ["define stream X (a int);"]
