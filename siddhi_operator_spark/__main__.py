@@ -57,10 +57,34 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("cr_path")
     _add_run_flags(c)
+    q = sub.add_parser(
+        "sql",
+        help="on-demand (store) query: ad-hoc SQL over the engine's "
+        "state tables (SURVEY.md §4.3)",
+    )
+    q.add_argument("query")
+    q.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="table directory registered as views (default sf0.001)",
+    )
+    q.add_argument("--show", type=int, default=20)
     args = p.parse_args(argv)
 
     from .session import build_session
     from .siddhiql import run_app, run_app_streaming
+
+    if args.cmd == "sql":
+        # §4.3 on-demand queries: the reference's runtime.query() pull
+        # path — here every table/window/rollup is a queryable view, so
+        # the surface is full Spark SQL rather than the restricted
+        # OnDemandQuery grammar (documented superset).
+        from .catalog import register_views
+
+        spark = build_session(app_name="siddhi-ondemand")
+        register_views(spark, args.sf_dir)
+        spark.sql(args.query).show(args.show, truncate=False)
+        return 0
 
     if args.cmd == "run-cr":
         from .siddhiql.cr import load_cr_scripts

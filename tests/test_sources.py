@@ -939,3 +939,17 @@ spec:
     assert load_cr_scripts(
         "kind: SiddhiProcess\nspec:\n  query: 'define stream X (a int);'\n"
     ) == ["define stream X (a int);"]
+
+
+def test_cli_ondemand_sql(spark, capsys):
+    """`sql` subcommand — §4.3 on-demand store queries as plain SQL
+    over the registered state views."""
+    from siddhi_operator_spark.__main__ import main
+
+    rc = main([
+        "sql",
+        "SELECT count(*) AS n FROM events",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "n" in out
