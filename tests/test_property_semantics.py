@@ -270,3 +270,46 @@ def test_incremental_cascade_matches_bruteforce(spark, evs):
         assert abs(sum_v - sum(vals)) < 1e-6
         assert abs(avg_v - mean) < 1e-6
         assert abs(std_v - math.sqrt(var)) < 1e-6
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    grams=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    probes=st.lists(
+        st.text(min_size=0, max_size=12), min_size=1, max_size=20
+    ),
+)
+def test_bloom_filter_no_false_negatives(spark, grams, probes):
+    """Bloom contract over arbitrary unicode grams, both hash tiers:
+    every member probes positive (zero false negatives); non-members
+    MAY false-positive but the python bit-model agrees exactly with
+    the Spark answer either way."""
+    from siddhi_operator_spark.pipeline import curation as C
+
+    member_set = set(grams)
+    gdf = spark.createDataFrame([(g,) for g in member_set], "gram string")
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(set(probes) | member_set)],
+        "doc_id long, gram string",
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        bloom = C.bloom_build(gdf, "gram", k=3, hash_fn=hash_fn)
+        hits = {
+            r.gram
+            for r in C.bloom_probe(
+                pdf, bloom, "gram", keys=("doc_id",), k=3, hash_fn=hash_fn
+            ).collect()
+        }
+        assert member_set <= hits, f"{hash_fn}: false negative"
