@@ -415,6 +415,50 @@ def winnow_fingerprints(
     )
 
 
+def cross_doc_repeats(
+    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the scalable
+    stand-in for suffix-array exact-substring dedup: a winnowing
+    fingerprint shared by ≥``min_docs`` documents marks a verbatim
+    k-gram run they have in common (boilerplate headers, license
+    blocks, templated spans — the within-doc-unique, across-corpus-
+    repeated text that document-level dedup never removes).
+
+    Same per-doc winnowing pass as :func:`winnow_fingerprints`, then
+    ONE fingerprint-keyed aggregation: count + min/max doc for each
+    shared fingerprint. Fingerprint cardinality is corpus-sized but
+    the agg is map-side combinable and the output is only the shared
+    tail. At 100 TB the output feeds a span-removal pass keyed back by
+    (doc, fingerprint)."""
+    grams = _word_ngrams(df, text_col, k).select(
+        "doc_id", "pos", F.md5(F.col("gram")).alias("h")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    tail = F.lead("h", w - 1).over(Window.partitionBy("doc_id").orderBy("pos"))
+    fps = (
+        grams.select(
+            "doc_id", F.min("h").over(win).alias("fp"), tail.alias("_full")
+        )
+        .filter(F.col("_full").isNotNull())
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,

@@ -1429,6 +1429,40 @@ def text_char_lm_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_cross_doc_repeats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+2], ' ')) AS h
+      FROM t, unnest(range(1, len(ws) - 1)) AS u(i)
+    ), w AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS _full
+      FROM g
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM w WHERE _full IS NOT NULL
+    )
+    SELECT fp, count(*) AS n_docs,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM fps GROUP BY 1 HAVING count(*) >= 2
+    """,
+    tags=("pipeline", "text", "dedup"),
+)
+def text_cross_doc_repeats(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated-substring detection (suffix-array-dedup
+    stand-in): winnowing fingerprints shared by >=2 docs mark verbatim
+    3-gram runs in common - the boilerplate/license/template spans
+    document-level dedup never removes. One per-doc winnow pass + one
+    fingerprint-keyed map-combinable aggregation."""
+    return C.cross_doc_repeats(load(spark, sf, "documents"), k=3, w=4, min_docs=2)
+
+
+@register(
     "embedding_centroids",
     oracle="""
     SELECT label, dim,

@@ -499,3 +499,19 @@ def test_text_ops_null_and_empty_text(spark):
     by_id = {r.doc_id: r.sig_0 for r in a}
     assert by_id[1] is None
     assert by_id[2] == by_id[4]  # "" and "  " both tokenize to {""}
+
+
+def test_cross_doc_repeats_finds_shared_boilerplate(spark):
+    """A license-header span pasted into several otherwise-distinct
+    docs must surface as shared fingerprints spanning those docs;
+    fully unique docs contribute nothing."""
+    header = "licensed under the apache license version two zero"
+    rows = [
+        (1, header + " alpha beta gamma delta epsilon unique one"),
+        (2, header + " totally different tail content here two"),
+        (3, "no shared content at all in this document three x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.cross_doc_repeats(df, k=3, w=4, min_docs=2).collect()
+    assert out, "shared header must produce >=1 shared fingerprint"
+    assert all(r.n_docs == 2 and {r.first_doc, r.last_doc} == {1, 2} for r in out)
