@@ -604,3 +604,24 @@ def leakage_safe_split(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def stratified_sample(
+    df: DataFrame, k_per_group: int, group_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-group quota sampling — "exactly k docs from
+    every source" (eval-holdout construction, balanced probe sets):
+    rank within each group by the content-free md5 order (a
+    reproducible shuffle, no RNG) and keep the first k.
+
+    Compiles to WindowGroupLimit: per-partition top-k heaps per group,
+    no full per-group sort materialization — the same plan shape the
+    sort/top-k windows ride, safe at any group size."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k_per_group)
+        .drop("_rk")
+    )

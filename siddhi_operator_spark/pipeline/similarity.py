@@ -690,3 +690,46 @@ def _pq_topk_arrow(
             "rank",
         )
     )
+
+
+def normalize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> DataFrame:
+    """Embedding preprocessing for ANN: optional mean-centering (the
+    per-dimension corpus mean folds to ONE broadcast row) then L2
+    normalization — after which cosine == dot, so every downstream
+    tier (brute-force, LSH, IVF, PQ) can skip per-pair norm math.
+
+    Pure Catalyst: one posexplode → per-dim avg (map-side combinable,
+    dims rows) → dense mean array in a single row → zip_with/transform
+    over the scan. No Python, no corpus-wide shuffle beyond the
+    dims-row aggregate."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = corpus.withColumn("_v", v)
+    if center:
+        mean_row = (
+            corpus.select(
+                F.posexplode(v).alias("dim", "x")
+            )
+            .groupBy("dim")
+            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("_mean")
+            )
+        )
+        out = out.join(F.broadcast(mean_row)).withColumn(
+            "_v", F.zip_with("_v", "_mean", lambda x, m: x - m)
+        ).drop("_mean")
+    norm = F.sqrt(_dot(F.col("_v"), F.col("_v")))
+    return out.select(
+        id_col,
+        F.when(norm > 0, F.transform("_v", lambda x: x / norm))
+        .otherwise(F.col("_v"))
+        .alias("embedding_norm"),
+    )

@@ -1463,6 +1463,68 @@ def text_cross_doc_repeats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified_quota",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents) WHERE rk <= 5
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group quota sampling: exactly 5 docs from every source,
+    ranked by the content-free md5 order (reproducible, no RNG) —
+    balanced eval-holdout construction. Compiles to WindowGroupLimit
+    (per-partition top-k heaps), plan-tested."""
+    return C.stratified_sample(
+        load(spark, sf, "documents"), k_per_group=5
+    ).select("doc_id", "source")
+
+
+@register(
+    "embedding_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), dims AS (
+      SELECT generate_subscripts(vec, 1) AS dim, unnest(vec) AS x FROM v
+    ), m AS (
+      SELECT dim, avg(x) AS mu FROM dims GROUP BY 1
+    ), ma AS (
+      SELECT list(mu ORDER BY dim) AS mean FROM m
+    ), c AS (
+      SELECT vec_id,
+             list_transform(range(1, len(vec) + 1), i -> vec[i] - mean[i]) AS cv
+      FROM v, ma
+    )
+    SELECT vec_id,
+           list_transform(cv, x -> 0.0 + round(1e-9 + x / sqrt(list_dot_product(cv, cv)), 4))
+             AS embedding_norm
+    FROM c
+    """,
+    tags=("pipeline", "similarity", "preprocessing"),
+)
+def embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-center + L2-normalize the embedding corpus (after which
+    cosine == dot and every ANN tier skips per-pair norms). The
+    per-dim mean folds to one broadcast row; the rest is zip_with /
+    transform inside the scan. Elements rounded 4dp for the hash
+    compare."""
+    out = S.normalize_embeddings(load(spark, sf, "embeddings"))
+    return out.select(
+        "vec_id",
+        # + 0.0 folds IEEE −0.0 to +0.0 (engines disagree on the sign
+        # of rounded negative epsilons)
+        F.transform(
+            "embedding_norm", lambda x: F.round(x + 1e-9, 4) + F.lit(0.0)
+        ).alias("embedding_norm"),
+    )
+
+
+@register(
     "embedding_centroids",
     oracle="""
     SELECT label, dim,

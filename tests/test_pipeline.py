@@ -515,3 +515,36 @@ def test_cross_doc_repeats_finds_shared_boilerplate(spark):
     out = C.cross_doc_repeats(df, k=3, w=4, min_docs=2).collect()
     assert out, "shared header must produce >=1 shared fingerprint"
     assert all(r.n_docs == 2 and {r.first_doc, r.last_doc} == {1, 2} for r in out)
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "a" if i < 20 else "b") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    out = C.stratified_sample(df, k_per_group=4)
+    per = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert per == {"a": 4, "b": 4}
+    again = C.stratified_sample(df, k_per_group=4)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_normalize_embeddings_unit_norm_and_centering(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: list(r.embedding_norm)
+           for r in S.normalize_embeddings(df).collect()}
+    for v in out.values():
+        n = math.sqrt(sum(x * x for x in v))
+        assert abs(n - 1.0) < 1e-9 or n == 0.0
+    # centered: mean vector is (4/3, 2/3); doc0 → (-1/3, -2/3) direction
+    assert out[0][0] < 0 and out[0][1] < 0
+    uncentered = {r.vec_id: list(r.embedding_norm)
+                  for r in S.normalize_embeddings(df, center=False).collect()}
+    assert uncentered[0] == [1.0, 0.0]
