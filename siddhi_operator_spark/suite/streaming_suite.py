@@ -11,6 +11,7 @@ processed, and returns the materialized result as a batch DataFrame.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -379,5 +380,71 @@ def streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+    name = _materialize(out, "append")
+    return spark.table(name)
+
+
+@register(
+    "streaming_ann_cell_ingest",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < 8
+    ), scored AS (
+      SELECT v.vec_id, c.cent_id,
+             round(1e-9 + list_dot_product(v.vec, c.cent_vec)
+               / (sqrt(list_dot_product(v.vec, v.vec))
+                  * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 4) AS cc
+      FROM v CROSS JOIN cent c
+    )
+    SELECT vec_id, cent_id AS cell FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cc DESC, cent_id) AS r
+      FROM scored
+    ) WHERE r = 1
+    """,
+    tags=("streaming", "similarity", "ann"),
+)
+def streaming_ann_cell_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ANN index maintenance: embeddings arrive as a stream
+    and each is assigned its IVF cell ON INGEST (at 100 TB the sink
+    writes cell-partitioned parquet, so probes prune to nprobe
+    partitions with no re-index batch job). The quantizer (the
+    sample-seeded centroids shared with `similarity_ivf`) collects to
+    literals — the ml-centroid contract: k×dims scalars — so the
+    argmax is a pure projection on the stream; the (−cos, cent_id)
+    struct array_min replays the batch tier's rounded-desc/id-asc
+    tie-break exactly, which is what lets the batch oracle prove the
+    STREAMING path row for row."""
+    from ..catalog import SCHEMAS
+    from ..fpround import EPS
+    from ..pipeline.similarity import _dot
+
+    cents = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    path = f"{sf}/embeddings.parquet"
+    if os.path.isdir(path):  # part-file directory (Spark's own layout)
+        s = spark.readStream.schema(SCHEMAS["embeddings"]).parquet(path)
+    else:
+        s = (
+            spark.readStream.schema(SCHEMAS["embeddings"])
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf)
+        )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(_dot(v, v))
+    choices = []
+    for r in sorted(cents, key=lambda r: r.vec_id):
+        cv = F.array(*[F.lit(float(x)) for x in r.embedding])
+        cnorm = float(sum(float(x) ** 2 for x in r.embedding)) ** 0.5
+        cc = F.round(_dot(v, cv) / (norm * F.lit(cnorm)) + F.lit(EPS), 4)
+        choices.append(F.struct((-cc).alias("negcc"), F.lit(r.vec_id).alias("cent_id")))
+    cell = F.array_min(F.array(*choices))["cent_id"]
+    out = s.select("vec_id", cell.alias("cell"))
     name = _materialize(out, "append")
     return spark.table(name)
