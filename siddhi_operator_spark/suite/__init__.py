@@ -116,8 +116,10 @@ _R3_MODULES: tuple[str, ...] = ()
 # source_onerror_fault_split, siddhiql_define_function — and the
 # round-5 second-session additions decontaminate_bloom, text_bm25_topk,
 # streaming_dedup_watermark, similarity_pq, domain_mix_temperature,
-# sample_leakage_safe_split, text_inverted_index, text_char_lm_score
-# (all locally oracle-green, never driver-checked).
+# sample_leakage_safe_split, text_inverted_index, text_char_lm_score,
+# text_cross_doc_repeats, sample_stratified_quota, embedding_normalize,
+# streaming_ann_cell_ingest (all locally oracle-green, never
+# driver-checked).
 
 
 def _rotate_for_driver_window() -> None:
