@@ -293,3 +293,43 @@ def char_lm_score(
         F.count(F.lit(1)).alias("n_bigrams"),
         r4(F.avg("nll"), 4).alias("avg_neg_log2p"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    doc→training-sample/RAG-passage expansion. stride = chunk_tokens −
+    overlap; the final partial chunk is kept (≥1 token).
+
+    Pure projection + one explode: token arrays slice in codegen, no
+    shuffle at any scale; (doc_id, chunk_idx) is a stable sample key
+    for downstream packing/dedup."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " ")
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("chunk_idx") * stride
+        ).alias("n_tokens"),
+    )

@@ -1525,6 +1525,35 @@ def embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(ws) AS n, ws,
+             unnest(range(1, len(ws) + 1, 24)) AS start
+      FROM t WHERE len(ws) >= 1
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS BIGINT)          AS chunk_idx,
+           array_to_string(ws[start:start + 31], ' ') AS chunk_text,
+           CAST(least(32, n - start + 1) AS INT)      AS n_tokens
+    FROM s
+    """,
+    tags=("pipeline", "text", "chunking"),
+)
+def text_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc → overlapping token-window chunks (32 tokens, overlap 8):
+    the training-sample / RAG-passage expansion as a pure
+    projection+explode — token arrays slice in codegen, zero shuffle
+    at any scale; (doc_id, chunk_idx) is the stable sample key."""
+    return X.chunk_documents(
+        load(spark, sf, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register(
     "embedding_centroids",
     oracle="""
     SELECT label, dim,

@@ -548,3 +548,22 @@ def test_normalize_embeddings_unit_norm_and_centering(spark):
     uncentered = {r.vec_id: list(r.embedding_norm)
                   for r in S.normalize_embeddings(df, center=False).collect()}
     assert uncentered[0] == [1.0, 0.0]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from siddhi_operator_spark.pipeline import text as X
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = X.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out}
+    assert by[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert by[(1, 1)][0].startswith("w3")  # stride 3 → overlap of 1
+    assert by[(1, 3)] == ("w9", 1)  # partial tail kept
+    assert by[(2, 0)] == ("solo", 1)
+    # reconstruction: stripping the overlap re-yields the original
+    ordered = [by[(1, i)][0].split()[1 if i else 0:] for i in range(4)]
+    flat = [w for c in ordered for w in c]
+    assert flat == [f"w{i}" for i in range(10)]
