@@ -153,6 +153,40 @@ def _minhash_signature_arrow(
     return df.mapInPandas(kernel, out_schema)
 
 
+def band_table(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    band_size: int = 8,
+) -> DataFrame:
+    """(id, band, band_hash) rows for a signature frame — ONE explode
+    over an array of per-band structs (band hash = md5 of the band's
+    sigs). Shared by the batch LSH pairing and the streaming
+    incremental dedup service so their band geometry cannot drift."""
+    n_bands = n_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{i}")
+                            for i in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band"), F.col("bb.band_hash")
+    )
+
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -203,25 +237,7 @@ def lsh_candidate_pairs(
     there. Pass an int to tune, or ``None`` for the exhaustive
     all-pairs behavior (exact-parity runs at small scale only — this
     is the path that died at 20× docs)."""
-    n_bands = n_hashes // band_size
     sig_cols = [F.col(f"sig_{i}") for i in range(n_hashes)]
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"sig_{i}")
-                            for i in range(b * band_size, (b + 1) * band_size)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
-    )
     sig_table = sigs.select(F.col(id_col), *sig_cols)
     if cache:
         sig_table = sig_table.cache()
@@ -230,9 +246,7 @@ def lsh_candidate_pairs(
     # otherwise ride through join+distinct); signatures are re-attached
     # afterwards via two joins against the (cached, broadcastable-when-
     # small) signature table.
-    banded = sig_table.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.band_hash"))
+    banded = band_table(sig_table, id_col=id_col, n_hashes=n_hashes, band_size=band_size)
     if max_bucket == "auto":
         max_bucket = 2000
     if max_bucket is not None:

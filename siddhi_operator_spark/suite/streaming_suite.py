@@ -448,3 +448,40 @@ def streaming_ann_cell_ingest(spark: SparkSession, sf: str) -> DataFrame:
     out = s.select("vec_id", cell.alias("cell"))
     name = _materialize(out, "append")
     return spark.table(name)
+
+
+@register(
+    "streaming_incremental_neardup",
+    oracle=None,  # set right below to the batch LSH oracle
+    tags=("streaming", "dedup", "lsh"),
+)
+def streaming_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """The minhash/LSH near-dup stack as a RESIDENT streaming service
+    (streaming/dedup.py): documents replay in 3 micro-batches; each
+    batch emits exactly the candidate pairs involving a new document
+    (new-vs-stored + within-batch), and signature/band state appends.
+    The union over batches equals the BATCH `lsh_candidate_pairs`
+    output pair for pair (each pair surfaces in the batch where its
+    later member arrives), so the batch DuckDB oracle proves the
+    incremental service end to end."""
+    import tempfile
+
+    from ..streaming import dedup as SD
+    from ..streaming import sources as SRC
+
+    docs = load(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="neardup_replay_")
+    SRC.replay_dir(docs, d, "doc_id", 3)
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    state = tempfile.mkdtemp(prefix="neardup_state_")
+    q = SD.incremental_neardup_sink(s, state, f"{state}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{state}/pairs")
+
+
+# the oracle is the batch LSH oracle — identical output contract
+from .pipeline import MINHASH_ORACLE as _MINHASH_ORACLE  # noqa: E402
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_incremental_neardup"].oracle = _MINHASH_ORACLE

@@ -754,3 +754,42 @@ def test_streaming_store_sink_jdbc_derby(spark, events_df, tmp_path):
     assert {r.event_id for r in back.collect()} == {
         r.event_id for r in events_df.collect()
     }
+
+
+def test_streaming_incremental_neardup_emits_once_at_later_arrival(
+    spark, tmp_path
+):
+    """Incremental LSH service semantics: a near-dup pair surfaces in
+    the micro-batch where its LATER member arrives, exactly once, and
+    the union over batches equals the batch pairing."""
+    from siddhi_operator_spark.pipeline import dedup as D
+    from siddhi_operator_spark.streaming import dedup as SD
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "unrelated text one here"),
+        (3, "alpha beta gamma delta"),   # dup of 1, later batch
+        (4, "other filler words two"),
+        (5, "delta gamma beta alpha"),   # token-set dup of 1&3, last batch
+        (6, "completely different six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "replay")
+    SRC.replay_dir(docs, d, "doc_id", 3)  # batches [1,2] [3,4] [5,6]
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    state = str(tmp_path / "state")
+    q = SD.incremental_neardup_sink(s, state, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(f"{state}/pairs")
+    pairs = sorted((r.id_a, r.id_b, r.n_sig_match) for r in got.collect())
+    batch = sorted(
+        (r.id_a, r.id_b, r.n_sig_match)
+        for r in D.lsh_candidate_pairs(
+            D.minhash_signature(docs, 32), max_bucket=None
+        ).collect()
+    )
+    assert pairs == batch
+    assert [p[:2] for p in pairs] == [(1, 3), (1, 5), (3, 5)]
+    assert len(pairs) == len(set(p[:2] for p in pairs))  # emitted once
