@@ -118,7 +118,8 @@ _R3_MODULES: tuple[str, ...] = ()
 # streaming_dedup_watermark, similarity_pq, domain_mix_temperature,
 # sample_leakage_safe_split, text_inverted_index, text_char_lm_score,
 # text_cross_doc_repeats, sample_stratified_quota, embedding_normalize,
-# streaming_ann_cell_ingest (all locally oracle-green, never
+# streaming_ann_cell_ingest, text_chunk_documents,
+# streaming_incremental_neardup (all locally oracle-green, never
 # driver-checked).
 
 
