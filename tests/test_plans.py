@@ -261,6 +261,36 @@ def test_bm25_take_ordered_no_posting_list(spark):
     assert "Python" not in plan
 
 
+def test_inverted_index_partial_agg(spark):
+    """Term-keyed fold must partial-aggregate map-side (Zipf skew
+    absorbed before the exchange) and never sort-merge."""
+    plan = _fmt(REGISTRY["text_inverted_index"].fn(spark, SF))
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_char_lm_model_broadcasts(spark):
+    """The bigram model (alphabet²-bounded) and the scalar stats row
+    must broadcast back; the corpus side never sort-merges."""
+    plan = _fmt(REGISTRY["text_char_lm_score"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Chunking is projection + explode only — no Exchange anywhere."""
+    plan = _fmt(REGISTRY["text_chunk_documents"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_stratified_quota_window_group_limit(spark):
+    plan = _fmt(REGISTRY["sample_stratified_quota"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
 def test_domain_mix_gate_is_broadcast_projection(spark):
     plan = _fmt(REGISTRY["domain_mix_sample"].fn(spark, SF))
     # the rate table joins broadcast; the corpus side never sort-merges
