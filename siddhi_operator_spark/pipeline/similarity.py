@@ -627,7 +627,14 @@ def _pq_topk_arrow(
     q = corpus
     if max_query_id is not None:
         q = q.filter(F.col(id_col) < max_query_id)
-    q_rows = q.select(id_col, vec_col).collect()
+    q_rows = q.select(id_col, vec_col).limit(MAX_BROADCAST_QUERIES + 1).collect()
+    if len(q_rows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"pq_topk arrow tier got > MAX_BROADCAST_QUERIES="
+            f"{MAX_BROADCAST_QUERIES} query vectors; bound the query set "
+            "(max_query_id) or use the catalyst tier, whose LUT join "
+            "never collects"
+        )
     q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     # LUT[q, j, c] = dot(q_j, cb[j, c])

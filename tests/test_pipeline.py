@@ -567,3 +567,21 @@ def test_chunk_documents_overlap_and_tail(spark):
     ordered = [by[(1, i)][0].split()[1 if i else 0:] for i in range(4)]
     flat = [w for c in ordered for w in c]
     assert flat == [f"w{i}" for i in range(10)]
+
+
+def test_pq_arrow_refuses_unbounded_query_collect(spark):
+    """The arrow PQ tier must refuse query sets above the broadcast
+    bound instead of collecting an unbounded corpus to the driver."""
+    import pytest as _pytest
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 8).alias("embedding"),
+    )
+    old = S.MAX_BROADCAST_QUERIES
+    S.MAX_BROADCAST_QUERIES = 10
+    try:
+        with _pytest.raises(ValueError, match="MAX_BROADCAST_QUERIES"):
+            S.pq_topk(df, dims=8, m=2, n_codes=4, k=1, impl="arrow")
+    finally:
+        S.MAX_BROADCAST_QUERIES = old
