@@ -793,3 +793,52 @@ def test_streaming_incremental_neardup_emits_once_at_later_arrival(
     assert pairs == batch
     assert [p[:2] for p in pairs] == [(1, 3), (1, 5), (3, 5)]
     assert len(pairs) == len(set(p[:2] for p in pairs))  # emitted once
+
+
+def test_streaming_incremental_neardup_property_random(spark, tmp_path):
+    """Randomized replay parity: for random corpora (dup clusters,
+    token shuffles, unique docs) split into random batch counts, the
+    streaming service's accumulated pairs must equal the batch
+    lsh_candidate_pairs output exactly."""
+    import random
+
+    from siddhi_operator_spark.pipeline import dedup as D
+    from siddhi_operator_spark.streaming import dedup as SD
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    rng = random.Random(23)
+    vocab = [f"tok{i}" for i in range(12)]
+    for trial in range(3):
+        rows = []
+        for doc_id in range(rng.randint(6, 14)):
+            if rows and rng.random() < 0.4:  # near-dup of an earlier doc
+                base = rng.choice(rows)[1].split()
+                rng.shuffle(base)
+                if rng.random() < 0.5:
+                    base = base + [rng.choice(vocab)]
+                rows.append((doc_id, " ".join(base)))
+            else:
+                rows.append(
+                    (doc_id, " ".join(rng.choices(vocab, k=rng.randint(3, 8))))
+                )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        d = str(tmp_path / f"replay{trial}")
+        n_splits = rng.randint(1, min(4, len(rows)))
+        SRC.replay_dir(docs, d, "doc_id", n_splits)
+        s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+        state = str(tmp_path / f"state{trial}")
+        q = SD.incremental_neardup_sink(s, state, str(tmp_path / f"ck{trial}"))
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{state}/pairs").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                D.lsh_candidate_pairs(
+                    D.minhash_signature(docs, 32), max_bucket=None
+                ).collect(),
+            )
+        )
+        assert got == want, f"trial {trial} ({n_splits} splits)"
