@@ -99,3 +99,28 @@ def forever_extrema(
     return df.withColumn("min_forever", F.min(col).over(w)).withColumn(
         "max_forever", F.max(col).over(w)
     )
+
+
+def salted_distinct_count(
+    df, key_cols, value_col: str, n_salts: int = 32
+):
+    """Exact distinct count with a value-hash salt split — the
+    hot-key-aggregation analog of salted joins (AQE splits skewed
+    JOINS, not skewed aggregation state): a key with billions of
+    events would concentrate its whole distinct-set on one reducer;
+    salting by ``hash(value) % n_salts`` splits that state n ways, and
+    because the salt PARTITIONS THE VALUE SPACE the per-salt distinct
+    counts add back exactly — no approximation, two map-side-combinable
+    aggregations, never a single-reducer distinct set.
+
+    (`approximate:distinctCount`'s exact sibling; SURVEY.md task-brief
+    "salting for skew".)"""
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    salted = df.groupBy(
+        *keys, F.pmod(F.xxhash64(value_col), F.lit(n_salts)).alias("_salt")
+    ).agg(F.countDistinct(value_col).alias("_d"))
+    return salted.groupBy(*keys).agg(
+        F.sum("_d").cast("long").alias("distinct_count")
+    )

@@ -545,3 +545,25 @@ def agg_udaf_custom(spark: SparkSession, sf: str) -> DataFrame:
         r4(udaf("custom:geomean")(F.col("value")), 4).alias("geo_mean"),
         r4(udaf("custom:wavg")(F.col("value"), w), 4).alias("w_avg"),
     )
+
+
+@register(
+    "agg_distinct_count_salted",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS distinct_count
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "skew"),
+)
+def agg_distinct_count_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinctCount through the value-hash salt split
+    (operators/aggregates.salted_distinct_count): a hot key's distinct
+    state shards across n_salts reducers and the partial counts add
+    back exactly — the skewed-aggregation answer AQE's skew-join
+    splitting does not give you. Oracle is the plain COUNT(DISTINCT)."""
+    from ..operators.aggregates import salted_distinct_count
+
+    return salted_distinct_count(
+        load(spark, sf, "events"), "event_type", "user_id", n_salts=32
+    )
+

@@ -497,3 +497,18 @@ def test_asof_join_property_vs_merge_asof(spark):
             assert got[row["lid"]][1] == want[1] or (
                 got[row["lid"]][1] is None and want[1] is None
             ), f"trial {trial} lid {row['lid']}: {got[row['lid']]} != {want}"
+
+
+def test_salted_distinct_count_exact(spark):
+    """Salted distinct counts must equal plain countDistinct on every
+    key, including values colliding across salts."""
+    from siddhi_operator_spark.operators.aggregates import salted_distinct_count
+
+    df = spark.createDataFrame(
+        [(i % 3, f"u{i % 17}") for i in range(500)], "k long, v string"
+    )
+    got = {r.k: r.distinct_count
+           for r in salted_distinct_count(df, "k", "v", n_salts=8).collect()}
+    want = {r.k: r.n for r in df.groupBy("k").agg(
+        F.countDistinct("v").alias("n")).collect()}
+    assert got == want

@@ -383,3 +383,13 @@ def test_udaf_single_exchange_pushed_filter(spark):
     assert "ArrowAggregatePython" in tree
     assert tree.count("Exchange") == 1
     assert "PushedFilters: [IsNotNull(value), GreaterThan(value,0.0)]" in plan
+
+
+def test_salted_distinct_two_stage_agg(spark):
+    """The salt split must produce two keyed aggregations (key+salt,
+    then key) with partial aggregation at both — never one reducer
+    holding a whole key's distinct set."""
+    plan = _fmt(REGISTRY["agg_distinct_count_salted"].fn(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # 2 stages x partial+final
+    assert "xxhash64" in plan or "pmod" in plan  # the salt derivation
+    assert "Python" not in plan
