@@ -567,3 +567,86 @@ def agg_distinct_count_salted(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "events"), "event_type", "user_id", n_salts=32
     )
 
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT round(1e-9 + 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 — promotion revenue share: fact-side date predicates
+    push to the scan, the part dimension broadcasts, and the
+    conditional ratio is one partial+final agg pair. (Adapted to the
+    fixture's flat p_type domain: equality on 'PROMO' instead of the
+    spec's LIKE prefix.)"""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            r4(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 4) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+    tags=("agg", "tpch", "join", "topk"),
+)
+def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 — returned-item revenue, top-20 customers: the
+    4-table join exercises the full dimension strategy (customer and
+    nation broadcast onto the order-filtered lineitem stream), the agg
+    is partial+final on the customer key, and the top-20 compiles to
+    TakeOrderedAndProject. Rank key rounded 4 dp (+ custkey tiebreak)
+    so the cutoff is engine-deterministic."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(r4(F.sum(rev), 4).alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)

@@ -393,3 +393,20 @@ def test_salted_distinct_two_stage_agg(spark):
     assert plan.count("HashAggregate") >= 4  # 2 stages x partial+final
     assert "xxhash64" in plan or "pmod" in plan  # the salt derivation
     assert "Python" not in plan
+
+
+def test_tpch_q10_dims_broadcast_take_ordered(spark):
+    """Q10: customer + nation broadcast; the fact-side lineitem-orders
+    join may sort-merge (both fact-sized); top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    plan = _fmt(REGISTRY["tpch_q10"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q14_pushdown_and_broadcast(spark):
+    plan = _fmt(REGISTRY["tpch_q14"].fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
