@@ -119,8 +119,8 @@ _R3_MODULES: tuple[str, ...] = ()
 # sample_leakage_safe_split, text_inverted_index, text_char_lm_score,
 # text_cross_doc_repeats, sample_stratified_quota, embedding_normalize,
 # streaming_ann_cell_ingest, text_chunk_documents,
-# streaming_incremental_neardup (all locally oracle-green, never
-# driver-checked).
+# streaming_incremental_neardup, agg_distinct_count_salted, tpch_q14,
+# tpch_q10 (all locally oracle-green, never driver-checked).
 
 
 def _rotate_for_driver_window() -> None:

@@ -1384,7 +1384,7 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     ), tf AS (
       SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2
     )
-    SELECT term, count(*) AS df, sum(tf) AS total_tf,
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
            (list_sort(list(doc_id)))[1:1000] AS postings
     FROM tf GROUP BY 1
     """,
