@@ -232,3 +232,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     SURVEY.md §4.3)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str] | str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table BUCKETED (and sorted) by its join key — the
+    co-located-join layout for fact⋈fact at 100 TB: two tables
+    bucketed by the same key with the same bucket count join with NO
+    shuffle on either side (and no per-task sort when also sorted),
+    because matching buckets are already co-partitioned on disk.
+    Broadcast covers dimensions; bucketing covers the joins where
+    BOTH sides are fact-sized — the third leg of the join strategy
+    (`tests/test_plans.py::test_bucketed_join_shuffle_free` pins the
+    exchange-free plan).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.format("parquet").saveAsTable(table)

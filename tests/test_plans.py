@@ -410,3 +410,40 @@ def test_tpch_q14_pushdown_and_broadcast(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_shuffle_free(spark, tmp_path):
+    """Co-located joins via bucketing (the 100 TB fact⋈fact strategy
+    next to broadcast-for-dims): both sides bucketed+sorted by the
+    join key with equal bucket counts must join with ZERO Exchange and
+    ZERO per-task Sort — the shuffle happened once at write time."""
+    import uuid as _uuid
+
+    from siddhi_operator_spark.catalog import load, write_bucketed
+
+    ta, tb = (f"bk_{_uuid.uuid4().hex[:8]}_{i}" for i in range(2))
+    e = load(spark, SF, "events")
+    c = load(spark, SF, "customer")
+    write_bucketed(e, ta, "user_id", n_buckets=8)
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "user_id"), tb, "user_id", n_buckets=8
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        # force the non-broadcast path — we are testing the fact⋈fact shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "user_id").groupBy(
+            "c_mktsegment"
+        ).count()
+        plan = _fmt(j)
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in plan
+        # the join itself is exchange-free; the only exchange allowed is
+        # the groupBy after it
+        join_part = tree.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
