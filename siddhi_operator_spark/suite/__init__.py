@@ -120,7 +120,8 @@ _R3_MODULES: tuple[str, ...] = ()
 # text_cross_doc_repeats, sample_stratified_quota, embedding_normalize,
 # streaming_ann_cell_ingest, text_chunk_documents,
 # streaming_incremental_neardup, agg_distinct_count_salted, tpch_q14,
-# tpch_q10 (all locally oracle-green, never driver-checked).
+# tpch_q10, streaming_join_outer (all locally oracle-green, never
+# driver-checked).
 
 
 def _rotate_for_driver_window() -> None:

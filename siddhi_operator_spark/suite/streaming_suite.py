@@ -485,3 +485,81 @@ from .pipeline import MINHASH_ORACLE as _MINHASH_ORACLE  # noqa: E402
 from .registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_incremental_neardup"].oracle = _MINHASH_ORACLE
+
+
+@register(
+    "streaming_join_outer",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    WHERE a.event_type = 'click'
+      AND a.ts <= (SELECT max(ts) FROM events) - INTERVAL 3 HOURS
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL watermarked stream-stream LEFT OUTER join: unmatched
+    clicks emit with a null view once the watermark passes their join
+    window (Spark enforces the state eviction the reference's
+    expired-event stream implies). Boundary contract, applied to BOTH
+    sides of the oracle compare: the click-side watermark is
+    max(click ts) − delay, so a click near the end of the replay still
+    holds open state when it ends (the watermark also applies one batch
+    late) — its
+    outcome is undefined until more data arrives, exactly as the
+    reference leaves unexpired windows pending on shutdown. Both
+    engines therefore exclude clicks inside a 3-hour closing margin —
+    ~12× the window+delay budget, far clear of the measured eviction
+    boundary (the last ~2 clicks at sf0.01)."""
+    import tempfile
+
+    from ..catalog import SCHEMAS
+    from ..streaming import sources as SRC
+
+    e = load(spark, sf, "events")
+    cutoff = (
+        e.agg(F.max("ts").alias("m"))
+        .select(F.col("m") - F.expr("INTERVAL 3 HOURS"))
+        .first()[0]
+    )
+    full = e.select(*SCHEMAS["events"].fieldNames())
+    d1 = tempfile.mkdtemp(prefix="replay_oj1_")
+    SRC.replay_dir(full, d1, "ts", 3)
+    d2 = tempfile.mkdtemp(prefix="replay_oj2_")
+    SRC.replay_dir(full, d2, "ts", 3)
+    # watermark the RAW streams: the type/cutoff filters must sit
+    # BELOW the watermark node, or filtering late clicks would shrink
+    # the watermark itself and the eviction boundary would chase the
+    # cutoff forever
+    from ..operators.joins import windowed_stream_join
+
+    clicks = (
+        SRC.file_stream(spark, d1, SCHEMAS["events"], max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .filter((F.col("event_type") == "click") & (F.col("ts") <= F.lit(cutoff)))
+    )
+    views = (
+        SRC.file_stream(spark, d2, SCHEMAS["events"], max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .filter(F.col("event_type") == "view")
+    )
+    joined = windowed_stream_join(
+        clicks,
+        views,
+        left_ts="ts",
+        right_ts="ts",
+        equi_keys=[("user_id", "user_id")],
+        within_seconds=300,
+        how="leftOuter",
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)
