@@ -54,3 +54,14 @@ def test_every_oracle_describes(con):
         if not spec.oracle:
             continue
         con.execute(f"DESCRIBE {spec.oracle}")  # raises on bad SQL
+
+
+def test_bench_queries_resolve():
+    """bench.py is the driver's per-round benchmark entry — every
+    headline query must exist in the registry and carry an oracle (the
+    scale mode times the DuckDB side from it)."""
+    import bench
+
+    for name in bench.BENCH_QUERIES:
+        assert name in REGISTRY, name
+        assert REGISTRY[name].oracle, name
