@@ -115,6 +115,12 @@ def _minhash_signature_arrow(
         import numpy as np
 
         cache: dict[str, np.ndarray] = {}
+        # bound the memo in BYTES, not entries: each entry is
+        # n_hashes × 32 B, so a flat entry cap would scale its real
+        # footprint with n_hashes (×32 at the default = ~1 GB/task,
+        # multiplied by task concurrency). 64 MiB per task keeps the
+        # Zipf head resident (≥2M entries at n_hashes=1, 64k at 32).
+        max_entries = (64 << 20) // (n_hashes * 32)
 
         def tok_vec(tok: str) -> "np.ndarray":
             v = cache.get(tok)
@@ -126,7 +132,7 @@ def _minhash_signature_arrow(
                     ],
                     dtype="S32",
                 )
-                if len(cache) < 1_000_000:  # bound partition memory
+                if len(cache) < max_entries:
                     cache[tok] = v
             return v
 

@@ -619,6 +619,16 @@ def _pq_topk_arrow(
         .select(id_col, vec_col)
         .collect()
     )
+    seed_ids = {int(r[0]) for r in seeds}
+    if seed_ids != set(range(n_codes)):
+        # a zero-filled missing code would silently diverge from the
+        # catalyst tier (which simply has no row for that code)
+        missing = sorted(set(range(n_codes)) - seed_ids)[:5]
+        raise ValueError(
+            f"pq_topk seed ids must cover range({n_codes}) exactly; "
+            f"got {len(seed_ids)} ids, first missing: {missing}. "
+            "Re-id the corpus densely or lower n_codes."
+        )
     cb = np.zeros((m, n_codes, sub), dtype=np.float64)
     for r in seeds:
         code = int(r[0])

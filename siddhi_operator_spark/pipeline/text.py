@@ -259,7 +259,10 @@ def inverted_index(
 
 
 def char_lm_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
 ) -> DataFrame:
     """Character-bigram LM quality score — the perplexity-proxy junk
     filter (mojibake, base64 blobs, binary spill score far from the
@@ -275,6 +278,13 @@ def char_lm_score(
     (~half the rows; measured 26 s → 4.2 s at ×100 docs). Scoring is a
     broadcast-hash lookup + count-weighted per-doc mean — no
     corpus-wide shuffle beyond the (doc, bigram) fold.
+
+    Cache lifecycle (mirrors `lsh_candidate_pairs`): the fold persist
+    outlives this call — the returned DataFrame executes later and
+    both the model build and the scoring read it. Callers that invoke
+    repeatedly (registries, benches) pass ``cache=False`` to trade one
+    extra explode pass for zero retained partitions, or unpersist via
+    ``spark.catalog.clearCache()`` once the result is materialized.
     """
     c = F.col(text_col)
     bigrams = df.filter(F.length(c) >= 2).select(
@@ -286,11 +296,9 @@ def char_lm_score(
             )
         ).alias("bigram"),
     )
-    bg = (
-        bigrams.groupBy(id_col, "bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()  # shared by model build AND scoring (lsh cache precedent)
-    )
+    bg = bigrams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    if cache:
+        bg = bg.persist()  # shared by model build AND scoring
     model = bg.groupBy("bigram").agg(F.sum("cnt").alias("c"))
     stats = model.agg(
         F.sum("c").cast("double").alias("total"),

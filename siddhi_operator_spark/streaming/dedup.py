@@ -7,21 +7,63 @@ signature/band state grows append-only.
 Per-batch cost is new-bands × colliding buckets — never a corpus-wide
 recompute. At 100 TB the band store is written bucketed by
 (band, band_hash) so the new-vs-stored join prunes to the buckets the
-batch actually touches; here it is plain parquet append (same
-contract, no pruning at test scale). Replaying a corpus through this
-service yields the batch `lsh_candidate_pairs` output exactly — every
-pair (a, b) is emitted once, in the batch where its LATER member
-arrives — which is what lets the batch DuckDB oracle prove the
-streaming path (`suite/streaming_suite.streaming_incremental_neardup`).
+batch actually touches; here it is plain parquet (same contract, no
+pruning at test scale). Replaying a corpus through this service yields
+the batch `lsh_candidate_pairs` output exactly — every pair (a, b) is
+emitted once, in the batch where its LATER member arrives — which is
+what lets the batch DuckDB oracle prove the streaming path
+(`suite/streaming_suite.streaming_incremental_neardup`).
+
+Exactly-once layout: foreachBatch alone is at-least-once — a replayed
+epoch would re-append pairs AND duplicate signature/band state, which
+then multiplies join output in every later batch.  So every state
+write lands in a per-epoch subdir (``.../epoch=<id>``) with
+mode("overwrite"): replaying epoch N overwrites N's own subdirs with a
+byte-identical recomputation (state reads are filtered to epochs
+strictly below N, so a half-committed first attempt is invisible), and
+the union over epoch dirs is exactly-once.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline import dedup as D
+
+
+def _epoch_dirs(spark: SparkSession, path: str, below: int | None = None):
+    """List committed ``epoch=N`` subdirs of ``path`` (Hadoop FS, so any
+    scheme works), optionally only epochs strictly below ``below``.
+    Existence is checked explicitly — a corrupt store surfaces as a
+    read error downstream instead of being silently treated as empty.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        e = int(name.split("=", 1)[1])
+        if below is None or e < below:
+            out.append(f"{path}/{name}")
+    return out
+
+
+def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Union the emitted candidate pairs across all committed epochs
+    (the exactly-once read face of the service)."""
+    dirs = _epoch_dirs(spark, f"{state_dir}/pairs")
+    if not dirs:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, n_sig_match int, jaccard_est double"
+        )
+    return spark.read.parquet(*dirs)
 
 
 def incremental_neardup_sink(
@@ -34,22 +76,22 @@ def incremental_neardup_sink(
 ) -> StreamingQuery:
     """Attach the incremental near-dup service to a document stream.
 
-    State layout under ``state_dir``: ``sigs/`` (doc_id, sig_*) and
-    ``bands/`` (doc_id, band, band_hash) — both append-only parquet;
-    emitted candidate pairs append to ``pairs/`` with the same schema
-    as `pipeline.dedup.lsh_candidate_pairs` (id_a, id_b, n_sig_match,
-    jaccard_est).
+    State layout under ``state_dir``: ``sigs/epoch=N`` (doc_id, sig_*)
+    and ``bands/epoch=N`` (doc_id, band, band_hash); emitted candidate
+    pairs land in ``pairs/epoch=N`` with the same schema as
+    `pipeline.dedup.lsh_candidate_pairs` (id_a, id_b, n_sig_match,
+    jaccard_est). Read the pairs with :func:`read_pairs`.
     """
     sig_dir = f"{state_dir}/sigs"
     band_dir = f"{state_dir}/bands"
     pairs_dir = f"{state_dir}/pairs"
     sig_names = [f"sig_{i}" for i in range(n_hashes)]
 
-    def _read_or_none(spark, path, schema_like):
-        try:
-            return spark.read.schema(schema_like.schema).parquet(path)
-        except Exception:
+    def _read_state(spark, path, schema_like, epoch_id):
+        dirs = _epoch_dirs(spark, path, below=epoch_id)
+        if not dirs:
             return None
+        return spark.read.schema(schema_like.schema).parquet(*dirs)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -61,7 +103,7 @@ def incremental_neardup_sink(
         sigs_new.persist()
         banded_new = D.band_table(sigs_new, n_hashes=n_hashes, band_size=band_size)
         banded_new.persist()
-        stored_bands = _read_or_none(spark, band_dir, banded_new)
+        stored_bands = _read_state(spark, band_dir, banded_new, epoch_id)
         all_bands = (
             banded_new
             if stored_bands is None
@@ -84,7 +126,7 @@ def incremental_neardup_sink(
             )
             .distinct()
         )
-        stored_sigs = _read_or_none(spark, sig_dir, sigs_new)
+        stored_sigs = _read_state(spark, sig_dir, sigs_new, epoch_id)
         all_sigs = (
             sigs_new if stored_sigs is None else sigs_new.unionByName(stored_sigs)
         )
@@ -98,11 +140,12 @@ def incremental_neardup_sink(
             .select("id_a", "id_b", n_match.alias("n_sig_match"))
             .withColumn("jaccard_est", F.col("n_sig_match") / F.lit(float(n_hashes)))
         )
-        pairs.write.mode("append").parquet(pairs_dir)
-        # commit state AFTER emitting, so a same-batch pair is produced
-        # by the banded_new self-part, not double-counted against store
-        banded_new.write.mode("append").parquet(band_dir)
-        sigs_new.write.mode("append").parquet(sig_dir)
+        # per-epoch overwrite = idempotent on replay (state reads above
+        # exclude this epoch, so recomputation is byte-identical even
+        # after a half-committed first attempt)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+        banded_new.write.mode("overwrite").parquet(f"{band_dir}/epoch={epoch_id}")
+        sigs_new.write.mode("overwrite").parquet(f"{sig_dir}/epoch={epoch_id}")
         sigs_new.unpersist()
         banded_new.unpersist()
 

@@ -28,100 +28,87 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 5.  The per-round correctness gate records
-# only the FIRST 50 registry entries in registration order.  This round:
-# (1) the two round-4 hash-reds, freshly CAST-fixed, go first so the fix is
-# driver-proven; (2) the four never-driver-checked entries; (3) the four
-# NEW round-5 rows (source/mapper layer, UDAF, kNN-graph cogroup tier);
-# (4) 40 of the 76 queries whose latest driver row is r1/r2, prioritized to
-# the paths that CHANGED since they were last checked -- the whole siddhiql
-# family (builder touched r3/r4/r5), batch patterns + aggs (events-reading,
-# last verified pre-ts-fix), similarity (tiering changed r5), and
-# dedup_minhash_lsh (cap default changed r5).  The remaining 36 r1/r2-stale
-# rows (scalar/text/multimodal/table/dedup-exact families) rotate in r6.
+# Driver-window rotation, round 6.  The per-round correctness gate records
+# only the FIRST 50 registry entries in registration order.  Round 5 left
+# 27 registry entries that had NEVER seen a driver row (wire codecs, the
+# http/xml/keyvalue sources, the round-5 text/curation/PQ/bloom tier, the
+# streaming twins) and 37 rows last driver-checked in r1/r2.  This window
+# is exactly: all 27 never-checked entries + the 17 remaining r1-stale
+# rows + 6 r2-stale rows (the dedup-exact family, ondemand_sql,
+# pattern_first_match) = 50, driving the never-checked count to ZERO and
+# the stale tail down to the 14 rows pre-staged for round 7 below.
 # Iteration order of a dict is insertion order, so rebuilding REGISTRY
 # re-ranks entries without touching any registration site.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (1) round-4 hash-reds, oracle CAST-fixed this round
-    "text_chunk_dedup_ratio",
-    "corpus_token_budget",
-    # (2) never driver-checked
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "dedup_minhash_lsh_capped",
-    # (3) new round-5 rows
-    "source_file_csv_mapper",
-    "source_kafka_json_value",
-    "source_cdc_debezium",
-    "agg_udaf_custom",
-    "similarity_knn_graph",
-    # (4a) siddhiql family -- front end changed since its r1 driver rows
-    "siddhiql_filter",
-    "siddhiql_timebatch_agg",
-    "siddhiql_join",
-    "siddhiql_join_aggregation",
-    "siddhiql_pattern",
-    "siddhiql_sequence",
-    "siddhiql_absence_pattern",
-    "siddhiql_logical_and_pattern",
-    "siddhiql_logical_or_pattern",
-    "siddhiql_count_quantifier",
-    "siddhiql_named_window",
-    "siddhiql_partition",
-    "siddhiql_partition_range",
-    "siddhiql_table_upsert",
-    "siddhiql_output_rate_last",
-    "siddhiql_define_aggregation",
-    "siddhiql_file_source",
-    # (4b) batch CEP patterns -- events-reading, r1-only rows
-    "pattern_followed_by",
-    "pattern_sequence_adjacent",
-    "pattern_absence",
-    "pattern_absence_logical",
-    "pattern_logical_and",
-    "pattern_logical_or",
-    "pattern_count_quantifier",
-    # (4c) aggregation family -- events-reading, r1-only rows
-    "agg_basic",
-    "agg_bool",
-    "agg_forever_extrema",
-    "agg_group_concat",
-    "agg_having_orderby_limit",
-    "agg_multikey",
-    "agg_rollup_cube",
-    "agg_unionset",
-    # (4d) similarity tiering + LSH cap-default changed this round
-    "similarity_bruteforce",
-    "similarity_lsh",
-    "similarity_ivf",
-    "dedup_minhash_lsh",
-    # (4e) singles: carried over from the r4 window miss + verdict asks
-    "named_window_fanout",
-    "filter_project",
-    "tpch_q1",
+    # (1) never driver-checked: sources / mappers / wire codecs
+    "source_http_json_stream",
+    "source_avro_wire_roundtrip",
+    "source_protobuf_wire_roundtrip",
+    "source_binary_wire_roundtrip",
+    "source_file_xml_mapper",
+    "source_file_keyvalue_mapper",
+    "source_onerror_fault_split",
+    "sink_file_csv_roundtrip",
+    "siddhiql_define_function",
+    # (2) never driver-checked: aggregates / TPC-H / ANN
+    "agg_distinct_count_salted",
+    "tpch_q10",
+    "tpch_q14",
+    "similarity_pq",
+    "embedding_normalize",
+    # (3) never driver-checked: round-5 text / curation tier
+    "sample_leakage_safe_split",
+    "sample_stratified_quota",
+    "decontaminate_bloom",
+    "domain_mix_temperature",
+    "text_bm25_topk",
+    "text_inverted_index",
+    "text_char_lm_score",
+    "text_cross_doc_repeats",
+    "text_chunk_documents",
+    # (4) never driver-checked: streaming twins
+    "streaming_dedup_watermark",
+    "streaming_ann_cell_ingest",
+    "streaming_incremental_neardup",
+    "streaming_join_outer",
+    # (5) r1-stale: scalar / expression family
+    "cast_convert",
+    "conditional_fns",
+    "filter_compound",
+    "json_struct_roundtrip",
+    "regex_fns",
+    "scalar_json",
+    "scalar_pol2cart",
+    "scalar_str",
+    "scalar_str_extra",
+    "scalar_time",
+    # (6) r1-stale: joins / set ops / routing
+    "join_in_table",
+    "join_not_in_table",
+    "join_multiway_dims",
+    "setops_intersect",
+    "union_streams",
+    "udtf_tokenize",
+    "partition_range_agg",
+    # (7) r2-stale: dedup family + singles
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_embedding_cosine",
+    "neardup_token_jaccard",
+    "ondemand_sql",
+    "pattern_first_match",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-6 rotation TODO: the remaining 36 r1/r2-stale rows -- scalar_*
-# (6), cast_convert, conditional_fns, json_struct_roundtrip, regex_fns,
-# text_* (4), multimodal_* (3), table_* (3), join_in/not_in/multiway,
-# udtf_tokenize, union_streams, setops_intersect, partition_range_agg,
-# ondemand_sql, incr_agg_day/hour_slice/month, dedup_exact/fingerprint/
-# embedding_cosine, neardup_token_jaccard, filter_compound,
-# pattern_first_match (displaced by source_cdc_debezium this round) —
-# plus the r5-late never-checked rows source_file_xml_mapper,
-# source_file_keyvalue_mapper, source_avro_wire_roundtrip,
-# source_onerror_fault_split, siddhiql_define_function — and the
-# round-5 second-session additions decontaminate_bloom, text_bm25_topk,
-# streaming_dedup_watermark, similarity_pq, domain_mix_temperature,
-# sample_leakage_safe_split, text_inverted_index, text_char_lm_score,
-# text_cross_doc_repeats, sample_stratified_quota, embedding_normalize,
-# streaming_ann_cell_ingest, text_chunk_documents,
-# streaming_incremental_neardup, agg_distinct_count_salted, tpch_q14,
-# tpch_q10, streaming_join_outer (all locally oracle-green, never
-# driver-checked).
+# Round-7 rotation, pre-staged (verdict r5 task 2): after this window the
+# ONLY rows >4 rounds stale are these 14 r2-rows — scalar_math,
+# incr_agg_day, incr_agg_hour_slice, incr_agg_month,
+# multimodal_decode_real, multimodal_frame_sample, multimodal_meta,
+# table_delete, table_update_add, table_upsert, text_langid,
+# text_quality, text_shingles, text_token_stats — which MUST lead the r7
+# window, followed by any rows newly added in round 6 (never-checked),
+# with the balance of the 50 going to the oldest r3/r4 rows.
 
 
 def _rotate_for_driver_window() -> None:

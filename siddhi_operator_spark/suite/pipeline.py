@@ -1425,7 +1425,9 @@ def text_char_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     a doc's bigrams under the corpus's add-1-smoothed bigram model —
     the cheap mojibake/binary-junk filter. Alphabet²-bounded model
     broadcasts; one explode + doc-keyed mean."""
-    return X.char_lm_score(load(spark, sf, "documents"))
+    # cache=False: registry entries run repeatedly (oracle gate, bench);
+    # a persist with no unpersist handle would accumulate across runs
+    return X.char_lm_score(load(spark, sf, "documents"), cache=False)
 
 
 @register(

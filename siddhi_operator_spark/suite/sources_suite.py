@@ -29,6 +29,12 @@ from ..fpround import r4
 from .registry import register
 
 
+# Hard bound on driver-resident payloads for the socket-backed http
+# entry (sf0.01 has 150 signup rows; sf0.1 ~1.5k; anything past this is
+# a misconfigured gate, not a workload).
+_HTTP_MAX_PAYLOADS = 10_000
+
+
 def _stage_dir(sf: str, kind: str) -> str:
     return f"/tmp/spark_graft_src_{kind}_{os.path.basename(os.path.normpath(sf))}"
 
@@ -476,12 +482,25 @@ def source_http_json_stream(spark: SparkSession, sf: str) -> DataFrame:
     from ..siddhiql.model import StreamDef
     from ..sources import stream_http_source
 
-    ev = (
+    src = (
         load(spark, sf, "events")
         .filter(F.col("event_type") == "signup")
         .select("event_id", "user_id", "value")
-        .collect()
     )
+    # This is the one registry entry whose cost is driver-resident (the
+    # payloads feed a real socket server on the driver thread). That is
+    # the correct test transport at oracle scale (sf0.01 = 150 rows),
+    # but at a large sf it would hang the gate — so bound it loudly
+    # instead of collecting unboundedly.
+    n_src = src.count()
+    if n_src > _HTTP_MAX_PAYLOADS:
+        raise ValueError(
+            f"source_http_json_stream is a socket-transport conformance "
+            f"entry, bounded to {_HTTP_MAX_PAYLOADS} driver-resident "
+            f"payloads; got {n_src} signup rows at sf dir {sf!r}. Run it "
+            f"against sf0.01 or smaller."
+        )
+    ev = src.collect()
     payloads = [
         _json.dumps(
             {"event_id": r.event_id, "user_id": r.user_id, "value": r.value}

@@ -477,7 +477,7 @@ def streaming_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     q = SD.incremental_neardup_sink(s, state, f"{state}/ckpt")
     q.processAllAvailable()
     q.stop()
-    return spark.read.parquet(f"{state}/pairs")
+    return SD.read_pairs(spark, state)
 
 
 # the oracle is the batch LSH oracle — identical output contract
@@ -563,3 +563,137 @@ def streaming_join_outer(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = _materialize(out, "append")
     return spark.table(name)
+
+
+@register(
+    "streaming_join_unidirectional",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts
+    """,
+    tags=("streaming", "join", "unidirectional"),
+)
+def streaming_join_unidirectional(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of `join_unidirectional` (`from clicks
+    unidirectional join views#window.time(5 min)`; `JoinProcessor`
+    trigger flags): a REAL watermarked stream-stream INNER join whose
+    time bound is one-sided — only click arrivals emit, pairing with
+    views already in the window (view.ts ∈ [click.ts − 5 min,
+    click.ts]). Inner matches emit eagerly (no watermark-gated
+    emission), so unlike the outer twin NO closing margin is needed:
+    the full batch oracle applies verbatim. The watermark still sizes
+    state eviction — a view is dropped once the watermark passes
+    view.ts + 5 min, exactly the reference's window expiry."""
+    import tempfile
+
+    from ..catalog import SCHEMAS
+    from ..operators.joins import windowed_stream_join
+    from ..streaming import sources as SRC
+
+    e = load(spark, sf, "events")
+    full = e.select(*SCHEMAS["events"].fieldNames())
+    d1 = tempfile.mkdtemp(prefix="replay_uj1_")
+    SRC.replay_dir(full, d1, "ts", 3)
+    d2 = tempfile.mkdtemp(prefix="replay_uj2_")
+    SRC.replay_dir(full, d2, "ts", 3)
+    clicks = (
+        SRC.file_stream(spark, d1, SCHEMAS["events"], max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .filter(F.col("event_type") == "click")
+    )
+    views = (
+        SRC.file_stream(spark, d2, SCHEMAS["events"], max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .filter(F.col("event_type") == "view")
+    )
+    joined = windowed_stream_join(
+        clicks,
+        views,
+        left_ts="ts",
+        right_ts="ts",
+        equi_keys=[("user_id", "user_id")],
+        within_seconds=300,
+        unidirectional=True,
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)
+
+
+@register(
+    "streaming_ratelimit_snapshot",
+    oracle="""
+    WITH latest_per AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket, user_id, value
+      FROM (
+        SELECT ts, user_id, value,
+               row_number() OVER (PARTITION BY time_bucket(INTERVAL 1 DAY, ts), user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), key_range AS (
+      SELECT user_id, min(time_bucket(INTERVAL 1 DAY, ts)) AS first_b
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT max(time_bucket(INTERVAL 1 DAY, ts)) AS last_b, max(ts) AS mx
+      FROM events
+    ), scaffold AS (
+      SELECT k.user_id,
+             unnest(generate_series(k.first_b, g.last_b, INTERVAL 1 DAY)) AS bucket
+      FROM key_range k CROSS JOIN g
+    ), filled AS (
+      SELECT s.bucket, s.user_id,
+             last_value(l.value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket
+               ROWS UNBOUNDED PRECEDING) AS value
+      FROM scaffold s
+      LEFT JOIN latest_per l ON l.bucket = s.bucket AND l.user_id = s.user_id
+    )
+    SELECT bucket, user_id, value FROM filled
+    WHERE bucket + INTERVAL 1 DAY <= (SELECT mx FROM g) - INTERVAL 12 HOURS
+    """,
+    tags=("streaming", "ratelimit", "snapshot"),
+)
+def streaming_ratelimit_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of `ratelimit_snapshot` (`output snapshot every
+    1 day`; `[core] query/output/ratelimit/snapshot/`): the per-key
+    snapshot state machine on `applyInPandasWithState` with EVENT-TIME
+    TIMEOUTS — idle keys still tick, forward-filled from their last
+    state, which no windowed aggregation can express. Emission
+    contract (same as every watermark twin): a tick is final once the
+    watermark passes its bucket end, so BOTH sides exclude ticks
+    inside a 12-hour closing margin (the watermark stops 10 min +
+    one batch short of max ts; the margin is ~72× that budget)."""
+    import tempfile
+
+    from ..catalog import SCHEMAS
+    from ..streaming import sources as SRC
+    from ..streaming.ratelimit import snapshot_every_stream
+
+    e = load(spark, sf, "events")
+    mx = e.agg(F.max("ts")).first()[0]
+    full = e.select(*SCHEMAS["events"].fieldNames())
+    d = tempfile.mkdtemp(prefix="replay_snap_")
+    SRC.replay_dir(full, d, "ts", 3)
+    s = SRC.file_stream(spark, d, SCHEMAS["events"], max_files_per_trigger=1)
+    out = snapshot_every_stream(
+        s, "ts", "1 day", "10 minutes", keys=("user_id",),
+        tiebreak="event_id", value_col="value",
+    )
+    name = _materialize(out, "append")
+    return (
+        spark.table(name)
+        .filter(
+            F.col("bucket") + F.expr("INTERVAL 1 DAY")
+            <= F.lit(mx) - F.expr("INTERVAL 12 HOURS")
+        )
+        .select("bucket", "user_id", "value")
+    )

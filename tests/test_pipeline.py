@@ -585,3 +585,17 @@ def test_pq_arrow_refuses_unbounded_query_collect(spark):
             S.pq_topk(df, dims=8, m=2, n_codes=4, k=1, impl="arrow")
     finally:
         S.MAX_BROADCAST_QUERIES = old
+
+
+def test_pq_arrow_refuses_sparse_seed_ids(spark):
+    """A missing seed id would silently become the ZERO code vector in
+    the arrow codebook (diverging from the catalyst tier, which has no
+    row for that code) — it must raise instead."""
+    import pytest as _pytest
+
+    df = spark.range(0, 50).filter(F.col("id") != 2).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 8).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="first missing: \\[2\\]"):
+        S.pq_topk(df, dims=8, m=2, n_codes=4, k=1, impl="arrow", max_query_id=5)

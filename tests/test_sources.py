@@ -953,3 +953,14 @@ def test_cli_ondemand_sql(spark, capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "n" in out
+
+
+def test_http_source_entry_bounded(spark, monkeypatch):
+    """The socket-backed http registry entry collects its payloads to
+    the driver — correct at oracle scale, a hang at a big sf. The
+    explicit bound must fail LOUDLY before any socket work."""
+    from siddhi_operator_spark.suite import sources_suite as SS
+
+    monkeypatch.setattr(SS, "_HTTP_MAX_PAYLOADS", 3)
+    with pytest.raises(ValueError, match="bounded to 3 driver-resident"):
+        SS.source_http_json_stream(spark, "/root/testdata/sf0.001")

@@ -782,7 +782,7 @@ def test_streaming_incremental_neardup_emits_once_at_later_arrival(
     q = SD.incremental_neardup_sink(s, state, str(tmp_path / "ckpt"))
     q.processAllAvailable()
     q.stop()
-    got = spark.read.parquet(f"{state}/pairs")
+    got = SD.read_pairs(spark, state)
     pairs = sorted((r.id_a, r.id_b, r.n_sig_match) for r in got.collect())
     batch = sorted(
         (r.id_a, r.id_b, r.n_sig_match)
@@ -793,6 +793,70 @@ def test_streaming_incremental_neardup_emits_once_at_later_arrival(
     assert pairs == batch
     assert [p[:2] for p in pairs] == [(1, 3), (1, 5), (3, 5)]
     assert len(pairs) == len(set(p[:2] for p in pairs))  # emitted once
+
+
+def test_streaming_incremental_neardup_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash the last epoch is
+    REPLAYED. The per-epoch overwrite layout must make that replay
+    idempotent — no duplicated pairs, no duplicated signature/band
+    state multiplying later joins. Simulate the crash by deleting the
+    newest commit marker from the checkpoint and restarting."""
+    import os
+
+    from siddhi_operator_spark.pipeline import dedup as D
+    from siddhi_operator_spark.streaming import dedup as SD
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "unrelated text one here"),
+        (3, "alpha beta gamma delta"),
+        (4, "delta gamma beta alpha"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "replay")
+    SRC.replay_dir(docs, d, "doc_id", 2)  # batches [1,2] [3,4]
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    q = SD.incremental_neardup_sink(s, state, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    # crash simulation: drop the newest commit marker → on restart the
+    # engine re-runs that epoch's foreachBatch with the same epoch_id
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"  # stale checksum would
+    if os.path.exists(crc):  # read as a concurrent writer on rewrite
+        os.remove(crc)
+    s2 = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    q2 = SD.incremental_neardup_sink(s2, state, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = sorted(
+        (r.id_a, r.id_b, r.n_sig_match)
+        for r in SD.read_pairs(spark, state).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.n_sig_match)
+        for r in D.lsh_candidate_pairs(
+            D.minhash_signature(docs, 32), max_bucket=None
+        ).collect()
+    )
+    assert got == want  # exactly-once despite the replay
+    # state must not be duplicated either (it would multiply later joins)
+    sig_ids = [
+        r.doc_id
+        for r in spark.read.parquet(
+            *SD._epoch_dirs(spark, f"{state}/sigs")
+        ).collect()
+    ]
+    assert sorted(sig_ids) == [1, 2, 3, 4]
 
 
 def test_streaming_incremental_neardup_property_random(spark, tmp_path):
@@ -831,7 +895,7 @@ def test_streaming_incremental_neardup_property_random(spark, tmp_path):
         q.processAllAvailable()
         q.stop()
         got = sorted(
-            map(tuple, spark.read.parquet(f"{state}/pairs").collect())
+            map(tuple, SD.read_pairs(spark, state).collect())
         )
         want = sorted(
             map(

@@ -319,3 +319,63 @@ def test_cep_nfa_bucketed_equals_per_key(spark):
         outs[variant] = sorted(map(tuple, spark.table(name).collect()))
     assert outs["per_key"] == outs["bucketed"]
     assert len(outs["per_key"]) > 0
+
+
+def test_snapshot_every_stream_idle_key_ticks(spark):
+    """The distinctive snapshot behavior: a key with NO new events
+    still ticks (forward-filled) via the event-time timeout — user 1
+    stops at 00:30 but must keep emitting its last value for every
+    later closed bucket; user 2's late event updates its own carry."""
+    rows = [
+        (1, "2024-01-01 00:10:00", 10, 1.0),
+        (1, "2024-01-01 00:30:00", 11, 2.0),
+        (2, "2024-01-01 00:20:00", 12, 5.0),
+        (2, "2024-01-01 02:10:00", 13, 7.0),
+        # sentinel far ahead advances the watermark so hourly buckets
+        # 0..2 all close (same trick as streaming_cep_absence)
+        (3, "2024-01-01 09:00:00", 99, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = _stream(spark, df, n_splits=2)
+    out = RL.snapshot_every_stream(
+        s, "ts", "1 hour", "10 minutes", keys=("user_id",),
+        tiebreak="event_id", value_col="value",
+    )
+    name = _run(out)
+    got = {
+        (r.user_id, str(r.bucket)): r.value
+        for r in spark.table(name).collect()
+    }
+    # user 1: bucket 0 → last value 2.0, then forward-filled ticks
+    assert got[(1, "2024-01-01 00:00:00")] == 2.0
+    assert got[(1, "2024-01-01 01:00:00")] == 2.0  # idle tick
+    assert got[(1, "2024-01-01 02:00:00")] == 2.0  # idle tick
+    # user 2: bucket 0 → 5.0, idle bucket 1 → 5.0, bucket 2 → 7.0
+    assert got[(2, "2024-01-01 00:00:00")] == 5.0
+    assert got[(2, "2024-01-01 01:00:00")] == 5.0
+    assert got[(2, "2024-01-01 02:00:00")] == 7.0
+    # no pre-first-event rows
+    assert (2, "2023-12-31 23:00:00") not in got
+
+
+def test_snapshot_every_stream_tiebreak_same_ts(spark):
+    """Two events on the same timestamp: the higher tiebreak id wins
+    the snapshot (ORDER BY ts DESC, event_id DESC contract)."""
+    rows = [
+        (1, "2024-01-01 00:10:00", 20, 1.0),
+        (1, "2024-01-01 00:10:00", 21, 9.0),
+        (3, "2024-01-01 05:00:00", 99, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = _stream(spark, df, n_splits=1)
+    out = RL.snapshot_every_stream(s, "ts", "1 hour", "10 minutes")
+    name = _run(out)
+    got = {
+        (r.user_id, str(r.bucket)): r.value
+        for r in spark.table(name).collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == 9.0

@@ -56,6 +56,47 @@ def test_every_oracle_describes(con):
         con.execute(f"DESCRIBE {spec.oracle}")  # raises on bad SQL
 
 
+def test_readme_counts_match_reality():
+    """Round-5 verdict: README's layout-section stats drifted from the
+    actual registry/test counts across rounds (166 vs 186 queries, 240
+    vs 287 tests), eroding trust in the claims ledger. Enforce: every
+    'N queries' / 'N-entry registry' figure in README equals
+    len(REGISTRY), and every 'N test functions' figure equals the
+    statically-counted number of test functions under tests/."""
+    import ast
+    import glob
+    import re
+
+    text = open("/root/repo/README.md").read()
+
+    registry_claims = [
+        int(m)
+        for m in re.findall(r"(\d+) queries|(\d+)-entry registry", text)
+        for m in m
+        if m
+    ]
+    assert registry_claims, "README no longer states the registry count"
+    for n in registry_claims:
+        assert n == len(REGISTRY), (
+            f"README claims {n} registry queries, actual {len(REGISTRY)}"
+        )
+
+    n_tests = 0
+    for p in glob.glob("/root/repo/tests/test_*.py"):
+        tree = ast.parse(open(p).read())
+        for node in ast.walk(tree):
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef)
+            ) and node.name.startswith("test"):
+                n_tests += 1
+    test_claims = [int(m) for m in re.findall(r"(\d+) test functions", text)]
+    assert test_claims, "README no longer states the test count"
+    for n in test_claims:
+        assert n == n_tests, (
+            f"README claims {n} test functions, actual {n_tests}"
+        )
+
+
 def test_bench_queries_resolve():
     """bench.py is the driver's per-round benchmark entry — every
     headline query must exist in the registry and carry an oracle (the
