@@ -454,6 +454,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    algo: str = "label",
 ) -> DataFrame:
     """Duplicate-group clustering: connected components over a
     candidate-pair graph → (node, component) where component = the
@@ -461,17 +462,28 @@ def connected_components(
     choice, closing the dedup pipeline (candidates → groups → keep one
     per group).
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes the min of its own label and its neighbors' labels — one
-    keyed shuffle per round, converging in O(component diameter)
-    rounds (near-dup graphs are clique-ish, so typically ≤5). Per
-    round the label frame is `localCheckpoint`-ed to truncate lineage
-    (otherwise the plan doubles every round); on a cluster you'd use a
-    reliable `checkpoint` dir instead. The only driver-side value per
-    round is the scalar converged-count — labels never leave the
-    executors, so the loop distributes at 100 TB like any iterative
-    graph algorithm (this is GraphFrames' CC shape without the
-    dependency).
+    Two algorithm tiers (``algo=``):
+
+    - ``"label"`` — iterative min-label propagation. Each round every
+      node takes the min of its own label and its neighbors' labels —
+      one keyed shuffle per round, converging in O(component diameter)
+      rounds (near-dup graphs are clique-ish, so typically ≤5).
+    - ``"star"`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond"): large-star hangs every node's larger neighbors off its
+      min neighbor, small-star flattens the smaller ones; components
+      contract to stars in O(log diameter) rounds. More shuffles per
+      round, fewer rounds — wins on high-diameter chains, loses on
+      the clique-ish graphs LSH actually produces (measured at ×100:
+      see SCALEBENCH.md), hence not the default.
+
+    Per round the frames are `localCheckpoint`-ed to truncate lineage
+    (otherwise the plan doubles every round); `checkpoint_dir`
+    switches to parquet-on-disk (constant memory — required at the
+    241 M-pair ×100 extreme). The only driver-side values per round
+    are scalar counts/fingerprints — labels never leave the executors,
+    so the loop distributes at 100 TB like any iterative graph
+    algorithm (this is GraphFrames' CC shape without the dependency).
     """
     # Materialize the directed pairs FIRST: the symmetrizing union has
     # two branches that would otherwise each recompute the entire
@@ -509,6 +521,8 @@ def connected_components(
         base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
+    if algo == "star":
+        return _cc_star(edges, _materialize, max_iter)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -538,4 +552,75 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the cap; raise max_iter"
+    )
+
+
+def _cc_star(edges: DataFrame, _materialize, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction over a SYMMETRIC
+    edge frame. Large-star: for each node u with min-incl-self m,
+    re-hang every neighbor v > u onto m. Small-star: on the resulting
+    larger→smaller edges, flatten each node's smaller neighbors (and
+    itself) onto m. Components contract to stars rooted at their min
+    id in O(log diameter) alternations. Convergence is detected by an
+    (edge-count, xxhash64-sum) fingerprint going stable — both scalar
+    aggregates, nothing collects."""
+    all_nodes = _materialize(edges.select(F.col("src").alias("node")).distinct())
+
+    def large_star(sym: DataFrame) -> DataFrame:
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        m = F.least(F.col("src"), F.col("_mn"))
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .distinct()
+        )
+
+    def small_star(directed: DataFrame) -> DataFrame:
+        mins = directed.groupBy("src").agg(F.min("dst").alias("_mn"))
+        m = F.least(F.col("src"), F.col("_mn"))
+        hang = directed.join(mins, "src").select(
+            F.col("dst").alias("src"), m.alias("dst")
+        )
+        self_edge = mins.select("src", F.least(F.col("src"), F.col("_mn")).alias("dst"))
+        return (
+            hang.union(self_edge)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 2^63-range hashes overflows ANSI
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    cur = edges
+    prev_fp = None
+    for _ in range(max_iter):
+        directed = _materialize(large_star(cur))
+        stars = _materialize(small_star(directed))
+        fp = fingerprint(stars)
+        if fp == prev_fp:
+            labels = stars.groupBy("src").agg(F.min("dst").alias("component"))
+            return _materialize(
+                all_nodes.join(
+                    labels, all_nodes["node"] == labels["src"], "left"
+                ).select(
+                    "node",
+                    F.coalesce(F.col("component"), F.col("node")).alias("component"),
+                )
+            )
+        prev_fp = fp
+        # re-symmetrize for the next large-star pass
+        cur = _materialize(
+            stars.union(
+                stars.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+        )
+    raise RuntimeError(
+        f"connected_components(algo='star') did not converge in {max_iter} "
+        "alternations; raise max_iter"
     )

@@ -2238,11 +2238,63 @@ def run_app_streaming(
                 "stream-stream windowed joins and stream-table joins; "
                 "aggregation retrieval (`per`) is a batch/serving query"
             )
+        # `from W …` where W is a named window: the shared definition
+        # applies, exactly as in batch (`[core] window/Window.java` —
+        # one instance, many readers; the producer query's output IS
+        # the junction feed in env)
+        if inp.stream in model.windows and inp.window is None:
+            inp = dataclasses.replace(
+                inp, window=model.windows[inp.stream].window
+            )
+        if inp.window is not None and inp.window.kind == "time" and any(
+            _AGG_RE.search(it.expr) for it in q.select
+        ):
+            # sliding time(t) + aggregation: the reference emits per
+            # arrival; in streaming that maps to overlapping window
+            # PANES (see streaming.windows.sliding_agg) — each event
+            # is aggregated in every pane covering it, panes finalize
+            # as the watermark passes
+            from ..streaming.windows import sliding_agg
+
+            src = env[inp.stream]
+            if inp.filter_expr:
+                src = src.filter(F.expr(inp.filter_expr))
+            dur_s = int(time_constant_seconds(inp.window.args[0]))
+            slide_s = max(dur_s // 6, 1)
+            agg_items = [
+                (i, it)
+                for i, it in enumerate(q.select)
+                if _AGG_RE.search(it.expr)
+            ]
+            aggs = [
+                F.expr(it.expr).alias(_auto_alias(it, i)) for i, it in agg_items
+            ]
+            keys = q.group_by or (
+                [q.partition_key] if q.partition_key else []
+            )
+            df = sliding_agg(
+                src,
+                ts_col,
+                f"{dur_s} seconds",
+                f"{slide_s} seconds",
+                watermark,
+                keys=keys,
+                aggs=aggs,
+            )
+            if q.having:
+                df = df.filter(F.expr(q.having))
+            if q.out_stream in outputs:
+                outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
+            else:
+                outputs[q.out_stream] = df
+            env[q.out_stream] = outputs[q.out_stream]
+            continue
         if inp.window is not None and inp.window.kind not in (
             "timeBatch",
             "externalTimeBatch",
             "session",
             "delay",
+            "time",  # non-aggregating time() is routing; span handled above
         ):
             raise ValueError(
                 f"window {inp.window.kind!r} is stateful-custom in "

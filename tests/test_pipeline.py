@@ -175,6 +175,45 @@ def test_connected_components_property(spark):
         assert got == expect, f"trial {trial}: {got} != {expect}"
 
 
+def test_connected_components_star_equivalence(spark):
+    """The large-star/small-star tier must produce exactly the same
+    (node, component-min) labels as min-label propagation — including
+    on a long chain (the high-diameter case it exists for) and random
+    graphs."""
+    import random
+
+    from siddhi_operator_spark.pipeline import dedup as D
+
+    # 40-node chain: diameter 39 — label needs ~busy rounds, star O(log)
+    chain = [(i, i + 1) for i in range(39)]
+    cases = [chain]
+    rng = random.Random(13)
+    for _ in range(3):
+        n_nodes = rng.randint(2, 30)
+        n_edges = rng.randint(1, 40)
+        cases.append(
+            sorted(
+                {
+                    tuple(sorted(rng.sample(range(n_nodes), 2)))
+                    for _ in range(n_edges)
+                }
+            )
+        )
+    for i, edges in enumerate(cases):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        # label needs O(diameter) rounds (60 covers the chain); star's
+        # default 25 must suffice everywhere — that asymmetry is the point
+        label = {
+            r.node: r.component
+            for r in D.connected_components(pairs, max_iter=60).collect()
+        }
+        star = {
+            r.node: r.component
+            for r in D.connected_components(pairs, algo="star").collect()
+        }
+        assert star == label, f"case {i}"
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation (pipeline/curation.py)
 # ---------------------------------------------------------------------------

@@ -1490,3 +1490,77 @@ def test_extrema_by_time_through_ql(spark, events_df):
             expect[eid] = best_id
     got = {r["event_id"]: r["max_by_id"] for r in out.collect()}
     assert got == expect
+
+
+def test_example_app_user_activity_monitoring_streaming(spark):
+    """The canonical multi-feature example app runs end-to-end in
+    STREAMING mode — ≥2 queries feeding shared streams (the
+    reference's StreamJunction fan-in): table enrichment, named-window
+    producer→consumer, recovery pattern, partitioned totals. Each
+    sink is cross-checked against the batch runner / a direct
+    DataFrame recompute."""
+    import uuid
+
+    from siddhi_operator_spark.catalog import load, load_events_stream
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "events")
+    vip = spark.createDataFrame(
+        [(i, "gold" if i % 2 else "silver") for i in range(50)],
+        "user_id long, tier string",
+    )
+    app = open("/root/repo/examples/user_activity_monitoring.siddhi").read()
+    batch = run_app(app, {"Events": e, "VipUsers": vip})
+
+    outs = run_app_streaming(
+        app,
+        {"Events": load_events_stream(spark, sf), "VipUsers": vip},
+        watermark="10 minutes",
+    )
+    assert set(outs) == {
+        "VipPurchases", "RecentErrors", "ErrorCounts", "Recovered",
+        "TypeTotals",
+    }
+
+    def drain(df, mode):
+        name = f"ua_{uuid.uuid4().hex[:8]}"
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode(mode).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table(name)
+
+    # enrichment: stream-static broadcast join, same rows as batch
+    assert drain(outs["VipPurchases"], "append").count() == batch[
+        "VipPurchases"
+    ].count()
+    # recovery pattern: the streaming NFA equals the batch runner
+    got_rec = sorted(tuple(r) for r in drain(outs["Recovered"], "append").collect())
+    assert got_rec == sorted(tuple(r) for r in batch["Recovered"].collect())
+    # partitioned totals: complete-mode aggregation equals batch
+    got_tot = {
+        r.event_type: (r.n, round(r.total, 4))
+        for r in drain(outs["TypeTotals"], "complete").collect()
+    }
+    want_tot = {
+        r.event_type: (r.n, round(r.total, 4))
+        for r in batch["TypeTotals"].collect()
+    }
+    assert got_tot == want_tot
+    # named-window consumer: per-arrival emission maps to sliding
+    # PANES — every emitted pane must equal the direct recompute of
+    # errors per user in [window_start, window_end)
+    panes = drain(outs["ErrorCounts"], "append")
+    rows = panes.collect()
+    assert rows  # watermark must have closed some panes
+    errs = e.filter(F.col("event_type") == "error")
+    for r in rows[:20]:
+        want = errs.filter(
+            (F.col("user_id") == r.user_id)
+            & (F.col("ts") >= r.window_start)
+            & (F.col("ts") < r.window_end)
+        ).count()
+        assert r.n == want, (r.user_id, str(r.window_start))
