@@ -454,7 +454,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
-    algo: str = "label",
+    algo: str = "star",
 ) -> DataFrame:
     """Duplicate-group clustering: connected components over a
     candidate-pair graph → (node, component) where component = the
@@ -464,18 +464,21 @@ def connected_components(
 
     Two algorithm tiers (``algo=``):
 
+    - ``"star"`` (default) — alternating large-star/small-star
+      contraction (Kiveris et al., "Connected Components in MapReduce
+      and Beyond"): large-star hangs every node's larger neighbors off
+      its min neighbor, small-star flattens the smaller ones;
+      components contract to stars in O(log diameter) alternations AND
+      the edge set SHRINKS every alternation, so late rounds are near
+      free. Measured at ×100 docs (57.3 M strong-pair edges): 29.4 s
+      vs 116.9 s min-label — 4.0× — identical 391 793 labels; parity
+      at sf0.01 (SCALEBENCH.md r6). Default since round 6.
     - ``"label"`` — iterative min-label propagation. Each round every
       node takes the min of its own label and its neighbors' labels —
-      one keyed shuffle per round, converging in O(component diameter)
-      rounds (near-dup graphs are clique-ish, so typically ≤5).
-    - ``"star"`` — alternating large-star/small-star contraction
-      (Kiveris et al., "Connected Components in MapReduce and
-      Beyond"): large-star hangs every node's larger neighbors off its
-      min neighbor, small-star flattens the smaller ones; components
-      contract to stars in O(log diameter) rounds. More shuffles per
-      round, fewer rounds — wins on high-diameter chains, loses on
-      the clique-ish graphs LSH actually produces (measured at ×100:
-      see SCALEBENCH.md), hence not the default.
+      one keyed shuffle per round, but EVERY round reshuffles the full
+      edge set and rounds scale with component diameter (a 40-node
+      chain exceeds the default cap). Kept as the simple reference
+      shape.
 
     Per round the frames are `localCheckpoint`-ed to truncate lineage
     (otherwise the plan doubles every round); `checkpoint_dir`

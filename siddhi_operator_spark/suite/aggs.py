@@ -880,3 +880,31 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     ).agg(r4(F.sum("l_quantity"), 4).alias("sum_qty"))
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           round(1e-9 + quantile_cont(value, 0.25), 4) AS p25,
+           round(1e-9 + quantile_cont(value, 0.50), 4) AS p50,
+           round(1e-9 + quantile_cont(value, 0.90), 4) AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    SQL-standard continuous quantile ≡ DuckDB `quantile_cont`) — the
+    §3.5 distribution-summary surface. Exact percentile sorts within
+    the aggregation buffer, which is per-group bounded here; at
+    100 TB-scale groups switch to `approx_percentile` (t-digest-style
+    mergeable sketch, same call shape) and trade ≤ the configured
+    relative error for constant memory."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        r4(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        r4(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        r4(F.percentile("value", F.lit(0.90)), 4).alias("p90"),
+    )
