@@ -467,3 +467,114 @@ def length_batch_window(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_EXPR_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("win_n", T.IntegerType()),
+        T.StructField("win_sum", T.DoubleType()),
+    ]
+)
+# state: the retained suffix as parallel (scaled-budget, value) arrays
+_EXPR_STATE = T.StructType(
+    [
+        T.StructField("bs", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def expression_window(
+    stream: DataFrame,
+    limit: int,
+    key: str,
+    budget_scale: int = 100,
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sliding `expression('sum(value) <= L')` per key
+    (`ExpressionWindowProcessor.java` — SURVEY.md §3.3 dynamic
+    retain-while window): each arrival joins the window, then the
+    window evicts from the FRONT until the retain expression holds
+    again; the emission is the per-arrival aggregate over the
+    survivors. Budgets are integer-scaled (cents) so the running sum
+    is exact — the same contract as the batch twin
+    (`operators.windows.expression_sliding`), whose keyed range
+    self-join oracle proves this state machine.
+
+    Scale shape: state per key is the retained suffix only (bounded by
+    the budget, not the stream); each event appends once and is
+    evicted at most once, so per-batch work is O(events) amortized
+    regardless of window occupancy."""
+
+    def proc(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_bs, s_vals = (list(x) for x in state.get)
+        else:
+            s_bs, s_vals = [], []
+        tot = sum(s_bs)
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts, id_col])
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            tss = pdf[ts].to_numpy()
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            bs = np.rint(vals * budget_scale).astype("int64")
+            win_n = np.empty(len(ids), dtype="int32")
+            win_sum = np.empty(len(ids), dtype="float64")
+            for i in range(len(ids)):
+                s_bs.append(int(bs[i]))
+                s_vals.append(float(vals[i]))
+                tot += int(bs[i])
+                drop = 0
+                while tot > limit and drop < len(s_bs) - 1:
+                    tot -= s_bs[drop]
+                    drop += 1
+                if drop:
+                    del s_bs[:drop]
+                    del s_vals[:drop]
+                # an arrival whose own budget busts the limit sees an
+                # EMPTY window (batch-twin membership: even k = a fails
+                # the test) — emit nothing, but it stays in state as a
+                # candidate for later windows
+                if tot > limit:
+                    win_n[i] = 0
+                    win_sum[i] = 0.0
+                else:
+                    win_n[i] = len(s_bs)
+                    # exact: the integer budget total IS the sum at
+                    # budget_scale resolution (no FP drift vs batch)
+                    win_sum[i] = tot / budget_scale
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": str(key_tuple[0]),
+                        "event_id": ids,
+                        "ts": tss,
+                        "value": vals,
+                        "win_n": win_n,
+                        "win_sum": win_sum,
+                    }
+                )
+            )
+        state.update((s_bs, s_vals))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    projected = stream.withColumn("__key", F.col(key).cast("string"))
+    return projected.groupBy("__key").applyInPandasWithState(
+        proc,
+        _EXPR_OUT,
+        _EXPR_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -109,7 +109,8 @@ _R3_MODULES: tuple[str, ...] = ()
 # text_quality, text_shingles, text_token_stats — which MUST lead the r7
 # window, followed by the rows newly added in round 6 (never-checked):
 # streaming_join_unidirectional, streaming_ratelimit_snapshot, tpch_q4,
-# tpch_q7, tpch_q13, tpch_q15, tpch_q18 — with the balance of the 50
+# tpch_q7, tpch_q13, tpch_q15, tpch_q18, agg_percentile,
+# streaming_expression_window — with the balance of the 50
 # going to the oldest r3/r4 rows.
 
 

@@ -697,3 +697,46 @@ def streaming_ratelimit_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("bucket", "user_id", "value")
     )
+
+
+@register(
+    "streaming_expression_window",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS b,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS cum,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT CAST(a.user_id AS VARCHAR) AS key,
+           a.event_id, a.ts, a.value,
+           CAST(count(*) AS INTEGER) AS win_n,
+           round(1e-9 + sum(k.value), 4) AS win_sum
+    FROM base a JOIN base k
+      ON k.user_id = a.user_id AND k.rn <= a.rn
+     AND a.cum - (k.cum - k.b) <= 100000
+    GROUP BY a.user_id, a.event_id, a.ts, a.value
+    """,
+    tags=("streaming", "window", "expression"),
+)
+def streaming_expression_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of `window_expression` — the dynamic retain-while
+    window (`expression('sum(value) <= 1000')` per user,
+    `ExpressionWindowProcessor.java`) as a per-key state machine: each
+    arrival joins, the window evicts from the front until the budget
+    holds, the emission aggregates the survivors. The batch keyed
+    range-self-join oracle proves the state machine event for event
+    (cent-scaled integer budgets keep the membership test exact on
+    all three engines). Closes the last batch-only §3.3 window
+    family."""
+    s = _events_stream(spark, sf)
+    out = SW.expression_window(s, limit=100000, key="user_id")
+    name = _materialize(out, "append")
+    return spark.sql(
+        f"SELECT key, event_id, ts, value, win_n, "
+        f"round(win_sum + 1e-9, 4) AS win_sum FROM {name} WHERE win_n > 0"
+    )

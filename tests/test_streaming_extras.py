@@ -379,3 +379,34 @@ def test_snapshot_every_stream_tiebreak_same_ts(spark):
         for r in spark.table(name).collect()
     }
     assert got[(1, "2024-01-01 00:00:00")] == 9.0
+
+
+def test_expression_window_stream_evicts_and_busts(spark):
+    """Retain-while state machine: front eviction when the budget
+    breaks, empty-window suppression when a single arrival busts the
+    limit alone (it stays resident as a later-window candidate), state
+    carried across micro-batches."""
+    from siddhi_operator_spark.streaming import windows as SW
+
+    rows = [  # (user, ts, id, value) — limit 100.00 (cents 10000)
+        (1, "2024-01-01 00:01:00", 1, 60.0),
+        (1, "2024-01-01 00:02:00", 2, 60.0),   # evicts id1 → {2}
+        (1, "2024-01-01 00:03:00", 3, 30.0),   # {2,3} = 90
+        (2, "2024-01-01 00:01:00", 4, 150.0),  # busts alone → no emit
+        (2, "2024-01-01 00:02:00", 5, 30.0),   # {5} = 30 (4 evicted)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = _stream(spark, df, n_splits=2)
+    out = SW.expression_window(s, limit=10000, key="user_id")
+    name = _run(out)
+    got = {
+        r.event_id: (r.win_n, r.win_sum)
+        for r in spark.table(name).filter("win_n > 0").collect()
+    }
+    assert got[1] == (1, 60.0)
+    assert got[2] == (1, 60.0)   # id1 evicted
+    assert got[3] == (2, 90.0)
+    assert 4 not in got          # empty window: batch twin emits no row
+    assert got[5] == (1, 30.0)
