@@ -627,3 +627,81 @@ def _cc_star(edges: DataFrame, _materialize, max_iter: int) -> DataFrame:
         f"connected_components(algo='star') did not converge in {max_iter} "
         "alternations; raise max_iter"
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    min_cos: float = 0.2,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    corpus with a coarse quantizer, then compare ONLY within a cluster
+    and emit pairs above the cosine threshold (keep-lowest-id is the
+    downstream canonical-choice convention, same as the LSH pipeline).
+
+    This is the published SemDeDup recipe (k-means cells → in-cell
+    pairwise cosine → drop near-duplicates) on the engine's IVF
+    plumbing: the quantizer is seeded deterministically from the first
+    ``n_cells`` vectors (engine-portable, oracle-checkable; swap in
+    trained k-means at deploy time without touching the plan), the
+    assignment is one broadcast join + argmax over ``n_cells`` cosines
+    (rounded at 4 dp, centroid-id ascending ties — the engine's ANN
+    rounding contract), and the pair join shuffles on the cell id, so
+    pairwise work is Σ cell², never corpus². At 100 TB: write the
+    corpus partitioned by cell and each cell's pair scan is
+    partition-pruned; raise n_cells so cells stay ~√corpus."""
+    from .similarity import _dot
+
+    cent = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cent_norm"),
+    )
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    from pyspark.sql import Window
+
+    scored = base.join(F.broadcast(cent)).select(
+        id_col,
+        "v",
+        "norm",
+        "cent_id",
+        (
+            _dot(F.col("v"), F.col("cent_vec"))
+            / (F.col("norm") * F.col("cent_norm"))
+        ).alias("cent_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(r4("cent_cos", 4)), F.asc("cent_id")
+    )
+    cells = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "v", "norm", F.col("cent_id").alias("cell"))
+    )
+    return (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            on=[
+                F.col("a.cell") == F.col("b.cell"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col(f"a.{id_col}").alias("id_keep"),
+            F.col(f"b.{id_col}").alias("id_drop"),
+            r4(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.norm") * F.col("b.norm")),
+                4,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )

@@ -1576,3 +1576,48 @@ def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return S.label_centroids(load(spark, sf, "embeddings")).withColumn(
         "dim", F.col("dim").cast("bigint")
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < 8
+    ), scored AS (
+      SELECT v.vec_id, v.vec, c.cent_id,
+             round(1e-9 + list_dot_product(v.vec, c.cent_vec)
+               / (sqrt(list_dot_product(v.vec, v.vec))
+                  * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 4) AS cc
+      FROM v CROSS JOIN cent c
+    ), cells AS (
+      SELECT vec_id, vec, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cc DESC, cent_id) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT a.cell,
+           a.vec_id AS id_keep, b.vec_id AS id_drop,
+           round(1e-9 + list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))), 4) AS cos
+    FROM cells a JOIN cells b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(1e-9 + list_dot_product(a.vec, b.vec)
+            / (sqrt(list_dot_product(a.vec, a.vec))
+               * sqrt(list_dot_product(b.vec, b.vec))), 4) >= 0.2
+    """,
+    tags=("pipeline", "dedup", "similarity", "semantic"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster → in-cell cosine pairs →
+    keep-lowest-id): the published recipe for pruning semantically
+    redundant training documents, on the engine's IVF plumbing —
+    broadcast coarse quantizer, argmax-cosine cell assignment, pair
+    join shuffling on the cell id (Σ cell², never corpus²). Threshold
+    0.2 exercises real filtering on this synthetic corpus; production
+    SemDeDup thresholds sit near 0.95+ with trained k-means cells."""
+    emb = load(spark, sf, "embeddings")
+    return D.semantic_dedup_pairs(emb, min_cos=0.2, n_cells=8)

@@ -474,3 +474,11 @@ def test_tpch_q18_prefilter_before_wide_join(spark):
     plan = _fmt(REGISTRY["tpch_q18"].fn(spark, SF))
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_cell_join_no_cartesian(spark):
+    """SemDeDup pairs: quantizer broadcasts, the pair join shuffles on
+    the cell id — never a cartesian over the corpus."""
+    plan = _fmt(REGISTRY["dedup_semantic_clusters"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
