@@ -578,3 +578,144 @@ def expression_window(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_EXPR_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("bs", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("tss", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def expression_window_bucketed(
+    stream: DataFrame,
+    limit: int,
+    key: str,
+    n_buckets: int = 128,
+    budget_scale: int = 100,
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """`expression('sum(value) <= L')` with COARSE state buckets —
+    identical output to `expression_window` (pinned by test), state
+    keyed by `hash(key) % n_buckets` so one python call handles every
+    key in the bucket (the r5 bucketed-state layout; see
+    `length_window_bucketed` for the per-group-constant analysis).
+
+    The bucketed form is also where the retain-while semantics
+    VECTORIZE: budgets are non-negative, so the per-key prefix-sum is
+    monotone and each event's window start is one
+    `np.searchsorted(pre, pre[i+1] - limit)` — the whole bucket's
+    windows come from one vectorized binary search instead of the
+    per-event eviction loop."""
+
+    def proc(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            x = state.get
+            st_keys = np.asarray(x[0], dtype=str)
+            st_bs = np.asarray(x[1], dtype="int64")
+            st_vals = np.asarray(x[2], dtype="float64")
+            st_ids = np.asarray(x[3], dtype="int64")
+            st_tss = np.asarray(x[4], dtype="int64")
+        else:
+            st_keys = np.empty(0, dtype=str)
+            st_bs = np.empty(0, dtype="int64")
+            st_vals = np.empty(0, dtype="float64")
+            st_ids = np.empty(0, dtype="int64")
+            st_tss = np.empty(0, dtype="int64")
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["__sem_key", ts, id_col])
+            b_keys = pdf["__sem_key"].to_numpy(dtype=str)
+            b_ids = pdf[id_col].to_numpy(dtype="int64")
+            b_ts_ns = pdf[ts].to_numpy().astype("datetime64[ns]").astype("int64")
+            b_vals = pdf[value_col].to_numpy(dtype="float64")
+            b_bs = np.rint(b_vals * budget_scale).astype("int64")
+
+            keys_all = np.concatenate([st_keys, b_keys])
+            bs_all = np.concatenate([st_bs, b_bs])
+            vals_all = np.concatenate([st_vals, b_vals])
+            ids_all = np.concatenate([st_ids, b_ids])
+            tss_all = np.concatenate([st_tss, b_ts_ns // 1000])
+            is_new = np.concatenate(
+                [np.zeros(len(st_keys), dtype=bool), np.ones(len(b_keys), dtype=bool)]
+            )
+            sort_idx = np.argsort(keys_all, kind="stable")
+            keys_s = keys_all[sort_idx]
+            bs_s = bs_all[sort_idx]
+            m = len(keys_s)
+            if not m:
+                continue
+            change = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+            seg_first = np.nonzero(change)[0]
+            seg_id = np.cumsum(change) - 1
+            seg_start = seg_first[seg_id]
+            change_next = np.concatenate([keys_s[1:] != keys_s[:-1], [True]])
+            seg_last = np.nonzero(change_next)[0]
+            seg_end = seg_last[seg_id]
+
+            pre = np.concatenate([[0], np.cumsum(bs_s)])
+            pos = np.arange(m)
+            # minimal j with window sum pre[i+1]-pre[j] <= limit
+            j = np.searchsorted(pre, pre[1:] - limit, side="left")
+            j = np.maximum(j, seg_start)
+            win_n = (pos + 1 - j).astype("int32")  # 0 = own-budget bust
+            win_sum = (pre[pos + 1] - pre[j]) / budget_scale
+            win_sum[win_n == 0] = 0.0
+
+            nm = is_new[sort_idx]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": keys_s[nm],
+                        "event_id": ids_all[sort_idx][nm],
+                        "ts": (tss_all[sort_idx][nm] * 1000).astype(
+                            "datetime64[ns]"
+                        ),
+                        "value": vals_all[sort_idx][nm],
+                        "win_n": win_n[nm],
+                        "win_sum": win_sum[nm],
+                    }
+                )
+            )
+            # retained suffix per key = segment-end's window start
+            # (never drop the last row: an own-budget buster stays
+            # resident as a later-window candidate, like the per-key op)
+            j_end = np.minimum(j[seg_end], seg_end)
+            keep = pos >= j_end
+            st_keys = keys_s[keep]
+            st_bs = bs_s[keep]
+            st_vals = vals_all[sort_idx][keep]
+            st_ids = ids_all[sort_idx][keep]
+            st_tss = tss_all[sort_idx][keep]
+        state.update(
+            (
+                [str(k) for k in st_keys],
+                [int(b) for b in st_bs],
+                [float(v) for v in st_vals],
+                [int(i) for i in st_ids],
+                [int(t) for t in st_tss],
+            )
+        )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    projected = stream.withColumn(
+        "__sem_key", F.col(key).cast("string")
+    ).withColumn("__bucket", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+    return projected.groupBy("__bucket").applyInPandasWithState(
+        proc,
+        _EXPR_OUT,
+        _EXPR_BUCKET_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

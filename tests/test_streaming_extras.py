@@ -410,3 +410,47 @@ def test_expression_window_stream_evicts_and_busts(spark):
     assert got[3] == (2, 90.0)
     assert 4 not in got          # empty window: batch twin emits no row
     assert got[5] == (1, 30.0)
+
+
+def test_expression_window_bucketed_equivalence(spark):
+    """The bucketed retain-while layout (searchsorted over prefix-sum
+    budgets) must emit exactly the per-key state machine's rows —
+    including own-budget busts and cross-batch carry — on a random
+    multi-key multi-batch workload."""
+    import random
+
+    from siddhi_operator_spark.streaming import windows as SW
+
+    rng = random.Random(41)
+    rows = []
+    eid = 0
+    for _ in range(120):
+        eid += 1
+        rows.append(
+            (
+                rng.randint(1, 9),
+                f"2024-01-01 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00",
+                eid,
+                round(rng.uniform(0.0, 80.0), 2),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def run_op(make):
+        s = _stream(spark, df, n_splits=3)
+        name = _run(make(s))
+        return sorted(
+            (r.key, r.event_id, r.win_n, r.win_sum)
+            for r in spark.table(name).collect()
+        )
+
+    per_key = run_op(lambda s: SW.expression_window(s, limit=10000, key="user_id"))
+    bucketed = run_op(
+        lambda s: SW.expression_window_bucketed(
+            s, limit=10000, key="user_id", n_buckets=4
+        )
+    )
+    assert per_key == bucketed
+    assert len(per_key) == 120
