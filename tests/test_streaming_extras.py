@@ -454,3 +454,59 @@ def test_expression_window_bucketed_equivalence(spark):
     )
     assert per_key == bucketed
     assert len(per_key) == 120
+
+
+def test_snapshot_every_stream_property_random_vs_batch(spark):
+    """Randomized replay parity for the snapshot rate limiter: for
+    random per-key event sets split into random batch counts, every
+    emitted tick must equal the BATCH snapshot_every row for that
+    (bucket, key) — and every batch row whose bucket closed under the
+    final watermark must have been emitted."""
+    import random
+
+    from siddhi_operator_spark.operators.ratelimit import snapshot_every
+    from siddhi_operator_spark.streaming import ratelimit as RL
+
+    rng = random.Random(29)
+    for trial in range(3):
+        rows = []
+        eid = 0
+        for _ in range(rng.randint(10, 30)):
+            eid += 1
+            rows.append(
+                (
+                    rng.randint(1, 4),
+                    f"2024-01-01 {rng.randint(0, 20):02d}:"
+                    f"{rng.randint(0, 59):02d}:00",
+                    eid,
+                    round(rng.uniform(1.0, 9.0), 2),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        s = _stream(spark, df, n_splits=rng.randint(1, 3))
+        out = RL.snapshot_every_stream(
+            s, "ts", "1 hour", "10 minutes", keys=("user_id",)
+        )
+        name = _run(out)
+        got = {
+            (r.user_id, r.bucket): r.value for r in spark.table(name).collect()
+        }
+        batch = {
+            (r.user_id, r.bucket): r.value
+            for r in snapshot_every(
+                df, "ts", "1 hour", keys=["user_id"], tiebreak="event_id"
+            )
+            .select("bucket", "user_id", "value")
+            .collect()
+        }
+        # every streamed tick matches the batch scaffold exactly
+        for k, v in got.items():
+            assert batch[k] == v, (trial, k)
+        # completeness: batch buckets strictly below the max emitted
+        # bucket per key must all have streamed (watermark passed them)
+        if got:
+            hi = max(b for (_, b) in got)
+            want = {k for k in batch if k[1] < hi}
+            assert want <= set(got), (trial, want - set(got))
