@@ -2163,6 +2163,78 @@ def _run_join_streaming(
     return j
 
 
+def _route_streaming_length(
+    env: dict, model: AppModel, q, inp, ts_col: str, id_col: str
+) -> DataFrame:
+    """QL `#window.length(n)` + aggregation in streaming mode → the
+    per-key count-window state op. Supported select shape: the group
+    key, plus any of count(*), sum(X), avg(X) over one value column
+    (plus event_id/ts passthroughs) — the canonical Siddhi length-
+    window query. Anything wider raises with a pointer to the
+    operator API."""
+    from ..streaming.windows import length_window
+
+    keys = q.group_by or []
+    if len(keys) != 1:
+        raise ValueError(
+            "streaming #window.length(n) needs exactly one `group by` "
+            "key (the reference's per-key count window); use "
+            "streaming.windows.length_window directly for other shapes"
+        )
+    key = keys[0]
+    n = int(inp.window.args[0])
+    src = env[inp.stream]
+    if inp.filter_expr:
+        src = src.filter(F.expr(inp.filter_expr))
+    value_col = None
+    plan = []  # (output column in state-op terms, alias)
+    for i, it in enumerate(q.select):
+        expr = it.expr.strip()
+        alias = _auto_alias(it, i)
+        m_agg = re.fullmatch(
+            r"(count)\(\*\)|(sum|avg)\(\s*(\w+)\s*\)", expr, re.I
+        )
+        if expr == key:
+            plan.append(("key", alias))
+        elif expr in (id_col, ts_col):
+            plan.append((expr, alias))
+        elif m_agg:
+            fn = (m_agg.group(1) or m_agg.group(2)).lower()
+            if fn in ("sum", "avg"):
+                col = m_agg.group(3)
+                if value_col is not None and col != value_col:
+                    raise ValueError(
+                        "streaming #window.length(n): one value column "
+                        f"per query (got {value_col!r} and {col!r})"
+                    )
+                value_col = col
+            plan.append(
+                (
+                    {"count": "n_in_window", "sum": "sum_value", "avg": "avg_value"}[fn],
+                    alias,
+                )
+            )
+        else:
+            raise ValueError(
+                f"streaming #window.length(n) select supports the key, "
+                f"event_id/ts, count()/sum(x)/avg(x) — got {expr!r}; use "
+                "streaming.windows.length_window directly"
+            )
+    out = length_window(
+        src, n, key=key, ts=ts_col, id_col=id_col, value_col=value_col or "value"
+    )
+    key_type = dict(zip(src.schema.fieldNames(), src.schema.fields))[
+        key
+    ].dataType
+    cols = []
+    for src_col, alias in plan:
+        c = F.col(src_col)
+        if src_col == "key":
+            c = c.cast(key_type)
+        cols.append(c.alias(alias))
+    return out.select(*cols)
+
+
 def run_app_streaming(
     app: str | AppModel,
     sources: dict[str, DataFrame] | None = None,
@@ -2281,6 +2353,23 @@ def run_app_streaming(
                 keys=keys,
                 aggs=aggs,
             )
+            if q.having:
+                df = df.filter(F.expr(q.having))
+            if q.out_stream in outputs:
+                outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
+            else:
+                outputs[q.out_stream] = df
+            env[q.out_stream] = outputs[q.out_stream]
+            continue
+        if inp.window is not None and inp.window.kind == "length":
+            # `#window.length(n)` + aggregation: route to the per-key
+            # count-window state machine (`streaming.windows.
+            # length_window` — `LengthWindowProcessor.java`), the
+            # operator the batch ROWS-frame twin is proven against.
+            # The state op emits (key, event_id, ts, n, sum, avg) over
+            # ONE value column, so the QL mapping is the canonical
+            # select shape: key + count()/sum(x)/avg(x).
+            df = _route_streaming_length(env, model, q, inp, ts_col, id_col)
             if q.having:
                 df = df.filter(F.expr(q.having))
             if q.out_stream in outputs:

@@ -1564,3 +1564,46 @@ def test_example_app_user_activity_monitoring_streaming(spark):
             & (F.col("ts") < r.window_end)
         ).count()
         assert r.n == want, (r.user_id, str(r.window_start))
+
+
+def test_run_app_streaming_length_window(spark):
+    """QL `#window.length(3)` + group-by aggregation routes to the
+    per-key count-window state machine in streaming mode and emits
+    exactly the batch ROWS-frame rows."""
+    import uuid
+
+    from siddhi_operator_spark.catalog import load, load_events_stream
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+
+    app = """
+    define stream Events (event_id long, ts string, user_id long, event_type string, value double);
+    from Events#window.length(3)
+    select user_id, event_id, count() as n, sum(value) as sv
+    group by user_id
+    insert into Rolling;
+    """
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "events")
+    want = sorted(
+        (r.user_id, r.event_id, r.n, round(r.sv, 4))
+        for r in run_app(app, {"Events": e})["Rolling"].collect()
+    )
+    outs = run_app_streaming(app, {"Events": load_events_stream(spark, sf)})
+    name = f"lw_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Rolling"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.user_id, r.event_id, r.n, round(r.sv, 4))
+        for r in spark.table(name).collect()
+    )
+    assert got == want
+    # unsupported shapes fail loudly with a pointer, not silently wrong
+    import pytest as _pytest
+
+    bad = app.replace("sum(value) as sv", "max(value) as sv")
+    with _pytest.raises(ValueError, match="length_window directly"):
+        run_app_streaming(bad, {"Events": load_events_stream(spark, sf)})
