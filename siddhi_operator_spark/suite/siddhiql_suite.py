@@ -725,3 +725,33 @@ def siddhiql_define_function(spark: SparkSession, sf: str) -> DataFrame:
         r4("taxed", 4).alias("taxed"),
         r4("halved", 4).alias("halved"),
     )
+
+
+@register(
+    "siddhiql_cr_process",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(1e-9 + sum(value), 4) AS total
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    tags=("siddhiql", "cr", "entrypointB"),
+)
+def siddhiql_cr_process(spark: SparkSession, sf: str) -> DataFrame:
+    """Entry point B end-to-end (SURVEY.md §4.2 — the reference
+    operator's LITERAL user input): the example SiddhiProcess CR YAML
+    (`kubectl apply` manifest, `spec.apps[0].script`) is parsed by
+    `load_cr_scripts`, its SiddhiQL script compiled by the front end,
+    and the result must match the relational oracle — a user's
+    existing CR runs on this engine unchanged."""
+    from ..fpround import r4
+    from ..siddhiql.cr import load_cr_scripts
+
+    text = open("/root/repo/examples/user_activity_process.yaml").read()
+    (script,) = load_cr_scripts(text)
+    out = run_app(script, {"Events": load(spark, sf, "events")})[
+        "PurchaseTotals"
+    ]
+    return out.select(
+        "user_id", F.col("n"), r4(F.col("total"), 4).alias("total")
+    )
