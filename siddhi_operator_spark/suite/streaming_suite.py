@@ -740,3 +740,35 @@ def streaming_expression_window(spark: SparkSession, sf: str) -> DataFrame:
         f"SELECT key, event_id, ts, value, win_n, "
         f"round(win_sum + 1e-9, 4) AS win_sum FROM {name} WHERE win_n > 0"
     )
+
+
+@register(
+    "streaming_join_table_probe",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name,
+           round(1e-9 + e.value, 4) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "table"),
+)
+def streaming_join_table_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming stream⋈table probe (`@PrimaryKey` table lookup,
+    `[core] JoinProcessor` + TableWindowProcessor path): each
+    micro-batch broadcast-probes the table snapshot — the stream-static
+    join Structured Streaming re-plans per batch, so table updates
+    between batches are visible (the reference's mutable-table read
+    semantics). Plan stays broadcast-hash; no stream-side state."""
+    from ..streaming.joins import stream_table_join
+
+    s = _events_stream(spark, sf).filter(F.col("event_type") == "purchase")
+    dim = load(spark, sf, "customer").select("c_custkey", "c_name")
+    j = stream_table_join(
+        s, dim, on=s.user_id == dim.c_custkey, how="inner"
+    )
+    out = j.select(
+        "event_id", "user_id", "c_name", r4(F.col("value"), 4).alias("value")
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)
