@@ -111,8 +111,8 @@ _R3_MODULES: tuple[str, ...] = ()
 # streaming_join_unidirectional, streaming_ratelimit_snapshot, tpch_q4,
 # tpch_q7, tpch_q13, tpch_q15, tpch_q18, agg_percentile,
 # streaming_expression_window, dedup_semantic_clusters,
-# siddhiql_cr_process, streaming_join_table_probe — with the balance
-# of the 50
+# siddhiql_cr_process, streaming_join_table_probe,
+# streaming_approx_distinct — with the balance of the 50
 # going to the oldest r3/r4 rows.
 
 

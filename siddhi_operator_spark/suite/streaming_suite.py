@@ -772,3 +772,55 @@ def streaming_join_table_probe(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = _materialize(out, "append")
     return spark.table(name)
+
+
+@register(
+    "streaming_approx_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(DISTINCT user_id) AS exact_distinct,
+           TRUE                    AS within_bound
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "sketch", "approximate"),
+)
+def streaming_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming `approximate:distinctCount` (`[ext:approximate]`):
+    HLL++ (`approx_count_distinct`) inside a watermarked tumbling
+    aggregation — the sketch merges incrementally across micro-batches
+    in the state store (exact `count(DISTINCT)` is unsupported in
+    streaming; this mergeability is the point of the sketch). As in
+    the batch row, the estimate is engine-specific, so the
+    hash-checked output is the exact count (joined back batch-side)
+    plus the accuracy-contract flag |approx − exact| ≤ 15 % · exact."""
+    s = _events_stream(spark, sf)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", 0.05).alias("approx"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "approx")
+    )
+    name = _materialize(agg, "complete")
+    streamed = spark.table(name)
+    exact = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        streamed.join(exact, ["window_start", "event_type"])
+        .select(
+            "window_start",
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx") - F.col("exact_distinct"))
+                <= 0.15 * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+    )
