@@ -755,3 +755,53 @@ def siddhiql_cr_process(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "user_id", F.col("n"), r4(F.col("total"), 4).alias("total")
     )
+
+
+@register(
+    "siddhiql_streaming_filter_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           user_id,
+           count(*) AS n,
+           round(1e-9 + sum(value), 4) AS sv
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+    tags=("siddhiql", "streaming"),
+)
+def siddhiql_streaming_filter_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Entry point A in STREAMING mode, through the correctness gate:
+    the SiddhiQL string compiles via `run_app_streaming` onto a
+    watermarked tumbling aggregation over a real file-source replay —
+    QL text in, Structured Streaming plan out, relational oracle
+    match. (The wider multi-query example app is pinned in
+    tests/test_siddhiql.py; this row keeps one QL-streaming path
+    inside the per-round driver gate.)"""
+    import uuid
+
+    from ..catalog import load_events_stream
+    from ..siddhiql import run_app_streaming
+
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    from events[event_type == 'purchase']#window.timeBatch(1 hour)
+    select user_id, count() as n, sum(value) as sv
+    group by user_id
+    insert into Hourly;
+    """
+    outs = run_app_streaming(
+        app, {"events": load_events_stream(spark, sf)}, watermark="10 minutes"
+    )
+    name = f"sqs_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Hourly"].writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(
+        f"SELECT window_start, user_id, n, round(sv + 1e-9, 4) AS sv "
+        f"FROM {name}"
+    )
