@@ -86,7 +86,10 @@ def ensure_scaled(spark, scale: int) -> str:
     ev = load(spark, SF_DIR, "events")
     umax = int(ev.agg(F.max("user_id")).first()[0]) + 1
     (
-        ev.select("*", k)
+        # repartition BEFORE the explode: the fixture is one file, so
+        # without this the xN row production serializes in one task
+        # (measured: the x1000 build sat in a single task for minutes)
+        ev.repartition(32).select("*", k)
         .withColumn("event_id", F.col("event_id") + kl * F.lit(10**12))
         .withColumn("user_id", F.col("user_id") + kl * F.lit(umax))
         .drop("k")
@@ -98,7 +101,7 @@ def ensure_scaled(spark, scale: int) -> str:
         f"{SF_DIR}/lineitem.parquet"
     )
     (
-        li.select("*", k)
+        li.repartition(32).select("*", k)
         .withColumn("l_orderkey", F.col("l_orderkey") + kl * F.lit(10**10))
         .drop("k")
         .repartition(32)
@@ -109,7 +112,7 @@ def ensure_scaled(spark, scale: int) -> str:
         f"{SF_DIR}/embeddings.parquet"
     )
     (
-        em.select("*", k)
+        em.repartition(8).select("*", k)
         .withColumn("vec_id", F.col("vec_id") + kl * F.lit(10**9))
         .drop("k")
         .repartition(8)
