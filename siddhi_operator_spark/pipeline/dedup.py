@@ -659,6 +659,16 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("cent_vec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cent_norm"),
     )
+    n_seeds = cent.count()
+    if n_seeds != n_cells:
+        # same sparse-seed hazard as the PQ codebook: a re-id'd corpus
+        # would otherwise silently yield fewer (or zero) cells and an
+        # empty "no duplicates" answer
+        raise ValueError(
+            f"semantic_dedup_pairs seeds the quantizer from ids < "
+            f"{n_cells} but found {n_seeds} such vectors; re-id the "
+            "corpus densely from 0 or lower n_cells"
+        )
     base = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),

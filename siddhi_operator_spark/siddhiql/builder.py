@@ -2277,6 +2277,18 @@ def run_app_streaming(
             if loaded is not None:
                 env[name] = loaded
     outputs: dict[str, DataFrame] = {}
+
+    def _emit(q, df: DataFrame) -> None:
+        # shared output routing: having filter + StreamJunction fan-in
+        # (queries inserting into the same stream union their emissions)
+        if q.having:
+            df = df.filter(F.expr(q.having))
+        if q.out_stream in outputs:
+            outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
+        else:
+            outputs[q.out_stream] = df
+        env[q.out_stream] = outputs[q.out_stream]
+
     for q in model.queries:
         inp = q.input
         if isinstance(inp, PatternInput):
@@ -2284,26 +2296,14 @@ def run_app_streaming(
                 env, q, inp, ts_col, id_col, q.partition_key or pattern_key,
                 watermark, state_buckets=_state_buckets(model),
             )
-            if q.having:
-                df = df.filter(F.expr(q.having))
-            if q.out_stream in outputs:
-                outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
-            else:
-                outputs[q.out_stream] = df
-            env[q.out_stream] = outputs[q.out_stream]
+            _emit(q, df)
             continue
         if not isinstance(inp, SingleInput):
             if isinstance(inp, JoinInput) and inp.per is None:
                 df = _run_join_streaming(
                     env, model, q, inp, ts_col, watermark
                 )
-                if q.having:
-                    df = df.filter(F.expr(q.having))
-                if q.out_stream in outputs:
-                    outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
-                else:
-                    outputs[q.out_stream] = df
-                env[q.out_stream] = outputs[q.out_stream]
+                _emit(q, df)
                 continue
             raise ValueError(
                 "streaming runner covers single-input queries, patterns, "
@@ -2344,6 +2344,22 @@ def run_app_streaming(
             keys = q.group_by or (
                 [q.partition_key] if q.partition_key else []
             )
+            dropped = [
+                it.expr
+                for i, it in enumerate(q.select)
+                if (i, it) not in agg_items and it.expr.strip() not in keys
+            ]
+            if dropped:
+                # the pane aggregation can only carry keys + aggregates;
+                # silently losing a projected column would desync this
+                # route from the batch runner's per-event emission
+                raise ValueError(
+                    f"streaming sliding time() aggregation emits window "
+                    f"panes of (keys, aggregates); non-key projection(s) "
+                    f"{dropped} are not representable — drop them or use "
+                    "streaming.windows.sliding_agg/expression_window "
+                    "directly"
+                )
             df = sliding_agg(
                 src,
                 ts_col,
@@ -2353,13 +2369,7 @@ def run_app_streaming(
                 keys=keys,
                 aggs=aggs,
             )
-            if q.having:
-                df = df.filter(F.expr(q.having))
-            if q.out_stream in outputs:
-                outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
-            else:
-                outputs[q.out_stream] = df
-            env[q.out_stream] = outputs[q.out_stream]
+            _emit(q, df)
             continue
         if inp.window is not None and inp.window.kind == "length":
             # `#window.length(n)` + aggregation: route to the per-key
@@ -2370,13 +2380,7 @@ def run_app_streaming(
             # ONE value column, so the QL mapping is the canonical
             # select shape: key + count()/sum(x)/avg(x).
             df = _route_streaming_length(env, model, q, inp, ts_col, id_col)
-            if q.having:
-                df = df.filter(F.expr(q.having))
-            if q.out_stream in outputs:
-                outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
-            else:
-                outputs[q.out_stream] = df
-            env[q.out_stream] = outputs[q.out_stream]
+            _emit(q, df)
             continue
         if inp.window is not None and inp.window.kind not in (
             "timeBatch",
@@ -2408,11 +2412,5 @@ def run_app_streaming(
             )
             src = src.withWatermark(wm_col, watermark)
         df = _run_single(src, q, inp, ts_col, id_col)
-        if q.having:
-            df = df.filter(F.expr(q.having))
-        if q.out_stream in outputs:
-            outputs[q.out_stream] = outputs[q.out_stream].unionByName(df)
-        else:
-            outputs[q.out_stream] = df
-        env[q.out_stream] = outputs[q.out_stream]
+        _emit(q, df)
     return outputs

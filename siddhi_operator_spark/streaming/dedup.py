@@ -34,10 +34,13 @@ from ..pipeline import dedup as D
 
 
 def _epoch_dirs(spark: SparkSession, path: str, below: int | None = None):
-    """List committed ``epoch=N`` subdirs of ``path`` (Hadoop FS, so any
-    scheme works), optionally only epochs strictly below ``below``.
-    Existence is checked explicitly — a corrupt store surfaces as a
-    read error downstream instead of being silently treated as empty.
+    """List COMMITTED ``epoch=N`` subdirs of ``path`` (Hadoop FS, so
+    any scheme works), optionally only epochs strictly below ``below``.
+    Committed = the subdir carries its `_SUCCESS` marker — a crash
+    mid-write leaves no marker and that epoch is invisible until its
+    replay overwrites it. A store in any OTHER layout (e.g. the
+    pre-r6 flat parquet append) raises loudly instead of being
+    silently read as empty state.
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -45,13 +48,27 @@ def _epoch_dirs(spark: SparkSession, path: str, below: int | None = None):
     if not fs.exists(hpath):
         return []
     out = []
+    foreign = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if not name.startswith("epoch="):
+            if not name.startswith(("_", ".")):
+                foreign.append(name)
             continue
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_SUCCESS")
+        ):
+            continue  # uncommitted (crashed mid-write) — replay rewrites it
         e = int(name.split("=", 1)[1])
         if below is None or e < below:
             out.append(f"{path}/{name}")
+    if foreign:
+        raise ValueError(
+            f"{path} holds non-epoch entries {foreign[:3]} — this looks "
+            "like a pre-epoch-layout (flat append) state store; the "
+            "exactly-once layout cannot read it. Rebuild the state by "
+            "replaying the corpus, or point state_dir at a fresh path."
+        )
     return out
 
 

@@ -78,6 +78,7 @@ _EVERY_UNITS = {
 _SNAP_STATE = T.StructType(
     [
         T.StructField("next_bucket", T.LongType()),  # µs; -1 = uninit
+        T.StructField("emitted", T.BooleanType()),  # any tick emitted yet
         T.StructField("fill_ts", T.LongType()),
         T.StructField("fill_tb", T.LongType()),
         T.StructField("fill_val", T.DoubleType()),
@@ -136,13 +137,16 @@ def snapshot_every_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            (nxt, f_ts, f_tb, f_val, has_fill, pb, pts, ptb, pval) = state.get
+            (nxt, emitted, f_ts, f_tb, f_val, has_fill, pb, pts, ptb, pval) = (
+                state.get
+            )
             pending = {
                 int(b): (int(t), int(e), float(v))
                 for b, t, e, v in zip(pb, pts, ptb, pval)
             }
         else:
-            nxt, f_ts, f_tb, f_val, has_fill = -1, 0, 0, 0.0, False
+            nxt, emitted = -1, False
+            f_ts, f_tb, f_val, has_fill = 0, 0, 0.0, False
             pending = {}
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -155,14 +159,20 @@ def snapshot_every_stream(
                 vals = pdf[value_col].to_numpy(dtype="float64")
                 for t, e, v in zip(ets, tbs, vals):
                     b = (int(t) // every_us) * every_us
-                    if nxt != -1 and b < nxt:
-                        # late-but-in-watermark row for an already
-                        # emitted tick: fold into the carry (never hit
-                        # under ordered replay; defensive otherwise)
-                        if has_fill and (int(t), int(e)) > (f_ts, f_tb):
+                    if emitted and b < nxt:
+                        # late-but-in-watermark row for an ALREADY
+                        # EMITTED tick: fold into the carry so later
+                        # ticks forward-fill it (never hit under
+                        # ordered replay; out-of-order sources only)
+                        if not has_fill or (int(t), int(e)) > (f_ts, f_tb):
                             f_ts, f_tb, f_val = int(t), int(e), float(v)
                             has_fill = True
                         continue
+                    # before any emission, an earlier bucket simply
+                    # lowers the first-tick anchor — dropping it here
+                    # would desync the scaffold from the batch oracle
+                    if nxt == -1 or (not emitted and b < nxt):
+                        nxt = b if nxt == -1 else min(nxt, b)
                     cur = pending.get(b)
                     if cur is None or (int(t), int(e)) > cur[:2]:
                         pending[b] = (int(t), int(e), float(v))
@@ -180,12 +190,14 @@ def snapshot_every_stream(
             if has_fill:  # first tick always has its trigger event
                 out_b.append(nxt)
                 out_v.append(f_val)
+                emitted = True
             nxt += every_us
         if nxt != -1:
             pend_items = sorted(pending.items())
             state.update(
                 (
                     nxt,
+                    emitted,
                     f_ts,
                     f_tb,
                     f_val,

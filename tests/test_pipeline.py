@@ -205,7 +205,9 @@ def test_connected_components_star_equivalence(spark):
         # default 25 must suffice everywhere — that asymmetry is the point
         label = {
             r.node: r.component
-            for r in D.connected_components(pairs, max_iter=60).collect()
+            for r in D.connected_components(
+                pairs, max_iter=60, algo="label"
+            ).collect()
         }
         star = {
             r.node: r.component

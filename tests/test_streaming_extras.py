@@ -510,3 +510,37 @@ def test_snapshot_every_stream_property_random_vs_batch(spark):
             hi = max(b for (_, b) in got)
             want = {k for k in batch if k[1] < hi}
             assert want <= set(got), (trial, want - set(got))
+
+
+def test_snapshot_every_stream_out_of_order_before_first_tick(spark):
+    """An in-watermark event for a bucket EARLIER than anything seen so
+    far (normal with an out-of-order source) must lower the first-tick
+    anchor, not be silently dropped — the scaffold must still start at
+    the key's true first bucket, matching the batch oracle."""
+    from siddhi_operator_spark.streaming import ratelimit as RL
+
+    rows = [
+        # replay_dir splits by event_id → batch1=[id1], batch2=[id2],
+        # batch3=[sentinel]; id2 is OLDER in event time than id1 but
+        # inside the 2h watermark when it arrives
+        (1, "2024-01-01 02:30:00", 1, 5.0),
+        (1, "2024-01-01 01:50:00", 2, 3.0),
+        (3, "2024-01-01 12:00:00", 9, 0.0),  # advances the watermark
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tempfile.mkdtemp(prefix="snap_ooo_")
+    sources.replay_dir(df, d, "event_id", 3)
+    s = sources.file_stream(spark, d, df.schema, max_files_per_trigger=1)
+    out = RL.snapshot_every_stream(s, "ts", "1 hour", "2 hours")
+    name = _run(out)
+    got = {
+        (r.user_id, str(r.bucket)): r.value
+        for r in spark.table(name).collect()
+    }
+    # first tick is the out-of-order event's bucket, with its value
+    assert got[(1, "2024-01-01 01:00:00")] == 3.0
+    # the newer event still wins its own and later buckets
+    assert got[(1, "2024-01-01 02:00:00")] == 5.0
+    assert got[(1, "2024-01-01 03:00:00")] == 5.0

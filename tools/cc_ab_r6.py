@@ -2,11 +2,11 @@
 
 1. ×1000 decade fills: cross_doc_repeats and BM25 at 5 M docs
    (SCALEBENCH round-5 table had "—" cells).
-2. Connected-components A/B at ×100 (the 241 M-pair extreme):
-   min-label propagation (shipped default) vs alternating
-   large-star/small-star contraction, both on the disk-checkpoint
-   tier. Winner takes the default; either way the measurement lands
-   in SCALEBENCH.md.
+2. Connected-components A/B at ×100: min-label propagation vs
+   alternating large-star/small-star contraction, both on the
+   disk-checkpoint tier. The A/B ran with label as the then-default;
+   star won 4.0× and IS the default now (SCALEBENCH.md r6), so the
+   label arm pins algo="label" explicitly.
 
 Usage: python tools/cc_ab_r6.py [all|text|cc]
 """
@@ -90,8 +90,10 @@ def main() -> None:
         _timed("edge count", strong.count)
         _timed(
             "CC label (disk ckpt)",
+            # explicit algo: the library default flipped to "star" after
+            # this A/B — without it both arms would time the same algo
             lambda: D.connected_components(
-                strong, checkpoint_dir=f"{BASE}/cc_ab_label"
+                strong, checkpoint_dir=f"{BASE}/cc_ab_label", algo="label"
             ).count(),
         )
         _timed(
