@@ -328,3 +328,56 @@ import pandas as pd  # noqa: E402  (type hints drive pandas_udf inference)
 
 register_udaf("custom:geomean")(_geomean)
 register_udaf("custom:wavg")(_wavg)
+
+
+# --------------------------------------------------------------------
+# Scalar UDF SPI — the reference's `FunctionExecutor` extension point
+# (`@Extension` scalar functions, SURVEY.md §3.11). Two tiers:
+#   - EXPRESSION tier (preferred): the "UDF" is a Column-builder
+#     closure — pure Catalyst, codegen'd, zero Python at runtime.
+#     Everything in this module's namespaces is this tier.
+#   - PANDAS tier: Arrow-batched `pandas_udf` for logic Catalyst
+#     cannot express. Registered lazily like the UDAF SPI.
+# --------------------------------------------------------------------
+
+UDF_REGISTRY: dict[str, tuple[Callable, str, bool]] = {}
+_UDF_WRAPPED: dict[str, Callable[..., Column]] = {}
+
+
+def register_udf(name: str, return_type: str = "string", pandas: bool = False):
+    """Register a user-defined scalar under `namespace:name`.
+
+    ``pandas=False`` (default): ``f`` takes Column(s) and returns a
+    Column — the expression tier, fully codegen'd. ``pandas=True``:
+    ``f`` takes ``pandas.Series`` and returns a Series of
+    ``return_type`` — the Arrow tier, for semantics Catalyst lacks.
+    """
+
+    def deco(f):
+        UDF_REGISTRY[name] = (f, return_type, pandas)
+        _UDF_WRAPPED.pop(name, None)
+        return f
+
+    return deco
+
+
+def udf(name: str) -> Callable[..., Column]:
+    """Look up a registered scalar by name (pandas-tier functions wrap
+    in an Arrow UDF on first use; expression-tier return as-is)."""
+    if name not in _UDF_WRAPPED:
+        f, rtype, is_pandas = UDF_REGISTRY[name]
+        if is_pandas:
+            from pyspark.sql.functions import pandas_udf
+
+            _UDF_WRAPPED[name] = pandas_udf(f, rtype)
+        else:
+            _UDF_WRAPPED[name] = f
+    return _UDF_WRAPPED[name]
+
+
+@register_udf("custom:slug")
+def _slug(c: Column) -> Column:
+    """Canonical expression-tier scalar: lowercase, non-alnum runs →
+    '-' (the URL-slug normalizer) — registered like a reference
+    `FunctionExecutor`, compiled to pure Catalyst."""
+    return F.regexp_replace(F.lower(c), "[^a-z0-9]+", "-")

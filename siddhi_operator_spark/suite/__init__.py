@@ -112,8 +112,9 @@ _R3_MODULES: tuple[str, ...] = ()
 # tpch_q7, tpch_q13, tpch_q15, tpch_q18, agg_percentile,
 # streaming_expression_window, dedup_semantic_clusters,
 # siddhiql_cr_process, streaming_join_table_probe,
-# streaming_approx_distinct, siddhiql_streaming_filter_agg — with the
-# balance of the 50
+# streaming_approx_distinct, siddhiql_streaming_filter_agg,
+# scalar_udf_registered, join_bucketed_colocated — with the balance
+# of the 50
 # going to the oldest r3/r4 rows.
 
 

@@ -442,3 +442,30 @@ def scalar_str_extra(spark: SparkSession, sf: str) -> DataFrame:
         F.reverse("source").alias("rev"),
         F.format_string("%s/%s#%d", "source", "lang", "doc_id").alias("templ"),
     )
+
+
+@register(
+    "scalar_udf_registered",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(source), '[^a-z0-9]+', '-', 'g') AS slug,
+           upper(lang) AS lang_uc
+    FROM documents
+    """,
+    tags=("scalar", "udf", "spi"),
+)
+def scalar_udf_registered(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar UDF SPI end-to-end (§3.11 — the reference's
+    `FunctionExecutor` extension point): a user-registered scalar
+    (`custom:slug`, expression tier) runs inside an ordinary
+    projection and hash-matches the relational oracle. The expression
+    tier means the "UDF" compiles to pure Catalyst — zero Python rows
+    at runtime, same plan as a built-in."""
+    from ..functions import udf
+
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        udf("custom:slug")(F.col("source")).alias("slug"),
+        F.upper("lang").alias("lang_uc"),
+    )

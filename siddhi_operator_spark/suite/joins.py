@@ -381,3 +381,46 @@ def join_range_interval(spark: SparkSession, sf: str) -> DataFrame:
             "offset_sec"
         ),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           round(1e-9 + sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "bucketed", "colocated"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact⋈fact via the CO-LOCATED bucketed layout (the third leg of
+    the join strategy next to broadcast and shuffle): both facts are
+    written `bucketBy(orderkey)` + sorted, so the join plans with NO
+    exchange on either side — matching buckets are co-partitioned on
+    disk (plan pinned by `tests/test_plans.py::
+    test_bucketed_join_shuffle_free`). At 100 TB this is the layout
+    the nightly fact tables are maintained in; here the write is the
+    test ingest and the oracle proves the exchange-free join returns
+    byte-identical aggregates."""
+    from ..catalog import write_bucketed
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, "suite_bkt_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(li, "suite_bkt_lineitem", "l_orderkey", n_buckets=8)
+    ob = spark.table("suite_bkt_orders")
+    lb = spark.table("suite_bkt_lineitem")
+    j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
