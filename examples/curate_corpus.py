@@ -5,10 +5,11 @@ pretraining ingest runs them:
   1. quality gate        (cheap per-row filters: token stats + char-LM)
   2. PII masking         (typed redaction, audit counts)
   3. exact dedup         (content-hash groups)
-  4. near-dup clustering (minhash → capped LSH → connected components)
-  5. decontamination     (bloom-filter n-gram probe vs the eval slice)
-  6. leakage-safe split  (duplicate groups never straddle train/test)
-  7. token-budget cut    (distributed prefix sum to a corpus budget)
+  4. near-dup clustering (minhash → capped LSH → star-contraction CC)
+  5. semantic dedup      (SemDeDup: embedding cells → in-cell cosine)
+  6. decontamination     (bloom-filter n-gram probe vs the eval slice)
+  7. leakage-safe split  (duplicate groups never straddle train/test)
+  8. token-budget cut    (distributed prefix sum to a corpus budget)
 
 Run: python examples/curate_corpus.py [sf_dir]   (default sf0.01)
 
@@ -76,21 +77,40 @@ def main() -> None:
     survivors = survivors.join(dupes, "doc_id", "left_anti")
     n3 = survivors.count()
 
-    # 5. decontamination: bloom probe against the held-out slice
+    # 5. semantic dedup (SemDeDup): embeddings cluster into quantizer
+    #    cells, in-cell cosine pairs above threshold drop the higher id.
+    #    The quantizer seeds from the FULL embedding corpus (its dense
+    #    ids), and a drop only applies when its keeper itself survived
+    #    the earlier gates — never drop the last copy of content.
+    emb = load(spark, sf, "embeddings")
+    sem = D.semantic_dedup_pairs(emb, min_cos=0.4, n_cells=8)
+    sem_drop = (
+        sem.join(
+            survivors.select(F.col("doc_id").alias("id_keep")),
+            "id_keep",
+            "left_semi",
+        )
+        .select(F.col("id_drop").alias("doc_id"))
+        .distinct()
+    )
+    survivors = survivors.join(sem_drop, "doc_id", "left_anti")
+    n3b = survivors.count()
+
+    # 6. decontamination: bloom probe against the held-out slice
     contaminated = C.decontaminate_bloom(survivors, n=3, eval_mod=97).select(
         "doc_id"
     )
     survivors = survivors.join(contaminated, "doc_id", "left_anti")
     n4 = survivors.count()
 
-    # 6. leakage-safe split
+    # 7. leakage-safe split
     split = C.leakage_safe_split(survivors)
     split_counts = {
         r.split: r.n for r in split.groupBy("split").count()
         .withColumnRenamed("count", "n").collect()
     }
 
-    # 7. token-budget cut on the train shard
+    # 8. token-budget cut on the train shard
     train = survivors.join(
         split.filter(F.col("split") == "train").select("doc_id"),
         "doc_id",
@@ -101,7 +121,7 @@ def main() -> None:
 
     print(
         f"docs {n0} -> quality {n1} -> exact-dedup {n2} -> "
-        f"neardup {n3} -> decontaminated {n4} "
+        f"neardup {n3} -> semantic {n3b} -> decontaminated {n4} "
         f"(pii-flagged {n_pii}; splits {split_counts}; "
         f"train@2k-tokens {n5})"
     )
