@@ -252,6 +252,17 @@ def write_bucketed(
     exchange-free plan).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    spark = df.sparkSession
+    # a managed-table LOCATION can outlive the catalog entry (fresh
+    # session, old spark-warehouse dir) and then saveAsTable refuses
+    # with LOCATION_ALREADY_EXISTS — drop both before writing
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
