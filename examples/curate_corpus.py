@@ -6,8 +6,10 @@ pretraining ingest runs them:
   2. PII masking         (typed redaction, audit counts)
   3. exact dedup         (content-hash groups)
   4. near-dup clustering (minhash → capped LSH → star-contraction CC)
-  5. semantic dedup      (SemDeDup: embedding cells → in-cell cosine)
-  6. decontamination     (bloom-filter n-gram probe vs the eval slice)
+  5. decontamination     (bloom-filter n-gram probe vs the eval slice)
+  6. semantic dedup      (SemDeDup: embedding cells → in-cell cosine;
+                          AFTER decontamination so a keeper can no
+                          longer vanish in a later gate)
   7. leakage-safe split  (duplicate groups never straddle train/test)
   8. token-budget cut    (distributed prefix sum to a corpus budget)
 
@@ -77,12 +79,29 @@ def main() -> None:
     survivors = survivors.join(dupes, "doc_id", "left_anti")
     n3 = survivors.count()
 
-    # 5. semantic dedup (SemDeDup): embeddings cluster into quantizer
+    # 5. decontamination: bloom probe against the held-out slice
+    contaminated = C.decontaminate_bloom(survivors, n=3, eval_mod=97).select(
+        "doc_id"
+    )
+    survivors = survivors.join(contaminated, "doc_id", "left_anti")
+    n4 = survivors.count()
+
+    # 6. semantic dedup (SemDeDup): embeddings cluster into quantizer
     #    cells, in-cell cosine pairs above threshold drop the higher id.
-    #    The quantizer seeds from the FULL embedding corpus (its dense
-    #    ids), and a drop only applies when its keeper itself survived
-    #    the earlier gates — never drop the last copy of content.
+    #    Runs LAST of the drop gates so a drop's keeper cannot vanish in
+    #    a later gate ("never drop the last copy of content"); the
+    #    quantizer seeds from the FULL embedding corpus (dense ids).
+    #    Fixture contract: embeddings.vec_id IS documents.doc_id
+    #    (TESTDATA.md row-aligned corpora) — checked below, because a
+    #    silently mismatched id space would delete the wrong documents.
     emb = load(spark, sf, "embeddings")
+    n_shared = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    ).count()
+    assert n_shared == emb.count(), (
+        f"embeddings.vec_id is not documents.doc_id ({n_shared} of "
+        f"{emb.count()} ids resolve) — semantic dedup needs the id map"
+    )
     sem = D.semantic_dedup_pairs(emb, min_cos=0.4, n_cells=8)
     sem_drop = (
         sem.join(
@@ -95,13 +114,6 @@ def main() -> None:
     )
     survivors = survivors.join(sem_drop, "doc_id", "left_anti")
     n3b = survivors.count()
-
-    # 6. decontamination: bloom probe against the held-out slice
-    contaminated = C.decontaminate_bloom(survivors, n=3, eval_mod=97).select(
-        "doc_id"
-    )
-    survivors = survivors.join(contaminated, "doc_id", "left_anti")
-    n4 = survivors.count()
 
     # 7. leakage-safe split
     split = C.leakage_safe_split(survivors)
@@ -121,7 +133,7 @@ def main() -> None:
 
     print(
         f"docs {n0} -> quality {n1} -> exact-dedup {n2} -> "
-        f"neardup {n3} -> semantic {n3b} -> decontaminated {n4} "
+        f"neardup {n3} -> decontaminated {n4} -> semantic {n3b} "
         f"(pii-flagged {n_pii}; splits {split_counts}; "
         f"train@2k-tokens {n5})"
     )

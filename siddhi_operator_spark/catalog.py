@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -252,16 +253,38 @@ def write_bucketed(
     exchange-free plan).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if not re.fullmatch(r"[a-z][a-z0-9_]*", table):
+        # the orphan-location cleanup below derives the path from the
+        # name; qualified (`db.tbl`) or mixed-case names would compute
+        # the WRONG path and leave the failure this guard exists for
+        raise ValueError(
+            f"write_bucketed table name must be simple lowercase "
+            f"[a-z0-9_], got {table!r}"
+        )
     spark = df.sparkSession
     # a managed-table LOCATION can outlive the catalog entry (fresh
-    # session, old spark-warehouse dir) and then saveAsTable refuses
-    # with LOCATION_ALREADY_EXISTS — drop both before writing
+    # session over an old spark-warehouse dir) and then saveAsTable
+    # refuses with LOCATION_ALREADY_EXISTS. If the table is cataloged,
+    # DROP removes its data; otherwise remove the orphan dir — but
+    # ONLY if it looks like Spark table output (part files/markers),
+    # never silently erase foreign data living at that path.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark._jvm
     loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(loc):
+        entries = [st.getPath().getName() for st in fs.listStatus(loc)]
+        foreign = [
+            n
+            for n in entries
+            if not (n.startswith(("part-", "_", ".")))
+        ]
+        if foreign:
+            raise ValueError(
+                f"refusing to overwrite {wh}/{table}: holds non-table "
+                f"entries {foreign[:3]} — not Spark table output"
+            )
         fs.delete(loc, True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
     if sort:

@@ -262,7 +262,6 @@ def fn(name: str) -> Callable[..., Column]:
 # pyspark materializes the UDF against the active SparkSession, so
 # wrapping at import time would demand a session before one exists.
 UDAF_REGISTRY: dict[str, tuple[Callable, str]] = {}
-_UDAF_WRAPPED: dict[str, Callable[..., Column]] = {}
 
 
 def register_udaf(name: str, return_type: str = "double"):
@@ -292,21 +291,21 @@ def register_udaf(name: str, return_type: str = "double"):
 
     def deco(f):
         UDAF_REGISTRY[name] = (f, return_type)
-        _UDAF_WRAPPED.pop(name, None)
         return f
 
     return deco
 
 
 def udaf(name: str) -> Callable[..., Column]:
-    """Look up a registered user-defined aggregator by name (wraps the
-    reducer in a pandas GROUPED_AGG UDF on first use)."""
-    if name not in _UDAF_WRAPPED:
-        from pyspark.sql.functions import pandas_udf
+    """Look up a registered user-defined aggregator by name. The
+    pandas GROUPED_AGG wrap happens PER CALL, never cached at module
+    level: a wrapped UserDefinedFunction pins its JVM handle to the
+    SparkSession it first runs under, so a cached wrapper would break
+    after a session restart (same reason `udf` below doesn't cache)."""
+    from pyspark.sql.functions import pandas_udf
 
-        f, rtype = UDAF_REGISTRY[name]
-        _UDAF_WRAPPED[name] = pandas_udf(f, rtype)
-    return _UDAF_WRAPPED[name]
+    f, rtype = UDAF_REGISTRY[name]
+    return pandas_udf(f, rtype)
 
 
 def _geomean(v: "pd.Series") -> float:
@@ -341,7 +340,6 @@ register_udaf("custom:wavg")(_wavg)
 # --------------------------------------------------------------------
 
 UDF_REGISTRY: dict[str, tuple[Callable, str, bool]] = {}
-_UDF_WRAPPED: dict[str, Callable[..., Column]] = {}
 
 
 def register_udf(name: str, return_type: str = "string", pandas: bool = False):
@@ -355,24 +353,22 @@ def register_udf(name: str, return_type: str = "string", pandas: bool = False):
 
     def deco(f):
         UDF_REGISTRY[name] = (f, return_type, pandas)
-        _UDF_WRAPPED.pop(name, None)
         return f
 
     return deco
 
 
 def udf(name: str) -> Callable[..., Column]:
-    """Look up a registered scalar by name (pandas-tier functions wrap
-    in an Arrow UDF on first use; expression-tier return as-is)."""
-    if name not in _UDF_WRAPPED:
-        f, rtype, is_pandas = UDF_REGISTRY[name]
-        if is_pandas:
-            from pyspark.sql.functions import pandas_udf
+    """Look up a registered scalar by name. Expression-tier functions
+    return as-is (pure Column builders, session-free); pandas-tier
+    functions wrap PER CALL — a cached UserDefinedFunction would pin a
+    dead JVM handle across a session restart (see `udaf`)."""
+    f, rtype, is_pandas = UDF_REGISTRY[name]
+    if is_pandas:
+        from pyspark.sql.functions import pandas_udf
 
-            _UDF_WRAPPED[name] = pandas_udf(f, rtype)
-        else:
-            _UDF_WRAPPED[name] = f
-    return _UDF_WRAPPED[name]
+        return pandas_udf(f, rtype)
+    return f
 
 
 @register_udf("custom:slug")

@@ -404,19 +404,30 @@ def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
     test_bucketed_join_shuffle_free`). At 100 TB this is the layout
     the nightly fact tables are maintained in; here the write is the
     test ingest and the oracle proves the exchange-free join returns
-    byte-identical aggregates."""
+    byte-identical aggregates.
+
+    NB: building this entry's plan WRITES the two bucketed tables into
+    the session's warehouse (names scoped by sf so different fixture
+    dirs don't clobber each other) — the one registry fn with a stage
+    side effect, same class as the file-staging source entries. The
+    merge hint pins the SORT-MERGE path: without it the gate-scale
+    tables fall under the broadcast threshold and the co-located
+    layout would go untested."""
+    import re as _re
+
     from ..catalog import write_bucketed
 
+    tag = _re.sub(r"[^a-z0-9]+", "_", sf.lower()).strip("_")
     o = load(spark, sf, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    write_bucketed(o, "suite_bkt_orders", "o_orderkey", n_buckets=8)
-    write_bucketed(li, "suite_bkt_lineitem", "l_orderkey", n_buckets=8)
-    ob = spark.table("suite_bkt_orders")
-    lb = spark.table("suite_bkt_lineitem")
+    write_bucketed(o, f"suite_bkt_orders_{tag}", "o_orderkey", n_buckets=8)
+    write_bucketed(li, f"suite_bkt_lineitem_{tag}", "l_orderkey", n_buckets=8)
+    ob = spark.table(f"suite_bkt_orders_{tag}").hint("merge")
+    lb = spark.table(f"suite_bkt_lineitem_{tag}")
     j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
     return j.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),

@@ -482,3 +482,15 @@ def test_semantic_dedup_cell_join_no_cartesian(spark):
     plan = _fmt(REGISTRY["dedup_semantic_clusters"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_bucketed_colocated_row_is_exchange_free_smj(spark):
+    """The registry row must exercise what it claims: sort-merge over
+    the co-located bucketed layout, zero Exchange — not a broadcast
+    join that leaves the bucketing untested."""
+    plan = _fmt(REGISTRY["join_bucketed_colocated"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    join_part = tree.split("HashAggregate")[-1]  # below the agg: the join
+    assert "SortMergeJoin" in tree
+    assert "BroadcastHashJoin" not in tree
+    assert "Exchange" not in join_part
