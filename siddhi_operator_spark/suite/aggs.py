@@ -908,3 +908,153 @@ def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
         r4(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
         r4(F.percentile("value", F.lit(0.90)), 4).alias("p90"),
     )
+
+
+@register(
+    "tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(1e-9 + sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS amount
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type LIKE '%ECO%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), supply-cost adaptation: the
+    fixture has no partsupp, so profit = discounted revenue over the
+    part-type filter. Shape is the point: the most-filtered dimension
+    (part LIKE) broadcasts FIRST so the fact scan drops to the
+    matching partkeys before the wider joins; orders joins on the
+    shrunken fact."""
+    p = load(spark, sf, "part").filter(
+        F.col("p_type").like("%ECO%")
+    ).select("p_partkey")
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(
+        r4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("amount")
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT round(1e-9 + sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+    tags=("agg", "tpch", "join", "disjunction"),
+)
+def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), container adaptation (fixture
+    has no p_container — size ranges stand in): the classic
+    DISJUNCTION-of-conjunctions residual over a broadcast dimension
+    join. The per-branch part predicates can't prune the fact scan
+    (they cross sides), but the part side pre-filters to the union of
+    brands before broadcasting."""
+    p = load(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(branch).agg(
+        r4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           round(1e-9 + sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    GROUP BY c.c_nationkey
+    """,
+    tags=("agg", "tpch", "join", "anti"),
+)
+def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), nation adaptation (the
+    fixture has no c_phone — nationkey groups stand in for country
+    codes): scalar AVG subquery → one-row broadcast threshold, then a
+    LEFT ANTI join against RECENT orders finds lapsed customers (the
+    fixture has orders for every customer, so "no orders at all" is
+    empty — "none since 1999" keeps Q22's shape with live rows). The
+    anti join shuffles only custkeys; the threshold never leaves the
+    executors."""
+    c = load(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_thr")
+    )
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("_thr")
+    )
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        r4(F.sum("c_acctbal"), 4).alias("totacctbal"),
+    )
