@@ -80,11 +80,25 @@ def store_options(ann: Ann) -> tuple[str, dict[str, str]]:
     if typ == "parquet":
         return "parquet", {"path": _req(ann, "path")}
     if typ == "redis":
-        raise ValueError(
-            "@store(type='redis') has no first-party Spark DataSource; "
-            "use the parquet store (engine default) or rdbms/mongodb — "
-            "see SURVEY.md §3.1 by-design substitutions"
-        )
+        # [ext:store-redis] RedisTable: host / port / password /
+        # table.name — mapped onto the spark-redis connector's option
+        # schema ("org.apache.spark.sql.redis": table, host, port,
+        # auth, key.column). Connector jar is a deploy-time
+        # `--packages com.redislabs:spark-redis_2.13` item, same
+        # contract as mongo/ES; hash-key reads push the key lookup to
+        # the store.
+        opts = {
+            "table": _req(ann, "table.name"),
+            "host": _req(ann, "host"),
+        }
+        if "port" in ann.options:
+            opts["port"] = ann.options["port"]
+        if "password" in ann.options:
+            opts["auth"] = ann.options["password"]
+        if "key.column" in ann.options:
+            opts["key.column"] = ann.options["key.column"]
+        opts.update(_passthrough(ann))
+        return "org.apache.spark.sql.redis", opts
     raise ValueError(f"unsupported @store type {typ!r}")
 
 

@@ -785,7 +785,15 @@ def test_store_option_translation():
     assert fmt == "org.elasticsearch.spark.sql"
     assert opts["es.nodes"] == "es1" and opts["es.port"] == "9200"
 
-    with _pytest.raises(ValueError, match="redis"):
+    fmt, opts = store_options(parse_annotation(
+        "@store(type='redis', host='r1', port='6379', password='s', "
+        "table.name='sessions', key.column='session_id')"
+    ))
+    assert fmt == "org.apache.spark.sql.redis"
+    assert opts["host"] == "r1" and opts["table"] == "sessions"
+    assert opts["auth"] == "s" and opts["key.column"] == "session_id"
+
+    with _pytest.raises(ValueError, match="table.name"):
         store_options(parse_annotation("@store(type='redis', host='r')"))
     with _pytest.raises(ValueError, match="jdbc.url"):
         store_options(parse_annotation("@store(type='rdbms', table.name='t')"))
