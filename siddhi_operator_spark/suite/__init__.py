@@ -114,7 +114,8 @@ _R3_MODULES: tuple[str, ...] = ()
 # siddhiql_cr_process, streaming_join_table_probe,
 # streaming_approx_distinct, siddhiql_streaming_filter_agg,
 # scalar_udf_registered, join_bucketed_colocated, tpch_q9, tpch_q19,
-# tpch_q22 — with the balance of the 50
+# tpch_q22, streaming_approx_percentile, streaming_sliding_panes —
+# with the balance of the 50
 # going to the oldest r3/r4 rows.
 
 

@@ -824,3 +824,109 @@ def streaming_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@register(
+    "streaming_approx_percentile",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           round(1e-9 + quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "sketch", "percentile"),
+)
+def streaming_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming percentile: `approx_percentile` (mergeable quantile
+    sketch) inside a watermarked tumbling aggregation — exact
+    percentile cannot merge across micro-batches; the sketch is the
+    streaming-legal formulation at any scale. As with the HLL twin,
+    the estimate is engine-specific so the hash-checked output is the
+    exact continuous quantile (batch-side) plus the accuracy-contract
+    flag (the sketch's rank error at accuracy=10000 is ~0.01 %, far
+    inside the 5 %-of-spread bound checked here)."""
+    s = _events_stream(spark, sf)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.approx_percentile("value", 0.5, 10000).alias("approx_p50"),
+            F.min("value").alias("_lo"),
+            F.max("value").alias("_hi"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "approx_p50",
+            "_lo",
+            "_hi",
+        )
+    )
+    name = _materialize(agg, "complete")
+    streamed = spark.table(name)
+    exact = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(r4(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50"))
+    )
+    return (
+        streamed.join(exact, ["window_start", "event_type"])
+        .select(
+            "window_start",
+            "event_type",
+            "exact_p50",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= 0.05 * (F.col("_hi") - F.col("_lo"))
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "streaming_sliding_panes",
+    oracle="""
+    WITH offs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) o(i)),
+    paned AS (
+      SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+               - i * INTERVAL 15 MINUTES AS window_start,
+             value
+      FROM events CROSS JOIN offs
+      WHERE event_type = 'purchase'
+    )
+    SELECT window_start,
+           CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           count(*) AS n,
+           round(1e-9 + sum(value), 4) AS sv
+    FROM paned
+    GROUP BY window_start
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def streaming_sliding_panes(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding `time(1 hour)` in streaming mode — the overlapping-PANE
+    formulation (`window(ts, '1 hour', '15 minutes')`): each event
+    lands in duration/slide = 4 panes, panes finalize as the watermark
+    passes (the engine's mapping of the reference's per-arrival
+    emission; the exact per-event frame is the batch twin
+    `window_sliding_time`). The oracle is the closed form: every event
+    explodes into its 4 covering panes."""
+    s = _events_stream(spark, sf).filter(F.col("event_type") == "purchase")
+    out = SW.sliding_agg(
+        s,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        watermark="10 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            r4(F.sum("value"), 4).alias("sv"),
+        ],
+    )
+    name = _materialize(out, "complete")
+    return spark.table(name)
