@@ -28,95 +28,86 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 6.  The per-round correctness gate records
-# only the FIRST 50 registry entries in registration order.  Round 5 left
-# 27 registry entries that had NEVER seen a driver row (wire codecs, the
-# http/xml/keyvalue sources, the round-5 text/curation/PQ/bloom tier, the
-# streaming twins) and 37 rows last driver-checked in r1/r2.  This window
-# is exactly: all 27 never-checked entries + the 17 remaining r1-stale
-# rows + 6 r2-stale rows (the dedup-exact family, ondemand_sql,
-# pattern_first_match) = 50, driving the never-checked count to ZERO and
-# the stale tail down to the 14 rows pre-staged for round 7 below.
-# Iteration order of a dict is insertion order, so rebuilding REGISTRY
-# re-ranks entries without touching any registration site.
+# Driver-window rotation, round 7.  The per-round correctness gate records
+# only the FIRST 50 registry entries in registration order.  This window
+# is the one pre-staged by the r6 verdict: (1) the 14 rows last checked
+# in r2 (4 rounds stale — the oldest tail), (2) the TWO r6 driver-reds
+# (embedding_normalize / text_inverted_index, array outputs now
+# serialized — they must re-drive green), (3) all 21 never-checked r6
+# additions (TPC-H batch 2, streaming twins, SPI rows, entry B), and
+# (4) the balance to the oldest r3 rows in registry order.  After this
+# window: never-checked = 0, max staleness ≤ 4 rounds (the r3 rows not
+# yet rotated).  Iteration order of a dict is insertion order, so
+# rebuilding REGISTRY re-ranks entries without touching registration
+# sites.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (1) never driver-checked: sources / mappers / wire codecs
-    "source_http_json_stream",
-    "source_avro_wire_roundtrip",
-    "source_protobuf_wire_roundtrip",
-    "source_binary_wire_roundtrip",
-    "source_file_xml_mapper",
-    "source_file_keyvalue_mapper",
-    "source_onerror_fault_split",
-    "sink_file_csv_roundtrip",
-    "siddhiql_define_function",
-    # (2) never driver-checked: aggregates / TPC-H / ANN
-    "agg_distinct_count_salted",
-    "tpch_q10",
-    "tpch_q14",
-    "similarity_pq",
+    # (1) r2-stale — oldest rows in the ledger
+    "scalar_math",
+    "incr_agg_day",
+    "incr_agg_month",
+    "incr_agg_hour_slice",
+    "table_upsert",
+    "table_update_add",
+    "table_delete",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_shingles",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_decode_real",
+    # (2) r6 driver-reds, fixed this round — must re-drive green
     "embedding_normalize",
-    # (3) never driver-checked: round-5 text / curation tier
-    "sample_leakage_safe_split",
-    "sample_stratified_quota",
-    "decontaminate_bloom",
-    "domain_mix_temperature",
-    "text_bm25_topk",
     "text_inverted_index",
-    "text_char_lm_score",
-    "text_cross_doc_repeats",
-    "text_chunk_documents",
-    # (4) never driver-checked: streaming twins
-    "streaming_dedup_watermark",
-    "streaming_ann_cell_ingest",
-    "streaming_incremental_neardup",
-    "streaming_join_outer",
-    # (5) r1-stale: scalar / expression family
-    "cast_convert",
-    "conditional_fns",
-    "filter_compound",
-    "json_struct_roundtrip",
-    "regex_fns",
-    "scalar_json",
-    "scalar_pol2cart",
-    "scalar_str",
-    "scalar_str_extra",
-    "scalar_time",
-    # (6) r1-stale: joins / set ops / routing
-    "join_in_table",
-    "join_not_in_table",
-    "join_multiway_dims",
-    "setops_intersect",
-    "union_streams",
-    "udtf_tokenize",
-    "partition_range_agg",
-    # (7) r2-stale: dedup family + singles
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_embedding_cosine",
-    "neardup_token_jaccard",
-    "ondemand_sql",
-    "pattern_first_match",
+    # (3) never driver-checked r6 additions
+    "scalar_udf_registered",
+    "join_bucketed_colocated",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "agg_percentile",
+    "dedup_semantic_clusters",
+    "streaming_join_unidirectional",
+    "streaming_ratelimit_snapshot",
+    "streaming_expression_window",
+    "streaming_join_table_probe",
+    "streaming_approx_distinct",
+    "streaming_approx_percentile",
+    "streaming_sliding_panes",
+    "siddhiql_cr_process",
+    "siddhiql_streaming_filter_agg",
+    # (4) balance: oldest r3 rows, registry order
+    "window_topk",
+    "window_batch_chunk",
+    "agg_extrema_min_max_by",
+    "analytic_window_fns",
+    "set_ops",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "sample_hash_split",
+    "similarity_ann_recall",
+    "pii_mask",
+    "quality_repetition",
+    "decontaminate_ngram",
+    "domain_mix_sample",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-7 rotation, pre-staged (verdict r5 task 2): after this window the
-# ONLY rows >4 rounds stale are these 14 r2-rows — scalar_math,
-# incr_agg_day, incr_agg_hour_slice, incr_agg_month,
-# multimodal_decode_real, multimodal_frame_sample, multimodal_meta,
-# table_delete, table_update_add, table_upsert, text_langid,
-# text_quality, text_shingles, text_token_stats — which MUST lead the r7
-# window, followed by the rows newly added in round 6 (never-checked):
-# streaming_join_unidirectional, streaming_ratelimit_snapshot, tpch_q4,
-# tpch_q7, tpch_q13, tpch_q15, tpch_q18, agg_percentile,
-# streaming_expression_window, dedup_semantic_clusters,
-# siddhiql_cr_process, streaming_join_table_probe,
-# streaming_approx_distinct, siddhiql_streaming_filter_agg,
-# scalar_udf_registered, join_bucketed_colocated, tpch_q9, tpch_q19,
-# tpch_q22, streaming_approx_percentile, streaming_sliding_panes —
-# with the balance of the 50
-# going to the oldest r3/r4 rows.
+# Round-8 rotation, pre-staged: lead with any r7 reds, then every row
+# added in round 7 (never-checked), then the remaining r3 rows —
+# seq_pack_bins, text_winnow_fingerprint, corpus_weighted_sample,
+# text_tfidf_top_terms, embedding_centroids, siddhiql_star_quantifier,
+# list_fns, map_fns, approx_distinct_bound, sketch_count_min,
+# approx_percentile_bound — then the oldest r4 rows (window family,
+# join family, ratelimit trio, streaming CEP) with the balance of 50.
+# New r7 registry rows displace the NEWEST-checked tail entries of
+# group (4), never groups (1)-(3).
 
 
 def _rotate_for_driver_window() -> None:

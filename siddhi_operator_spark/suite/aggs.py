@@ -438,7 +438,10 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     fixture's missing o_shippriority): selective dimension → broadcast
     into the fact scan, one keyed agg, TopK via sort+limit. The
     customer filter prunes BEFORE the join so only matching custkeys
-    ship to executors."""
+    ship to executors. No forced broadcast on orders/customer: they
+    are SF-linear (150 M orders at sf100 — a forced hint is honored at
+    ANY size and OOMs); AQE picks broadcast at gate scale from runtime
+    stats and falls back to shuffle joins at fact scale."""
     c = load(spark, sf, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -449,7 +452,7 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(c, o.o_custkey == c.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (
@@ -485,10 +488,12 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     tags=("agg", "tpch", "join"),
 )
 def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 (local supplier volume): five-way join where every
-    dimension chain (region→nation→supplier, customer→orders)
-    broadcasts into the single lineitem fact scan — the deepest
-    broadcast-tree shape in the suite."""
+    """TPC-H Q5 (local supplier volume): five-way join over the single
+    lineitem fact scan. Only the bounded dims (region, nation) carry
+    forced broadcast hints; the SF-linear sides (customer, orders,
+    supplier) are left to AQE — it broadcasts them at gate scale from
+    runtime stats, and at 100 TB they co-shuffle with the fact instead
+    of OOMing under a size-blind hint."""
     r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -501,12 +506,12 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     c = load(spark, sf, "customer")
-    co = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    co = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     li = load(spark, sf, "lineitem")
     joined = li.join(
-        F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey")
+        co, F.col("l_orderkey") == F.col("o_orderkey")
     ).join(
-        F.broadcast(s),
+        s,
         (F.col("l_suppkey") == F.col("s_suppkey"))
         & (F.col("c_nationkey") == F.col("s_nationkey")),
     )
@@ -627,11 +632,11 @@ def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
 )
 def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 — returned-item revenue, top-20 customers: the
-    4-table join exercises the full dimension strategy (customer and
-    nation broadcast onto the order-filtered lineitem stream), the agg
-    is partial+final on the customer key, and the top-20 compiles to
-    TakeOrderedAndProject. Rank key rounded 4 dp (+ custkey tiebreak)
-    so the cutoff is engine-deterministic."""
+    4-table join exercises the full dimension strategy (nation carries
+    the only forced broadcast; SF-linear customer is AQE's call), the
+    agg is partial+final on the customer key, and the top-20 compiles
+    to TakeOrderedAndProject. Rank key rounded 4 dp (+ custkey
+    tiebreak) so the cutoff is engine-deterministic."""
     o = load(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
@@ -644,7 +649,7 @@ def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(r4(F.sum(rev), 4).alias("revenue"))
@@ -718,10 +723,10 @@ def tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
 def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 (volume shipping between two nations): the dual-nation
     disjunction stays a residual over two broadcast nation probes —
-    the lineitem fact scans ONCE; both nation dimensions and the
-    orders→customer chain broadcast into it (orders is small at test
-    scale; at 100 TB orders co-shuffles with lineitem on orderkey and
-    everything else still broadcasts)."""
+    the lineitem fact scans ONCE. Forced hints only on the bounded
+    nation dims; supplier/orders/customer are SF-linear and left to
+    AQE (broadcast at gate scale by runtime stats, orderkey/custkey
+    co-shuffles at 100 TB — a size-blind hint there is an OOM)."""
     n = load(spark, sf, "nation").select("n_nationkey", "n_name")
     s = load(spark, sf, "supplier").join(
         F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
@@ -741,9 +746,9 @@ def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     j = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")
@@ -859,7 +864,9 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): the qualifying-orderkey set
     (group-having over the fact) semi-joins back into the fact before
     the wide customer join — the big scan is pre-filtered to ~1 % of
-    orders, so the expensive 3-way join runs on the survivors only."""
+    orders, so the expensive 3-way join runs on the survivors only.
+    No forced hints: the qualifying set and the orders/customer sides
+    all grow with SF; AQE broadcasts whichever is small at runtime."""
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
@@ -869,14 +876,14 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("_sq") > 250)
         .select("l_orderkey")
     )
-    li_f = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    li_f = li.join(big, "l_orderkey", "left_semi")
     o = load(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     c = load(spark, sf, "customer").select("c_custkey", "c_name")
     j = li_f.join(
-        F.broadcast(o), li_f.l_orderkey == o.o_orderkey
-    ).join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        o, li_f.l_orderkey == o.o_orderkey
+    ).join(c, F.col("o_custkey") == c.c_custkey)
     return j.groupBy(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     ).agg(r4(F.sum("l_quantity"), 4).alias("sum_qty"))
@@ -945,9 +952,9 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     j = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
     )
     return j.groupBy(
         F.col("n_name").alias("nation"),

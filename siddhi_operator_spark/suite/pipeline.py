@@ -1385,7 +1385,7 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
       SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2
     )
     SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-           (list_sort(list(doc_id)))[1:1000] AS postings
+           array_to_string((list_sort(list(doc_id)))[1:1000], ',') AS postings
     FROM tf GROUP BY 1
     """,
     tags=("pipeline", "text", "retrieval"),
@@ -1394,8 +1394,19 @@ def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index materialization: term -> capped sorted posting
     list + df + total tf. Term-keyed fold, Zipf skew absorbed by
     map-side partial aggregation; posting arrays capped at 1000 so no
-    stop-word record balloons (true df kept regardless)."""
-    return X.inverted_index(load(spark, sf, "documents"), max_posting=1000)
+    stop-word record balloons (true df kept regardless).
+
+    The posting list is serialized to a comma-joined STRING at the
+    registry edge: the driver's canonicalizer pandas-sorts raw cells
+    and cannot factorize list values (round-6 red) — top-level array
+    outputs are banned registry-wide by the contract gate."""
+    out = X.inverted_index(load(spark, sf, "documents"), max_posting=1000)
+    return out.withColumn(
+        "postings",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ),
+    )
 
 
 @register(
@@ -1503,8 +1514,10 @@ def sample_stratified_quota(spark: SparkSession, sf: str) -> DataFrame:
       FROM v, ma
     )
     SELECT vec_id,
-           list_transform(cv, x -> 0.0 + round(1e-9 + x / sqrt(list_dot_product(cv, cv)), 4))
-             AS embedding_norm
+           array_to_string(
+             list_transform(cv, x -> CAST(round(
+               (1e-9 + x / sqrt(list_dot_product(cv, cv))) * 10000) AS BIGINT)),
+             ',') AS embedding_norm
     FROM c
     """,
     tags=("pipeline", "similarity", "preprocessing"),
@@ -1513,15 +1526,25 @@ def embedding_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Mean-center + L2-normalize the embedding corpus (after which
     cosine == dot and every ANN tier skips per-pair norms). The
     per-dim mean folds to one broadcast row; the rest is zip_with /
-    transform inside the scan. Elements rounded 4dp for the hash
-    compare."""
+    transform inside the scan.
+
+    Elements are scaled to 4-decimal fixed-point INTEGERS and
+    comma-joined to ONE string at the registry edge: the driver's
+    canonicalizer pandas-sorts raw cells and dies on list values
+    (round-6 red), and integer serialization sidesteps every
+    float-formatting divergence (−0.0 signs, exponent notation)
+    between Spark and DuckDB."""
     out = S.normalize_embeddings(load(spark, sf, "embeddings"))
     return out.select(
         "vec_id",
-        # + 0.0 folds IEEE −0.0 to +0.0 (engines disagree on the sign
-        # of rounded negative epsilons)
-        F.transform(
-            "embedding_norm", lambda x: F.round(x + 1e-9, 4) + F.lit(0.0)
+        F.array_join(
+            F.transform(
+                "embedding_norm",
+                lambda x: F.round((x + F.lit(1e-9)) * 10000)
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
         ).alias("embedding_norm"),
     )
 

@@ -343,12 +343,17 @@ def test_tpch_q6_all_predicates_pushed(spark):
 
 
 def test_tpch_q5_all_dims_broadcast(spark):
-    """Q5: all five dimension joins broadcast — the lineitem fact side
-    is never shuffled for a join."""
-    plan = _fmt(REGISTRY["tpch_q5"].fn(spark, SF))
-    tree = plan.split("\n\n")[0]
-    assert tree.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+    """Q5: at gate scale every join ends up broadcast — but via AQE
+    runtime stats, not forced hints (r6 verdict: a size-blind
+    F.broadcast on SF-linear sides is an OOM at sf100). The static
+    plan may propose one SMJ from conservative size estimates; the
+    FINAL adaptive plan must have converted it."""
+    df = REGISTRY["tpch_q5"].fn(spark, SF)
+    df.collect()
+    plan = _fmt(df)
+    final = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in final
 
 
 def test_knn_graph_cogroup_no_cartesian(spark):
@@ -494,3 +499,72 @@ def test_join_bucketed_colocated_row_is_exchange_free_smj(spark):
     assert "SortMergeJoin" in tree
     assert "BroadcastHashJoin" not in tree
     assert "Exchange" not in join_part
+
+
+def _iter_logical_nodes(jplan, stop_at_bounded_agg=False):
+    """DFS over a JVM logical plan. With stop_at_bounded_agg, does not
+    descend past a GLOBAL Aggregate (empty grouping = exactly one
+    output row — bounded by construction, safe to broadcast)."""
+    stack = [jplan]
+    while stack:
+        n = stack.pop()
+        yield n
+        if (
+            stop_at_bounded_agg
+            and n.getClass().getSimpleName() == "Aggregate"
+            and n.groupingExpressions().isEmpty()
+        ):
+            continue
+        cs = n.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+
+
+_FACT_MARKERS = {"o_orderkey", "c_custkey", "l_orderkey"}
+
+
+def test_tpch_no_forced_broadcast_on_fact_sides(spark):
+    """r6 verdict 'What's wrong' #2: six TPC-H rows hard-coded
+    F.broadcast() on orders/customer sides. A hint is honored at ANY
+    size — at sf100 orders is 150 M rows and the forced broadcast is
+    a driver OOM. Guard the whole family: no ResolvedHint subtree may
+    contain an orders/customer/lineitem scan, unless the subtree is
+    capped by a global (one-row) aggregate such as Q15's max-revenue
+    or Q22's avg-balance threshold."""
+    tpch = [n for n in REGISTRY if n.startswith("tpch_q")]
+    assert len(tpch) >= 14
+    offenders = []
+    for name in tpch:
+        df = REGISTRY[name].fn(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed()
+        for node in _iter_logical_nodes(analyzed):
+            if node.getClass().getSimpleName() != "ResolvedHint":
+                continue
+            for sub in _iter_logical_nodes(node, stop_at_bounded_agg=True):
+                if sub.getClass().getSimpleName() != "LogicalRelation":
+                    continue
+                fields = set(sub.schema().fieldNames())
+                hit = fields & _FACT_MARKERS
+                if hit:
+                    offenders.append((name, sorted(hit)))
+    assert not offenders, (
+        f"forced broadcast hints over SF-linear fact scans: {offenders}"
+    )
+
+
+def test_tpch_fact_joins_broadcast_at_gate_scale_via_aqe(spark):
+    """The flip side of dropping the forced hints: at gate scale the
+    plans must be AS GOOD — AQE's runtime stats broadcast the small
+    sides, so the multi-join rows finish with zero sort-merge joins
+    in the FINAL adaptive plan (identical strategy to the old forced
+    hints, without the sf100 OOM)."""
+    for name in ("tpch_q3", "tpch_q7", "tpch_q9", "tpch_q18"):
+        df = REGISTRY[name].fn(spark, SF)
+        df.collect()
+        plan = _fmt(df)
+        final = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final, name
+        # q7's two-nation pair matches nothing at sf0.001 — AQE
+        # empty-relation propagation collapses the whole join tree,
+        # which is an even stronger runtime re-plan
+        assert "BroadcastHashJoin" in final or "EmptyRelation" in final, name

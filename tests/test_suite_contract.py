@@ -49,6 +49,29 @@ def test_no_oracle_outputs_hugeint(con):
     )
 
 
+def test_no_oracle_outputs_nested_types(con):
+    """Round-6's only reds: the driver's canonicalizer pandas-sorts raw
+    result cells, and a top-level ARRAY (or MAP/STRUCT) column raises
+    ``TypeError: unhashable type: 'list'`` before any value compare —
+    embedding_normalize / text_inverted_index shipped exactly this.
+    Serialize nested outputs at the registry edge (array_to_string /
+    to_json on BOTH sides); this gate keeps the registry at zero
+    nested-output rows."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle:
+            continue
+        desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        for col, typ, *_ in desc:
+            t = typ.upper()
+            if "[]" in t or t.startswith(("STRUCT(", "MAP(", "LIST(", "UNION(")):
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "nested-type oracle outputs (serialize with array_to_string/to_json "
+        f"at the registry edge — the driver canonicalizer dies on them): {offenders}"
+    )
+
+
 def test_every_oracle_describes(con):
     for name, spec in REGISTRY.items():
         if not spec.oracle:

@@ -45,6 +45,24 @@ def normalize(v):
     return str(v)
 
 
+def driver_canon_check(rows, colnames):
+    """Replicate the driver's canonicalization step on the RAW cells:
+    it builds a pandas frame and ``sort_values`` over every column,
+    which factorizes object columns and raises ``TypeError: unhashable
+    type: 'list'`` on array cells. Round 6 shipped two array-output
+    rows that were green here (the old hash path stringified lists)
+    and red at the driver — this makes the replica fail where the
+    driver fails. Returns an error string or None."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame([tuple(r) for r in rows], columns=list(colnames))
+        pdf.sort_values(by=sorted(colnames), kind="mergesort")
+    except Exception as e:  # noqa: BLE001 — any canon failure is a driver red
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def table_hash(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
@@ -97,6 +115,11 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        canon_err = driver_canon_check(srows, scols) or driver_canon_check(
+            drows, dcols
+        )
+        if canon_err:
+            problems.append(f"driver-canon error: {canon_err}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
