@@ -72,6 +72,7 @@ _FRONT_NAMES = (
     "tpch_q19",
     "tpch_q22",
     "agg_percentile",
+    "agg_percentile_approx_contract",  # new r7 — never-checked goes in
     "dedup_semantic_clusters",
     "streaming_join_unidirectional",
     "streaming_ratelimit_snapshot",
@@ -95,7 +96,6 @@ _FRONT_NAMES = (
     "pii_mask",
     "quality_repetition",
     "decontaminate_ngram",
-    "domain_mix_sample",
 )
 _R3_MODULES: tuple[str, ...] = ()
 

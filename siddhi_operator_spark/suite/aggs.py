@@ -918,6 +918,53 @@ def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_approx_contract",
+    oracle="""
+    SELECT event_type,
+           round(1e-9 + quantile_cont(value, 0.25), 4) AS p25,
+           round(1e-9 + quantile_cont(value, 0.50), 4) AS p50,
+           round(1e-9 + quantile_cont(value, 0.90), 4) AS p90,
+           TRUE AS within_p25, TRUE AS within_p50, TRUE AS within_p90
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "percentile", "approximate"),
+)
+def agg_percentile_approx_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """The error contract behind agg_percentile's scale story: that row
+    documents "at 100 TB switch to approx_percentile (mergeable
+    sketch, same call shape)" — this row PINS that claim. One pass
+    computes the exact continuous percentiles AND the sketch estimates
+    (accuracy=10000) at p25/p50/p90 plus the group spread; the
+    hash-checked columns are the exact values and a per-percentile
+    flag |approx − exact| ≤ 5 % · spread (the sketch's rank error at
+    this accuracy is ~0.01 %, far inside the bound — a flag flips only
+    if the sketch tier actually breaks). Estimates themselves are
+    engine-specific and excluded, same discipline as
+    approx_distinct_bound / streaming_approx_percentile."""
+    e = load(spark, sf, "events")
+    qs = (0.25, 0.50, 0.90)
+    agg = e.groupBy("event_type").agg(
+        *[
+            r4(F.percentile("value", F.lit(q)), 4).alias(f"p{int(q * 100)}")
+            for q in qs
+        ],
+        F.approx_percentile(
+            "value", F.array(*[F.lit(q) for q in qs]), 10000
+        ).alias("_ap"),
+        (F.max("value") - F.min("value")).alias("_spread"),
+    )
+    flags = [
+        (
+            F.abs(F.col("_ap")[i] - F.col(f"p{int(q * 100)}"))
+            <= 0.05 * F.col("_spread")
+        ).alias(f"within_p{int(q * 100)}")
+        for i, q in enumerate(qs)
+    ]
+    return agg.select("event_type", "p25", "p50", "p90", *flags)
+
+
+@register(
     "tpch_q9",
     oracle="""
     SELECT n.n_name AS nation,

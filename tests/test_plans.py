@@ -568,3 +568,19 @@ def test_tpch_fact_joins_broadcast_at_gate_scale_via_aqe(spark):
         # empty-relation propagation collapses the whole join tree,
         # which is an even stronger runtime re-plan
         assert "BroadcastHashJoin" in final or "EmptyRelation" in final, name
+
+
+def test_winnow_is_array_native_zero_shuffle(spark):
+    """r7: the winnowing fingerprint pass is ONE array expression per
+    row — no Window, no explode-then-sort, no exchange. The r6 scale
+    suite measured the old Window formulation spilling ~6 GB/partition
+    at the ×1000 decade; this shape cannot spill a shuffle it does not
+    have."""
+    tree = _fmt(REGISTRY["text_winnow_fingerprint"].fn(spark, SF)).split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Window" not in tree
+    plan = _fmt(REGISTRY["text_cross_doc_repeats"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    # exactly one exchange: the final map-side-combinable fp agg
+    assert tree.count("Exchange") == 1
+    assert "Window" not in tree
