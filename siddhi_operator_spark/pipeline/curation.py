@@ -385,29 +385,57 @@ def seq_pack_bins(
 
 
 def _winnow_fps(text_col: str, k: int, w: int):
-    """Per-document winnowing fingerprints as ONE array expression —
-    no explode, no window, no shuffle. A document's k-gram hash
-    sequence and its w-wide sliding minima live entirely inside the
-    row: ``transform`` over an index ``sequence`` builds the hash
-    array, a second ``transform`` takes each window's ``array_min``.
-    Runs in whole-stage codegen at scan parallelism; the corpus-sized
-    exchange+sort of the old Window formulation (measured ~6 GB per
-    partition at the ×1000 decade, the one spilling stage in the r6
-    scale suite) does not exist.
+    """Per-document winnowing fingerprints as array expressions — no
+    explode, no window, no shuffle: the corpus-sized exchange+sort of
+    the pre-r7 Window formulation (measured ~6 GB/partition spill at
+    the ×1000 decade) does not exist.
 
-    Returns (n_windows_expr, fps_array_expr) over a ``_ws`` token
-    array column that the caller must have projected."""
+    Higher-order array functions are INTERPRETED, not codegen'd, so
+    the per-ELEMENT work inside them must be O(1): a first draft that
+    did ``transform(sequence(...), i -> md5(concat_ws(slice(ws,i,k))))``
+    allocated a slice per gram and measured 12.5 s at ×100 vs 4.6 s
+    for this shape. Instead:
+
+    - k-gram rows come from ``arrays_zip`` of k SHIFTED copies of the
+      token array (k slices total, then one cheap concat+md5 per
+      element);
+    - the w-wide sliding minimum is a sparse-table doubling ladder —
+      ``zip_with(cur, shift(cur, span), least)`` O(log w) times —
+      never an ``array_min(slice(...))`` per window.
+
+    Returns (n_windows_expr, fps_array_expr); the caller must have
+    projected the non-empty token array as ``_ws`` and the hash array
+    as ``_hs``."""
     ws = F.col("_ws")
-    n_grams = F.size(ws) - (k - 1)
-    hs = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
+    n = F.size(ws)
+    n_grams = n - (k - 1)
+    shifted = [ws.alias("g0")] + [
+        F.slice(ws, i + 1, n).alias(f"g{i}") for i in range(1, k)
+    ]
+    hs = F.slice(
+        F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.md5(F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)])),
+        ),
+        1,
+        n_grams,
     )
     n_windows = n_grams - (w - 1)
-    fps = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(F.col("_hs"), j, w)),
-    )
+
+    cur, span = F.col("_hs"), 1
+    length = F.size(F.col("_hs"))
+    while span * 2 <= w:
+        cur = F.zip_with(
+            cur, F.slice(cur, span + 1, length), lambda a, b: F.least(a, b)
+        )
+        span *= 2
+    if span < w:
+        cur = F.zip_with(
+            cur,
+            F.slice(cur, w - span + 1, length),
+            lambda a, b: F.least(a, b),
+        )
+    fps = F.slice(cur, 1, n_windows)
     return n_grams, hs, n_windows, fps
 
 

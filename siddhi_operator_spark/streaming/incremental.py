@@ -33,9 +33,21 @@ _STATE_COLS = ("cnt", "sum_v", "sum_sq", "min_v", "max_v")
 
 class IncrementalStateTable:
     """Parquet-backed composable-state table keyed by
-    (bucket_start, *keys). ``merge_batch`` is idempotent per epoch via
-    an epoch high-water mark — replayed micro-batches (restart from
-    checkpoint) are skipped, keeping exactly-once state."""
+    (bucket_start, *keys), stored as versioned snapshots
+    ``path/v=<epoch>`` with only COMMITTED (``_SUCCESS``-marked)
+    versions readable.
+
+    Exactly-once under at-least-once foreachBatch replay (r7 audit —
+    the pre-r7 high-water-mark file had a crash window between the
+    state overwrite and the marker write, after which a replayed
+    epoch merge-ADDED a second time and doubled every sum): epoch N's
+    merge reads the latest committed version STRICTLY BELOW N and
+    overwrites ``v=N`` — a replay recomputes byte-identical state from
+    the same inputs, a torn first attempt carries no ``_SUCCESS`` and
+    is invisible. Same layout discipline as the near-dup band store
+    (streaming/dedup.py) and ParquetUpsertTable."""
+
+    _KEEP_VERSIONS = 3
 
     def __init__(
         self, spark: SparkSession, path: str, keys: Sequence[str]
@@ -43,28 +55,33 @@ class IncrementalStateTable:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
-        self._epoch_path = path + "._epoch"
 
-    def _last_epoch(self) -> int:
-        try:
-            with open(self._epoch_path) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
-            return -1
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.path)
+            if d.startswith("v=")
+            and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
+        )
 
-    def current(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
+    def current(self, below: int | None = None) -> DataFrame | None:
+        vs = self._versions()
+        if below is not None:
+            vs = [v for v in vs if v < below]
+        if not vs:
             return None
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(f"{self.path}/v={vs[-1]}")
 
     def merge_batch(self, batch_state: DataFrame, epoch_id: int) -> None:
         """Merge-ADD a batch's composable state into the table:
         matching buckets combine (sum/sum/sum/min/max), new buckets
         append — the `IncrementalExecutor` bucket-accumulator update,
         expressed as one keyed aggregation over old ∪ new."""
-        if epoch_id <= self._last_epoch():
-            return  # replayed epoch after restart — already merged
-        cur = self.current()
+        if epoch_id in self._versions():
+            return  # replayed epoch whose state write already committed
+        cur = self.current(below=epoch_id)
         combined = batch_state if cur is None else cur.unionByName(batch_state)
         merged = combined.groupBy("bucket_start", *self.keys).agg(
             F.sum("cnt").alias("cnt"),
@@ -73,12 +90,12 @@ class IncrementalStateTable:
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         )
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
-        with open(self._epoch_path, "w") as fh:
-            fh.write(str(epoch_id))
+        merged.write.mode("overwrite").parquet(f"{self.path}/v={epoch_id}")
+        # retention: checkpoint replay only ever revisits the last
+        # uncommitted epoch, so anything older than a few versions is
+        # unreachable — prune it (delete only AFTER the new commit)
+        for v in self._versions()[: -self._KEEP_VERSIONS]:
+            shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
 
 
 def incremental_agg_sink(

@@ -58,10 +58,14 @@ def dead_letter_foreach_batch(process, dead_letter_path: str):
         try:
             process(batch, epoch_id)
         except Exception:
+            # per-epoch subdir + overwrite, NOT a flat append: foreachBatch
+            # is at-least-once, and a replayed failed epoch would
+            # double-append its rows into the dead-letter set (r7 state-
+            # idempotence audit; same layout as streaming/dedup.py state)
             (
                 batch.withColumn("_epoch", F.lit(epoch_id))
-                .write.mode("append")
-                .parquet(dead_letter_path)
+                .write.mode("overwrite")
+                .parquet(f"{dead_letter_path}/epoch={epoch_id}")
             )
 
     return wrapped
@@ -84,10 +88,14 @@ class ParquetUpsertTable:
         os.makedirs(path, exist_ok=True)
 
     def _versions(self) -> list[int]:
+        # only COMMITTED versions (carrying _SUCCESS): a crash mid-write
+        # leaves a torn v=N dir that snapshot() must never read — the
+        # replayed epoch overwrites it (r7 state-idempotence audit)
         return sorted(
             int(d.split("=")[1])
             for d in os.listdir(self.path)
             if d.startswith("v=")
+            and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
         )
 
     def snapshot(self) -> DataFrame | None:

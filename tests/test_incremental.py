@@ -80,3 +80,52 @@ def test_streaming_cascade_matches_batch(spark, events_df, tmp_path):
     day = rollup_up(streamed, "day", keys=("event_type",))
     dgot = {r.event_type: (r.cnt, r.sum_v) for r in day.collect()}
     assert dgot["click"] == (5, 31.0) and dgot["purchase"] == (2, 150.0)
+
+
+def test_state_table_replay_is_exactly_once(spark, tmp_path):
+    """r7 state-idempotence audit: the pre-r7 epoch high-water-mark
+    file had a crash window between the state overwrite and the
+    marker write — a replayed epoch then merge-ADDED a second time
+    and doubled every sum. The versioned layout must absorb (a) a
+    replay of a fully-committed epoch, and (b) a replay after a TORN
+    write (v=N exists without _SUCCESS)."""
+    import os
+    import shutil
+
+    from siddhi_operator_spark.streaming.incremental import (
+        IncrementalStateTable,
+    )
+
+    state = IncrementalStateTable(spark, str(tmp_path / "st"), keys=["k"])
+
+    def bstate(rows):
+        return spark.createDataFrame(
+            [(b, k, c, s, sq, lo, hi) for (b, k, c, s, sq, lo, hi) in rows],
+            "bucket_start timestamp, k string, cnt long, sum_v double,"
+            " sum_sq double, min_v double, max_v double",
+        )
+
+    import datetime
+
+    b0 = datetime.datetime(2024, 1, 1)
+    state.merge_batch(bstate([(b0, "a", 2, 10.0, 60.0, 4.0, 6.0)]), 0)
+    state.merge_batch(bstate([(b0, "a", 1, 5.0, 25.0, 5.0, 5.0)]), 1)
+
+    def snap():
+        return {
+            (r.bucket_start, r.k): (r.cnt, r.sum_v)
+            for r in state.current().collect()
+        }
+
+    after = snap()
+    assert after[(b0, "a")] == (3, 15.0)
+
+    # (a) replay of a committed epoch: no double-add
+    state.merge_batch(bstate([(b0, "a", 1, 5.0, 25.0, 5.0, 5.0)]), 1)
+    assert snap() == after
+
+    # (b) torn write: drop v=1's _SUCCESS, replay epoch 1 — it must
+    # recompute from v=0 and land on the same state, not on a double
+    os.remove(str(tmp_path / "st" / "v=1" / "_SUCCESS"))
+    state.merge_batch(bstate([(b0, "a", 1, 5.0, 25.0, 5.0, 5.0)]), 1)
+    assert snap() == after

@@ -544,3 +544,19 @@ def test_snapshot_every_stream_out_of_order_before_first_tick(spark):
     # the newer event still wins its own and later buckets
     assert got[(1, "2024-01-01 02:00:00")] == 5.0
     assert got[(1, "2024-01-01 03:00:00")] == 5.0
+
+
+def test_dead_letter_replay_is_idempotent(spark, events_df, tmp_path):
+    """foreachBatch is at-least-once: a replayed FAILED epoch must
+    overwrite its own dead-letter subdir, not double-append (r7
+    state-idempotence audit)."""
+    dl = str(tmp_path / "dead")
+
+    def failing(batch, epoch_id):
+        raise RuntimeError("sink down")
+
+    wrapped = sinks.dead_letter_foreach_batch(failing, dl)
+    wrapped(events_df, 7)
+    n1 = spark.read.parquet(dl).count()
+    wrapped(events_df, 7)  # replay of the same epoch
+    assert spark.read.parquet(dl).count() == n1 == events_df.count()
