@@ -567,3 +567,54 @@ def output_event_type(
         .withColumn("etype", F.lit("expired"))
     )
     return cur.unionByName(exp)
+
+
+# ---------------------------------------------------------------------------
+# Custom-window plugin SPI — the `WindowProcessor` extension point
+# (`[core] query/processor/stream/window/WindowProcessor.java` +
+# `@Extension` registration; SURVEY.md §3.11). A plugin is a plain
+# function (df, args, *, keys, ts_col, id_col) -> DataFrame registered
+# under a namespaced kind; the SiddhiQL front end routes any
+# `#window.<ns>:<name>(...)` / `#<ns>:<name>(...)` it does not know to
+# this registry, so user windows are used EXACTLY like built-ins.
+# ---------------------------------------------------------------------------
+WINDOW_PLUGINS: dict[str, object] = {}
+
+
+def register_window_processor(kind: str):
+    """Register a custom window under ``kind`` (use a namespaced name
+    like ``custom:stride`` — un-namespaced kinds are reserved for the
+    built-in family). The decorated function receives the input frame,
+    the raw window-argument strings, and keyword context (keys,
+    ts_col, id_col) and must return a DataFrame — the batch fixed
+    point of the window's retained set, same contract as every
+    operator in this module."""
+
+    def deco(fn):
+        WINDOW_PLUGINS[kind.lower()] = fn
+        return fn
+
+    return deco
+
+
+@register_window_processor("custom:stride")
+def stride_window(
+    df: DataFrame,
+    args: Sequence[str],
+    *,
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Worked SPI example — a deterministic down-sampling window: keep
+    every n-th event per key in (ts, id) order (the reproducible
+    stream thinning a load-shedding `WindowProcessor` plugin would
+    do). Keyed row_number → modulo filter: one keyed shuffle, no
+    global sort, WindowGroupLimit-class scaling."""
+    n = int(args[0])
+    w = _keyed_window(list(keys), [F.col(ts_col).asc(), F.col(id_col).asc()])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % n == 0)
+        .drop("_rn")
+    )

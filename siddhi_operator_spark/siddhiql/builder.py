@@ -238,6 +238,20 @@ def _run_extension_window(
             item_cols=[win.args[0]],
             bottom=kind.endswith("bottomK"),
         )
+    plug = OW.WINDOW_PLUGINS.get(kind.lower())
+    if plug is not None:
+        # custom `WindowProcessor` plugin (§3.11 SPI,
+        # `operators.windows.register_window_processor`) — same routing
+        # contract as the built-ins: positional args unquoted, keyed by
+        # the partition/group keys, then the query's projection
+        out = plug(
+            df,
+            [a.strip("'\" ") for a in win.args],
+            keys=keys,
+            ts_col=ts_col,
+            id_col=id_col,
+        )
+        return _project(out)
     raise ValueError(f"unsupported extension window {kind!r}")
 
 
@@ -1511,6 +1525,13 @@ def run_app(
                     env[name], env[f"!{name}"] = pair
                     continue
             loaded = load_file_source(spark, sdef)
+            if loaded is None:
+                # custom `Source` plugin (§3.11 SPI,
+                # `sources.register_source`): any @source type without
+                # a built-in loader routes to the plugin registry
+                from ..sources import load_plugin_source
+
+                loaded = load_plugin_source(spark, sdef)
             if loaded is not None:
                 env[name] = loaded
     # `define aggregation` → rollup cascade, one finalized DataFrame per

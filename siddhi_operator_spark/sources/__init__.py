@@ -574,3 +574,69 @@ def load_file_source_with_faults(
         F.lit("source-mapper: malformed json").alias("error"),
     )
     return clean, faults
+
+
+# ---------------------------------------------------------------------------
+# Custom-source plugin SPI — the `Source` extension point (`[core]
+# stream/input/source/Source.java` + `@Extension` registration;
+# SURVEY.md §3.11 "custom source/sink SPI"). A plugin is a function
+# (spark, stream_def, ann) -> DataFrame registered under a transport
+# type; `run_app` routes any `@source(type='X', ...)` whose type is
+# neither a built-in transport nor handled by a passed frame to this
+# registry, so user transports load exactly like `type='file'`.
+# (Sink-side: `streaming.sinks` foreachBatch targets are already plain
+# functions — the registry completes the symmetric source side.)
+# ---------------------------------------------------------------------------
+SOURCE_PLUGINS: dict[str, object] = {}
+
+
+def register_source(type_name: str):
+    """Register a custom `@source(type='<type_name>')` loader. The
+    decorated function receives (spark, stream_def, ann) — the parsed
+    annotation gives it its options — and returns a DataFrame matching
+    the stream's declared schema."""
+
+    def deco(fn):
+        SOURCE_PLUGINS[type_name.lower()] = fn
+        return fn
+
+    return deco
+
+
+def load_plugin_source(spark: SparkSession, stream_def) -> DataFrame | None:
+    """Dispatch a declared stream to a registered custom source; None
+    when the stream has no @source or its type has no plugin."""
+    src = _find_ann(stream_def, "source")
+    if src is None:
+        return None
+    fn = SOURCE_PLUGINS.get(src.options.get("type", "").lower())
+    if fn is None:
+        return None
+    return fn(spark, stream_def, src)
+
+
+@register_source("inline")
+def inline_source(spark: SparkSession, stream_def, ann: Ann) -> DataFrame:
+    """Worked SPI example — an inline test-data transport (the
+    reference ships exactly this shape as its unit-test `InMemory`
+    source): `@source(type='inline', data='a,b,c;d,e,f')` carries
+    semicolon-separated records of comma-separated fields, parsed
+    against the declared schema. Rows build driver-side (the payload
+    is annotation-sized by construction) and parallelize normally."""
+    data = ann.options.get("data", "")
+    schema = siddhi_schema(stream_def.attributes)
+    rows = []
+    for rec in filter(None, (r.strip() for r in data.split(";"))):
+        vals = [v.strip() for v in rec.split(",")]
+        rows.append(
+            tuple(
+                None if v == "" else v
+                for v in vals
+            )
+        )
+    raw = spark.createDataFrame(
+        rows, T.StructType([T.StructField(f.name, T.StringType()) for f in schema])
+    )
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
+    )

@@ -83,6 +83,8 @@ _FRONT_NAMES = (
     "streaming_sliding_panes",
     "siddhiql_cr_process",
     "siddhiql_streaming_filter_agg",
+    "siddhiql_custom_window_plugin",  # new r7 — §3.11 WindowProcessor SPI
+    "siddhiql_custom_source_plugin",  # new r7 — §3.11 Source SPI
     # (4) balance: oldest r3 rows, registry order
     "window_topk",
     "window_batch_chunk",
@@ -94,8 +96,6 @@ _FRONT_NAMES = (
     "sample_hash_split",
     "similarity_ann_recall",
     "pii_mask",
-    "quality_repetition",
-    "decontaminate_ngram",
 )
 _R3_MODULES: tuple[str, ...] = ()
 

@@ -805,3 +805,67 @@ def siddhiql_streaming_filter_agg(spark: SparkSession, sf: str) -> DataFrame:
         f"SELECT window_start, user_id, n, round(sv + 1e-9, 4) AS sv "
         f"FROM {name}"
     )
+
+
+@register(
+    "siddhiql_custom_window_plugin",
+    oracle="""
+    SELECT event_id, user_id, value FROM (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE (rn - 1) % 3 = 0
+    """,
+    tags=("siddhiql", "spi", "window"),
+)
+def siddhiql_custom_window_plugin(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom `WindowProcessor` plugin SPI end-to-end (SURVEY.md §3.11,
+    `[core] .../window/WindowProcessor.java` + `@Extension`): the
+    worked `custom:stride` plugin — registered through
+    `operators.windows.register_window_processor`, routed by the front
+    end for any namespaced window kind it does not know — is used from
+    SiddhiQL text exactly like a built-in window. Per-key stride-3
+    down-sampling inside a partition block; one keyed shuffle."""
+    app = (
+        _EVENTS_DEF
+        + """
+    partition with (user_id of events)
+    begin
+      from events#window.custom:stride('3')
+      select event_id, user_id, value
+      insert into Sampled;
+    end;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Sampled"]
+
+
+@register(
+    "siddhiql_custom_source_plugin",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM (VALUES
+      (1, 'click', 10.5), (2, 'view', 3.0), (4, 'click', 7.25)
+    ) t(event_id, event_type, value)
+    WHERE value > 5
+    """,
+    tags=("siddhiql", "spi", "source"),
+)
+def siddhiql_custom_source_plugin(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom `Source` transport SPI end-to-end (SURVEY.md §3.11,
+    `[core] stream/input/source/Source.java` + `@Extension`): a stream
+    declared with `@source(type='inline', ...)` — a type no built-in
+    loader knows — loads through the plugin registry
+    (`sources.register_source`) and feeds a filter query like any
+    file/kafka-backed stream."""
+    app = """
+    @source(type='inline',
+            data='1,click,10.5; 2,view,3.0; 3,view,1.0; 4,click,7.25')
+    define stream Inline (event_id long, event_type string, value double);
+    from Inline[value > 5]
+    select event_id, event_type, value
+    insert into Big;
+    """
+    return run_app(app, spark=spark)["Big"]

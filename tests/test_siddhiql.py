@@ -1607,3 +1607,68 @@ def test_run_app_streaming_length_window(spark):
     bad = app.replace("sum(value) as sv", "max(value) as sv")
     with _pytest.raises(ValueError, match="length_window directly"):
         run_app_streaming(bad, {"Events": load_events_stream(spark, sf)})
+
+
+def test_custom_window_plugin_spi(spark, events_df):
+    """§3.11 WindowProcessor SPI: a freshly-registered plugin window is
+    usable from SiddhiQL text immediately, and an unknown kind still
+    raises."""
+    import pytest
+
+    from siddhi_operator_spark.operators.windows import (
+        register_window_processor,
+    )
+    from siddhi_operator_spark.siddhiql import run_app
+
+    @register_window_processor("custom:firstk")
+    def firstk(df, args, *, keys=(), ts_col="ts", id_col="event_id"):
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(args[0]))
+            .drop("_rn")
+        )
+
+    app = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    partition with (user_id of events)
+    begin
+      from events#window.custom:firstk('2')
+      select event_id, user_id insert into FirstTwo;
+    end;
+    """
+    out = run_app(app, {"events": events_df})["FirstTwo"]
+    counts = out.groupBy("user_id").count().collect()
+    assert counts and all(r["count"] <= 2 for r in counts)
+
+    bad = app.replace("custom:firstk", "custom:nosuch")
+    with pytest.raises(ValueError, match="unsupported extension window"):
+        run_app(bad, {"events": events_df})
+
+
+def test_custom_source_plugin_spi(spark):
+    """§3.11 Source SPI: a registered transport type loads a declared
+    stream; an unregistered type leaves the stream unloaded (the
+    existing 'output-only stream' behavior)."""
+    from siddhi_operator_spark.siddhiql import run_app
+    from siddhi_operator_spark.sources import register_source
+
+    @register_source("constant")
+    def constant(spark_, stream_def, ann):
+        import pyspark.sql.functions as F
+
+        n = int(ann.options.get("n", "3"))
+        return spark_.range(n).select(
+            F.col("id").alias("event_id"), F.lit(1.0).alias("value")
+        )
+
+    app = """
+    @source(type='constant', n='4')
+    define stream C (event_id long, value double);
+    from C select event_id, value insert into Out;
+    """
+    assert run_app(app, spark=spark)["Out"].count() == 4
