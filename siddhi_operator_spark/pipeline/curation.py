@@ -408,7 +408,12 @@ def _winnow_fps(text_col: str, k: int, w: int):
     as ``_hs``."""
     ws = F.col("_ws")
     n = F.size(ws)
-    n_grams = n - (k - 1)
+    # greatest(0, ·) guards: slice() throws on a negative length, and
+    # the optimizer is free to evaluate these projections before the
+    # caller's size filter (observed: CollapseProject in a join plan) —
+    # the expressions must be TOTAL on short docs, which then just
+    # produce empty arrays
+    n_grams = F.greatest(F.lit(0), n - (k - 1))
     shifted = [ws.alias("g0")] + [
         F.slice(ws, i + 1, n).alias(f"g{i}") for i in range(1, k)
     ]
@@ -420,7 +425,7 @@ def _winnow_fps(text_col: str, k: int, w: int):
         1,
         n_grams,
     )
-    n_windows = n_grams - (w - 1)
+    n_windows = F.greatest(F.lit(0), n_grams - (w - 1))
 
     cur, span = F.col("_hs"), 1
     length = F.size(F.col("_hs"))
@@ -504,6 +509,79 @@ def cross_doc_repeats(
             F.max("doc_id").alias("last_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The span-REMOVAL pass the cross-doc detector feeds (the second
+    half of suffix-array-style substring dedup): drop from every
+    document the token positions covered by any winnow window whose
+    fingerprint is shared by ≥``min_docs`` documents — the verbatim
+    boilerplate/license/template runs — and keep the rest of the text
+    intact. Emits (doc_id, n_tokens, n_removed, text_clean).
+
+    Shape: the per-doc winnow arrays compute in-row (zero shuffle,
+    :func:`_winnow_fps`); the shared-fingerprint set is ONE map-side-
+    combinable aggregation whose output is only the repeated tail, so
+    it broadcasts back onto the position explode as a semi-join; hit
+    positions fold per doc (collect_set over ints); the final token
+    mask is array expressions in the scan of the original frame.
+    Three keyed shuffles total (fp agg, fp probe, doc regroup), none
+    of them corpus²."""
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    _, hs, _, fps = _winnow_fps(text_col, k, w)
+    span = w + k - 1  # tokens covered by one window: pos .. pos+span-1
+
+    with_fps = (
+        df.select("doc_id", ws.alias("_ws"))
+        .filter(F.size(F.col("_ws")) >= k + w - 1)
+        .withColumn("_hs", hs)
+        .withColumn("_fps", fps)
+    )
+    # (doc_id, pos, fp) — pos is the 1-based window start
+    pos_fp = with_fps.select(
+        "doc_id", F.posexplode("_fps").alias("_p0", "fp")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "fp")
+    shared = (
+        pos_fp.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp")
+    )
+    hit_pos = (
+        pos_fp.join(F.broadcast(shared), "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_hits"))
+    )
+    base = df.select("doc_id", ws.alias("_ws"))
+    joined = base.join(hit_pos, "doc_id", "left").withColumn(
+        "_covered",
+        F.when(F.col("_hits").isNull(), F.array().cast("array<int>")).otherwise(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "_hits", lambda p: F.sequence(p, p + (span - 1))
+                    )
+                )
+            ).cast("array<int>")
+        ),
+    )
+    kept = F.filter(
+        F.col("_ws"), lambda x, i: ~F.array_contains(F.col("_covered"), i + 1)
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_ws").cast("long").alias("n_tokens"),
+        (F.size("_ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_clean"),
     )
 
 

@@ -85,6 +85,7 @@ _FRONT_NAMES = (
     "siddhiql_streaming_filter_agg",
     "siddhiql_custom_window_plugin",  # new r7 — §3.11 WindowProcessor SPI
     "siddhiql_custom_source_plugin",  # new r7 — §3.11 Source SPI
+    "text_remove_repeated_spans",  # new r7 — span-removal pass
     # (4) balance: oldest r3 rows, registry order
     "window_topk",
     "window_batch_chunk",
@@ -95,7 +96,6 @@ _FRONT_NAMES = (
     "dedup_simhash",
     "sample_hash_split",
     "similarity_ann_recall",
-    "pii_mask",
 )
 _R3_MODULES: tuple[str, ...] = ()
 

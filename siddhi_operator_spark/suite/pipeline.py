@@ -1644,3 +1644,65 @@ def dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     SemDeDup thresholds sit near 0.95+ with trained k-means cells."""
     emb = load(spark, sf, "embeddings")
     return D.semantic_dedup_pairs(emb, min_cos=0.2, n_cells=8)
+
+
+@register(
+    "text_remove_repeated_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+2], ' ')) AS h
+      FROM t, unnest(range(1, len(ws) - 1)) AS u(i)
+    ), w AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS _full
+      FROM g
+    ), wf AS (
+      SELECT doc_id, pos, fp FROM w WHERE _full IS NOT NULL
+    ), shared AS (
+      SELECT fp FROM (
+        SELECT fp, count(DISTINCT doc_id) AS nd FROM wf GROUP BY 1
+      ) WHERE nd >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT DISTINCT doc_id, pos FROM wf
+            WHERE fp IN (SELECT fp FROM shared)) h,
+           unnest(range(pos, pos + 6)) AS u(tok)
+    ), toks AS (
+      SELECT doc_id, i AS idx, ws[i] AS tok_s, len(ws) AS n_tokens
+      FROM t, unnest(range(1, len(ws) + 1)) AS u(i)
+    ), marked AS (
+      SELECT toks.doc_id, idx, tok_s, n_tokens,
+             (cov.tok IS NOT NULL) AS covered
+      FROM toks LEFT JOIN cov
+        ON toks.doc_id = cov.doc_id AND toks.idx = cov.tok
+    ), folded AS (
+      SELECT doc_id, any_value(n_tokens) AS n_tokens,
+             count(*) FILTER (WHERE covered) AS n_removed,
+             coalesce(string_agg(tok_s, ' ' ORDER BY idx)
+                        FILTER (WHERE NOT covered), '') AS text_clean
+      FROM marked GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(f.n_tokens, len(t.ws)) AS BIGINT) AS n_tokens,
+           CAST(coalesce(f.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(f.text_clean, array_to_string(t.ws, ' ')) AS text_clean
+    FROM t LEFT JOIN folded f ON t.doc_id = f.doc_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+)
+def text_remove_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-span REMOVAL — the consumer of `text_cross_doc_repeats`
+    and the second half of suffix-array-style substring dedup: every
+    token covered by a winnow window whose fingerprint ≥2 docs share
+    is dropped; everything else survives verbatim. In-row winnow
+    arrays, broadcast shared-fp semi-join, per-doc hit fold, in-row
+    token mask — three keyed shuffles, nothing corpus²."""
+    return C.remove_repeated_spans(
+        load(spark, sf, "documents"), k=3, w=4, min_docs=2
+    )

@@ -640,3 +640,37 @@ def test_pq_arrow_refuses_sparse_seed_ids(spark):
     )
     with _pytest.raises(ValueError, match="first missing: \\[2\\]"):
         S.pq_topk(df, dims=8, m=2, n_codes=4, k=1, impl="arrow", max_query_id=5)
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Shared boilerplate spans vanish; unique text survives verbatim;
+    short docs (no full winnow window) pass through untouched."""
+    from siddhi_operator_spark.pipeline import curation as C
+
+    boiler = "all rights reserved contact legal department now"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler} unique one tail words here"),
+        (2, f"epsilon zeta eta theta {boiler} other doc body text here"),
+        (3, "completely unrelated content with no shared spans at all"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in C.remove_repeated_spans(df).collect()}
+
+    # the boilerplate run is gone from both carriers (winnow windows
+    # that straddle the span may legitimately extend coverage up to
+    # w-1 grams to the left — guaranteed-coverage over-marking)
+    for d in (1, 2):
+        assert "legal" not in out[d].text_clean
+        assert out[d].n_removed >= len(boiler.split())
+        assert out[d].n_tokens == len(rows[d - 1][1].split())
+    # unique docs untouched
+    assert out[3].text_clean == rows[2][1] and out[3].n_removed == 0
+    assert out[4].text_clean == "tiny doc" and out[4].n_removed == 0
+    # surviving text keeps original order: first token survives (no
+    # window reaches it) and kept tokens are a subsequence
+    assert out[1].text_clean.startswith("alpha")
+    kept = out[1].text_clean.split()
+    orig = rows[0][1].split()
+    it = iter(orig)
+    assert all(t in it for t in kept)
