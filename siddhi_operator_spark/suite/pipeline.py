@@ -1706,3 +1706,39 @@ def text_remove_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     return C.remove_repeated_spans(
         load(spark, sf, "documents"), k=3, w=4, min_docs=2
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), d AS (
+      SELECT generate_subscripts(vec, 1) AS dim, unnest(vec) AS x FROM v
+    ), r AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY 1
+    ), ra AS (
+      SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM r
+    )
+    SELECT vec_id,
+           array_to_string(
+             list_transform(range(1, len(vec) + 1), i ->
+               CASE WHEN his[i] > los[i]
+                    THEN CAST(round(255.0 * (vec[i] - los[i])
+                                    / (his[i] - los[i]) + 1e-9) AS BIGINT) - 128
+                    ELSE -128 END),
+             ',') AS codes_int8,
+           TRUE AS within_bound
+    FROM v, ra
+    """,
+    tags=("pipeline", "similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar int8 quantization (the 4× memory tier between raw floats
+    and PQ's 32×): per-dim corpus min/max broadcast back, codes in the
+    scan, serialized to a string at the registry edge (nested-output
+    contract). The hash-checked columns are the exact codes plus the
+    half-step reconstruction-error contract flag — TRUE on a healthy
+    quantizer, the same accuracy-contract discipline as
+    approx_distinct_bound."""
+    return S.quantize_embeddings_int8(load(spark, sf, "embeddings"))

@@ -674,3 +674,27 @@ def test_remove_repeated_spans_semantics(spark):
     orig = rows[0][1].split()
     it = iter(orig)
     assert all(t in it for t in kept)
+
+
+def test_quantize_int8_bound_and_codes(spark):
+    """Every code is an int8, degenerate constant dims reconstruct
+    exactly, and the half-step error contract holds on every vector."""
+    from siddhi_operator_spark.pipeline import similarity as S
+
+    rows = [
+        (1, [0.0, 5.0, -2.0]),
+        (2, [10.0, 5.0, 2.0]),
+        (3, [2.5, 5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in S.quantize_embeddings_int8(df).collect()}
+    assert all(r.within_bound for r in out.values())
+    for r in out.values():
+        codes = [int(c) for c in r.codes_int8.split(",")]
+        assert len(codes) == 3
+        assert all(-128 <= c <= 127 for c in codes)
+    # dim 0 spans [0,10]: extremes hit the rails
+    assert int(out[1].codes_int8.split(",")[0]) == -128
+    assert int(out[2].codes_int8.split(",")[0]) == 127
+    # constant dim encodes as -128 everywhere
+    assert {int(o.codes_int8.split(",")[1]) for o in out.values()} == {-128}
