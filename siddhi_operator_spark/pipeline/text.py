@@ -361,3 +361,62 @@ def chunk_documents(
             F.lit(chunk_tokens), F.col("_n") - F.col("chunk_idx") * stride
         ).alias("n_tokens"),
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FastText-style linear quality classifier over hashing-trick
+    token features — the learned-filter stage of a curation pipeline
+    (CCNet / Llama-style "looks like reference text" scoring): each
+    token hashes to one of ``n_buckets`` feature slots, the model is a
+    weight per slot, score = sigmoid(mean slot weight), keep = score
+    above threshold.
+
+    Entirely IN-ROW: token→bucket is the engine-portable md5 hash
+    (same algebra as the count-min sketch), the weight lookup is pure
+    arithmetic on the bucket id — so the "model" needs no join at all
+    and the whole scorer is a zero-shuffle projection at any corpus
+    size. Production swaps `_slot_weight` for a broadcast weight
+    array (`F.lit` over the trained vector — identical plan shape);
+    the deterministic Weyl-sequence weights here keep the row
+    oracle-checkable without shipping a model artifact.
+    """
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+
+    def bucket(tok: Column) -> Column:
+        return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast(
+            "long"
+        ) % n_buckets
+
+    def slot_weight(b: Column) -> Column:
+        # deterministic stand-in weights in (-0.5, 0.5): the Weyl
+        # sequence (b·2654435761 mod n)/n − 0.5 — engine-portable
+        # integer arithmetic, same spirit as the domain-mix hash gate
+        return ((b * F.lit(2654435761)) % n_buckets) / F.lit(
+            float(n_buckets)
+        ) - F.lit(0.5)
+
+    mean_w = F.aggregate(
+        F.transform(F.col("_ws"), lambda t: slot_weight(bucket(t))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("_ws")
+    return (
+        df.select("doc_id", ws.alias("_ws"))
+        .filter(F.size("_ws") > 0)
+        .select(
+            "doc_id",
+            F.size("_ws").cast("long").alias("n_tokens"),
+            r4(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(8.0) * mean_w)), 4).alias(
+                "score"
+            ),
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(8.0) * mean_w))
+                > threshold
+            ).alias("keep"),
+        )
+    )

@@ -87,6 +87,7 @@ _FRONT_NAMES = (
     "siddhiql_custom_source_plugin",  # new r7 — §3.11 Source SPI
     "text_remove_repeated_spans",  # new r7 — span-removal pass
     "embedding_quantize_int8",  # new r7 — int8 scalar quantization tier
+    "text_quality_classifier",  # new r7 — hashing-trick learned filter
     # (4) balance: oldest r3 rows, registry order
     "window_topk",
     "window_batch_chunk",
@@ -95,7 +96,6 @@ _FRONT_NAMES = (
     "set_ops",
     "dedup_connected_components",
     "dedup_simhash",
-    "sample_hash_split",
 )
 _R3_MODULES: tuple[str, ...] = ()
 

@@ -1742,3 +1742,41 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     quantizer, the same accuracy-contract discipline as
     approx_distinct_bound."""
     return S.quantize_embeddings_int8(load(spark, sf, "embeddings"))
+
+
+@register(
+    "text_quality_classifier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w, len(ws) AS n
+      FROM t WHERE len(ws) > 0
+    ), wts AS (
+      SELECT doc_id, n,
+             ((('0x' || substr(md5(w), 1, 8))::BIGINT % 4096)
+               * 2654435761) % 4096 / 4096.0 - 0.5 AS wt
+      FROM tok
+    ), m AS (
+      SELECT doc_id, any_value(n) AS n_tokens,
+             sum(wt) / any_value(n) AS mw
+      FROM wts GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1e-9 + 1.0 / (1.0 + exp(-8.0 * mw)), 4) AS score,
+           1.0 / (1.0 + exp(-8.0 * mw)) > 0.5 AS keep
+    FROM m
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """FastText-style hashing-trick quality classifier (the CCNet
+    "looks like reference text" filter stage): token → md5 feature
+    slot → slot weight → sigmoid(mean), keep above threshold. The
+    whole scorer is a zero-shuffle in-row projection (the
+    deterministic Weyl weights are arithmetic on the slot id; a
+    trained model broadcasts the same way). Weights are exact
+    multiples of 2^-12, so the per-doc sums are bit-equal across
+    engines regardless of reduction order."""
+    return X.classifier_score(load(spark, sf, "documents"))

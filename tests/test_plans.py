@@ -584,3 +584,12 @@ def test_winnow_is_array_native_zero_shuffle(spark):
     # exactly one exchange: the final map-side-combinable fp agg
     assert tree.count("Exchange") == 1
     assert "Window" not in tree
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    """The hashing-trick classifier is a pure projection — feature
+    hashing, weight lookup and sigmoid all in-row, no exchange at any
+    corpus size (a trained model would broadcast, not join)."""
+    tree = _fmt(REGISTRY["text_quality_classifier"].fn(spark, SF)).split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Join" not in tree
