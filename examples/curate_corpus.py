@@ -2,16 +2,19 @@
 composed from the engine's pipeline operators, in the order a real
 pretraining ingest runs them:
 
-  1. quality gate        (cheap per-row filters: token stats + char-LM)
+  1. quality gate        (cheap per-row filters: token stats + char-LM,
+                          plus the hashing-trick learned classifier)
   2. PII masking         (typed redaction, audit counts)
   3. exact dedup         (content-hash groups)
   4. near-dup clustering (minhash → capped LSH → star-contraction CC)
-  5. decontamination     (bloom-filter n-gram probe vs the eval slice)
-  6. semantic dedup      (SemDeDup: embedding cells → in-cell cosine;
+  5. span removal        (cross-doc winnow fingerprints → drop shared
+                          boilerplate runs from the survivors' text)
+  6. decontamination     (bloom-filter n-gram probe vs the eval slice)
+  7. semantic dedup      (SemDeDup: embedding cells → in-cell cosine;
                           AFTER decontamination so a keeper can no
                           longer vanish in a later gate)
-  7. leakage-safe split  (duplicate groups never straddle train/test)
-  8. token-budget cut    (distributed prefix sum to a corpus budget)
+  8. leakage-safe split  (duplicate groups never straddle train/test)
+  9. token-budget cut    (distributed prefix sum to a corpus budget)
 
 Run: python examples/curate_corpus.py [sf_dir]   (default sf0.01)
 
@@ -43,14 +46,17 @@ def main() -> None:
     docs = load(spark, sf, "documents")
     n0 = docs.count()
 
-    # 1. quality gate: drop short or junk-scored docs
+    # 1. quality gate: drop short or junk-scored docs (heuristics +
+    #    the learned hashing-trick classifier, all zero-shuffle)
     q = X.quality_score(docs).select("doc_id", "quality")
     lm = X.char_lm_score(docs).select("doc_id", "avg_neg_log2p")
+    clf = X.classifier_score(docs).filter(F.col("keep")).select("doc_id")
     kept = (
         docs.join(q, "doc_id")
         .join(lm, "doc_id")
         .filter((F.col("quality") > 0.2) & (F.col("avg_neg_log2p") < 12.0))
         .drop("quality", "avg_neg_log2p")
+        .join(clf, "doc_id", "left_semi")
     )
     n1 = kept.count()
 
@@ -79,7 +85,22 @@ def main() -> None:
     survivors = survivors.join(dupes, "doc_id", "left_anti")
     n3 = survivors.count()
 
-    # 5. decontamination: bloom probe against the held-out slice
+    # 5. span removal: drop the verbatim cross-doc boilerplate runs
+    #    (shared winnow fingerprints) from the surviving documents'
+    #    text — substring-level dedup after document-level dedup
+    cleaned = C.remove_repeated_spans(survivors).filter(
+        F.col("text_clean") != ""
+    )
+    survivors = (
+        survivors.drop("text")
+        .join(
+            cleaned.select("doc_id", F.col("text_clean").alias("text")),
+            "doc_id",
+        )
+    )
+    n_spans = cleaned.filter(F.col("n_removed") > 0).count()
+
+    # 6. decontamination: bloom probe against the held-out slice
     contaminated = C.decontaminate_bloom(survivors, n=3, eval_mod=97).select(
         "doc_id"
     )
@@ -134,8 +155,8 @@ def main() -> None:
     print(
         f"docs {n0} -> quality {n1} -> exact-dedup {n2} -> "
         f"neardup {n3} -> decontaminated {n4} -> semantic {n3b} "
-        f"(pii-flagged {n_pii}; splits {split_counts}; "
-        f"train@2k-tokens {n5})"
+        f"(pii-flagged {n_pii}; span-cleaned {n_spans}; "
+        f"splits {split_counts}; train@2k-tokens {n5})"
     )
     spark.stop()
 
