@@ -20,6 +20,7 @@ partition deletion and retrieval prunes.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
