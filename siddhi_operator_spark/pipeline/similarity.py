@@ -774,14 +774,13 @@ def quantize_embeddings_int8(
         .groupBy("dim")
         .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))),
-                lambda s: s["lo"],
-            ).alias("_lo"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))),
-                lambda s: s["hi"],
-            ).alias("_hi"),
+            F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))).alias(
+                "_rng"
+            )
+        )
+        .select(
+            F.transform("_rng", lambda s: s["lo"]).alias("_lo"),
+            F.transform("_rng", lambda s: s["hi"]).alias("_hi"),
         )
     )
     with_rng = corpus.withColumn("_v", v).join(F.broadcast(rng_row))

@@ -100,14 +100,17 @@ _FRONT_NAMES = (
 _R3_MODULES: tuple[str, ...] = ()
 
 # Round-8 rotation, pre-staged: lead with any r7 reds, then every row
-# added in round 7 (never-checked), then the remaining r3 rows —
+# added in round 8 (never-checked), then the REMAINING r3-stale rows —
+# the six displaced from this window by r7's new rows
+# (similarity_ann_recall, pii_mask, quality_repetition,
+# decontaminate_ngram, domain_mix_sample, sample_hash_split) plus
 # seq_pack_bins, text_winnow_fingerprint, corpus_weighted_sample,
 # text_tfidf_top_terms, embedding_centroids, siddhiql_star_quantifier,
 # list_fns, map_fns, approx_distinct_bound, sketch_count_min,
 # approx_percentile_bound — then the oldest r4 rows (window family,
 # join family, ratelimit trio, streaming CEP) with the balance of 50.
-# New r7 registry rows displace the NEWEST-checked tail entries of
-# group (4), never groups (1)-(3).
+# New registry rows displace the NEWEST-checked tail entries, never
+# the stale/never-checked groups.
 
 
 def _rotate_for_driver_window() -> None:
