@@ -2,8 +2,9 @@
 composed from the engine's pipeline operators, in the order a real
 pretraining ingest runs them:
 
-  1. quality gate        (cheap per-row filters: token stats + char-LM,
-                          plus the hashing-trick learned classifier)
+  1. quality gate        (cheap per-row filters: token stats + char-LM;
+                          the hashing-trick classifier audits — its
+                          stand-in weights don't gate)
   2. PII masking         (typed redaction, audit counts)
   3. exact dedup         (content-hash groups)
   4. near-dup clustering (minhash → capped LSH → star-contraction CC)
@@ -46,17 +47,19 @@ def main() -> None:
     docs = load(spark, sf, "documents")
     n0 = docs.count()
 
-    # 1. quality gate: drop short or junk-scored docs (heuristics +
-    #    the learned hashing-trick classifier, all zero-shuffle)
+    # 1. quality gate: drop short or junk-scored docs (heuristics).
+    #    The hashing-trick classifier runs in AUDIT mode here — its
+    #    shipped weights are deterministic stand-ins, so gating on
+    #    them would drop ~half the corpus on hash parity; production
+    #    swaps in trained weights and turns the semi-join gate on.
     q = X.quality_score(docs).select("doc_id", "quality")
     lm = X.char_lm_score(docs).select("doc_id", "avg_neg_log2p")
-    clf = X.classifier_score(docs).filter(F.col("keep")).select("doc_id")
+    n_clf_flag = X.classifier_score(docs).filter(~F.col("keep")).count()
     kept = (
         docs.join(q, "doc_id")
         .join(lm, "doc_id")
         .filter((F.col("quality") > 0.2) & (F.col("avg_neg_log2p") < 12.0))
         .drop("quality", "avg_neg_log2p")
-        .join(clf, "doc_id", "left_semi")
     )
     n1 = kept.count()
 
@@ -107,7 +110,7 @@ def main() -> None:
     survivors = survivors.join(contaminated, "doc_id", "left_anti")
     n4 = survivors.count()
 
-    # 6. semantic dedup (SemDeDup): embeddings cluster into quantizer
+    # 7. semantic dedup (SemDeDup): embeddings cluster into quantizer
     #    cells, in-cell cosine pairs above threshold drop the higher id.
     #    Runs LAST of the drop gates so a drop's keeper cannot vanish in
     #    a later gate ("never drop the last copy of content"); the
@@ -136,14 +139,14 @@ def main() -> None:
     survivors = survivors.join(sem_drop, "doc_id", "left_anti")
     n3b = survivors.count()
 
-    # 7. leakage-safe split
+    # 8. leakage-safe split
     split = C.leakage_safe_split(survivors)
     split_counts = {
         r.split: r.n for r in split.groupBy("split").count()
         .withColumnRenamed("count", "n").collect()
     }
 
-    # 8. token-budget cut on the train shard
+    # 9. token-budget cut on the train shard
     train = survivors.join(
         split.filter(F.col("split") == "train").select("doc_id"),
         "doc_id",
@@ -155,7 +158,7 @@ def main() -> None:
     print(
         f"docs {n0} -> quality {n1} -> exact-dedup {n2} -> "
         f"neardup {n3} -> decontaminated {n4} -> semantic {n3b} "
-        f"(pii-flagged {n_pii}; span-cleaned {n_spans}; "
+        f"(pii-flagged {n_pii}; clf-flagged {n_clf_flag}; span-cleaned {n_spans}; "
         f"splits {split_counts}; train@2k-tokens {n5})"
     )
     spark.stop()

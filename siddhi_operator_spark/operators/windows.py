@@ -612,6 +612,13 @@ def stride_window(
     do). Keyed row_number → modulo filter: one keyed shuffle, no
     global sort, WindowGroupLimit-class scaling."""
     n = int(args[0])
+    if not keys:
+        raise ValueError(
+            "custom:stride requires partition keys — use it inside a "
+            "`partition with (key of Stream)` block or with `group by` "
+            "(a global stride totally orders the stream, which does "
+            "not scale)"
+        )
     w = _keyed_window(list(keys), [F.col(ts_col).asc(), F.col(id_col).asc()])
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -384,7 +384,7 @@ def seq_pack_bins(
     )
 
 
-def _winnow_fps(text_col: str, k: int, w: int):
+def _winnow_fps(k: int, w: int):
     """Per-document winnowing fingerprints as array expressions — no
     explode, no window, no shuffle: the corpus-sized exchange+sort of
     the pre-r7 Window formulation (measured ~6 GB/partition spill at
@@ -403,9 +403,10 @@ def _winnow_fps(text_col: str, k: int, w: int):
       ``zip_with(cur, shift(cur, span), least)`` O(log w) times —
       never an ``array_min(slice(...))`` per window.
 
-    Returns (n_windows_expr, fps_array_expr); the caller must have
-    projected the non-empty token array as ``_ws`` and the hash array
-    as ``_hs``."""
+    Returns (n_grams, hs, n_windows, fps) expressions; the caller must
+    have projected the token array as ``_ws`` and (for n_windows/fps)
+    the hash array as ``_hs``. All lengths clamp to ≥0 so the
+    expressions stay total on short docs."""
     ws = F.col("_ws")
     n = F.size(ws)
     # greatest(0, ·) guards: slice() throws on a negative length, and
@@ -459,7 +460,7 @@ def winnow_fingerprints(
     are ``size``/``array_distinct`` projections, so the plan is a
     bare scan at any corpus size."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    n_grams, hs, n_windows, fps = _winnow_fps(text_col, k, w)
+    n_grams, hs, n_windows, fps = _winnow_fps(k, w)
     return (
         df.select("doc_id", ws.alias("_ws"))
         .filter(F.size(F.col("_ws")) >= k + w - 1)
@@ -494,7 +495,7 @@ def cross_doc_repeats(
     output feeds a span-removal pass keyed back by (doc,
     fingerprint)."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    _, hs, _, fps = _winnow_fps(text_col, k, w)
+    _, hs, _, fps = _winnow_fps(k, w)
     per_doc = (
         df.select("doc_id", ws.alias("_ws"))
         .filter(F.size(F.col("_ws")) >= k + w - 1)
@@ -535,7 +536,7 @@ def remove_repeated_spans(
     Three keyed shuffles total (fp agg, fp probe, doc regroup), none
     of them corpus²."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    _, hs, _, fps = _winnow_fps(text_col, k, w)
+    _, hs, _, fps = _winnow_fps(k, w)
     span = w + k - 1  # tokens covered by one window: pos .. pos+span-1
 
     with_fps = (
@@ -544,18 +545,23 @@ def remove_repeated_spans(
         .withColumn("_hs", hs)
         .withColumn("_fps", fps)
     )
-    # (doc_id, pos, fp) — pos is the 1-based window start
-    pos_fp = with_fps.select(
-        "doc_id", F.posexplode("_fps").alias("_p0", "fp")
-    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "fp")
+    # shared-fp set: per-doc dedup happens IN-ROW (array_distinct)
+    # before the explode, so the only corpus-sized shuffle is this one
+    # map-side-combinable count — not a (doc, fp) DISTINCT (the first
+    # cut shuffled the full position explode through a distinct and
+    # paid a second corpus-sized exchange for it)
     shared = (
-        pos_fp.select("doc_id", "fp")
-        .distinct()
+        with_fps.select(F.explode(F.array_distinct("_fps")).alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("fp")
     )
+    # (doc_id, pos, fp) probe — broadcast semi join, so only the HIT
+    # positions (the repeated tail) reach the per-doc regroup
+    pos_fp = with_fps.select(
+        "doc_id", F.posexplode("_fps").alias("_p0", "fp")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "fp")
     hit_pos = (
         pos_fp.join(F.broadcast(shared), "fp", "left_semi")
         .groupBy("doc_id")
@@ -574,8 +580,15 @@ def remove_repeated_spans(
             ).cast("array<int>")
         ),
     )
-    kept = F.filter(
-        F.col("_ws"), lambda x, i: ~F.array_contains(F.col("_covered"), i + 1)
+    # array_except is a hash-set difference (O(n + |covered|)) and
+    # preserves first-array order — NOT a per-token array_contains
+    # scan, which is O(n·|covered|) interpreted work and quadratic on
+    # boilerplate-heavy docs (r7 review)
+    kept = F.transform(
+        F.array_except(
+            F.sequence(F.lit(1), F.size("_ws")), F.col("_covered")
+        ),
+        lambda p: F.element_at("_ws", p),
     )
     return joined.select(
         "doc_id",

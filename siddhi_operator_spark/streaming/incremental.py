@@ -68,6 +68,12 @@ class IncrementalStateTable:
         )
 
     def current(self, below: int | None = None) -> DataFrame | None:
+        """Latest committed snapshot (lazy). Snapshot-lifetime
+        contract — same as Delta/Iceberg VACUUM retention: the
+        returned frame reads its pinned version directory, which the
+        retention pruner deletes after ``_KEEP_VERSIONS`` further
+        epochs commit. Materialize (collect/write) promptly, or raise
+        ``_KEEP_VERSIONS`` for long-lived readers."""
         vs = self._versions()
         if below is not None:
             vs = [v for v in vs if v < below]

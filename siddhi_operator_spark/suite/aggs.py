@@ -603,7 +603,7 @@ def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             r4(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n"),
@@ -998,7 +998,7 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     n = load(spark, sf, "nation").select("n_nationkey", "n_name")
     o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -1042,7 +1042,7 @@ def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     branch = (
         (
             (F.col("p_brand") == "Brand#1")

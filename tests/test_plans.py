@@ -520,7 +520,10 @@ def _iter_logical_nodes(jplan, stop_at_bounded_agg=False):
             stack.append(cs.apply(i))
 
 
-_FACT_MARKERS = {"o_orderkey", "c_custkey", "l_orderkey"}
+# every SF-linear table counts — part and supplier grow with scale
+# factor too (the r7 review caught q14 broadcasting ALL of part while
+# the first version of this guard only watched orders/customer/lineitem)
+_FACT_MARKERS = {"o_orderkey", "c_custkey", "l_orderkey", "p_partkey", "s_suppkey"}
 
 
 def test_tpch_no_forced_broadcast_on_fact_sides(spark):
