@@ -88,12 +88,12 @@ _FRONT_NAMES = (
     "text_remove_repeated_spans",  # new r7 — span-removal pass
     "embedding_quantize_int8",  # new r7 — int8 scalar quantization tier
     "text_quality_classifier",  # new r7 — hashing-trick learned filter
+    "streaming_reorder_kslack",  # new r7 — §3.9 reorder: as watermark
+    "siddhiql_playback",  # new r7 — @app:playback time model
     # (4) balance: oldest r3 rows, registry order
     "window_topk",
-    "window_batch_chunk",
     "agg_extrema_min_max_by",
     "analytic_window_fns",
-    "set_ops",
     "dedup_connected_components",
     "dedup_simhash",
 )

@@ -869,3 +869,41 @@ def siddhiql_custom_source_plugin(spark: SparkSession, sf: str) -> DataFrame:
     insert into Big;
     """
     return run_app(app, spark=spark)["Big"]
+
+
+@register(
+    "siddhiql_playback",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           round(1e-9 + sum(value), 4) AS sv, count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("siddhiql", "playback"),
+)
+def siddhiql_playback(spark: SparkSession, sf: str) -> DataFrame:
+    """`@app:playback` (§2.1 time model, `SiddhiAppRuntimeBuilder`
+    playback mode): the reference swaps its runtime clock from wall
+    time to event timestamps; this engine is event-time-NATIVE, so the
+    annotation parses, is surfaced via `playback_config`, and the app
+    computes identical results with it present — windows are driven by
+    the event's own timestamps either way. The row pins both halves:
+    the annotation round-trips through the front end (asserted) and
+    the windowed aggregation lands on the event-time fixed point."""
+    from ..siddhiql import parse_app
+    from ..siddhiql.builder import playback_config
+
+    app = (
+        "@app:playback(idle.time='100 millisec', increment='1 sec')\n"
+        + _EVENTS_DEF
+        + """
+    from events#window.timeBatch(1 hour)
+    select event_type, round(1e-9 + sum(value), 4) as sv, count() as n
+    group by event_type
+    insert into Hourly;
+    """
+    )
+    model = parse_app(app)
+    cfg = playback_config(model)
+    assert cfg == {"idle.time": 0.1, "increment": 1.0}, cfg
+    return run_app(model, {"events": load(spark, sf, "events")})["Hourly"]

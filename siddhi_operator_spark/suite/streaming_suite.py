@@ -930,3 +930,45 @@ def streaming_sliding_panes(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = _materialize(out, "complete")
     return spark.table(name)
+
+
+@register(
+    "streaming_reorder_kslack",
+    oracle="""
+    SELECT date_trunc('hour', ts)      AS window_start,
+           event_type,
+           round(1e-9 + sum(value), 4) AS sum_value,
+           count(*)                    AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "reorder"),
+)
+def streaming_reorder_kslack(spark: SparkSession, sf: str) -> DataFrame:
+    """`reorder:kslack(ts, K)` (§3.9 `[ext:reorder]`): the K-slack
+    out-of-order correction IS the watermark — `streaming.reorder.
+    kslack` annotates the stream with event-time tolerance K and every
+    downstream stateful operator absorbs up-to-K disorder exactly as
+    the reference's reorder buffer would (late-beyond-K standardized
+    to drop). Here the slacked stream feeds a tumbling aggregation
+    with NO watermark of its own; the replayed corpus (intra-file
+    disorder, multi-file replay) must still land on the batch fixed
+    point."""
+    from ..streaming.reorder import kslack
+
+    s = kslack(_events_stream(spark, sf), "ts", "10 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            r4(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "sum_value",
+            "n",
+        )
+    )
+    name = _materialize(agg, "complete")
+    return spark.sql(f"SELECT * FROM {name}")
