@@ -420,3 +420,68 @@ def classifier_score(
             ).alias("keep"),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_tokens: int = 3,
+) -> DataFrame:
+    """Line-level exact dedup (RefinedWeb/Falcon-style): a LINE that
+    appears verbatim in ≥``min_docs`` documents is boilerplate
+    (navigation chrome, cookie banners, signatures) and is dropped
+    from every document; unique lines survive untouched. The
+    complement of :func:`..curation.remove_repeated_spans` — exact
+    line identity here, fuzzy winnowed runs there.
+
+    Lines shorter than ``min_line_tokens`` tokens are exempt (never
+    counted, never dropped): one-word lines like headings repeat
+    naturally and carry structure.
+
+    Shape: explode lines → md5-keyed count (map-side combinable, the
+    only corpus-sized shuffle) → broadcast semi-join of the shared
+    tail back onto the per-doc line explode → per-doc ordered refold.
+    Emits (doc_id, n_lines, n_removed, text_clean)."""
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"),
+        lambda ln: F.trim(ln) != "",
+    )
+    base = df.select("doc_id", lines.alias("_lines"))
+    exploded = base.select(
+        "doc_id", F.posexplode("_lines").alias("idx", "line")
+    )
+    eligible = exploded.filter(
+        F.size(F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != ""))
+        >= min_line_tokens
+    )
+    shared = (
+        eligible.select("doc_id", F.md5("line").alias("h"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    drops = (
+        eligible.select("doc_id", "idx", F.md5("line").alias("h"))
+        .join(F.broadcast(shared), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("_drop"))
+    )
+    joined = base.join(drops, "doc_id", "left").withColumn(
+        "_drop",
+        F.coalesce(F.col("_drop"), F.array().cast("array<int>")),
+    )
+    kept = F.transform(
+        F.array_except(
+            F.sequence(F.lit(0), F.size("_lines") - 1), F.col("_drop")
+        ),
+        lambda i: F.element_at("_lines", i + 1),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_drop").cast("long").alias("n_removed"),
+        F.concat_ws("\n", kept).alias("text_clean"),
+    )

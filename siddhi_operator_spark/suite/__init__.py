@@ -90,9 +90,9 @@ _FRONT_NAMES = (
     "text_quality_classifier",  # new r7 — hashing-trick learned filter
     "streaming_reorder_kslack",  # new r7 — §3.9 reorder: as watermark
     "siddhiql_playback",  # new r7 — @app:playback time model
+    "text_dedup_lines",  # new r7 — line-level boilerplate dedup
     # (4) balance: oldest r3 rows, registry order
     "window_topk",
-    "agg_extrema_min_max_by",
     "analytic_window_fns",
     "dedup_connected_components",
     "dedup_simhash",

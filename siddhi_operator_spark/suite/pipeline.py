@@ -1780,3 +1780,66 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     multiples of 2^-12, so the per-doc sums are bit-equal across
     engines regardless of reduction order."""
     return X.classifier_score(load(spark, sf, "documents"))
+
+
+@register(
+    "text_dedup_lines",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS line
+      FROM t, unnest(range(1, len(ws) + 1, 8)) AS u(i)
+    ), elig AS (
+      SELECT doc_id, i, line FROM c
+      WHERE len(list_filter(string_split(line, ' '), x -> x != '')) >= 3
+    ), shared AS (
+      SELECT h FROM (
+        SELECT DISTINCT doc_id, md5(line) AS h FROM elig
+      ) GROUP BY h HAVING count(*) >= 2
+    ), drops AS (
+      SELECT doc_id, i FROM elig
+      WHERE md5(line) IN (SELECT h FROM shared)
+    ), folded AS (
+      SELECT c.doc_id,
+             count(*) AS n_lines,
+             count(d.i) AS n_removed,
+             coalesce(string_agg(CASE WHEN d.i IS NULL THEN c.line END,
+                                 chr(10) ORDER BY c.i), '') AS text_clean
+      FROM c LEFT JOIN drops d ON c.doc_id = d.doc_id AND c.i = d.i
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(f.n_lines, 0) AS BIGINT)  AS n_lines,
+           CAST(coalesce(f.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(f.text_clean, '') AS text_clean
+    FROM t LEFT JOIN folded f ON t.doc_id = f.doc_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+)
+def text_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level exact dedup (RefinedWeb/Falcon boilerplate removal):
+    lines verbatim-shared by ≥2 docs drop everywhere, short lines
+    exempt. The fixture corpus has no newlines, so the row first
+    materializes deterministic 8-token lines (chunk boundaries) —
+    the oracle mirrors the construction; the operator under test is
+    `pipeline.text.dedup_lines` end-to-end (153 shared lines at
+    sf0.01 exercise the drop path)."""
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n = F.size(F.col("_ws"))
+    lined = (
+        load(spark, sf, "documents")
+        .select("doc_id", ws.alias("_ws"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(8)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, 8)),
+                ),
+            ).alias("text"),
+        )
+    )
+    return X.dedup_lines(lined, min_docs=2, min_line_tokens=3)

@@ -698,3 +698,25 @@ def test_quantize_int8_bound_and_codes(spark):
     assert int(out[2].codes_int8.split(",")[0]) == 127
     # constant dim encodes as -128 everywhere
     assert {int(o.codes_int8.split(",")[1]) for o in out.values()} == {-128}
+
+
+def test_dedup_lines_semantics(spark):
+    """Shared full lines drop everywhere; short lines are exempt even
+    when repeated; unique lines survive in order."""
+    from siddhi_operator_spark.pipeline import text as X
+
+    banner = "accept all cookies to continue reading"
+    rows = [
+        (1, f"unique first line one\n{banner}\nok\nclosing thoughts here"),
+        (2, f"{banner}\ndifferent body text\nok"),
+        (3, "totally unrelated\ncontent lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.dedup_lines(df, min_docs=2).collect()}
+    for d in (1, 2):
+        assert banner not in out[d].text_clean
+        assert out[d].n_removed == 1
+    # 'ok' repeats in docs 1 and 2 but is under min_line_tokens — kept
+    assert "ok" in out[1].text_clean and "ok" in out[2].text_clean
+    assert out[1].text_clean.splitlines()[0] == "unique first line one"
+    assert out[3].n_removed == 0 and out[3].text_clean == rows[2][1]
