@@ -596,3 +596,23 @@ def test_quality_classifier_zero_shuffle(spark):
     tree = _fmt(REGISTRY["text_quality_classifier"].fn(spark, SF)).split("\n\n")[0]
     assert "Exchange" not in tree
     assert "Join" not in tree
+
+
+def test_quantize_int8_single_range_fold(spark):
+    """Int8 quantization: ONE dims-row aggregation feeds a broadcast
+    back onto the scan — no second corpus pass, no sort-merge join."""
+    plan = _fmt(REGISTRY["embedding_quantize_int8"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+    # two scans total: the stats pass and the code pass (same file)
+    assert tree.count("Scan parquet") == 2
+
+
+def test_dedup_lines_single_corpus_shuffle(spark):
+    """Line dedup: the md5-keyed line count is map-side combinable and
+    the shared tail broadcasts back — no corpus-sized join shuffle,
+    no cartesian."""
+    plan = _fmt(REGISTRY["text_dedup_lines"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the shared-line semi probe
