@@ -91,8 +91,8 @@ _FRONT_NAMES = (
     "streaming_reorder_kslack",  # new r7 — §3.9 reorder: as watermark
     "siddhiql_playback",  # new r7 — @app:playback time model
     "text_dedup_lines",  # new r7 — line-level boilerplate dedup
+    "streaming_join_full_outer",  # new r7 — completes the outer family
     # (4) balance: oldest r3 rows, registry order
-    "window_topk",
     "analytic_window_fns",
     "dedup_connected_components",
     "dedup_simhash",

@@ -972,3 +972,81 @@ def streaming_reorder_kslack(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = _materialize(agg, "complete")
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_join_full_outer",
+    oracle="""
+    WITH cutoff AS (
+      SELECT max(ts) - INTERVAL 3 HOURS AS c FROM events
+    ), a AS (
+      SELECT user_id, event_id, ts FROM events, cutoff
+      WHERE event_type = 'click' AND ts <= c
+    ), b AS (
+      SELECT user_id, event_id, ts FROM events, cutoff
+      WHERE event_type = 'view' AND ts <= c
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           a.event_id AS click_id, b.event_id AS view_id
+    FROM a FULL JOIN b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL watermarked stream-stream FULL OUTER join (§3.4 completes
+    the outer family: left r6, full r7): unmatched events from EITHER
+    side emit with nulls once the watermark passes their join window.
+    Same closing-margin contract as the left-outer twin, now applied
+    to BOTH sides (an unmatched near-end view is as undefined as an
+    unmatched near-end click) — both engines exclude the final 3-hour
+    margin."""
+    import tempfile
+
+    from ..catalog import SCHEMAS
+    from ..operators.joins import windowed_stream_join
+    from ..streaming import sources as SRC
+
+    e = load(spark, sf, "events")
+    cutoff = (
+        e.agg(F.max("ts").alias("m"))
+        .select(F.col("m") - F.expr("INTERVAL 3 HOURS"))
+        .first()[0]
+    )
+    full = e.select(*SCHEMAS["events"].fieldNames())
+    d1 = tempfile.mkdtemp(prefix="replay_foj1_")
+    SRC.replay_dir(full, d1, "ts", 3)
+    d2 = tempfile.mkdtemp(prefix="replay_foj2_")
+    SRC.replay_dir(full, d2, "ts", 3)
+    clicks = (
+        SRC.file_stream(spark, d1, SCHEMAS["events"], max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .filter(
+            (F.col("event_type") == "click") & (F.col("ts") <= F.lit(cutoff))
+        )
+    )
+    views = (
+        SRC.file_stream(spark, d2, SCHEMAS["events"], max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .filter(
+            (F.col("event_type") == "view") & (F.col("ts") <= F.lit(cutoff))
+        )
+    )
+    joined = windowed_stream_join(
+        clicks,
+        views,
+        left_ts="ts",
+        right_ts="ts",
+        equi_keys=[("user_id", "user_id")],
+        within_seconds=300,
+        how="fullOuter",
+    )
+    out = joined.select(
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)
