@@ -92,8 +92,8 @@ _FRONT_NAMES = (
     "siddhiql_playback",  # new r7 — @app:playback time model
     "text_dedup_lines",  # new r7 — line-level boilerplate dedup
     "streaming_join_full_outer",  # new r7 — completes the outer family
+    "streaming_incr_agg_state",  # new r7 — versioned-state ingest path
     # (4) balance: oldest r3 rows, registry order
-    "analytic_window_fns",
     "dedup_connected_components",
     "dedup_simhash",
 )

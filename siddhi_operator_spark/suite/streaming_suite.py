@@ -1050,3 +1050,65 @@ def streaming_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = _materialize(out, "append")
     return spark.table(name)
+
+
+@register(
+    "streaming_incr_agg_state",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           count(*) AS cnt,
+           round(1e-9 + sum(value), 4) AS sum_v,
+           round(1e-9 + min(value), 4) AS min_v,
+           round(1e-9 + max(value), 4) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "incremental", "state"),
+)
+def streaming_incr_agg_state(spark: SparkSession, sf: str) -> DataFrame:
+    """`define aggregation` STREAMING runtime end-to-end through the
+    versioned state table (r7 exactly-once layout): the replayed
+    corpus micro-batches through `incremental_agg_sink` (per-batch
+    composable rollup, merge-ADD into `_SUCCESS`-gated `v=<epoch>`
+    snapshots), then the LATEST COMMITTED snapshot must equal the
+    batch hour rollup — the reference's ingest path, not a retrieval
+    re-aggregation. Out-of-order events across replay files merge-add
+    order-free; a replayed epoch would overwrite its own version
+    byte-identically (pinned separately by the replay tests)."""
+    import tempfile
+
+    from ..catalog import SCHEMAS
+    from ..streaming import sources as SRC
+    from ..streaming.incremental import (
+        IncrementalStateTable,
+        incremental_agg_sink,
+    )
+
+    e = load(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="incr_state_")
+    SRC.replay_dir(e.select(*SCHEMAS["events"].fieldNames()), d, "ts", 4)
+    stream = SRC.file_stream(
+        spark, d, SCHEMAS["events"], max_files_per_trigger=1
+    )
+    state = IncrementalStateTable(
+        spark, tempfile.mkdtemp(prefix="incr_tab_"), keys=["event_type"]
+    )
+    q = incremental_agg_sink(
+        stream,
+        state,
+        ts="ts",
+        value="value",
+        gran="hour",
+        checkpoint=tempfile.mkdtemp(prefix="incr_ck_"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    return state.current().select(
+        "bucket_start",
+        "event_type",
+        "cnt",
+        r4(F.col("sum_v"), 4).alias("sum_v"),
+        r4(F.col("min_v"), 4).alias("min_v"),
+        r4(F.col("max_v"), 4).alias("max_v"),
+    )
