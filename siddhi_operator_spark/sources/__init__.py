@@ -640,3 +640,47 @@ def inline_source(spark: SparkSession, stream_def, ann: Ann) -> DataFrame:
     return raw.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
     )
+
+
+def http_sink_foreach_batch(stream_def, url: str | None = None):
+    """`@sink(type='http', publisher.url=…, @map(type=…))`
+    (`[ext:io-http] HttpSink`) — the outbound half of the http pair:
+    serialize each event through the declared `@map` serde and POST it
+    to the publisher url. Returns a foreachBatch target.
+
+    Scale shape: serialization happens in Catalyst
+    (``format_sink_value`` — to_json/concat_ws/wire codecs), and the
+    POSTs run per PARTITION on the executors (one connection per
+    partition per batch, newline-delimited payloads) — nothing
+    collects to the driver at any batch size. The reference posts one
+    request per event; batching per partition is the documented
+    difference (its http sink offers `chunked` batching too).
+    `basic.auth.*`/header options are accepted and ignored — auth
+    belongs at the gateway, as on the source side."""
+    sink = _find_ann(stream_def, "sink")
+    if sink is None or sink.options.get("type", "").lower() != "http":
+        return None
+    target = url or sink.options.get("publisher.url") or sink.options.get("url")
+    if not target:
+        raise ValueError("@sink(type='http') needs publisher.url")
+
+    def _post(batch: DataFrame, epoch_id: int) -> None:
+        vals = format_sink_value(batch, sink, stream_def).select("value")
+
+        def _send(rows) -> None:
+            import urllib.request
+
+            payload = "\n".join(r.value for r in rows)
+            if not payload:
+                return
+            req = urllib.request.Request(
+                target,
+                data=payload.encode("utf-8"),
+                headers={"Content-Type": "application/octet-stream"},
+                method="POST",
+            )
+            urllib.request.urlopen(req, timeout=30).read()
+
+        vals.foreachPartition(_send)
+
+    return _post

@@ -93,9 +93,9 @@ _FRONT_NAMES = (
     "text_dedup_lines",  # new r7 — line-level boilerplate dedup
     "streaming_join_full_outer",  # new r7 — completes the outer family
     "streaming_incr_agg_state",  # new r7 — versioned-state ingest path
+    "sink_http_json_roundtrip",  # new r7 — http sink (outbound twin)
     # (4) balance: oldest r3 rows, registry order
     "dedup_connected_components",
-    "dedup_simhash",
 )
 _R3_MODULES: tuple[str, ...] = ()
 

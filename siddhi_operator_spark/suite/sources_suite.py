@@ -620,3 +620,78 @@ def sink_file_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         r4(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "sink_http_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, round(1e-9 + value, 4) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 200
+    """,
+    tags=("sink", "http", "streaming"),
+)
+def sink_http_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """`@sink(type='http', publisher.url=…, @map(type='json'))`
+    (`[ext:io-http] HttpSink`) end-to-end over a REAL socket — the
+    outbound twin of `source_http_json_stream`: a local HTTP server
+    accumulates POSTed newline-delimited JSON payloads, the engine's
+    http sink serializes the filtered stream through the json serde
+    and posts per partition (executor-side, no driver collect), and
+    the payloads parsed back must equal the relational oracle."""
+    import http.server
+    import json as _json
+    import threading
+
+    from ..siddhiql.model import StreamDef
+    from ..sources import http_sink_foreach_batch
+
+    received: list[str] = []
+    lock = threading.Lock()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 — BaseHTTPRequestHandler API
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8")
+            with lock:
+                received.extend(ln for ln in body.split("\n") if ln.strip())
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("localhost", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        sdef = StreamDef(
+            name="BigBuys",
+            attributes=[
+                ("event_id", "long"),
+                ("user_id", "long"),
+                ("value", "double"),
+            ],
+            annotations=[
+                f"@sink(type='http', publisher.url='http://localhost:{port}/events', "
+                "@map(type='json'))"
+            ],
+        )
+        post = http_sink_foreach_batch(sdef)
+        src = (
+            load(spark, sf, "events")
+            .filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+            .select("event_id", "user_id", "value")
+        )
+        # batch fixed point of the continuous sink: one epoch
+        post(src, 0)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    rows = [_json.loads(ln) for ln in received]
+    out = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["value"]) for r in rows],
+        "event_id long, user_id long, value double",
+    )
+    return out.select("event_id", "user_id", r4(F.col("value"), 4).alias("value"))
