@@ -1708,10 +1708,17 @@ def run_app(
             outputs[q.out_stream] = df
             env[q.out_stream] = outputs[q.out_stream]
     if write_sinks:
+        from ..sources import http_sink_foreach_batch
+
         for name, df in outputs.items():
             sdef = model.streams.get(name)
             if sdef is not None:
                 write_file_sink(df, sdef)
+                # @sink(type='http'): batch fixed point of the
+                # continuous sink — one POST epoch per run
+                post = http_sink_foreach_batch(sdef)
+                if post is not None:
+                    post(df, 0)
     return outputs
 
 

@@ -101,10 +101,12 @@ _R3_MODULES: tuple[str, ...] = ()
 
 # Round-8 rotation, pre-staged: lead with any r7 reds, then every row
 # added in round 8 (never-checked), then the REMAINING r3-stale rows —
-# the six displaced from this window by r7's new rows
+# the ten displaced from this window by r7's new rows
 # (similarity_ann_recall, pii_mask, quality_repetition,
-# decontaminate_ngram, domain_mix_sample, sample_hash_split) plus
-# seq_pack_bins, text_winnow_fingerprint, corpus_weighted_sample,
+# decontaminate_ngram, domain_mix_sample, sample_hash_split,
+# window_topk, window_batch_chunk, set_ops, agg_extrema_min_max_by,
+# analytic_window_fns, dedup_simhash) plus seq_pack_bins,
+# text_winnow_fingerprint, corpus_weighted_sample,
 # text_tfidf_top_terms, embedding_centroids, siddhiql_star_quantifier,
 # list_fns, map_fns, approx_distinct_bound, sketch_count_min,
 # approx_percentile_bound — then the oldest r4 rows (window family,

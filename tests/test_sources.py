@@ -972,3 +972,55 @@ def test_http_source_entry_bounded(spark, monkeypatch):
     monkeypatch.setattr(SS, "_HTTP_MAX_PAYLOADS", 3)
     with pytest.raises(ValueError, match="bounded to 3 driver-resident"):
         SS.source_http_json_stream(spark, "/root/testdata/sf0.001")
+
+
+def test_http_sink_through_siddhiql(spark, tmp_path):
+    """`@sink(type='http', @map(type='json'))` declared on a SiddhiQL
+    output stream posts the query result to the publisher url when
+    run_app(write_sinks=True) — the outbound twin of the @source http
+    path, end-to-end from QL text."""
+    import http.server
+    import json as _json
+    import threading
+
+    from siddhi_operator_spark.siddhiql import run_app
+
+    received: list[str] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            received.extend(
+                ln
+                for ln in self.rfile.read(n).decode().split("\n")
+                if ln.strip()
+            )
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("localhost", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = spark.createDataFrame(
+            [(1, 9.0), (2, 101.5), (3, 250.0)], "event_id long, value double"
+        )
+        app = f"""
+        define stream E (event_id long, value double);
+        @sink(type='http', publisher.url='http://localhost:{port}/out',
+              @map(type='json'))
+        define stream Big (event_id long, value double);
+        from E[value > 100] select event_id, value insert into Big;
+        """
+        run_app(app, {"E": src}, write_sinks=True)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    got = sorted(
+        (_json.loads(ln)["event_id"], _json.loads(ln)["value"])
+        for ln in received
+    )
+    assert got == [(2, 101.5), (3, 250.0)]
