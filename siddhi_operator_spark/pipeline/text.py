@@ -435,19 +435,23 @@ def dedup_lines(
     complement of :func:`..curation.remove_repeated_spans` — exact
     line identity here, fuzzy winnowed runs there.
 
-    Lines shorter than ``min_line_tokens`` tokens are exempt (never
-    counted, never dropped): one-word lines like headings repeat
-    naturally and carry structure.
+    Lines shorter than ``min_line_tokens`` tokens — including blank
+    lines — are exempt (never counted, never dropped): one-word lines
+    like headings repeat naturally, and blank lines carry paragraph
+    structure, so a document with no shared lines round-trips
+    byte-identically.
 
     Shape: explode lines → md5-keyed count (map-side combinable, the
     only corpus-sized shuffle) → broadcast semi-join of the shared
     tail back onto the per-doc line explode → per-doc ordered refold.
     Emits (doc_id, n_lines, n_removed, text_clean)."""
-    lines = F.filter(
-        F.split(F.col(text_col), r"\n"),
-        lambda ln: F.trim(ln) != "",
+    # blank lines are KEPT (they are never eligible, so never dropped):
+    # filtering them out silently rewrote every multi-paragraph doc's
+    # structure even when nothing was shared (r7 review) — the operator
+    # must be a no-op on documents with no shared lines
+    base = df.select(
+        "doc_id", F.split(F.col(text_col), r"\n").alias("_lines")
     )
-    base = df.select("doc_id", lines.alias("_lines"))
     exploded = base.select(
         "doc_id", F.posexplode("_lines").alias("idx", "line")
     )
@@ -473,10 +477,16 @@ def dedup_lines(
         "_drop",
         F.coalesce(F.col("_drop"), F.array().cast("array<int>")),
     )
+    # sequence(0, -1) on an empty array yields [0, -1] (Spark sequence
+    # is bidirectional) and element_at then throws — guard the empty
+    # case explicitly (r7 review; empty/whitespace docs are routine in
+    # the web corpora this targets)
+    idx = F.when(
+        F.size("_lines") > 0,
+        F.sequence(F.lit(0), F.size("_lines") - 1),
+    ).otherwise(F.array().cast("array<int>"))
     kept = F.transform(
-        F.array_except(
-            F.sequence(F.lit(0), F.size("_lines") - 1), F.col("_drop")
-        ),
+        F.array_except(idx, F.col("_drop")),
         lambda i: F.element_at("_lines", i + 1),
     )
     return joined.select(

@@ -679,7 +679,8 @@ def http_sink_foreach_batch(stream_def, url: str | None = None):
                 headers={"Content-Type": "application/octet-stream"},
                 method="POST",
             )
-            urllib.request.urlopen(req, timeout=30).read()
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                resp.read()
 
         vals.foreachPartition(_send)
 

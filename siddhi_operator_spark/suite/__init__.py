@@ -101,7 +101,7 @@ _R3_MODULES: tuple[str, ...] = ()
 
 # Round-8 rotation, pre-staged: lead with any r7 reds, then every row
 # added in round 8 (never-checked), then the REMAINING r3-stale rows —
-# the ten displaced from this window by r7's new rows
+# the twelve displaced from this window by r7's new rows
 # (similarity_ann_recall, pii_mask, quality_repetition,
 # decontaminate_ngram, domain_mix_sample, sample_hash_split,
 # window_topk, window_batch_chunk, set_ops, agg_extrema_min_max_by,

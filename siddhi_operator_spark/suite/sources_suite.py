@@ -622,29 +622,15 @@ def sink_file_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "sink_http_json_roundtrip",
-    oracle="""
-    SELECT event_id, user_id, round(1e-9 + value, 4) AS value
-    FROM events
-    WHERE event_type = 'purchase' AND value > 200
-    """,
-    tags=("sink", "http", "streaming"),
-)
-def sink_http_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """`@sink(type='http', publisher.url=…, @map(type='json'))`
-    (`[ext:io-http] HttpSink`) end-to-end over a REAL socket — the
-    outbound twin of `source_http_json_stream`: a local HTTP server
-    accumulates POSTed newline-delimited JSON payloads, the engine's
-    http sink serializes the filtered stream through the json serde
-    and posts per partition (executor-side, no driver collect), and
-    the payloads parsed back must equal the relational oracle."""
+def capture_http_server():
+    """Start a local HTTP server that accumulates POSTed
+    newline-delimited payloads — the shared test transport for the
+    http SINK side (suite row + tests use the same harness; the
+    handler appends under a lock because ThreadingHTTPServer serves
+    concurrent partition POSTs). Returns (server, port, received) —
+    caller must ``server.shutdown(); server.server_close()``."""
     import http.server
-    import json as _json
     import threading
-
-    from ..siddhiql.model import StreamDef
-    from ..sources import http_sink_foreach_batch
 
     received: list[str] = []
     lock = threading.Lock()
@@ -662,9 +648,33 @@ def sink_http_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             pass
 
     srv = http.server.ThreadingHTTPServer(("localhost", 0), H)
-    port = srv.server_address[1]
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1], received
+
+
+@register(
+    "sink_http_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, round(1e-9 + value, 4) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 200
+    """,
+    tags=("sink", "http", "streaming"),
+)
+def sink_http_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """`@sink(type='http', publisher.url=…, @map(type='json'))`
+    (`[ext:io-http] HttpSink`) end-to-end over a REAL socket — the
+    outbound twin of `source_http_json_stream`: a local HTTP server
+    accumulates POSTed newline-delimited JSON payloads, the engine's
+    http sink serializes the filtered stream through the json serde
+    and posts per partition (executor-side, no driver collect), and
+    the payloads parsed back must equal the relational oracle."""
+    import json as _json
+
+    from ..siddhiql.model import StreamDef
+    from ..sources import http_sink_foreach_batch
+
+    srv, port, received = capture_http_server()
     try:
         sdef = StreamDef(
             name="BigBuys",

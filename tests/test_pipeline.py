@@ -720,3 +720,22 @@ def test_dedup_lines_semantics(spark):
     assert "ok" in out[1].text_clean and "ok" in out[2].text_clean
     assert out[1].text_clean.splitlines()[0] == "unique first line one"
     assert out[3].n_removed == 0 and out[3].text_clean == rows[2][1]
+
+
+def test_dedup_lines_preserves_structure_and_empty_docs(spark):
+    """r7 review regressions pinned: (a) blank lines are structure —
+    a doc with no shared lines must round-trip BYTE-IDENTICALLY,
+    paragraph breaks included; (b) empty / whitespace-only docs must
+    not crash the job (sequence(0,-1) is bidirectional in Spark)."""
+    from siddhi_operator_spark.pipeline import text as X
+
+    rows = [
+        (1, "para one has words\n\npara two has words"),
+        (2, ""),
+        (3, "   \n  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.dedup_lines(df, min_docs=2).collect()}
+    assert out[1].text_clean == rows[0][1]  # blank line survives
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 0 and out[3].n_removed == 0  # no crash

@@ -979,31 +979,12 @@ def test_http_sink_through_siddhiql(spark, tmp_path):
     output stream posts the query result to the publisher url when
     run_app(write_sinks=True) — the outbound twin of the @source http
     path, end-to-end from QL text."""
-    import http.server
     import json as _json
-    import threading
 
     from siddhi_operator_spark.siddhiql import run_app
+    from siddhi_operator_spark.suite.sources_suite import capture_http_server
 
-    received: list[str] = []
-
-    class H(http.server.BaseHTTPRequestHandler):
-        def do_POST(self):  # noqa: N802
-            n = int(self.headers.get("Content-Length", 0))
-            received.extend(
-                ln
-                for ln in self.rfile.read(n).decode().split("\n")
-                if ln.strip()
-            )
-            self.send_response(200)
-            self.end_headers()
-
-        def log_message(self, *a):
-            pass
-
-    srv = http.server.ThreadingHTTPServer(("localhost", 0), H)
-    port = srv.server_address[1]
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv, port, received = capture_http_server()
     try:
         src = spark.createDataFrame(
             [(1, 9.0), (2, 101.5), (3, 250.0)], "event_id long, value double"
