@@ -99,8 +99,10 @@ _FRONT_NAMES = (
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-8 rotation, pre-staged: lead with any r7 reds, then every row
-# added in round 8 (never-checked), then the REMAINING r3-stale rows —
+# Round-8 rotation, pre-staged: lead with any r7 reds, then the three
+# never-driver-checked r7 tail rows (tpch_q8, tpch_q12, tpch_q17 —
+# local-green, added after the window filled), then every row added in
+# round 8 (never-checked), then the REMAINING r3-stale rows —
 # the twelve displaced from this window by r7's new rows
 # (similarity_ann_recall, pii_mask, quality_repetition,
 # decontaminate_ngram, domain_mix_sample, sample_hash_split,

@@ -1112,3 +1112,153 @@ def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         r4(F.sum("c_acctbal"), 4).alias("totacctbal"),
     )
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type LIKE '%ECO%'
+    )
+    SELECT o_year,
+           round(1e-9 + sum(CASE WHEN supp_nation = 'NATION_1'
+                                 THEN volume ELSE 0 END) / sum(volume), 4)
+             AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_1's share of ASIA's
+    ECO-part order volume per year. The deepest join tree in the suite
+    (7 tables, two nation roles); forced hints only on the bounded
+    dims (region, both nation roles) — customer/orders/supplier/the
+    LIKE-filtered part ride AQE, per the r7 size-safe hint policy."""
+    p = load(spark, sf, "part").filter(F.col("p_type").like("%ECO%")).select(
+        "p_partkey"
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    vol = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+            0.0
+        )
+    ) / F.sum("volume")
+    return vol.groupBy("o_year").agg(r4(share, 4).alias("mkt_share"))
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus AS shipmode,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("agg", "tpch", "join"),
+)
+def tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), fixture
+    adaptation: no l_shipmode/commitdate/receiptdate, so l_linestatus
+    stands in for the mode and the ship-year window for the
+    late-delivery predicate — the SHAPE is Q12's point: fact⋈fact
+    join with conditional (priority-class) counts, date predicates
+    pushed to the lineitem scan, no forced hints."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    SELECT round(1e-9 + sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS threshold
+          FROM lineitem GROUP BY 1) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.threshold
+    """,
+    tags=("agg", "tpch", "join", "subquery"),
+)
+def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue; 0.5·avg threshold —
+    the spec's 0.2 keeps no fixture rows): the correlated per-part AVG
+    subquery becomes ONE keyed aggregation joined back on partkey —
+    never a per-row recompute. The per-part threshold table is
+    fact-derived and SF-linear, so no forced hint; the brand filter
+    prunes the probe side first."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    thr = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("threshold")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+    )
+    return j.agg(
+        r4(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
