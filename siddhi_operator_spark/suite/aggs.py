@@ -1190,10 +1190,10 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q12",
     oracle="""
     SELECT l.l_linestatus AS shipmode,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1254,7 +1254,7 @@ def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("threshold")
     )
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(thr, "l_partkey")
         .filter(F.col("l_quantity") < F.col("threshold"))
     )
