@@ -824,3 +824,48 @@ def quantize_embeddings_int8(
             ).alias("within_bound"),
         )
     )
+
+
+def reconstruct_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The dequantization side of :func:`quantize_embeddings_int8` —
+    x̂ = lo + round(255·(x−lo)/(hi−lo))·(hi−lo)/255 per dim, i.e.
+    what an ANN tier actually scores against when the corpus lives as
+    int8 codes. Emitting x̂ directly (quantize→dequantize fused in one
+    pass) lets recall-under-quantization be measured without
+    round-tripping through the serialized codes; same per-dim
+    broadcast fold, same in-row arithmetic."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rng_row = (
+        corpus.select(F.posexplode(v).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))).alias(
+                "_rng"
+            )
+        )
+        .select(
+            F.transform("_rng", lambda s: s["lo"]).alias("_lo"),
+            F.transform("_rng", lambda s: s["hi"]).alias("_hi"),
+        )
+    )
+    recon = F.zip_with(
+        "_v",
+        F.arrays_zip(F.col("_lo").alias("lo"), F.col("_hi").alias("hi")),
+        lambda x, r: F.when(
+            r["hi"] > r["lo"],
+            r["lo"]
+            + F.round(255.0 * (x - r["lo"]) / (r["hi"] - r["lo"]) + 1e-9)
+            * (r["hi"] - r["lo"])
+            / 255.0,
+        ).otherwise(r["lo"]),
+    )
+    return (
+        corpus.withColumn("_v", v)
+        .join(F.broadcast(rng_row))
+        .select(id_col, recon.alias("embedding_rec"))
+    )

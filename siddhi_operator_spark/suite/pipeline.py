@@ -1843,3 +1843,90 @@ def text_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return X.dedup_lines(lined, min_docs=2, min_line_tokens=3)
+
+
+@register(
+    "similarity_int8_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), d AS (
+      SELECT generate_subscripts(vec, 1) AS dim, unnest(vec) AS x FROM v
+    ), r AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM d GROUP BY 1
+    ), ra AS (
+      SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM r
+    ), recon AS (
+      SELECT vec_id,
+             list_transform(range(1, len(vec) + 1), i ->
+               CASE WHEN his[i] > los[i]
+                    THEN los[i]
+                         + round(255.0 * (vec[i] - los[i])
+                                 / (his[i] - los[i]) + 1e-9)
+                           * (his[i] - los[i]) / 255.0
+                    ELSE los[i] END) AS v
+      FROM v, ra
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(1e-9 + list_dot_product(q.vec, c.vec)
+                   / (sqrt(list_dot_product(q.vec, q.vec))
+                      * sqrt(list_dot_product(c.vec, c.vec))), 4)
+                 DESC, c.vec_id) AS rank
+        FROM v c CROSS JOIN v q
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(1e-9 + list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 4)
+                 DESC, c.vec_id) AS rank
+        FROM recon c CROSS JOIN recon q
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           count(a.neighbor_id)                        AS n_hit,
+           round(1e-9 + count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+    tags=("pipeline", "similarity", "quantization", "eval"),
+)
+def similarity_int8_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@3 of cosine search over int8-RECONSTRUCTED vectors vs
+    the exact float tier — the measured half of the quantizer's
+    promise ("ANN recall under int8 is a property, not a hope"): the
+    corpus is dequantized in one fused pass (`reconstruct_int8`) and
+    both tiers rank with the same rounded-cosine/id discipline, so
+    the recall number is engine-portable like similarity_ann_recall."""
+    emb = load(spark, sf, "embeddings")
+    qset = F.col("vec_id") < 5
+    exact = S.brute_force_topk(
+        emb, emb.filter(qset), k=3, impl="catalyst"
+    ).select("query_id", "neighbor_id")
+    rec = S.reconstruct_int8(emb)
+    approx = S.brute_force_topk(
+        rec,
+        rec.filter(qset),
+        k=3,
+        vec_col="embedding_rec",
+        impl="catalyst",
+    ).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = exact.join(
+        approx,
+        (exact["query_id"] == approx["aq"])
+        & (exact["neighbor_id"] == approx["an"]),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").alias("n_hit"),
+        r4(F.count("an") / F.lit(3.0), 4).alias("recall_at_3"),
+    )
