@@ -869,3 +869,45 @@ def reconstruct_int8(
         .join(F.broadcast(rng_row))
         .select(id_col, recon.alias("embedding_rec"))
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximum-Inner-Product Search top-k — the retrieval scoring for
+    un-normalized embeddings (recommendation / reward-model scoring,
+    where vector LENGTH carries signal and cosine is the wrong
+    metric). Exact tier: broadcast the query set, one dot per pair,
+    rounded-score/id ranking — the corpus never shuffles.
+
+    Scale path (documented, not a separate tier): MIPS reduces to
+    cosine by norm augmentation — append sqrt(M² − ‖x‖²) to each
+    corpus vector (M = max corpus norm) and 0 to each query, after
+    which cosine order equals inner-product order — so the existing
+    sign-LSH / IVF cosine tiers serve augmented vectors unchanged,
+    with this exact tier re-ranking the candidates by true dot."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(
+        F.broadcast(q), on=F.col("c_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("c_id").alias("neighbor_id"),
+        _dot(F.col("q_vec"), F.col("c_vec")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(r4("dot", 4)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", r4("dot", 4).alias("dot"), "rank")
+    )

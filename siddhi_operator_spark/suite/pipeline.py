@@ -1930,3 +1930,32 @@ def similarity_int8_recall(spark: SparkSession, sf: str) -> DataFrame:
         F.count("an").alias("n_hit"),
         r4(F.count("an") / F.lit(3.0), 4).alias("recall_at_3"),
     )
+
+
+@register(
+    "similarity_mips",
+    oracle="""
+    SELECT query_id, neighbor_id, dot, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(1e-9 + list_dot_product(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(c.embedding AS DOUBLE[])), 4) AS dot,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               round(1e-9 + list_dot_product(
+                 CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
+      FROM embeddings c CROSS JOIN embeddings q
+      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+    ) WHERE rank <= 3
+    """,
+    tags=("pipeline", "similarity", "mips"),
+)
+def similarity_mips(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum-inner-product top-3 (un-normalized retrieval scoring —
+    where cosine is the wrong metric because vector length carries
+    signal). Exact broadcast tier; at scale MIPS reduces to the
+    existing cosine-LSH tiers by norm augmentation (append
+    sqrt(M²−‖x‖²) corpus-side, 0 query-side) with dot re-ranking —
+    see `pipeline.similarity.mips_topk`."""
+    emb = load(spark, sf, "embeddings")
+    return S.mips_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
