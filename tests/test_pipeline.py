@@ -739,3 +739,131 @@ def test_dedup_lines_preserves_structure_and_empty_docs(spark):
     assert out[1].text_clean == rows[0][1]  # blank line survives
     assert out[1].n_removed == 0
     assert out[2].n_removed == 0 and out[3].n_removed == 0  # no crash
+
+
+def test_remove_repeated_spans_property(spark):
+    """Randomized corpora vs a pure-Python winnow+mask reference —
+    the array-native formulation (zip-of-shifts grams, doubling-ladder
+    sliding min, array_except mask) must match an obviously-correct
+    implementation exactly, including which tokens get masked."""
+    import hashlib
+    import random
+
+    from siddhi_operator_spark.pipeline import curation as C
+
+    k, w, min_docs = 3, 4, 2
+    span = k + w - 1
+
+    def ref(docs):
+        fps_by_doc = {}
+        for did, text in docs:
+            ws = [t for t in text.split() if t]
+            grams = [
+                hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()
+                for i in range(len(ws) - k + 1)
+            ]
+            fps = {}
+            for j in range(len(grams) - w + 1):
+                fp = min(grams[j : j + w])
+                fps.setdefault(fp, []).append(j + 1)  # 1-based
+            fps_by_doc[did] = (ws, fps)
+        counts = {}
+        for did, (_, fps) in fps_by_doc.items():
+            for fp in fps:
+                counts[fp] = counts.get(fp, 0) + 1
+        shared = {fp for fp, n in counts.items() if n >= min_docs}
+        out = {}
+        for did, text in docs:
+            ws = [t for t in text.split() if t]
+            covered = set()
+            _, fps = fps_by_doc.get(did, (None, {}))
+            for fp, positions in fps.items():
+                if fp in shared:
+                    for p in positions:
+                        covered.update(range(p, p + span))
+            kept = [t for i, t in enumerate(ws, 1) if i not in covered]
+            out[did] = (len(ws), len(ws) - len(kept), " ".join(kept))
+        return out
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(4):
+        docs = []
+        boiler = " ".join(rng.choices(vocab, k=rng.randint(6, 9)))
+        for did in range(6):
+            body = " ".join(rng.choices(vocab, k=rng.randint(0, 18)))
+            if rng.random() < 0.6:
+                body = f"{body} {boiler} {body}".strip()
+            docs.append((did, body))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+            for r in C.remove_repeated_spans(
+                df, k=k, w=w, min_docs=min_docs
+            ).collect()
+        }
+        assert got == ref(docs), f"trial {trial}"
+
+
+def test_dedup_lines_property(spark):
+    """Randomized multi-line corpora vs a pure-Python reference: exact
+    shared-line drop semantics, blank/short-line exemptions, order
+    preservation."""
+    import hashlib
+    import random
+
+    from siddhi_operator_spark.pipeline import text as X
+
+    min_docs, min_tok = 2, 3
+
+    def ref(docs):
+        counts = {}
+        for _, text in docs:
+            seen = set()
+            for ln in text.split("\n"):
+                if len([t for t in ln.split() if t]) >= min_tok:
+                    h = hashlib.md5(ln.encode()).hexdigest()
+                    if h not in seen:
+                        seen.add(h)
+                        counts[h] = counts.get(h, 0) + 1
+        shared = {h for h, n in counts.items() if n >= min_docs}
+        out = {}
+        for did, text in docs:
+            lines = text.split("\n")
+            kept = [
+                ln
+                for ln in lines
+                if not (
+                    len([t for t in ln.split() if t]) >= min_tok
+                    and hashlib.md5(ln.encode()).hexdigest() in shared
+                )
+            ]
+            out[did] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+        return out
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(10)]
+    for trial in range(4):
+        shared_line = " ".join(rng.choices(vocab, k=rng.randint(3, 6)))
+        docs = []
+        for did in range(5):
+            lines = []
+            for _ in range(rng.randint(0, 5)):
+                r = rng.random()
+                if r < 0.3:
+                    lines.append(shared_line)
+                elif r < 0.45:
+                    lines.append("")  # blank — exempt, preserved
+                else:
+                    lines.append(
+                        " ".join(rng.choices(vocab, k=rng.randint(1, 7)))
+                    )
+            docs.append((did, "\n".join(lines)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+            for r in X.dedup_lines(
+                df, min_docs=min_docs, min_line_tokens=min_tok
+            ).collect()
+        }
+        assert got == ref(docs), f"trial {trial}"
