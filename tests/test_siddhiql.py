@@ -1672,3 +1672,88 @@ def test_custom_source_plugin_spi(spark):
     from C select event_id, value insert into Out;
     """
     assert run_app(app, spark=spark)["Out"].count() == 4
+
+
+def test_siddhiql_filter_select_fuzz(spark, events_df):
+    """Grammar fuzz for entry point A: randomly generated
+    filter/projection/aggregation apps must compile and agree with the
+    directly-built DataFrame — the parser/builder expression
+    translation tested over ~30 random shapes, not just the curated
+    suite queries."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from siddhi_operator_spark.siddhiql import run_app
+
+    rng = random.Random(2024)
+
+    def gen_cond(depth=0):
+        r = rng.random()
+        if depth < 2 and r < 0.35:
+            a, qa = gen_cond(depth + 1)
+            b, qb = gen_cond(depth + 1)
+            op = rng.choice(["and", "or"])
+            return (
+                (a & b) if op == "and" else (a | b),
+                f"({qa} {op} {qb})",
+            )
+        if depth < 2 and r < 0.45:
+            a, qa = gen_cond(depth + 1)
+            return ~a, f"(not {qa})"
+        leaf = rng.choice(["value", "user_id", "event_type"])
+        if leaf == "value":
+            thr = rng.choice([50.0, 200.0, 700.0])
+            op = rng.choice([">", "<", ">=", "<="])
+            col = F.col("value")
+            expr = {
+                ">": col > thr,
+                "<": col < thr,
+                ">=": col >= thr,
+                "<=": col <= thr,
+            }[op]
+            return expr, f"value {op} {thr}"
+        if leaf == "user_id":
+            m = rng.choice([2, 5, 7])
+            return (F.col("user_id") % m == 0), f"user_id % {m} == 0"
+        t = rng.choice(["click", "view", "purchase"])
+        return (F.col("event_type") == t), f"event_type == '{t}'"
+
+    for trial in range(30):
+        cond, qcond = gen_cond()
+        grouped = rng.random() < 0.4
+        if grouped:
+            app = f"""
+            define stream events (event_id long, ts string, user_id long,
+                                  event_type string, value double);
+            from events[{qcond}]
+            select event_type, count() as n,
+                   round(1e-9 + sum(value), 4) as sv
+            group by event_type
+            insert into Out;
+            """
+            expect = (
+                events_df.filter(cond)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("value") + 1e-9, 4).alias("sv"),
+                )
+            )
+            key = lambda r: (r.event_type,)  # noqa: E731
+        else:
+            app = f"""
+            define stream events (event_id long, ts string, user_id long,
+                                  event_type string, value double);
+            from events[{qcond}]
+            select event_id, user_id, value
+            insert into Out;
+            """
+            expect = events_df.filter(cond).select(
+                "event_id", "user_id", "value"
+            )
+            key = lambda r: (r.event_id,)  # noqa: E731
+        got = run_app(app, {"events": events_df})["Out"]
+        g = sorted(map(tuple, got.collect()))
+        e = sorted(map(tuple, expect.collect()))
+        assert g == e, f"trial {trial}: {qcond!r}\n{g[:3]} != {e[:3]}"
