@@ -1757,3 +1757,59 @@ def test_siddhiql_filter_select_fuzz(spark, events_df):
         g = sorted(map(tuple, got.collect()))
         e = sorted(map(tuple, expect.collect()))
         assert g == e, f"trial {trial}: {qcond!r}\n{g[:3]} != {e[:3]}"
+
+
+def test_siddhiql_window_fuzz(spark, events_df):
+    """Window-clause fuzz: random timeBatch durations and grouped
+    aggregation sets must agree with the directly-built tumbling
+    aggregation — parser duration handling and the builder's
+    window+group routing over ~12 shapes."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from siddhi_operator_spark.siddhiql import run_app
+
+    rng = random.Random(77)
+    aggs = [
+        ("count() as n", F.count(F.lit(1)).alias("n")),
+        (
+            "round(1e-9 + sum(value), 4) as sv",
+            F.round(F.sum("value") + 1e-9, 4).alias("sv"),
+        ),
+        (
+            "round(1e-9 + max(value), 4) as mx",
+            F.round(F.max("value") + 1e-9, 4).alias("mx"),
+        ),
+        (
+            "round(1e-9 + min(value), 4) as mn",
+            F.round(F.min("value") + 1e-9, 4).alias("mn"),
+        ),
+    ]
+    for trial in range(12):
+        n, unit, dur = rng.choice(
+            [(1, "hour", "1 hour"), (2, "hour", "2 hour"),
+             (30, "min", "30 minutes"), (6, "hour", "6 hour")]
+        )
+        chosen = rng.sample(aggs, rng.randint(1, 3))
+        key = rng.choice(["event_type", "user_id"])
+        ql_aggs = ", ".join(q for q, _ in chosen)
+        app = f"""
+        define stream events (event_id long, ts string, user_id long,
+                              event_type string, value double);
+        from events#window.timeBatch({n} {unit})
+        select {key}, {ql_aggs}
+        group by {key}
+        insert into Out;
+        """
+        got = run_app(app, {"events": events_df})["Out"]
+        expect = (
+            events_df.groupBy(
+                F.window("ts", dur)["start"].alias("window_start"),
+                key,
+            )
+            .agg(*[e for _, e in chosen])
+        )
+        g = sorted(map(tuple, got.collect()))
+        e = sorted(map(tuple, expect.collect()))
+        assert g == e, f"trial {trial}: {n} {unit} by {key}"
