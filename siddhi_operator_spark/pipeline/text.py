@@ -105,9 +105,14 @@ def tfidf_top_terms(
 
     Scale design: one explode to (doc, term) pairs → map-side-combined
     counts keyed by (doc, term); document frequency is a second keyed
-    agg on term whose output (≤ vocabulary size) broadcasts back onto
-    the per-doc counts; ranking is a per-doc window (partitioned by
-    doc_id — well distributed). No all-pairs, no Python.
+    agg on term joined back onto the per-doc counts — with NO hard
+    broadcast hint, because the dfreq table is vocabulary-sized and a
+    web-scale vocabulary is billions of distinct tokens (r7 verdict
+    #1): AQE broadcasts it from runtime stats while small, shuffle-
+    joins on `term` when not (both sides already keyed by term, so
+    the fallback co-partitions with the tf agg). Ranking is a per-doc
+    window (partitioned by doc_id — well distributed). No all-pairs,
+    no Python.
     """
     from pyspark.sql.window import Window
 
@@ -124,7 +129,7 @@ def tfidf_top_terms(
         F.col("tfidf_raw").desc(), F.col("term")
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .withColumn(
             "tfidf_raw",
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
@@ -442,9 +447,14 @@ def dedup_lines(
     byte-identically.
 
     Shape: explode lines → md5-keyed count (map-side combinable, the
-    only corpus-sized shuffle) → broadcast semi-join of the shared
-    tail back onto the per-doc line explode → per-doc ordered refold.
-    Emits (doc_id, n_lines, n_removed, text_clean)."""
+    only corpus-sized shuffle) → semi-join of the shared tail back
+    onto the per-doc line explode → per-doc ordered refold. The
+    shared tail carries NO hard broadcast hint: in a web corpus every
+    site contributes its own chrome, so the tail grows ~linearly with
+    the corpus and a forced broadcast is the sf100 driver OOM the r6
+    TPC-H audit flagged — AQE broadcasts it from runtime stats while
+    it is small and falls back to a shuffle join when it is not
+    (r7 verdict #1). Emits (doc_id, n_lines, n_removed, text_clean)."""
     # blank lines are KEPT (they are never eligible, so never dropped):
     # filtering them out silently rewrote every multi-paragraph doc's
     # structure even when nothing was shared (r7 review) — the operator
@@ -469,7 +479,7 @@ def dedup_lines(
     )
     drops = (
         eligible.select("doc_id", "idx", F.md5("line").alias("h"))
-        .join(F.broadcast(shared), "h", "left_semi")
+        .join(shared, "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("_drop"))
     )

@@ -99,9 +99,9 @@ _FRONT_NAMES = (
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-8 rotation, pre-staged: lead with any r7 reds, then the three
-# never-driver-checked r7 tail rows (tpch_q8, tpch_q12, tpch_q17,
-# similarity_int8_recall, similarity_mips —
+# Round-8 rotation, pre-staged: lead with any r7 reds (there were
+# none), then the FIVE never-driver-checked r7 tail rows (tpch_q8,
+# tpch_q12, tpch_q17, similarity_int8_recall, similarity_mips —
 # local-green, added after the window filled), then every row added in
 # round 8 (never-checked), then the REMAINING r3-stale rows —
 # the twelve displaced from this window by r7's new rows

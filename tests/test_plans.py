@@ -609,10 +609,40 @@ def test_quantize_int8_single_range_fold(spark):
     assert tree.count("Scan parquet") == 2
 
 
-def test_dedup_lines_single_corpus_shuffle(spark):
-    """Line dedup: the md5-keyed line count is map-side combinable and
-    the shared tail broadcasts back — no corpus-sized join shuffle,
-    no cartesian."""
-    plan = _fmt(REGISTRY["text_dedup_lines"].fn(spark, SF))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan  # the shared-line semi probe
+def test_text_dedup_no_forced_broadcast_on_corpus_tails(spark):
+    """r7 verdict #1: the shared-line / shared-fingerprint tails and
+    the tf-idf dfreq table are all corpus-proportional (every site
+    contributes its own chrome; a web vocabulary is billions of
+    tokens) — a hard F.broadcast() on them is honored at ANY size and
+    is the sf100 driver OOM the r6 TPC-H audit flagged. Guard: no
+    ResolvedHint anywhere in these plans (the only broadcast is the
+    one AQE chooses from runtime stats)."""
+    for name in (
+        "text_dedup_lines",
+        "text_remove_repeated_spans",
+        "text_tfidf_top_terms",
+    ):
+        analyzed = REGISTRY[name].fn(spark, SF)._jdf.queryExecution().analyzed()
+        hints = [
+            n
+            for n in _iter_logical_nodes(analyzed)
+            if n.getClass().getSimpleName() == "ResolvedHint"
+        ]
+        assert not hints, f"{name}: forced hint on corpus-proportional side"
+
+
+def test_text_dedup_broadcast_at_gate_scale_via_aqe(spark):
+    """The flip side (same pattern as the TPC-H AQE test): with the
+    hints gone, gate-scale plans must be AS GOOD — AQE's runtime
+    stats see the small shared tails and broadcast them, so the FINAL
+    adaptive plan has zero sort-merge joins and no cartesian;
+    identical strategy to the old forced hints, without the sf100
+    OOM."""
+    for name in ("text_dedup_lines", "text_remove_repeated_spans"):
+        df = REGISTRY[name].fn(spark, SF)
+        df.collect()
+        plan = _fmt(df)
+        final = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final, name
+        assert "BroadcastHashJoin" in final, name
+        assert "CartesianProduct" not in plan, name
