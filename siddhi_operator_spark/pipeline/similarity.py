@@ -884,12 +884,23 @@ def mips_topk(
     metric). Exact tier: broadcast the query set, one dot per pair,
     rounded-score/id ranking — the corpus never shuffles.
 
-    Scale path (documented, not a separate tier): MIPS reduces to
-    cosine by norm augmentation — append sqrt(M² − ‖x‖²) to each
-    corpus vector (M = max corpus norm) and 0 to each query, after
-    which cosine order equals inner-product order — so the existing
-    sign-LSH / IVF cosine tiers serve augmented vectors unchanged,
-    with this exact tier re-ranking the candidates by true dot."""
+    Scale path: :func:`mips_ann_topk` — MIPS reduces to cosine by
+    norm augmentation (append sqrt(M² − ‖x‖²) corpus-side, 0
+    query-side; cosine order over augmented vectors equals
+    inner-product order), served by hyperplane sign-LSH buckets with
+    this tier's exact-dot discipline re-ranking the in-bucket
+    candidates."""
+    # same refusal as the sibling broadcast tiers (brute_force/pq):
+    # the query frame is force-broadcast below, so an unbounded query
+    # side is an executor OOM — refuse with the actionable fix
+    # (r7 verdict #2; limit(n+1).count() never scans past the bound)
+    n_q = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+    if n_q > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"mips_topk broadcast tier got > MAX_BROADCAST_QUERIES="
+            f"{MAX_BROADCAST_QUERIES} query vectors; bound the query set "
+            "or route through mips_ann_topk (norm-augmented LSH tier)"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -911,3 +922,146 @@ def mips_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", r4("dot", 4).alias("dot"), "rank")
     )
+
+
+def mips_hyperplanes(n_bits: int, dims: int) -> list[list[int]]:
+    """Deterministic Rademacher (±1) hyperplanes over the AUGMENTED
+    (dims+1)-dimensional space, from a fixed 31-bit LCG — no RNG
+    state, so the Spark tier and the DuckDB oracle embed the exact
+    same constants (the engine-portability discipline every sketch in
+    this repo follows). Random-sign projections are a standard
+    locality-sensitive family for cosine; the axis-aligned
+    `sign_lsh_bucket` can NOT serve MIPS because the augmented
+    coordinate sits past the first n_bits dims (and is always ≥ 0),
+    so augmentation would be a no-op under it — the hyperplanes must
+    mix every coordinate for the norm term to steer buckets."""
+    planes: list[list[int]] = []
+    state = 0x9E3779B9
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dims + 1):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(1 if (state >> 16) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def mips_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 4,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate MIPS top-k — the 100 TB tier :func:`mips_topk`'s
+    docstring promises: norm augmentation reduces inner-product order
+    to cosine order (append ``sqrt(M² − ‖x‖²)`` to each corpus
+    vector, where M is the max corpus norm, and 0 to each query —
+    after which the query·corpus angle is monotone in the true dot),
+    then ``n_bands`` independent hyperplane sign-LSH bucketings of
+    the augmented space (the MinHash-banding recall amplifier: a true
+    neighbor is missed only if it lands in a different cell in EVERY
+    band) gate which pairs get scored, and the exact dot re-ranks the
+    deduped candidates (same rounded-score/id discipline as the exact
+    tier, so recall eval joins cleanly).
+
+    Scale shape: the max-norm fold is ONE global (single-row)
+    aggregate broadcast back — bounded by construction; all band
+    buckets are in-row ±sums (n_bands·n_bits × dims adds, no
+    shuffle); candidates meet on (band, bucket) EQUALITY — the
+    explode is ×n_bands (a constant), the compound key is the join
+    key, so the corpus shuffles once and pairwise work is
+    Σ(cell × cell-queries) per band, never corpus × queries; the
+    cross-band pair dedup is candidate-sized, not corpus-sized. NO
+    hard broadcast hint on either join side: the query side is
+    data-proportional (AQE broadcasts it while small). Unlike
+    :func:`mips_topk` there is no query-count ceiling — this is the
+    tier to route unbounded query sets through."""
+    planes = mips_hyperplanes(n_bits * n_bands, _infer_dims(corpus, vec_col))
+    m2_row = corpus.select(
+        F.max(_dot(F.col(vec_col), F.col(vec_col))).alias("_m2")
+    )
+
+    def band_buckets(vec, aug):
+        # proj_i = Σ_j s_ij·x_j (+ s_i,d+1·aug); ±1 signs make it a
+        # signed sum — zip_with over a literal sign array keeps the
+        # per-element closure O(1) (interpreted-HOF discipline).
+        # Rounded (epsilon-bias) before the sign test so the bucket
+        # bit is engine-portable at the same 4-decimal contract every
+        # score comparison in this module uses.
+        out = []
+        for band in range(n_bands):
+            b = F.lit(0)
+            for row in planes[band * n_bits : (band + 1) * n_bits]:
+                signed = F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(s)) for s in row[:-1]]),
+                    lambda x, s: x * s,
+                )
+                proj = F.aggregate(
+                    signed, F.lit(0.0), lambda acc, x: acc + x
+                ) + F.lit(float(row[-1])) * aug
+                bit = F.when(r4(proj, 4) >= 0, F.lit(1)).otherwise(F.lit(0))
+                b = b * 2 + bit
+            out.append(b)
+        return F.array(*out)
+
+    c_aug = F.sqrt(
+        F.greatest(
+            F.lit(0.0), F.col("_m2") - _dot(F.col(vec_col), F.col(vec_col))
+        )
+    )
+    c = (
+        corpus.join(F.broadcast(m2_row))  # one row, bounded by construction
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.posexplode(band_buckets(F.col(vec_col), c_aug)).alias(
+                "band", "bucket"
+            ),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode(band_buckets(F.col(vec_col), F.lit(0.0))).alias(
+            "band", "bucket"
+        ),
+    )
+    scored = (
+        c.join(
+            q,
+            on=[
+                c["band"] == q["band"],
+                c["bucket"] == q["bucket"],
+                c["c_id"] != q["query_id"],
+            ],
+        )
+        .select(
+            "query_id",
+            F.col("c_id").alias("neighbor_id"),
+            _dot(F.col("q_vec"), F.col("c_vec")).alias("dot"),
+        )
+        # a pair colliding in several bands scores the same dot —
+        # DISTINCT over the scored tuple dedups without a second
+        # vector join; the shuffle is candidate-sized
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(r4("dot", 4)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", r4("dot", 4).alias("dot"), "rank")
+    )
+
+
+def _infer_dims(corpus: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (bounded collect: LIMIT 1)."""
+    row = corpus.select(F.size(F.col(vec_col))).first()
+    if row is None:
+        raise ValueError("cannot infer embedding dims from an empty corpus")
+    return int(row[0])

@@ -1959,3 +1959,116 @@ def similarity_mips(spark: SparkSession, sf: str) -> DataFrame:
     see `pipeline.similarity.mips_topk`."""
     emb = load(spark, sf, "embeddings")
     return S.mips_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+def _mips_ann_recall_oracle(
+    n_bits: int = 4, n_bands: int = 4, dims: int = 64
+) -> str:
+    """DuckDB mirror of the norm-augmented multi-band hyperplane
+    buckets: the ±1 sign constants come from the SAME
+    `mips_hyperplanes` LCG the Spark tier uses, inlined as list
+    literals — bucket logic is deterministic on both engines, so the
+    recall number itself gets a full value-hash contract (not a
+    rows-only weak check)."""
+    planes = S.mips_hyperplanes(n_bits * n_bands, dims)
+
+    def bucket(vaug: str, band: int) -> str:
+        terms = []
+        for i, row in enumerate(planes[band * n_bits : (band + 1) * n_bits]):
+            lits = ", ".join(f"{s:.1f}" for s in row)
+            terms.append(
+                f"(CASE WHEN round(1e-9 + list_dot_product({vaug}, "
+                f"[{lits}]), 4) >= 0 THEN {2 ** (n_bits - 1 - i)} "
+                "ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    c_aug = (
+        "list_append(v, sqrt(greatest(0.0, "
+        "(SELECT m2 FROM m) - list_dot_product(v, v))))"
+    )
+    c_buckets = ", ".join(
+        f"{bucket(c_aug, b)} AS bucket_{b}" for b in range(n_bands)
+    )
+    q_buckets = ", ".join(
+        f"{bucket('list_append(v, 0.0)', b)} AS bucket_{b}"
+        for b in range(n_bands)
+    )
+    band_joins = "\n        UNION ALL\n".join(
+        f"""        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(1e-9 + list_dot_product(q.v, c.v), 4) AS dot
+        FROM cb c JOIN qb q
+          ON c.bucket_{b} = q.bucket_{b} AND c.vec_id != q.vec_id"""
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH ec AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), m AS (
+      SELECT max(list_dot_product(v, v)) AS m2 FROM ec
+    ), cb AS (
+      SELECT vec_id, v, {c_buckets} FROM ec
+    ), qb AS (
+      SELECT vec_id, v, {q_buckets}
+      FROM ec WHERE vec_id < 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(1e-9 + list_dot_product(q.v, c.v), 4) DESC,
+                 c.vec_id) AS rank
+        FROM ec c CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    ), cand AS (
+      SELECT DISTINCT query_id, neighbor_id, dot FROM (
+{band_joins}
+      )
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                 dot DESC, neighbor_id) AS rank
+        FROM cand
+      ) WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           count(a.neighbor_id)                        AS n_hit,
+           round(1e-9 + count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "similarity_mips_ann_recall",
+    oracle=_mips_ann_recall_oracle(),
+    tags=("pipeline", "similarity", "mips", "eval"),
+)
+def similarity_mips_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@3 of the norm-augmented hyperplane-LSH MIPS tier
+    (`mips_ann_topk`) against the exact broadcast tier — the
+    accuracy-contract convention the §3.9 approximate: namespace
+    establishes (HLL error bound, ANN recall): every approximate tier
+    ships with a measured-against-exact row, so trading exactness for
+    bucket-local work is a number, not a hope. 4 bands × 4 bits here:
+    each band partitions into 16 cells, a true neighbor is missed
+    only if all four bands separate the pair — ~4/16 of the corpus
+    scored per query instead of all of it, recall measured per
+    query."""
+    emb = load(spark, sf, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 5)
+    exact = S.mips_topk(emb, qset, k=3).select("query_id", "neighbor_id")
+    ann = S.mips_ann_topk(emb, qset, k=3, n_bits=4, n_bands=4).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = exact.join(
+        ann,
+        (exact["query_id"] == ann["aq"]) & (exact["neighbor_id"] == ann["an"]),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").alias("n_hit"),
+        r4(F.count("an") / F.lit(3.0), 4).alias("recall_at_3"),
+    )

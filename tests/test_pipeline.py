@@ -610,6 +610,63 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert flat == [f"w{i}" for i in range(10)]
 
 
+def test_mips_ann_degenerate_bucket_equals_exact(spark):
+    """With zero hash bits every vector lands in one bucket, so the
+    ANN tier scores ALL pairs — its output must be byte-identical to
+    the exact broadcast tier (same rounding, same tiebreak). This
+    pins the reduction: banding only ever REMOVES candidate pairs,
+    never changes how a pair is scored or ranked."""
+    from siddhi_operator_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(map(tuple, S.mips_topk(emb, q, k=3).collect()))
+    ann = sorted(
+        map(tuple, S.mips_ann_topk(emb, q, k=3, n_bits=0, n_bands=1).collect())
+    )
+    assert ann == exact
+
+
+def test_mips_ann_accepts_queries_past_broadcast_ceiling(spark):
+    """The ANN tier is the documented route for query sets the exact
+    tier refuses — it must NOT inherit the broadcast ceiling (its
+    joins are key-shuffled, not force-broadcast)."""
+    df = spark.range(0, 30).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    old = S.MAX_BROADCAST_QUERIES
+    S.MAX_BROADCAST_QUERIES = 10
+    try:
+        assert S.mips_ann_topk(df, df, k=1, n_bits=0, n_bands=1).count() == 30
+    finally:
+        S.MAX_BROADCAST_QUERIES = old
+
+
+def test_mips_refuses_unbounded_query_broadcast(spark):
+    """r7 verdict #2: mips_topk force-broadcasts the query frame, so
+    it must carry the same MAX_BROADCAST_QUERIES refusal as its
+    sibling tiers (brute_force arrow, pq arrow) instead of silently
+    accepting an unbounded broadcast."""
+    import pytest as _pytest
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 8).alias("embedding"),
+    )
+    old = S.MAX_BROADCAST_QUERIES
+    S.MAX_BROADCAST_QUERIES = 10
+    try:
+        with _pytest.raises(ValueError, match="MAX_BROADCAST_QUERIES"):
+            S.mips_topk(df, df, k=1)
+    finally:
+        S.MAX_BROADCAST_QUERIES = old
+    # bounded query sets pass the guard untouched
+    assert S.mips_topk(df, df.limit(3), k=1).count() == 3
+
+
 def test_pq_arrow_refuses_unbounded_query_collect(spark):
     """The arrow PQ tier must refuse query sets above the broadcast
     bound instead of collecting an unbounded corpus to the driver."""

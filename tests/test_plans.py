@@ -609,6 +609,19 @@ def test_quantize_int8_single_range_fold(spark):
     assert tree.count("Scan parquet") == 2
 
 
+def test_mips_rank_uses_window_group_limit(spark):
+    """r7 verdict #2: the `row_number() <= k` rank filter must compile
+    to WindowGroupLimit (a partial per-partition limit BEFORE the
+    window shuffle) — that partial limit is what keeps the
+    corpus×queries pair stream k-bounded; a plain Window would sort
+    and shuffle every scored pair. Also: the corpus side never
+    shuffles (broadcast join only, no SMJ)."""
+    plan = _fmt(REGISTRY["similarity_mips"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+    assert "SortMergeJoin" not in tree
+
+
 def test_text_dedup_no_forced_broadcast_on_corpus_tails(spark):
     """r7 verdict #1: the shared-line / shared-fingerprint tails and
     the tf-idf dfreq table are all corpus-proportional (every site
