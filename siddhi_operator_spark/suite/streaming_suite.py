@@ -1112,3 +1112,99 @@ def streaming_incr_agg_state(spark: SparkSession, sf: str) -> DataFrame:
         r4(F.col("min_v"), 4).alias("min_v"),
         r4(F.col("max_v"), 4).alias("max_v"),
     )
+
+@register(
+    "streaming_incr_agg_replay",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           count(*) AS cnt,
+           round(1e-9 + sum(value), 4) AS sum_v,
+           round(1e-9 + min(value), 4) AS min_v,
+           round(1e-9 + max(value), 4) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "incremental", "state", "exactly-once"),
+)
+def streaming_incr_agg_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """The exactly-once CRASH-REPLAY contract driver-proven (r7
+    verdict #5; the reference's `restoreLastRevision` claim, `[core]
+    util/snapshot/SnapshotService.java`): ingest the corpus through
+    the versioned state table, then simulate the worst-case crash —
+    the LAST epoch's state write is TORN (``v=N`` exists without
+    ``_SUCCESS``) and the streaming checkpoint never recorded the
+    epoch's commit — and RESTART the query from the same checkpoint.
+    Structured Streaming's offset log replays epoch N with identical
+    inputs; `merge_batch` reads the latest committed version strictly
+    below N and recomputes ``v=N`` byte-identically, so the final
+    snapshot equals the batch hour rollup — no double-add, no loss.
+    The happy path is `streaming_incr_agg_state`; THIS row is the
+    at-least-once → exactly-once proof."""
+    import shutil
+    import tempfile
+
+    from ..catalog import SCHEMAS
+    from ..streaming import sources as SRC
+    from ..streaming.incremental import (
+        IncrementalStateTable,
+        incremental_agg_sink,
+    )
+
+    e = load(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="incr_rp_src_")
+    SRC.replay_dir(e.select(*SCHEMAS["events"].fieldNames()), d, "ts", 4)
+    stream = SRC.file_stream(
+        spark, d, SCHEMAS["events"], max_files_per_trigger=1
+    )
+    state = IncrementalStateTable(
+        spark, tempfile.mkdtemp(prefix="incr_rp_tab_"), keys=["event_type"]
+    )
+    ck = tempfile.mkdtemp(prefix="incr_rp_ck_")
+    q = incremental_agg_sink(
+        stream, state, ts="ts", value="value", gran="hour", checkpoint=ck
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    # stop() deregisters asynchronously — wait until the manager drops
+    # the query or the restart trips the shared-checkpoint guard
+    import time
+
+    for _ in range(100):
+        if all(a.id != q.id for a in spark.streams.active):
+            break
+        time.sleep(0.1)
+
+    # crash simulation: the process died AFTER epoch N's foreachBatch
+    # started writing state but BEFORE either commit landed — tear the
+    # state version (drop its _SUCCESS) and erase the checkpoint's
+    # commit marker so the restart MUST re-execute the epoch
+    commits = os.path.join(ck, "commits")
+    last = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(last)))
+    crc = os.path.join(commits, f".{last}.crc")  # local-fs checksum twin
+    if os.path.exists(crc):
+        os.remove(crc)
+    success = os.path.join(state.path, f"v={last}", "_SUCCESS")
+    if os.path.exists(success):  # torn write: files present, no marker
+        os.remove(success)
+
+    stream2 = SRC.file_stream(
+        spark, d, SCHEMAS["events"], max_files_per_trigger=1
+    )
+    q2 = incremental_agg_sink(
+        stream2, state, ts="ts", value="value", gran="hour", checkpoint=ck
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    shutil.rmtree(d, ignore_errors=True)
+
+    return state.current().select(
+        "bucket_start",
+        "event_type",
+        "cnt",
+        r4(F.col("sum_v"), 4).alias("sum_v"),
+        r4(F.col("min_v"), 4).alias("min_v"),
+        r4(F.col("max_v"), 4).alias("max_v"),
+    )
