@@ -129,6 +129,25 @@ def ensure_scaled(spark, scale: int) -> str:
     return out
 
 
+def warm_page_cache(spark, sf_dir: str) -> None:
+    """Scale-mode warm-up (SCALEBENCH r7 lesson): the multi-GB scaled
+    fixtures fall out of the OS page cache whenever another fixture
+    build runs on the box, and the per-query warm-up run then pays the
+    whole corpus cold-read INSIDE the suite — r7's `window_session`
+    'regression' was a [75, 49, 11, 10] s cold-read ramp that took a
+    session of forensics to isolate. One untimed full scan of each
+    scaled fact table before the query loop brings the bytes resident,
+    so back-to-back suite runs agree within noise and both engines
+    (Spark and the DuckDB side-by-side) start from the same warm
+    state. A noop-sink write reads every column's pages; a bare
+    count() would serve from parquet row-group metadata and warm
+    nothing."""
+    for t in _SCALED_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+
 def duckdb_views(con, sf_dir: str) -> None:
     from siddhi_operator_spark.catalog import TABLES
 
@@ -162,6 +181,7 @@ def main() -> None:
     sf_dir = SF_DIR
     if SCALE > 1:
         sf_dir = ensure_scaled(spark, SCALE)
+        warm_page_cache(spark, sf_dir)
 
     con = None
     if WITH_DUCKDB:
