@@ -462,15 +462,9 @@ def dedup_lines(
     base = df.select(
         "doc_id", F.split(F.col(text_col), r"\n").alias("_lines")
     )
-    exploded = base.select(
-        "doc_id", F.posexplode("_lines").alias("idx", "line")
-    )
-    eligible = exploded.filter(
-        F.size(F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != ""))
-        >= min_line_tokens
-    )
+    eligible = eligible_line_positions(df, text_col, min_line_tokens)
     shared = (
-        eligible.select("doc_id", F.md5("line").alias("h"))
+        eligible.select("doc_id", "h")
         .distinct()
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("_nd"))
@@ -478,11 +472,36 @@ def dedup_lines(
         .select("h")
     )
     drops = (
-        eligible.select("doc_id", "idx", F.md5("line").alias("h"))
-        .join(shared, "h", "left_semi")
+        eligible.join(shared, "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("_drop"))
     )
+    return refold_dropped_lines(base, drops)
+
+
+def eligible_line_positions(
+    df: DataFrame, text_col: str = "text", min_line_tokens: int = 3
+) -> DataFrame:
+    """The (doc_id, idx, h) position explode `dedup_lines` counts and
+    probes — exposed so the STREAMING twin
+    (`streaming.dedup.incremental_line_dedup_sink`) shares the exact
+    eligibility/hash semantics with the batch operator (a drifted
+    tokenizer would silently break the batch≡stream contract)."""
+    exploded = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("idx", "line"),
+    )
+    return exploded.filter(
+        F.size(F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != ""))
+        >= min_line_tokens
+    ).select("doc_id", "idx", F.md5("line").alias("h"))
+
+
+def refold_dropped_lines(base: DataFrame, drops: DataFrame) -> DataFrame:
+    """Per-doc ordered refold: ``base`` is (doc_id, _lines),
+    ``drops`` is (doc_id, _drop: array<int> of line indexes to
+    remove). Shared by the batch operator and the streaming read
+    face. Emits (doc_id, n_lines, n_removed, text_clean)."""
     joined = base.join(drops, "doc_id", "left").withColumn(
         "_drop",
         F.coalesce(F.col("_drop"), F.array().cast("array<int>")),

@@ -172,3 +172,137 @@ def incremental_neardup_sink(
         .outputMode("append")
         .start()
     )
+
+
+def incremental_line_dedup_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    min_docs: int = 2,
+    min_line_tokens: int = 3,
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Line-level boilerplate dedup (`pipeline.text.dedup_lines`) as a
+    RESIDENT streaming service — the RefinedWeb-style ingest path: a
+    line's corpus-wide document count accumulates as docs arrive, and
+    the moment it crosses ``min_docs`` it is dropped from EVERY
+    document, past and future.
+
+    Per epoch N, for the batch's eligible line positions
+    (`pipeline.text.eligible_line_positions` — shared with the batch
+    operator so the tokenizer cannot drift):
+
+    - ``linecounts/epoch=N`` stores the batch's per-hash distinct-doc
+      counts (each doc lives in exactly one epoch, so summing epoch
+      partials is the corpus count — map-side-combinable, the same
+      one-keyed-agg shape as the batch operator);
+    - ``positions/epoch=N`` stores the batch's positions (the
+      resident probe state, the line-dedup analog of the near-dup
+      band store above);
+    - ``drops/epoch=N`` EMITS the positions that became dropped this
+      epoch: every batch position whose total count (stored + batch)
+      is ≥ ``min_docs``, plus every STORED position whose hash
+      crossed the threshold just now (stored-count < min_docs ≤
+      total). Each position is emitted exactly once — at its doc's
+      arrival if the line is already shared, else at the epoch the
+      line becomes shared;
+    - ``docs/epoch=N`` stores the raw text for the read-face refold.
+
+    Same exactly-once layout as the near-dup service: per-epoch
+    overwrite subdirs, state reads strictly below the current epoch,
+    so an at-least-once foreachBatch replay recomputes its own epoch
+    byte-identically. Per-batch cost is batch-positions × matched
+    hashes — never a corpus rescan; at 100 TB the position store is
+    written bucketed by hash so the newly-shared probe prunes."""
+    from ..pipeline import text as X
+
+    counts_dir = f"{state_dir}/linecounts"
+    pos_dir = f"{state_dir}/positions"
+    drops_dir = f"{state_dir}/drops"
+    docs_dir = f"{state_dir}/docs"
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        docs = batch.select("doc_id", F.col(text_col).alias("text"))
+        pos = X.eligible_line_positions(docs, "text", min_line_tokens)
+        pos.persist()
+        bcnt = (
+            pos.select("doc_id", "h")
+            .distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("nd"))
+        )
+        prior_dirs = _epoch_dirs(spark, counts_dir, below=epoch_id)
+        if prior_dirs:
+            prior = (
+                spark.read.parquet(*prior_dirs)
+                .groupBy("h")
+                .agg(F.sum("nd").alias("nd_before"))
+            )
+        else:
+            prior = None
+        if prior is not None:
+            tot = bcnt.join(prior, "h", "left").withColumn(
+                "nd_before", F.coalesce(F.col("nd_before"), F.lit(0))
+            )
+        else:
+            tot = bcnt.withColumn("nd_before", F.lit(0))
+        tot = tot.withColumn("nd_total", F.col("nd") + F.col("nd_before"))
+        shared_now = tot.filter(F.col("nd_total") >= min_docs)
+        # batch positions whose line is shared as of this epoch
+        drops_batch = pos.join(
+            shared_now.select("h"), "h", "left_semi"
+        ).select("doc_id", "idx")
+        # stored positions whose line JUST crossed the threshold
+        newly = shared_now.filter(F.col("nd_before") < min_docs).select("h")
+        stored_dirs = _epoch_dirs(spark, pos_dir, below=epoch_id)
+        if stored_dirs:
+            drops_stored = (
+                spark.read.parquet(*stored_dirs)
+                .join(newly, "h", "left_semi")
+                .select("doc_id", "idx")
+            )
+            drops = drops_batch.unionByName(drops_stored)
+        else:
+            drops = drops_batch
+        drops.write.mode("overwrite").parquet(f"{drops_dir}/epoch={epoch_id}")
+        bcnt.write.mode("overwrite").parquet(f"{counts_dir}/epoch={epoch_id}")
+        pos.write.mode("overwrite").parquet(f"{pos_dir}/epoch={epoch_id}")
+        docs.write.mode("overwrite").parquet(f"{docs_dir}/epoch={epoch_id}")
+        pos.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_line_dedup(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The exactly-once read face of the line-dedup service: refold
+    every stored document against the union of emitted drops — the
+    output contract (doc_id, n_lines, n_removed, text_clean) and the
+    refold implementation (`pipeline.text.refold_dropped_lines`) are
+    the BATCH operator's, which is what lets the batch DuckDB oracle
+    prove the streaming path."""
+    from ..pipeline import text as X
+
+    doc_dirs = _epoch_dirs(spark, f"{state_dir}/docs")
+    if not doc_dirs:
+        return spark.createDataFrame(
+            [], "doc_id long, n_lines long, n_removed long, text_clean string"
+        )
+    base = spark.read.parquet(*doc_dirs).select(
+        "doc_id", F.split(F.col("text"), r"\n").alias("_lines")
+    )
+    drop_dirs = _epoch_dirs(spark, f"{state_dir}/drops")
+    drops = (
+        spark.read.parquet(*drop_dirs)
+        .distinct()  # belt-and-braces: the emit contract is once-only
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("_drop"))
+    )
+    return X.refold_dropped_lines(base, drops)

@@ -1208,3 +1208,55 @@ def streaming_incr_agg_replay(spark: SparkSession, sf: str) -> DataFrame:
         r4(F.col("min_v"), 4).alias("min_v"),
         r4(F.col("max_v"), 4).alias("max_v"),
     )
+
+@register(
+    "streaming_text_dedup_lines",
+    oracle=None,  # set right below to the batch dedup_lines oracle
+    tags=("streaming", "text", "dedup"),
+)
+def streaming_text_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level boilerplate dedup as a RESIDENT streaming service
+    (streaming/dedup.py `incremental_line_dedup_sink` — the r7
+    verdict's asked-for streaming twin of `text_dedup_lines`): the
+    lined corpus replays in 3 micro-batches; per-hash document counts
+    accumulate epoch-idempotently, a line's positions drop the moment
+    its corpus count crosses min_docs (stored docs retroactively, new
+    docs at arrival), and the read-face refold of all stored docs
+    against all emitted drops equals the BATCH operator output — so
+    the batch DuckDB oracle proves the incremental service end to
+    end. Same 8-token line materialization as the batch row."""
+    import tempfile
+
+    from ..streaming import dedup as SD
+    from ..streaming import sources as SRC
+
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n = F.size(F.col("_ws"))
+    lined = (
+        load(spark, sf, "documents")
+        .select("doc_id", ws.alias("_ws"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(8)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, 8)),
+                ),
+            ).alias("text"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="linededup_replay_")
+    SRC.replay_dir(lined, d, "doc_id", 3)
+    s = SRC.file_stream(spark, d, lined.schema, max_files_per_trigger=1)
+    state = tempfile.mkdtemp(prefix="linededup_state_")
+    q = SD.incremental_line_dedup_sink(
+        s, state, f"{state}/ckpt", min_docs=2, min_line_tokens=3
+    )
+    q.processAllAvailable()
+    q.stop()
+    return SD.read_line_dedup(spark, state)
+
+
+# the oracle is the batch line-dedup oracle — identical output contract
+_REG["streaming_text_dedup_lines"].oracle = _REG["text_dedup_lines"].oracle

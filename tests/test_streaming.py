@@ -906,3 +906,105 @@ def test_streaming_incremental_neardup_property_random(spark, tmp_path):
             )
         )
         assert got == want, f"trial {trial} ({n_splits} splits)"
+
+
+def test_streaming_line_dedup_retroactive_drop_equals_batch(spark, tmp_path):
+    """Line-dedup service semantics: a line crossing min_docs in a
+    LATER batch drops retroactively from the earlier doc too, each
+    position emitted exactly once, and the read-face refold equals
+    the batch operator output."""
+    from siddhi_operator_spark.pipeline import text as X
+    from siddhi_operator_spark.streaming import dedup as SD
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    rows = [
+        (1, "shared boiler plate line\nunique first content here"),
+        (2, "totally unrelated text body"),
+        (3, "unique third doc words\nshared boiler plate line"),  # makes 1's line shared
+        (4, "shared boiler plate line"),  # already-shared at arrival
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "replay")
+    SRC.replay_dir(docs, d, "doc_id", 2)  # batches [1,2] [3,4]
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    state = str(tmp_path / "state")
+    q = SD.incremental_line_dedup_sink(s, state, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in SD.read_line_dedup(spark, state).collect()
+    }
+    want = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in X.dedup_lines(docs).collect()
+    }
+    assert got == want
+    assert got[1] == (2, 1, "unique first content here")  # retroactive
+    assert got[2] == (1, 0, "totally unrelated text body")
+    assert got[4] == (1, 1, "")
+    # each dropped position emitted exactly once across epochs
+    drops = spark.read.parquet(
+        *SD._epoch_dirs(spark, f"{state}/drops")
+    ).collect()
+    assert len(drops) == len({(r.doc_id, r.idx) for r in drops}) == 3
+
+
+def test_streaming_line_dedup_replay_idempotent(spark, tmp_path):
+    """Crash-replay of the last epoch (commit marker deleted, query
+    restarted from the same checkpoint) must not double-emit drops or
+    duplicate the count/position state — same exactly-once layout
+    contract as the near-dup service."""
+    import os
+
+    from siddhi_operator_spark.pipeline import text as X
+    from siddhi_operator_spark.streaming import dedup as SD
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    rows = [
+        (1, "shared boiler plate line\nunique first content here"),
+        (2, "totally unrelated text body"),
+        (3, "unique third doc words\nshared boiler plate line"),
+        (4, "shared boiler plate line"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "replay")
+    SRC.replay_dir(docs, d, "doc_id", 2)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    q = SD.incremental_line_dedup_sink(s, state, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    s2 = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    q2 = SD.incremental_line_dedup_sink(s2, state, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in SD.read_line_dedup(spark, state).collect()
+    }
+    want = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in X.dedup_lines(docs).collect()
+    }
+    assert got == want
+    # counts state not duplicated (it would inflate totals forever)
+    cnt = (
+        spark.read.parquet(*SD._epoch_dirs(spark, f"{state}/linecounts"))
+        .groupBy("h")
+        .sum("nd")
+        .collect()
+    )
+    assert max(r["sum(nd)"] for r in cnt) == 3  # the shared line: docs 1,3,4
