@@ -519,6 +519,7 @@ def remove_repeated_spans(
     k: int = 3,
     w: int = 4,
     min_docs: int = 2,
+    impl: str = "probe",
 ) -> DataFrame:
     """The span-REMOVAL pass the cross-doc detector feeds (the second
     half of suffix-array-style substring dedup): drop from every
@@ -527,19 +528,27 @@ def remove_repeated_spans(
     boilerplate/license/template runs — and keep the rest of the text
     intact. Emits (doc_id, n_tokens, n_removed, text_clean).
 
-    Shape: the per-doc winnow arrays compute in-row (zero shuffle,
-    :func:`_winnow_fps`); the shared-fingerprint set is ONE map-side-
-    combinable aggregation whose output is only the repeated tail; it
-    semi-joins back onto the position explode WITHOUT a hard broadcast
-    hint — the shared-boilerplate tail grows ~linearly with a web
-    corpus (every site's own chrome clears ``min_docs=2``), so a
-    forced broadcast is the same sf100 OOM the r6 TPC-H audit flagged;
-    AQE broadcasts from runtime stats while small, shuffle-joins on
-    `fp` when not (r7 verdict #1). Hit positions fold per doc
+    Shape (``impl="probe"``, the measured default): the per-doc
+    winnow arrays compute in-row (zero shuffle, :func:`_winnow_fps`);
+    the shared-fingerprint set is ONE map-side-combinable aggregation
+    whose output is only the repeated tail; it semi-joins back onto
+    the position explode WITHOUT a hard broadcast hint — the
+    shared-boilerplate tail grows ~linearly with a web corpus (every
+    site's own chrome clears ``min_docs=2``), so a forced broadcast
+    is the same sf100 OOM the r6 TPC-H audit flagged; AQE broadcasts
+    from runtime stats while small, shuffle-joins on the 16-byte
+    binary `fp` when not (r7 verdict #1). Hit positions fold per doc
     (collect_set over ints); the final token mask is array
     expressions in the scan of the original frame. Three keyed
     shuffles total (fp agg, fp probe, doc regroup), none of them
-    corpus²."""
+    corpus².
+
+    ``impl="fused"`` is the measured NEGATIVE kept for the record
+    (SCALEBENCH r8): one explicit fp-partitioned exchange meant to
+    feed both the count and the probe — but column pruning gives the
+    two branches different exchange outputs, AQE reuse never fires,
+    and it runs ~1.7× (×1000) to ~4× (×100) slower than the probe
+    shape. Do not flip the default without re-measuring."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     _, hs, _, fps = _winnow_fps(k, w)
     span = w + k - 1  # tokens covered by one window: pos .. pos+span-1
@@ -550,29 +559,59 @@ def remove_repeated_spans(
         .withColumn("_hs", hs)
         .withColumn("_fps", fps)
     )
-    # shared-fp set: per-doc dedup happens IN-ROW (array_distinct)
-    # before the explode, so the only corpus-sized shuffle is this one
-    # map-side-combinable count — not a (doc, fp) DISTINCT (the first
-    # cut shuffled the full position explode through a distinct and
-    # paid a second corpus-sized exchange for it)
-    shared = (
-        with_fps.select(F.explode(F.array_distinct("_fps")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("fp")
-    )
-    # (doc_id, pos, fp) semi probe — AQE picks broadcast at small
-    # scale, so only the HIT positions (the repeated tail) reach the
-    # per-doc regroup; no hard hint (corpus-proportional side)
+    # the winnow min runs over md5 HEX strings (lexicographic order on
+    # hex equals byte order, and the DuckDB oracle mirrors it) — but
+    # the join/agg KEY is the unhexed 16-byte binary: the shuffle rows
+    # drop from ~44 to ~24 bytes and key comparisons go byte-wise
+    # (measured r8: 275 -> 226 s at docs ×1000, where the shared tail
+    # outgrows AQE's broadcast threshold and the probe really shuffles)
     pos_fp = with_fps.select(
         "doc_id", F.posexplode("_fps").alias("_p0", "fp")
-    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "fp")
-    hit_pos = (
-        pos_fp.join(shared, "fp", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("_hits"))
+    ).select(
+        "doc_id", (F.col("_p0") + 1).alias("pos"), F.unhex("fp").alias("fp")
     )
+    if impl == "fused":
+        # r8 rewrite (measured in SCALEBENCH r8): ONE explicit
+        # fp-partitioned exchange of the position explode feeds BOTH
+        # the shared-count aggregation (count_distinct(doc_id) — the
+        # per-doc dedup the probe variant did in-row) and the probe
+        # join; AQE exchange reuse makes them the same shuffle, the
+        # semi join is co-partitioned (zero extra exchange), and —
+        # the actual win — the interpreted-HOF winnow arrays compute
+        # ONCE instead of twice (the probe variant's two subtrees
+        # each recomputed _hs/_fps over the whole corpus).
+        ex = pos_fp.repartition("fp")
+        shared = (
+            ex.groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("fp")
+        )
+        hit_pos = (
+            ex.join(shared, "fp", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("pos").alias("_hits"))
+        )
+    else:  # "probe": the r7 two-pass shape
+        # shared-fp set: per-doc dedup happens IN-ROW (array_distinct)
+        # before the explode, so the only corpus-sized shuffle is this
+        # one map-side-combinable count — not a (doc, fp) DISTINCT
+        shared = (
+            with_fps.select(F.explode(F.array_distinct("_fps")).alias("_fphex"))
+            .select(F.unhex("_fphex").alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("fp")
+        )
+        # (doc_id, pos, fp) semi probe — AQE picks broadcast at small
+        # scale, so only the HIT positions (the repeated tail) reach
+        # the per-doc regroup; no hard hint (corpus-proportional side)
+        hit_pos = (
+            pos_fp.join(shared, "fp", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("pos").alias("_hits"))
+        )
     base = df.select("doc_id", ws.alias("_ws"))
     joined = base.join(hit_pos, "doc_id", "left").withColumn(
         "_covered",

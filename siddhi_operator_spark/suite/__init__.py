@@ -28,74 +28,78 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 7.  The per-round correctness gate records
+# Driver-window rotation, round 8.  The per-round correctness gate records
 # only the FIRST 50 registry entries in registration order.  This window
-# is the one pre-staged by the r6 verdict: (1) the 14 rows last checked
-# in r2 (4 rounds stale — the oldest tail), (2) the TWO r6 driver-reds
-# (embedding_normalize / text_inverted_index, array outputs now
-# serialized — they must re-drive green), (3) all 21 never-checked r6
-# additions (TPC-H batch 2, streaming twins, SPI rows, entry B), and
-# (4) the balance to the oldest r3 rows in registry order.  After this
-# window: never-checked = 0, max staleness ≤ 4 rounds (the r3 rows not
-# yet rotated).  Iteration order of a dict is insertion order, so
-# rebuilding REGISTRY re-ranks entries without touching registration
-# sites.
+# executes the r7-pre-staged plan: (1) r7 reds — there were none;
+# (2) the FIVE never-driver-checked r7 tail rows; (3) every row ADDED
+# in round 8 (never-checked); (4) the three text rows whose CODE
+# changed this round (broadcast hints dropped / refold refactor) —
+# green last round, but the plan under them is new, so they re-prove;
+# (5) the 22 remaining r3-stale rows (5 rounds — the oldest tail);
+# (6) balance to the oldest r4 rows in registry order (window family,
+# join family, ratelimit trio).  New r8 rows added after this window
+# fills displace the NEWEST-checked r4 fillers at the END of the
+# tuple, never groups (2)-(5).  After this window: never-checked = 0,
+# r3-stale = 0, max staleness ≤ 4 rounds.  Iteration order of a dict
+# is insertion order, so rebuilding REGISTRY re-ranks entries without
+# touching registration sites.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (1) r2-stale — oldest rows in the ledger
-    "scalar_math",
-    "incr_agg_day",
-    "incr_agg_month",
-    "incr_agg_hour_slice",
-    "table_upsert",
-    "table_update_add",
-    "table_delete",
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_shingles",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_decode_real",
-    # (2) r6 driver-reds, fixed this round — must re-drive green
-    "embedding_normalize",
-    "text_inverted_index",
-    # (3) never driver-checked r6 additions
-    "scalar_udf_registered",
-    "join_bucketed_colocated",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "agg_percentile",
-    "agg_percentile_approx_contract",  # new r7 — never-checked goes in
-    "dedup_semantic_clusters",
-    "streaming_join_unidirectional",
-    "streaming_ratelimit_snapshot",
-    "streaming_expression_window",
-    "streaming_join_table_probe",
-    "streaming_approx_distinct",
-    "streaming_approx_percentile",
-    "streaming_sliding_panes",
-    "siddhiql_cr_process",
-    "siddhiql_streaming_filter_agg",
-    "siddhiql_custom_window_plugin",  # new r7 — §3.11 WindowProcessor SPI
-    "siddhiql_custom_source_plugin",  # new r7 — §3.11 Source SPI
-    "text_remove_repeated_spans",  # new r7 — span-removal pass
-    "embedding_quantize_int8",  # new r7 — int8 scalar quantization tier
-    "text_quality_classifier",  # new r7 — hashing-trick learned filter
-    "streaming_reorder_kslack",  # new r7 — §3.9 reorder: as watermark
-    "siddhiql_playback",  # new r7 — @app:playback time model
-    "text_dedup_lines",  # new r7 — line-level boilerplate dedup
-    "streaming_join_full_outer",  # new r7 — completes the outer family
-    "streaming_incr_agg_state",  # new r7 — versioned-state ingest path
-    "sink_http_json_roundtrip",  # new r7 — http sink (outbound twin)
-    # (4) balance: oldest r3 rows, registry order
-    "dedup_connected_components",
+    # (2) never driver-checked r7 tail rows
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q17",
+    "similarity_int8_recall",
+    "similarity_mips",
+    # (3) new r8 rows — never checked
+    "similarity_mips_ann_recall",  # norm-augmented multi-band LSH MIPS tier
+    "streaming_incr_agg_replay",  # crash-replay exactly-once contract
+    "streaming_text_dedup_lines",  # streaming twin of line dedup
+    # (4) code changed in r8 — de-hinted broadcasts / shared refold
+    "text_dedup_lines",
+    "text_remove_repeated_spans",
+    "text_tfidf_top_terms",  # also r3-stale
+    # (5) r3-stale rows — the oldest ledger tail
+    "agg_extrema_min_max_by",
+    "analytic_window_fns",
+    "approx_distinct_bound",
+    "approx_percentile_bound",
+    "corpus_weighted_sample",
+    "decontaminate_ngram",
+    "dedup_simhash",
+    "domain_mix_sample",
+    "embedding_centroids",
+    "list_fns",
+    "map_fns",
+    "pii_mask",
+    "quality_repetition",
+    "sample_hash_split",
+    "seq_pack_bins",
+    "set_ops",
+    "siddhiql_star_quantifier",
+    "similarity_ann_recall",
+    "sketch_count_min",
+    "text_winnow_fingerprint",
+    "window_batch_chunk",
+    "window_topk",
+    # (6) balance: oldest r4 rows, registry order — displaceable tail
+    "window_timebatch",
+    "window_length",
+    "window_lengthbatch",
+    "window_session",
+    "window_sliding_time",
+    "window_sort_topk",
+    "window_timelength",
+    "window_cron",
+    "window_delay",
+    "window_expired_events",
+    "join_stream_table",
+    "join_windowed_self",
+    "join_asof",
+    "join_unidirectional",
+    "ratelimit_first",
+    "ratelimit_last",
+    "ratelimit_snapshot",
 )
 _R3_MODULES: tuple[str, ...] = ()
 

@@ -853,13 +853,14 @@ def test_remove_repeated_spans_property(spark):
                 body = f"{body} {boiler} {body}".strip()
             docs.append((did, body))
         df = spark.createDataFrame(docs, "doc_id long, text string")
-        got = {
-            r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
-            for r in C.remove_repeated_spans(
-                df, k=k, w=w, min_docs=min_docs
-            ).collect()
-        }
-        assert got == ref(docs), f"trial {trial}"
+        for impl in ("fused", "probe"):  # both tiers, same semantics
+            got = {
+                r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+                for r in C.remove_repeated_spans(
+                    df, k=k, w=w, min_docs=min_docs, impl=impl
+                ).collect()
+            }
+            assert got == ref(docs), f"trial {trial} impl {impl}"
 
 
 def test_dedup_lines_property(spark):
