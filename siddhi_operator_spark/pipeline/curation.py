@@ -613,6 +613,41 @@ def remove_repeated_spans(
             .agg(F.collect_set("pos").alias("_hits"))
         )
     base = df.select("doc_id", ws.alias("_ws"))
+    return refold_masked_tokens(base, hit_pos, span)
+
+
+def winnow_positions(
+    df: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """The (doc_id, pos, fp) winnow-window explode
+    `remove_repeated_spans` counts and probes — exposed so the
+    STREAMING twin (`streaming.dedup.incremental_span_removal_sink`)
+    shares the exact fingerprint semantics with the batch operator.
+    ``fp`` is the unhexed 16-byte binary (the shuffle-key discipline
+    measured in SCALEBENCH r8); ``pos`` is 1-based."""
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    _, hs, _, fps = _winnow_fps(k, w)
+    with_fps = (
+        df.select("doc_id", ws.alias("_ws"))
+        .filter(F.size(F.col("_ws")) >= k + w - 1)
+        .withColumn("_hs", hs)
+        .withColumn("_fps", fps)
+    )
+    return with_fps.select(
+        "doc_id", F.posexplode("_fps").alias("_p0", "fp")
+    ).select(
+        "doc_id", (F.col("_p0") + 1).alias("pos"), F.unhex("fp").alias("fp")
+    )
+
+
+def refold_masked_tokens(
+    base: DataFrame, hit_pos: DataFrame, span: int
+) -> DataFrame:
+    """Per-doc token-mask refold: ``base`` is (doc_id, _ws),
+    ``hit_pos`` is (doc_id, _hits: array<int> of 1-based window start
+    positions); each hit covers tokens pos..pos+span-1. Shared by the
+    batch operator and the streaming read face. Emits
+    (doc_id, n_tokens, n_removed, text_clean)."""
     joined = base.join(hit_pos, "doc_id", "left").withColumn(
         "_covered",
         F.when(F.col("_hits").isNull(), F.array().cast("array<int>")).otherwise(

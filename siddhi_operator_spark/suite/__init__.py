@@ -55,6 +55,7 @@ _FRONT_NAMES = (
     "similarity_mips_ann_recall",  # norm-augmented multi-band LSH MIPS tier
     "streaming_incr_agg_replay",  # crash-replay exactly-once contract
     "streaming_text_dedup_lines",  # streaming twin of line dedup
+    "streaming_text_remove_spans",  # streaming twin of span removal
     # (4) code changed in r8 — de-hinted broadcasts / shared refold
     "text_dedup_lines",
     "text_remove_repeated_spans",
@@ -99,7 +100,6 @@ _FRONT_NAMES = (
     "join_unidirectional",
     "ratelimit_first",
     "ratelimit_last",
-    "ratelimit_snapshot",
 )
 _R3_MODULES: tuple[str, ...] = ()
 

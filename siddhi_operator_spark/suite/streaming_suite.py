@@ -1260,3 +1260,41 @@ def streaming_text_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
 
 # the oracle is the batch line-dedup oracle — identical output contract
 _REG["streaming_text_dedup_lines"].oracle = _REG["text_dedup_lines"].oracle
+
+@register(
+    "streaming_text_remove_spans",
+    oracle=None,  # set right below to the batch span-removal oracle
+    tags=("streaming", "text", "dedup"),
+)
+def streaming_text_remove_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-span removal as a RESIDENT streaming service
+    (streaming/dedup.py `incremental_span_removal_sink` — completes
+    the text-dedup family's streaming twins): documents replay in 3
+    micro-batches; winnow-fingerprint document counts accumulate
+    epoch-idempotently, covered positions mask the moment a
+    fingerprint crosses min_docs (stored docs retroactively, new docs
+    at arrival), and the read-face refold equals the BATCH operator
+    output — the batch DuckDB oracle proves the incremental service
+    end to end."""
+    import tempfile
+
+    from ..streaming import dedup as SD
+    from ..streaming import sources as SRC
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="spanrm_replay_")
+    SRC.replay_dir(docs, d, "doc_id", 3)
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    state = tempfile.mkdtemp(prefix="spanrm_state_")
+    q = SD.incremental_span_removal_sink(
+        s, state, f"{state}/ckpt", k=3, w=4, min_docs=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    return SD.read_span_removal(spark, state, k=3, w=4)
+
+
+# the oracle is the batch span-removal oracle — identical output contract
+_REG["streaming_text_remove_spans"].oracle = _REG[
+    "text_remove_repeated_spans"
+].oracle

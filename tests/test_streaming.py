@@ -1008,3 +1008,99 @@ def test_streaming_line_dedup_replay_idempotent(spark, tmp_path):
         .collect()
     )
     assert max(r["sum(nd)"] for r in cnt) == 3  # the shared line: docs 1,3,4
+
+
+def test_streaming_span_removal_retroactive_equals_batch(spark, tmp_path):
+    """Span-removal service semantics: a winnow fingerprint crossing
+    min_docs in a LATER batch masks the earlier doc's covered tokens
+    retroactively, and the read-face refold equals the batch operator
+    output exactly."""
+    from siddhi_operator_spark.pipeline import curation as C
+    from siddhi_operator_spark.streaming import dedup as SD
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    boiler = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {boiler} four five"),
+        (2, "totally unrelated text body here now"),
+        (3, f"{boiler} six seven eight nine ten"),  # makes 1's span shared
+        (4, "short doc"),  # below k+w-1 tokens: never fingerprinted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "replay")
+    SRC.replay_dir(docs, d, "doc_id", 2)  # batches [1,2] [3,4]
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    state = str(tmp_path / "state")
+    q = SD.incremental_span_removal_sink(s, state, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in SD.read_span_removal(spark, state).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in C.remove_repeated_spans(docs).collect()
+    }
+    assert got == want
+    assert got[1][1] > 0  # retroactive mask hit doc 1
+    assert got[2] == (6, 0, "totally unrelated text body here now")
+    assert got[4] == (2, 0, "short doc")
+
+
+def test_streaming_span_removal_replay_idempotent(spark, tmp_path):
+    """Crash-replay of the last epoch must not double-emit hits or
+    duplicate fp-count state (which would inflate totals forever)."""
+    import os
+
+    from siddhi_operator_spark.pipeline import curation as C
+    from siddhi_operator_spark.streaming import dedup as SD
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    boiler = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {boiler} four five"),
+        (2, "totally unrelated text body here now"),
+        (3, f"{boiler} six seven eight nine ten"),
+        (4, f"start {boiler} end plus filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "replay")
+    SRC.replay_dir(docs, d, "doc_id", 2)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    q = SD.incremental_span_removal_sink(s, state, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    s2 = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    q2 = SD.incremental_span_removal_sink(s2, state, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in SD.read_span_removal(spark, state).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in C.remove_repeated_spans(docs).collect()
+    }
+    assert got == want
+    cnt = (
+        spark.read.parquet(*SD._epoch_dirs(spark, f"{state}/fpcounts"))
+        .groupBy("fp")
+        .sum("nd")
+        .collect()
+    )
+    assert max(r["sum(nd)"] for r in cnt) == 3  # boiler fp: docs 1,3,4

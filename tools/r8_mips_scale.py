@@ -1,0 +1,44 @@
+"""Round-8 decade check for the MIPS tiers at embeddings x1000
+(500 k vectors): exact broadcast-pair tier vs the norm-augmented
+multi-band LSH ANN tier, small and large query sides.
+Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/r8_mips_scale.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.catalog import SCHEMAS
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.session import build_session
+    from tools.scalebench_pipeline import ensure_embeddings
+
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    edir = ensure_embeddings(spark, 1000)
+    emb = spark.read.schema(SCHEMAS["embeddings"]).parquet(
+        f"{edir}/embeddings.parquet"
+    )
+    emb.write.format("noop").mode("overwrite").save()  # warm cache
+
+    def timed(label, df):
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{label}: {time.monotonic() - t0:.2f} s", flush=True)
+
+    q5 = emb.filter(F.col("vec_id") < 5)
+    q5k = emb.filter(F.col("vec_id") % 100 == 0)  # ~5 000 queries
+    timed("mips_exact   q=5    x1000", S.mips_topk(emb, q5, k=3))
+    timed("mips_ann 4x4 q=5    x1000", S.mips_ann_topk(emb, q5, k=3))
+    timed("mips_ann 4x4 q=5000 x1000", S.mips_ann_topk(emb, q5k, k=3))
+
+
+if __name__ == "__main__":
+    main()
