@@ -56,6 +56,11 @@ _FRONT_NAMES = (
     "streaming_incr_agg_replay",  # crash-replay exactly-once contract
     "streaming_text_dedup_lines",  # streaming twin of line dedup
     "streaming_text_remove_spans",  # streaming twin of span removal
+    "tpch_q2",  # TPC-H completion batch (22/22): correlated-min supplier
+    "tpch_q11",  # fraction-of-total HAVING
+    "tpch_q16",  # anti-join + countDistinct buckets
+    "tpch_q20",  # nested-semi-join qualification
+    "tpch_q21",  # per-order EXISTS/NOT-EXISTS collapse
     # (4) code changed in r8 — de-hinted broadcasts / shared refold
     "text_dedup_lines",
     "text_remove_repeated_spans",
@@ -95,11 +100,10 @@ _FRONT_NAMES = (
     "window_delay",
     "window_expired_events",
     "join_stream_table",
-    "join_windowed_self",
-    "join_asof",
-    "join_unidirectional",
-    "ratelimit_first",
-    "ratelimit_last",
+    # (the five newest-checked r4 fillers — join_windowed_self,
+    # join_asof, join_unidirectional, ratelimit_first, ratelimit_last —
+    # were displaced by the r8 TPC-H completion batch, per the
+    # displace-the-END rule above)
 )
 _R3_MODULES: tuple[str, ...] = ()
 

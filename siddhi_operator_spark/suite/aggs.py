@@ -1262,3 +1262,352 @@ def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
         r4(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n  ON n.n_nationkey = s.s_nationkey
+      JOIN region r  ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT round(1e-9 + eu.s_acctbal, 4) AS s_acctbal,
+           eu.s_name, eu.n_name, p.p_partkey,
+           round(1e-9 + eu.ps_supplycost, 4) AS supplycost
+    FROM eu
+    JOIN part p ON p.p_partkey = eu.ps_partkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'ECONOMY'
+      AND eu.ps_supplycost = (
+        SELECT min(e2.ps_supplycost) FROM eu e2
+        WHERE e2.ps_partkey = eu.ps_partkey)
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("agg", "tpch", "join", "subquery"),
+)
+def tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), fixture adaptation: there is
+    no partsupp table, so the supply relation is DERIVED from lineitem
+    — supplier s supplies part p iff a lineitem pairs them, at unit
+    cost min(l_extendedprice / l_quantity). The correlated MIN
+    subquery (cheapest regional supplier per part) becomes one keyed
+    re-aggregation of the SAME derived frame joined back on partkey —
+    computed once, never per probe row. The min-cost equality is safe
+    cross-engine: both sides select an actual element of an
+    IEEE-deterministic per-row quotient set (no accumulated sums).
+    Hints only on the bounded dims (nation, region); the derived
+    supply relation is SF-proportional so AQE picks its strategy."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        )
+    )
+    s = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name"
+    )
+    n = load(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    eu = (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    minc = eu.groupBy("l_partkey").agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    p = (
+        load(spark, sf, "part")
+        .filter(
+            F.col("p_size").between(10, 20) & (F.col("p_type") == "ECONOMY")
+        )
+        .select("p_partkey")
+    )
+    return (
+        eu.join(minc, "l_partkey")
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            r4(F.col("s_acctbal"), 4).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            r4(F.col("ps_supplycost"), 4).alias("supplycost"),
+            F.col("s_acctbal").alias("_raw_bal"),
+        )
+        .orderBy(
+            F.col("_raw_bal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+        .drop("_raw_bal")
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey AS ps_partkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region rg ON rg.r_regionkey = n.n_regionkey
+      WHERE rg.r_name = 'EUROPE'
+      GROUP BY 1
+    )
+    SELECT ps_partkey, value FROM pv
+    WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+    ORDER BY value DESC, ps_partkey
+    """,
+    tags=("agg", "tpch", "join", "subquery"),
+)
+def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), fixture adaptation:
+    no partsupp, so per-part "stock value" is the EXACT total quantity
+    (integral doubles cast to bigint — order-independent sums, so the
+    HAVING threshold compares identically in both engines) shipped by
+    EUROPE suppliers. The scalar total-value subquery is a one-row
+    aggregate broadcast to the filter — the fraction-of-total HAVING
+    shape is Q11's point. Region/nation are the only forced hints."""
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    rg = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    pv = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("value"))
+    )
+    thr = pv.agg((F.sum("value") * 0.001).alias("_thr"))
+    return (
+        pv.join(F.broadcast(thr))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("agg", "tpch", "join", "anti"),
+)
+def tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), fixture adaptation: the
+    supply relation is the DISTINCT (partkey, suppkey) pairs of
+    lineitem, and "customer complaints" are suppliers with negative
+    account balance (no comment text in the fixture). NOT IN becomes a
+    LEFT ANTI join (keys are non-null, so the semantics coincide);
+    the complaint list is tiny but supplier-proportional, so AQE
+    chooses the build side. countDistinct per brand/type/size bucket
+    is integer-exact — no float canon needed."""
+    pairs = (
+        load(spark, sf, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = (
+        load(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(bad, pairs.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, pairs.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    pavg AS (SELECT l_partkey, avg(qty) AS avg_qty FROM qty GROUP BY 1),
+    qual AS (
+      SELECT DISTINCT q.l_suppkey FROM qty q
+      JOIN pavg a ON a.l_partkey = q.l_partkey
+      JOIN part p ON p.p_partkey = q.l_partkey
+      WHERE p.p_type = 'ECONOMY' AND q.qty > 1.5 * a.avg_qty
+    )
+    SELECT s.s_name, round(1e-9 + s.s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region rg ON rg.r_regionkey = n.n_regionkey
+    WHERE rg.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s.s_name
+    """,
+    tags=("agg", "tpch", "join", "semi", "subquery"),
+)
+def tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), fixture adaptation: no
+    partsupp availqty, so a supplier "has excess stock" of an ECONOMY
+    part when its 1996 shipped quantity exceeds 1.5x the per-part
+    average across suppliers (the spec's 0.5x-of-own-shipments
+    threshold needs availqty). The nested IN subqueries become LEFT
+    SEMI joins — the qualified-supplier set never widens the supplier
+    rows. Quantity sums are exact integers, so the 1.5x-avg comparison
+    (exact sum / exact count) is bit-identical cross-engine. The date
+    predicate is pushed to the lineitem scan; only region/nation carry
+    forced hints."""
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    pavg = qty.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty"))
+    eco = load(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    qual = (
+        qty.join(pavg, "l_partkey")
+        .join(eco, F.col("l_partkey") == eco.p_partkey, "left_semi")
+        .filter(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_name", "s_acctbal"
+    )
+    n = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    rg = load(spark, sf, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+        .join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", r4(F.col("s_acctbal"), 4).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS late
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ord AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+      FROM ls GROUP BY 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM ls JOIN ord USING (l_orderkey)
+    JOIN orders o ON o.o_orderkey = ls.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region rg ON rg.r_regionkey = n.n_regionkey
+    WHERE ls.late = 1 AND ord.n_supp >= 2 AND ord.n_late = 1
+      AND o.o_orderstatus = 'F' AND rg.r_name = 'AFRICA'
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("agg", "tpch", "join", "exists"),
+)
+def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), fixture
+    adaptation: no commit/receipt dates, so a supplier "failed" an
+    order when any of its lines carries l_returnflag = 'R'. The spec's
+    EXISTS (another supplier on the order) AND NOT EXISTS (another
+    FAILING supplier) pair collapses into ONE per-order aggregate —
+    n_supp >= 2 AND n_late = 1 — probed by the per-(order, supplier)
+    frame: two keyed aggs instead of two correlated-subquery rescans
+    of the fact. Everything downstream is integer counting; the
+    o_orderstatus filter is pushed to the orders scan."""
+    ls = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("late")
+        )
+    )
+    ordagg = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    rg = load(spark, sf, "region").filter(F.col("r_name") == "AFRICA").select(
+        "r_regionkey"
+    )
+    return (
+        ls.filter(F.col("late") == 1)
+        .join(ordagg, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -659,3 +659,25 @@ def test_text_dedup_broadcast_at_gate_scale_via_aqe(spark):
         assert "SortMergeJoin" not in final, name
         assert "BroadcastHashJoin" in final, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_completion_batch_decorrelates_to_keyed_joins(spark):
+    """TPC-H completion batch (22/22): Q2's correlated MIN, Q11's
+    fraction-of-total HAVING, Q16's NOT IN, Q20's nested INs and
+    Q21's EXISTS/NOT-EXISTS pair must all decorrelate to KEYED
+    joins/aggregations — at 100 TB a nested-loop re-scan per probe
+    row is the difference between one shuffle and a corpus² pass.
+    The one legitimate nested-loop is Q11's one-row threshold
+    broadcast (bounded by construction)."""
+    for name in ("tpch_q2", "tpch_q16", "tpch_q20", "tpch_q21"):
+        tree = _fmt(REGISTRY[name].fn(spark, SF)).split("\n\n")[0]
+        assert "CartesianProduct" not in tree, name
+        assert "BroadcastNestedLoopJoin" not in tree, name
+    q11 = _fmt(REGISTRY["tpch_q11"].fn(spark, SF)).split("\n\n")[0]
+    assert "CartesianProduct" not in q11
+    # Q16/Q20/Q21 membership probes compile to semi/anti joins, never
+    # an aggregate-then-inner re-widen
+    q16 = _fmt(REGISTRY["tpch_q16"].fn(spark, SF)).split("\n\n")[0]
+    assert "LeftAnti" in q16
+    q20 = _fmt(REGISTRY["tpch_q20"].fn(spark, SF)).split("\n\n")[0]
+    assert "LeftSemi" in q20
