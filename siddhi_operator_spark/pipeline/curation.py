@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..fpround import r4
 
@@ -138,23 +139,26 @@ def decontaminate(
 
 
 def _bloom_positions(
-    col: Column, k: int = 4, hash_fn: str = "xxhash64"
+    col: Column, k: int = 4, hash_fn: str = "xxhash64", bits_log2: int = 20
 ) -> list[Column]:
-    """``k`` 20-bit bloom positions per value. Two tiers (same
-    convention as ``dedup.simhash64`` / ``simhash64_md5``):
+    """``k`` ``bits_log2``-bit bloom positions per value. Two tiers
+    (same convention as ``dedup.simhash64`` / ``simhash64_md5``):
 
     - ``xxhash64`` (default): one seeded 64-bit hash per position,
-      masked to 20 bits — the fast production tier (~2× cheaper than
-      md5+conv at ×100 docs, measured);
-    - ``md5``: non-overlapping 5-hex-digit slices of md5, portable
-      across engines — the DuckDB oracle derives byte-identical
-      positions with strpos digit arithmetic.
+      masked to ``bits_log2`` bits — the fast production tier (~2×
+      cheaper than md5+conv at ×100 docs, measured); sizes beyond the
+      2^20 default buy set capacity linearly (2^24 = 2 MB holds ~1e6
+      keys at <0.1 % FP);
+    - ``md5``: non-overlapping 5-hex-digit slices of md5 (20-bit
+      only), portable across engines — the DuckDB oracle derives
+      byte-identical positions with strpos digit arithmetic.
     """
     if hash_fn == "xxhash64":
         return [
-            F.xxhash64(col, F.lit(j)).bitwiseAND(F.lit((1 << 20) - 1))
+            F.xxhash64(col, F.lit(j)).bitwiseAND(F.lit((1 << bits_log2) - 1))
             for j in range(k)
         ]
+    assert bits_log2 == 20, "md5 slice tier is fixed at 20-bit positions"
     assert 1 <= k <= 6, "md5 has 32 hex digits = six 5-digit slices"
     h = F.md5(col)
     return [
@@ -168,15 +172,16 @@ def bloom_build(
     gram_col: str = "gram",
     k: int = 4,
     hash_fn: str = "xxhash64",
+    bits_log2: int = 20,
 ) -> DataFrame:
-    """Aggregate a gram set into a 2^20-bit bloom filter laid out as
-    (word_idx, word) 64-bit words via ``bit_or`` — at most 16 384 rows
-    (~128 KB broadcast) REGARDLESS of how large the eval/blocklist set
-    grows. That fixed size is the scale story: the exact-gram broadcast
-    in :func:`decontaminate` grows linearly with the benchmark suite,
-    this one never does."""
+    """Aggregate a gram set into a 2^``bits_log2``-bit bloom filter
+    laid out as (word_idx, word) 64-bit words via ``bit_or`` — at most
+    2^(bits_log2-6) rows (~128 KB at the default) REGARDLESS of how
+    large the eval/blocklist set grows. That fixed size is the scale
+    story: the exact-gram broadcast in :func:`decontaminate` grows
+    linearly with the benchmark suite, this one never does."""
     pos = F.explode(
-        F.array(*_bloom_positions(F.col(gram_col), k, hash_fn))
+        F.array(*_bloom_positions(F.col(gram_col), k, hash_fn, bits_log2))
     ).alias("pos")
     return (
         grams.select(pos)
@@ -196,6 +201,7 @@ def bloom_probe(
     keys: Sequence[str] = ("doc_id",),
     k: int = 4,
     hash_fn: str = "xxhash64",
+    bits_log2: int = 20,
 ) -> DataFrame:
     """Keep the rows whose ``gram_col`` is (probably) in the bloom set:
     every one of the k bit positions must be set (``hash_fn`` must
@@ -211,7 +217,7 @@ def bloom_probe(
     18 s; map<long,long> literal = element_at on a Spark MAP is a
     LINEAR scan of all 16 384 entries per probe, 85 s.)"""
     keys = list(keys)
-    n_words = 1 << 14  # 2^20 bits / 64
+    n_words = 1 << (bits_log2 - 6)
     dense = (
         bloom.sparkSession.range(n_words)
         .select(F.col("id").alias("word_idx"))
@@ -225,7 +231,9 @@ def bloom_probe(
         )
     )
     probe = df.select(*keys, gram_col).join(F.broadcast(dense))
-    for j, pc in enumerate(_bloom_positions(F.col(gram_col), k, hash_fn)):
+    for j, pc in enumerate(
+        _bloom_positions(F.col(gram_col), k, hash_fn, bits_log2)
+    ):
         probe = probe.withColumn(f"_p{j}", pc.cast("long"))
     cond = None
     for j in range(k):
@@ -520,6 +528,7 @@ def remove_repeated_spans(
     w: int = 4,
     min_docs: int = 2,
     impl: str = "probe",
+    prefilter: str = "none",
 ) -> DataFrame:
     """The span-REMOVAL pass the cross-doc detector feeds (the second
     half of suffix-array-style substring dedup): drop from every
@@ -542,6 +551,22 @@ def remove_repeated_spans(
     expressions in the scan of the original frame. Three keyed
     shuffles total (fp agg, fp probe, doc regroup), none of them
     corpus².
+
+    ``prefilter="bloom"`` adds the large-corpus tier: PERSIST the
+    shared tail (it is consumed twice in this branch — and the first
+    cut without the persist paid a third corpus-wide winnow pass,
+    474 vs 366 s at ×1000) and prune the position explode through a
+    fixed 2 MB 2^24-bit bloom before its shuffle (bit-identical
+    output — FPs ride into the exact semi join). Measured (SCALEBENCH
+    r8, one fresh process per leg, warm page cache): **1.15–1.2× at
+    the mixed-sharing ×1000 decade** (369 → [304, 327] s — the regime
+    it exists for: the tail outgrew AQE's broadcast, ~70 % of
+    positions prunable); parity-to-−10 % at ×100 where AQE already
+    broadcasts the tail; NO reliable benefit at full saturation
+    (all-shared ×1000: bloom legs [254, 350] vs none [286, 292] —
+    nothing to prune, and the large cached tail adds GC pressure).
+    Opt-in, not default: use it when most windows are NOT shared and
+    the corpus is past broadcast scale.
 
     ``impl="fused"`` is the measured NEGATIVE kept for the record
     (SCALEBENCH r8): one explicit fp-partitioned exchange meant to
@@ -607,8 +632,41 @@ def remove_repeated_spans(
         # (doc_id, pos, fp) semi probe — AQE picks broadcast at small
         # scale, so only the HIT positions (the repeated tail) reach
         # the per-doc regroup; no hard hint (corpus-proportional side)
+        probe_in = pos_fp
+        if prefilter == "bloom":
+            # large-corpus tier (measured, SCALEBENCH r8): when the
+            # shared tail has outgrown AQE's 10 MB broadcast threshold
+            # (exact rows shuffle-join) but its DISTINCT fp count
+            # still fits a 2^24-bit bloom (~≤2e6 fps under ~2 % FP), a
+            # fixed 2 MB bloom over the shared set prunes the position
+            # explode BEFORE its shuffle — false positives just ride
+            # into the exact semi join below, so the output is
+            # bit-identical to prefilter="none". At full bloom
+            # saturation (every window shared) the pruning buys
+            # nothing and the tier measured a wash-with-variance —
+            # don't opt in for a fully-boilerplate corpus.
+            # the bloom branch consumes `shared` TWICE (build + exact
+            # semi join); unpersisted, each consumption re-runs the
+            # corpus-wide winnow+agg subtree — measured at docs ×1000
+            # that third winnow pass cost more than the bloom saved
+            # (474 vs 366 s). Persist the DISTINCT tail so the winnow
+            # feeding it runs once. MEMORY_AND_DISK measured best:
+            # DISK_ONLY paid serialize+reread for the whole tail
+            # (389 s vs 304-327 on the mixed ×1000 leg) — the
+            # columnar on-heap cache spills per-batch only when it
+            # must. On a saturated corpus (EVERY window shared) the
+            # cached tail is large and the tier buys nothing anyway —
+            # see the docstring's regime note.
+            shared = shared.persist(StorageLevel.MEMORY_AND_DISK)
+            bloom = bloom_build(
+                shared, "fp", k=4, hash_fn="xxhash64", bits_log2=24
+            )
+            probe_in = bloom_probe(
+                pos_fp, bloom, "fp", keys=("doc_id", "pos"), k=4,
+                hash_fn="xxhash64", bits_log2=24,
+            )
         hit_pos = (
-            pos_fp.join(shared, "fp", "left_semi")
+            probe_in.join(shared, "fp", "left_semi")
             .groupBy("doc_id")
             .agg(F.collect_set("pos").alias("_hits"))
         )
@@ -843,4 +901,65 @@ def stratified_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k_per_group)
         .drop("_rk")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Global deterministic TRAINING-ORDER shuffle: assign every row
+    its position in a reproducible pseudo-random permutation — the
+    epoch ordering a training job replays identically across runs,
+    restarts and cluster sizes (`df.orderBy(rand())` is none of those:
+    its seed is per-partition and its output changes with the
+    partition layout).
+
+    The permutation key is the content-free md5 of (seed, id): change
+    the seed, get an independent epoch order; same seed, same order on
+    any cluster. Dense positions come from a distributed two-pass rank
+    — NOT `row_number() OVER (ORDER BY …)`, whose empty window spec
+    funnels the whole corpus through ONE task:
+
+    1. the key's leading 16 bits ARE the bucket id (md5 is uniform →
+       ~corpus/65536 rows per bucket; the hex prefix is monotonic in
+       the full key, so bucket order refines to global order) — an
+       EXPLICIT deterministic partitioner, where `repartitionByRange`
+       would re-SAMPLE boundaries independently in each consuming
+       subtree and desynchronize the two passes;
+    2. rank within each bucket (keyed window — per-bucket sort, never
+       a global one); per-bucket counts (≤65 536 rows — bounded by the
+       bucket space, not the corpus) fold into exclusive prefix
+       offsets and broadcast-join back: position = offset + rank."""
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    bucketed = df.withColumn("_k", key).withColumn(
+        "_b", F.conv(F.substring("_k", 1, 4), 16, 10).cast("int")
+    )
+    w_in = Window.partitionBy("_b").orderBy("_k", id_col)
+    ranked = bucketed.withColumn("_rk", F.row_number().over(w_in))
+    # ≤65 536 rows; the running-sum window over them is bounded by the
+    # bucket space, never the corpus — legitimately single-partition
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .select(
+            (F.col("_off") + F.col("_rk")).cast("bigint").alias("position"),
+            *df.columns,
+        )
     )

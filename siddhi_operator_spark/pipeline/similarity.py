@@ -709,6 +709,160 @@ def _pq_topk_arrow(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dims: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """IVFADC proper — the two halves composed: the coarse IVF
+    quantizer prunes WHICH vectors a query scores (`nprobe` cells out
+    of `n_cells`, the partition-pruning half), and PQ codes decide HOW
+    each survivor is scored (8-byte ADC lookup sums, the memory half).
+    This is the tier a 100 TB serving deployment actually runs: the
+    corpus persists as (cell, m one-byte codes) — written partitioned
+    by cell so a probe READS only `nprobe` partitions — and the scored
+    payload per candidate is m code rows, never `dims` floats. Shuffle
+    volume: Σ(probed-cell sizes) × m, vs ivf's × dims floats and pq's
+    corpus × m (no pruning).
+
+    Same determinism contracts as the parent tiers (`ivf_topk`
+    sample-seeded centroids, argmax-cosine at 4 dp; `pq_topk`
+    sample-seeded codebooks, argmin-L2 at 6 dp, ADC rank at 4 dp with
+    neighbor-id tiebreak), so the DuckDB oracle reproduces the whole
+    assign→encode→probe→ADC pipeline bit-for-bit. Codes are computed
+    on the raw vectors, not cell residuals: residual encoding buys
+    accuracy but makes the codebook depend on the (float-summed)
+    centroid subtraction order — the engine-portability contract wins
+    here, and k-means/residual codebooks swap in at deploy time
+    without changing the plan shape."""
+    sub = dims // m
+    assert sub * m == dims, "m must divide dims"
+    vec = F.col(vec_col)
+
+    # --- coarse half: argmax-cosine cell per vector (ivf_topk's
+    # arithmetic verbatim: r4(cos,4) with cent_id tiebreak) ---
+    cent = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cent_norm"),
+    )
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_dot(vec, vec)).alias("norm"),
+    )
+    scored = base.join(F.broadcast(cent)).select(
+        id_col,
+        "cent_id",
+        r4(
+            _dot(vec, F.col("cent_vec")) / (F.col("norm") * F.col("cent_norm")),
+            4,
+        ).alias("cc"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("cc"), F.asc("cent_id")
+    )
+    ranked = scored.withColumn("cent_rank", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("cent_rank") == 1).select(
+        F.col(id_col).alias("c_id"), F.col("cent_id").alias("cell")
+    )
+    probes = ranked.filter(F.col("cent_rank") <= nprobe)
+    if max_query_id is not None:
+        probes = probes.filter(F.col(id_col) < max_query_id)
+    probes = probes.select(
+        F.col(id_col).alias("query_id"), F.col("cent_id").alias("cell")
+    )
+
+    # --- PQ half: codes + query LUT (pq_topk's arithmetic verbatim) ---
+    subs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.transform(
+                            F.slice(vec, j * sub + 1, sub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vid", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    codebook = subs.filter(F.col("vid") < n_codes).select(
+        F.col("j").alias("cb_j"),
+        F.col("vid").alias("code"),
+        F.col("sv").alias("c_vec"),
+    )
+    dist2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - 2.0 * _dot(F.col("sv"), F.col("c_vec"))
+        + _dot(F.col("c_vec"), F.col("c_vec"))
+    )
+    enc_scored = subs.join(
+        F.broadcast(codebook), F.col("j") == F.col("cb_j")
+    ).select("vid", "j", "code", r4(dist2, 6).alias("d2"))
+    w_enc = Window.partitionBy("vid", "j").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        enc_scored.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vid", "j", "code")
+    )
+    q_subs = subs
+    if max_query_id is not None:
+        q_subs = subs.filter(F.col("vid") < max_query_id)
+    lut = q_subs.join(F.broadcast(codebook), F.col("j") == F.col("cb_j")).select(
+        F.col("vid").alias("query_id"),
+        "j",
+        "code",
+        _dot(F.col("sv"), F.col("c_vec")).alias("qdot"),
+    )
+
+    # --- compose: a candidate is scored ONLY if its cell is probed by
+    # the query. The coded corpus carries its cell (narrow id-keyed
+    # join — at deploy time the cell is a partition column and this
+    # join disappears into the layout); probes prune, the LUT (m ×
+    # n_codes rows per query, broadcast) scores, Σ_j folds map-side.
+    coded = codes.join(cells, codes.vid == cells.c_id).select(
+        "vid", "cell", "j", "code"
+    )
+    # no hard broadcast hints: probes/lut are QUERY-proportional (and
+    # corpus-sized when max_query_id=None) — the r6/r7 lesson. AQE
+    # broadcasts both from runtime stats whenever the query set is
+    # actually small; at scale they degrade to keyed shuffles.
+    cand = (
+        coded.join(probes, "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .join(lut, ["query_id", "j", "code"])
+        .select("query_id", F.col("vid").alias("neighbor_id"), "qdot")
+    )
+    scored_q = cand.groupBy("query_id", "neighbor_id").agg(
+        F.sum("qdot").alias("approx_dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(r4("approx_dot", 4)), F.asc("neighbor_id")
+    )
+    return (
+        scored_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            r4("approx_dot", 4).alias("approx_dot"),
+            "rank",
+        )
+    )
+
+
 def normalize_embeddings(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -61,6 +61,10 @@ _FRONT_NAMES = (
     "tpch_q16",  # anti-join + countDistinct buckets
     "tpch_q20",  # nested-semi-join qualification
     "tpch_q21",  # per-order EXISTS/NOT-EXISTS collapse
+    "text_remove_spans_bloom",  # bloom pre-filter tier, same oracle
+    "corpus_shuffle_order",  # deterministic epoch shuffle, two-pass rank
+    "similarity_ivfpq",  # IVFADC composed: cell-pruned ADC scoring
+    "similarity_ivfpq_recall",  # its accuracy contract vs exact dot
     # (4) code changed in r8 — de-hinted broadcasts / shared refold
     "text_dedup_lines",
     "text_remove_repeated_spans",
@@ -96,14 +100,12 @@ _FRONT_NAMES = (
     "window_sliding_time",
     "window_sort_topk",
     "window_timelength",
-    "window_cron",
-    "window_delay",
-    "window_expired_events",
-    "join_stream_table",
-    # (the five newest-checked r4 fillers — join_windowed_self,
-    # join_asof, join_unidirectional, ratelimit_first, ratelimit_last —
-    # were displaced by the r8 TPC-H completion batch, per the
-    # displace-the-END rule above)
+    # (the nine newest-checked r4 fillers — window_expired_events,
+    # join_stream_table, join_windowed_self, join_asof,
+    # join_unidirectional, ratelimit_first, ratelimit_last,
+    # window_cron, window_delay — were displaced by the r8 TPC-H
+    # completion batch, the bloom-tier row, the epoch-shuffle row and
+    # the IVFADC pair, per the displace-the-END rule above)
 )
 _R3_MODULES: tuple[str, ...] = ()
 

@@ -13,7 +13,7 @@ from ..pipeline import multimodal as M
 from ..pipeline import similarity as S
 from ..pipeline import text as X
 from ..fpround import r4
-from .registry import register
+from .registry import REGISTRY, register
 
 N_HASHES = 32
 BAND_SIZE = 8
@@ -674,6 +674,139 @@ def similarity_pq(spark: SparkSession, sf: str) -> DataFrame:
     changing the plan. All Catalyst array expressions — no Python."""
     emb = load(spark, sf, "embeddings")
     return S.pq_topk(emb, dims=64, m=8, n_codes=16, k=3, max_query_id=5)
+
+
+# the assign→encode→probe→ADC pipeline, shared between the ivfpq row
+# and its recall row (the recall oracle embeds it as a subquery)
+_IVFPQ_CAND_CTES = """
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, vec AS cent_vec FROM v WHERE vec_id < 8
+    ), cscored AS (
+      SELECT v.vec_id, c.cent_id,
+             round(1e-9 + list_dot_product(v.vec, c.cent_vec)
+               / (sqrt(list_dot_product(v.vec, v.vec))
+                  * sqrt(list_dot_product(c.cent_vec, c.cent_vec))), 4) AS cc
+      FROM v CROSS JOIN cent c
+    ), cranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cc DESC, cent_id) AS r
+      FROM cscored
+    ), cells AS (
+      SELECT vec_id AS c_id, cent_id AS cell FROM cranked WHERE r = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM cranked WHERE r <= 2 AND vec_id < 5
+    ), sub AS (
+      SELECT vec_id, j, vec[j*8+1 : j*8+8] AS sv
+      FROM v, (SELECT unnest(range(0, 8)) AS j)
+    ), cb AS (
+      SELECT j AS cb_j, vec_id AS code, sv AS c_vec FROM sub WHERE vec_id < 16
+    ), enc AS (
+      SELECT s.vec_id, s.j, c.code,
+             round(1e-9 + list_dot_product(s.sv, s.sv)
+                   - 2 * list_dot_product(s.sv, c.c_vec)
+                   + list_dot_product(c.c_vec, c.c_vec), 6) AS d2
+      FROM sub s JOIN cb c ON s.j = c.cb_j
+    ), codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d2, code) AS rn
+        FROM enc) WHERE rn = 1
+    ), lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.code,
+             list_dot_product(s.sv, c.c_vec) AS qdot
+      FROM sub s JOIN cb c ON s.j = c.cb_j
+      WHERE s.vec_id < 5
+    ), cand AS (
+      SELECT p.query_id, k.vec_id AS neighbor_id, sum(l.qdot) AS approx_dot
+      FROM codes k
+      JOIN cells ce ON k.vec_id = ce.c_id
+      JOIN probes p ON ce.cell = p.cell AND k.vec_id != p.query_id
+      JOIN lut l ON l.query_id = p.query_id AND l.j = k.j AND l.code = k.code
+      GROUP BY 1, 2
+    ), ivfpq AS (
+      SELECT query_id, neighbor_id,
+             round(1e-9 + approx_dot, 4) AS approx_dot, rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY round(1e-9 + approx_dot, 4) DESC, neighbor_id) AS rank
+            FROM cand)
+      WHERE rank <= 3
+    )
+"""
+
+
+@register(
+    "similarity_ivfpq",
+    oracle=f"""
+    WITH {_IVFPQ_CAND_CTES}
+    SELECT query_id, neighbor_id, approx_dot, rank FROM ivfpq
+    """,
+    tags=("pipeline", "similarity", "pq"),
+)
+def similarity_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC composed (`pipeline.similarity.ivfpq_topk`): the coarse
+    IVF quantizer prunes WHICH vectors each query scores (2 of 8
+    cells), PQ codes decide HOW survivors are scored (8-byte ADC
+    sums) — the tier a 100 TB serving corpus actually runs, persisted
+    as (cell, codes) and partitioned by cell so probes prune at the
+    file layout. Both halves sample-seeded, so the oracle replays
+    assign→encode→probe→ADC bit-for-bit."""
+    emb = load(spark, sf, "embeddings")
+    return S.ivfpq_topk(
+        emb, n_cells=8, nprobe=2, dims=64, m=8, n_codes=16, k=3,
+        max_query_id=5,
+    )
+
+
+@register(
+    "similarity_ivfpq_recall",
+    oracle=f"""
+    WITH {_IVFPQ_CAND_CTES}, exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(1e-9 + list_dot_product(q.vec, c.vec), 4) DESC,
+                 c.vec_id) AS rank
+        FROM v c CROSS JOIN (SELECT * FROM v WHERE vec_id < 5) q
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    )
+    SELECT e.query_id,
+           count(a.neighbor_id)                        AS n_hit,
+           round(1e-9 + count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN ivfpq a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+    tags=("pipeline", "similarity", "pq", "eval"),
+)
+def similarity_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@3 of the composed IVFADC tier against the EXACT-DOT
+    top-3 (PQ's ADC approximates the raw inner product, so the honest
+    baseline is exact dot, not cosine) — the accuracy-contract row
+    every approximate tier ships with. IVFPQ misses a true neighbor
+    two ways — cell pruning (the neighbor's cell wasn't probed) and
+    code granularity (ADC mis-ranks inside a probed cell) — and this
+    row prices BOTH against the exact tier, per query."""
+    emb = load(spark, sf, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 5)
+    exact = S.mips_topk(emb, qset, k=3).select("query_id", "neighbor_id")
+    ann = S.ivfpq_topk(
+        emb, n_cells=8, nprobe=2, dims=64, m=8, n_codes=16, k=3,
+        max_query_id=5,
+    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    j = exact.join(
+        ann,
+        (exact["query_id"] == ann["aq"]) & (exact["neighbor_id"] == ann["an"]),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").alias("n_hit"),
+        r4(F.count("an") / F.lit(3.0), 4).alias("recall_at_3"),
+    )
 
 
 @register(
@@ -1706,6 +1839,53 @@ def text_remove_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     return C.remove_repeated_spans(
         load(spark, sf, "documents"), k=3, w=4, min_docs=2
     )
+
+
+@register(
+    "text_remove_spans_bloom",
+    oracle=REGISTRY["text_remove_repeated_spans"].oracle,
+    tags=("pipeline", "text", "dedup", "bloom"),
+)
+def text_remove_spans_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """The bloom pre-filter tier of span removal, proven against the
+    SAME oracle as `text_remove_repeated_spans` — the 2^24-bit bloom
+    is a pruning step whose false positives ride into the exact semi
+    join, so the output is bit-identical by construction and the
+    driver check proves it end-to-end (the bit layout, the k=4
+    position hashing, the persisted shared tail and the dense-array
+    probe all sit in the path). Measured regime (SCALEBENCH r8,
+    fresh-process legs): parity at ×100 (AQE already broadcasts the
+    tail), 1.15–1.2× at the mixed-sharing ×1000 decade where the
+    probe genuinely shuffles and ~70 % of positions prune — hence
+    opt-in, for the regime where it pays."""
+    return C.remove_repeated_spans(
+        load(spark, sf, "documents"), k=3, w=4, min_docs=2,
+        prefilter="bloom",
+    )
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+    SELECT row_number() OVER (
+             ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS position,
+           doc_id
+    FROM documents
+    """,
+    tags=("pipeline", "curation", "shuffle"),
+)
+def corpus_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (`curation.deterministic_shuffle`): a reproducible epoch
+    permutation with dense positions, built as a two-pass distributed
+    rank over an explicit 16-bit key-prefix bucketing — never a
+    single-task `row_number() OVER ()`. The oracle replays the same
+    md5 permutation, so the driver proves position-for-position
+    equality of the whole epoch order."""
+    return C.deterministic_shuffle(
+        load(spark, sf, "documents"), id_col="doc_id", seed=0
+    ).select("position", "doc_id")
 
 
 @register(

@@ -733,6 +733,25 @@ def test_remove_repeated_spans_semantics(spark):
     assert all(t in it for t in kept)
 
 
+def test_remove_repeated_spans_bloom_prefilter_equivalent(spark):
+    """The bloom pre-filter tier is a pure pruning step — false
+    positives ride into the exact semi join, so the output must be
+    BIT-identical to prefilter='none' on the same corpus (the
+    large-corpus tier trades shuffle volume for a persisted tail and
+    a fixed 2 MB bloom broadcast, never correctness)."""
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import curation as C
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    base = C.remove_repeated_spans(docs).orderBy("doc_id").collect()
+    bloom = (
+        C.remove_repeated_spans(docs, prefilter="bloom")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert base == bloom
+
+
 def test_quantize_int8_bound_and_codes(spark):
     """Every code is an int8, degenerate constant dims reconstruct
     exactly, and the half-step error contract holds on every vector."""
@@ -925,3 +944,46 @@ def test_dedup_lines_property(spark):
             ).collect()
         }
         assert got == ref(docs), f"trial {trial}"
+
+
+def test_deterministic_shuffle_contract(spark):
+    """Dense 1..N positions, identical across re-executions (the
+    epoch-replay contract), different permutation under a different
+    seed, and every input row survives exactly once."""
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import curation as C
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    a = C.deterministic_shuffle(docs, seed=7).select("position", "doc_id")
+    rows_a = sorted((r.position, r.doc_id) for r in a.collect())
+    rows_a2 = sorted((r.position, r.doc_id) for r in a.collect())
+    assert rows_a == rows_a2  # replayable
+    assert [p for p, _ in rows_a] == list(range(1, n + 1))  # dense
+    assert len({d for _, d in rows_a}) == n  # a permutation
+    b = C.deterministic_shuffle(docs, seed=8).select("position", "doc_id")
+    rows_b = sorted((r.position, r.doc_id) for r in b.collect())
+    assert rows_a != rows_b  # seed changes the epoch order
+
+
+def test_ivfpq_topk_contract(spark):
+    """The composed IVFADC tier: ≤k neighbors per query with dense
+    ranks 1..n, no self-matches, and every returned neighbor sits in
+    a cell the query probed (the pruning invariant that makes the
+    tier cheaper than plain PQ)."""
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import similarity as S
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    out = S.ivfpq_topk(
+        emb, n_cells=8, nprobe=2, dims=64, m=8, n_codes=16, k=3,
+        max_query_id=5,
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3

@@ -681,3 +681,34 @@ def test_tpch_completion_batch_decorrelates_to_keyed_joins(spark):
     assert "LeftAnti" in q16
     q20 = _fmt(REGISTRY["tpch_q20"].fn(spark, SF)).split("\n\n")[0]
     assert "LeftSemi" in q20
+
+
+def test_deterministic_shuffle_no_global_window(spark):
+    """The epoch shuffle's corpus-side rank must be a KEYED window
+    (partitioned by the 16-bit key-prefix bucket) — an empty window
+    spec would funnel the whole corpus through one task. The only
+    single-partition work allowed is the ≤65 536-row offsets fold."""
+    plan = _fmt(REGISTRY["corpus_shuffle_order"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "windowspecdefinition(_b" in plan
+    # the offsets side broadcasts back — no corpus-wide SMJ
+    assert "SortMergeJoin" not in tree
+
+
+def test_ivfpq_cell_keyed_no_cartesian_no_forced_query_broadcast(spark):
+    """The composed IVFADC tier: candidates meet on CELL equality and
+    codes on (query, j, code) — keyed joins, never a corpus-pair
+    cartesian. The only nested-loop joins allowed are the two BOUNDED
+    broadcast seeds (n_cells centroids, m×n_codes codebook), which
+    plan as BroadcastNestedLoopJoin over constant-sized sides. The
+    probe/LUT sides carry NO hard broadcast hint (query-proportional —
+    the r6/r7 lesson); at gate scale AQE still picks broadcast for
+    them from runtime stats, and the rank filter keeps the
+    WindowGroupLimit partial limit."""
+    plan = _fmt(REGISTRY["similarity_ivfpq"].fn(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "WindowGroupLimit" in tree
+    # the two seed joins are the only nested-loop sites: both sides
+    # are bounded constants (8 centroids / 128 codebook rows)
+    assert tree.count("BroadcastNestedLoopJoin") <= 2

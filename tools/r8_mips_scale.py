@@ -38,6 +38,17 @@ def main() -> None:
     timed("mips_exact   q=5    x1000", S.mips_topk(emb, q5, k=3))
     timed("mips_ann 4x4 q=5    x1000", S.mips_ann_topk(emb, q5, k=3))
     timed("mips_ann 4x4 q=5000 x1000", S.mips_ann_topk(emb, q5k, k=3))
+    # composed IVFADC: 64 cells / 4 probes at this scale (the sf-gate
+    # geometry of 8/2 would leave ~8k-vector cells; scale the cell
+    # count with the corpus like a real deployment does)
+    timed(
+        "ivfpq 64c/4p q=5    x1000",
+        S.ivfpq_topk(emb, n_cells=64, nprobe=4, k=3, max_query_id=5),
+    )
+    timed(
+        "ivfpq 64c/4p q=5000 x1000",
+        S.ivfpq_topk(emb, n_cells=64, nprobe=4, k=3, max_query_id=5000),
+    )
 
 
 if __name__ == "__main__":
