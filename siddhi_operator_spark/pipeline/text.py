@@ -427,6 +427,104 @@ def classifier_score(
     )
 
 
+def classifier_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    eta: float = 1.0,
+    iters: int = 2,
+    label_min_tokens: int = 50,
+) -> DataFrame:
+    """Train the hashing-trick quality classifier `classifier_score`
+    scores with: full-batch logistic-regression gradient descent over
+    the md5-slot token features (x_{doc,slot} = slot count / doc
+    tokens — each doc's feature mass sums to exactly 1). The label is
+    a deterministic heuristic (doc has ≥ ``label_min_tokens`` tokens)
+    so the whole run is engine-reproducible; swap in a labeled frame
+    by pre-computing the same (doc, slot, x, y) contract.
+
+    Distributed the way iterative ML on Spark should be: the sparse
+    feature matrix builds ONCE (explode → one (doc, slot) keyed agg),
+    persists MEMORY_AND_DISK (corpus-proportional but disk-spillable —
+    the MLlib cache-the-training-set pattern; it is consumed
+    2·iters−1 times), and each iteration is two keyed aggregations —
+    per-doc margin (slot-keyed weight join, AQE broadcasts the ≤
+    ``n_buckets``-row weight table), per-slot gradient (doc-keyed
+    probability join). The weight state between iterations is a
+    DataFrame of ≤ ``n_buckets`` rows, never a driver-side vector.
+
+    Determinism contract (the `ml_kmeans` convention): margins,
+    probabilities, gradients and weights all epsilon-round at 6 dp
+    each step, so float reduction order never leaks into the
+    fixed-iteration unrolled DuckDB oracle; output weights at 4 dp."""
+    from pyspark.storagelevel import StorageLevel
+
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    slot = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast(
+        "long"
+    ) % n_buckets
+    feat = (
+        df.select("doc_id", ws.alias("_ws"))
+        .filter(F.size("_ws") > 0)
+        .select(
+            "doc_id",
+            F.size("_ws").alias("_n"),
+            (F.size("_ws") >= label_min_tokens).cast("double").alias("_y"),
+            F.explode("_ws").alias("_tok"),
+        )
+        .select("doc_id", "_n", "_y", slot.alias("slot"))
+        .groupBy("doc_id", "slot")
+        .agg(
+            (F.count(F.lit(1)) / F.any_value("_n")).alias("x"),
+            F.any_value("_y").alias("y"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # iteration 1 from w=0 in closed form: every margin is 0, every
+    # p is 0.5 — no weight join exists yet to shuffle
+    g = feat.groupBy("slot").agg(
+        r4(F.sum((F.lit(0.5) - F.col("y")) * F.col("x")), 6).alias("_g")
+    )
+    w = g.select("slot", r4(-F.lit(eta) * F.col("_g"), 6).alias("w"))
+    for _ in range(1, iters):
+        m = (
+            feat.join(w, "slot", "left")
+            .groupBy("doc_id")
+            .agg(
+                r4(
+                    F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))), 6
+                ).alias("_m"),
+                F.any_value("y").alias("y"),
+            )
+        )
+        p = m.select(
+            "doc_id",
+            r4(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m"))), 6).alias("_p"),
+            "y",
+        )
+        g = (
+            feat.join(p.select("doc_id", "_p"), "doc_id")
+            .groupBy("slot")
+            .agg(
+                r4(
+                    F.sum((F.col("_p") - F.col("y")) * F.col("x")), 6
+                ).alias("_g")
+            )
+        )
+        w = (
+            g.join(w, "slot", "left")
+            .select(
+                "slot",
+                r4(
+                    F.coalesce(F.col("w"), F.lit(0.0))
+                    - F.lit(eta) * F.col("_g"),
+                    6,
+                ).alias("w"),
+            )
+        )
+    return w.select("slot", r4(F.col("w"), 4).alias("weight"))
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

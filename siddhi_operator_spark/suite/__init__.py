@@ -65,6 +65,7 @@ _FRONT_NAMES = (
     "corpus_shuffle_order",  # deterministic epoch shuffle, two-pass rank
     "similarity_ivfpq",  # IVFADC composed: cell-pruned ADC scoring
     "similarity_ivfpq_recall",  # its accuracy contract vs exact dot
+    "text_classifier_train",  # logistic-GD trainer, unrolled oracle
     # (4) code changed in r8 — de-hinted broadcasts / shared refold
     "text_dedup_lines",
     "text_remove_repeated_spans",
@@ -99,13 +100,13 @@ _FRONT_NAMES = (
     "window_session",
     "window_sliding_time",
     "window_sort_topk",
-    "window_timelength",
-    # (the nine newest-checked r4 fillers — window_expired_events,
+    # (the ten newest-checked r4 fillers — window_expired_events,
     # join_stream_table, join_windowed_self, join_asof,
     # join_unidirectional, ratelimit_first, ratelimit_last,
-    # window_cron, window_delay — were displaced by the r8 TPC-H
-    # completion batch, the bloom-tier row, the epoch-shuffle row and
-    # the IVFADC pair, per the displace-the-END rule above)
+    # window_cron, window_delay, window_timelength — were displaced
+    # by the r8 TPC-H completion batch, the bloom-tier row, the
+    # epoch-shuffle row, the IVFADC pair and the classifier trainer,
+    # per the displace-the-END rule above)
 )
 _R3_MODULES: tuple[str, ...] = ()
 

@@ -1963,6 +1963,63 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_classifier_train",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w, len(ws) AS n
+      FROM t WHERE len(ws) > 0
+    ), feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % 4096 AS slot,
+             count(*) * 1.0 / any_value(n) AS x,
+             CASE WHEN any_value(n) >= 50 THEN 1.0 ELSE 0.0 END AS y
+      FROM tok GROUP BY doc_id, slot
+    ), g1 AS (
+      SELECT slot, round(1e-9 + sum((0.5 - y) * x), 6) AS g
+      FROM feat GROUP BY slot
+    ), w1 AS (
+      SELECT slot, round(1e-9 + (-1.0) * g, 6) AS w FROM g1
+    ), m2 AS (
+      SELECT f.doc_id,
+             round(1e-9 + sum(f.x * coalesce(w1.w, 0.0)), 6) AS m,
+             any_value(f.y) AS y
+      FROM feat f LEFT JOIN w1 USING (slot) GROUP BY f.doc_id
+    ), p2 AS (
+      SELECT doc_id, round(1e-9 + 1.0 / (1.0 + exp(-m)), 6) AS p, y
+      FROM m2
+    ), g2 AS (
+      SELECT f.slot, round(1e-9 + sum((p2.p - f.y) * f.x), 6) AS g
+      FROM feat f JOIN p2 USING (doc_id) GROUP BY f.slot
+    ), w2 AS (
+      SELECT g2.slot, round(1e-9 + coalesce(w1.w, 0.0) - 1.0 * g2.g, 6) AS w
+      FROM g2 LEFT JOIN w1 USING (slot)
+    )
+    SELECT slot, round(1e-9 + w, 4) AS weight FROM w2
+    """,
+    tags=("pipeline", "text", "quality", "ml"),
+)
+def text_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN the quality classifier `text_quality_classifier` scores
+    with (`pipeline.text.classifier_train`): full-batch logistic GD
+    over the md5 hashing-trick slot features, 2 unrolled iterations,
+    deterministic length-heuristic labels. The feature matrix builds
+    once and persists (the MLlib cache-the-training-set pattern);
+    each iteration is two keyed aggregations — per-doc margin with an
+    AQE-broadcast weight table, per-slot gradient — and the weight
+    state stays a ≤4096-row DataFrame, never a driver vector. The
+    oracle unrolls both iterations in SQL (the `ml_kmeans`
+    convention: every margin/probability/gradient/weight rounds at
+    6 dp so reduction order never leaks)."""
+    return X.classifier_train(
+        load(spark, sf, "documents"), n_buckets=4096, eta=1.0, iters=2,
+        label_min_tokens=50,
+    )
+
+
+@register(
     "text_dedup_lines",
     oracle="""
     WITH t AS (

@@ -987,3 +987,52 @@ def test_ivfpq_topk_contract(spark):
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_classifier_train_deterministic_and_learns_direction(spark):
+    """The logistic-GD trainer is replay-identical (the determinism
+    contract its unrolled oracle depends on) and actually learns: the
+    label is 'doc has >= 50 tokens', so the mean margin of long docs
+    under the trained weights must exceed the mean margin of short
+    docs (a direction check, not a convergence claim, after 2
+    full-batch iterations)."""
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import text as X
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    w1 = sorted((r.slot, r.weight) for r in X.classifier_train(docs).collect())
+    w2 = sorted((r.slot, r.weight) for r in X.classifier_train(docs).collect())
+    assert w1 == w2  # replayable
+    assert 0 < len(w1) <= 4096
+    wdf = spark.createDataFrame(
+        [(int(s), float(w)) for s, w in w1], "slot long, w double"
+    )
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    slot = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 4096
+    feats = (
+        docs.select("doc_id", ws.alias("_ws"))
+        .filter(F.size("_ws") > 0)
+        .select(
+            "doc_id",
+            F.size("_ws").alias("_n"),
+            F.explode("_ws").alias("_tok"),
+        )
+        .select("doc_id", "_n", slot.alias("slot"))
+        .join(wdf, "slot")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("w") / F.any_value("_n")).alias("margin"),
+            (F.any_value("_n") >= 50).alias("is_long"),
+        )
+    )
+    m = {
+        r.is_long: r.avg_m
+        for r in feats.groupBy("is_long")
+        .agg(F.avg("margin").alias("avg_m"))
+        .collect()
+    }
+    assert m[True] > m[False]

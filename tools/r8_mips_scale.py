@@ -37,7 +37,14 @@ def main() -> None:
     q5k = emb.filter(F.col("vec_id") % 100 == 0)  # ~5 000 queries
     timed("mips_exact   q=5    x1000", S.mips_topk(emb, q5, k=3))
     timed("mips_ann 4x4 q=5    x1000", S.mips_ann_topk(emb, q5, k=3))
-    timed("mips_ann 4x4 q=5000 x1000", S.mips_ann_topk(emb, q5k, k=3))
+    # large query set wants FINER buckets: at 4 bits the in-bucket
+    # candidate stream is ~620 M pairs (measured: leg killed after
+    # 25 min of interpreted dot products); 8 bits/band cuts it ~16x —
+    # bucket bits scale with corpus like IVF cell counts do
+    timed(
+        "mips_ann 8x4 q=5000 x1000",
+        S.mips_ann_topk(emb, q5k, k=3, n_bits=8, n_bands=4),
+    )
     # composed IVFADC: 64 cells / 4 probes at this scale (the sf-gate
     # geometry of 8/2 would leave ~8k-vector cells; scale the cell
     # count with the corpus like a real deployment does)
