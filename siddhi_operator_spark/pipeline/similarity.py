@@ -709,45 +709,24 @@ def _pq_topk_arrow(
     )
 
 
-def ivfpq_topk(
+def _ivfpq_parts(
     corpus: DataFrame,
-    n_cells: int = 8,
-    nprobe: int = 2,
-    dims: int = 64,
-    m: int = 8,
-    n_codes: int = 16,
-    k: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    max_query_id: int | None = None,
-) -> DataFrame:
-    """IVFADC proper — the two halves composed: the coarse IVF
-    quantizer prunes WHICH vectors a query scores (`nprobe` cells out
-    of `n_cells`, the partition-pruning half), and PQ codes decide HOW
-    each survivor is scored (8-byte ADC lookup sums, the memory half).
-    This is the tier a 100 TB serving deployment actually runs: the
-    corpus persists as (cell, m one-byte codes) — written partitioned
-    by cell so a probe READS only `nprobe` partitions — and the scored
-    payload per candidate is m code rows, never `dims` floats. Shuffle
-    volume: Σ(probed-cell sizes) × m, vs ivf's × dims floats and pq's
-    corpus × m (no pruning).
-
-    Same determinism contracts as the parent tiers (`ivf_topk`
-    sample-seeded centroids, argmax-cosine at 4 dp; `pq_topk`
-    sample-seeded codebooks, argmin-L2 at 6 dp, ADC rank at 4 dp with
-    neighbor-id tiebreak), so the DuckDB oracle reproduces the whole
-    assign→encode→probe→ADC pipeline bit-for-bit. Codes are computed
-    on the raw vectors, not cell residuals: residual encoding buys
-    accuracy but makes the codebook depend on the (float-summed)
-    centroid subtraction order — the engine-portability contract wins
-    here, and k-means/residual codebooks swap in at deploy time
-    without changing the plan shape."""
+    n_cells: int,
+    dims: int,
+    m: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+):
+    """The shared assign/encode halves of the IVFADC family: returns
+    (ranked, cells, subs, codebook, codes) with the determinism
+    contracts `ivfpq_topk` documents — extracted so the in-memory
+    tier and the partitioned-index write/probe pair
+    (:func:`ivfpq_index_write` / :func:`ivfpq_index_topk`) are the
+    SAME arithmetic, not a copy."""
     sub = dims // m
     assert sub * m == dims, "m must divide dims"
     vec = F.col(vec_col)
-
-    # --- coarse half: argmax-cosine cell per vector (ivf_topk's
-    # arithmetic verbatim: r4(cos,4) with cent_id tiebreak) ---
     cent = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cent_vec"),
@@ -773,14 +752,6 @@ def ivfpq_topk(
     cells = ranked.filter(F.col("cent_rank") == 1).select(
         F.col(id_col).alias("c_id"), F.col("cent_id").alias("cell")
     )
-    probes = ranked.filter(F.col("cent_rank") <= nprobe)
-    if max_query_id is not None:
-        probes = probes.filter(F.col(id_col) < max_query_id)
-    probes = probes.select(
-        F.col(id_col).alias("query_id"), F.col("cent_id").alias("cell")
-    )
-
-    # --- PQ half: codes + query LUT (pq_topk's arithmetic verbatim) ---
     subs = corpus.select(
         F.col(id_col).alias("vid"),
         F.explode(
@@ -817,34 +788,12 @@ def ivfpq_topk(
         .filter(F.col("rn") == 1)
         .select("vid", "j", "code")
     )
-    q_subs = subs
-    if max_query_id is not None:
-        q_subs = subs.filter(F.col("vid") < max_query_id)
-    lut = q_subs.join(F.broadcast(codebook), F.col("j") == F.col("cb_j")).select(
-        F.col("vid").alias("query_id"),
-        "j",
-        "code",
-        _dot(F.col("sv"), F.col("c_vec")).alias("qdot"),
-    )
+    return ranked, cells, subs, codebook, codes
 
-    # --- compose: a candidate is scored ONLY if its cell is probed by
-    # the query. The coded corpus carries its cell (narrow id-keyed
-    # join — at deploy time the cell is a partition column and this
-    # join disappears into the layout); probes prune, the LUT (m ×
-    # n_codes rows per query, broadcast) scores, Σ_j folds map-side.
-    coded = codes.join(cells, codes.vid == cells.c_id).select(
-        "vid", "cell", "j", "code"
-    )
-    # no hard broadcast hints: probes/lut are QUERY-proportional (and
-    # corpus-sized when max_query_id=None) — the r6/r7 lesson. AQE
-    # broadcasts both from runtime stats whenever the query set is
-    # actually small; at scale they degrade to keyed shuffles.
-    cand = (
-        coded.join(probes, "cell")
-        .filter(F.col("vid") != F.col("query_id"))
-        .join(lut, ["query_id", "j", "code"])
-        .select("query_id", F.col("vid").alias("neighbor_id"), "qdot")
-    )
+
+def _ivfpq_rank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared ADC rank tail: Σ_j qdot per (query, neighbor), 4-dp
+    score with neighbor-id tiebreak, top-k via WindowGroupLimit."""
     scored_q = cand.groupBy("query_id", "neighbor_id").agg(
         F.sum("qdot").alias("approx_dot")
     )
@@ -861,6 +810,197 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dims: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = None,
+) -> DataFrame:
+    """IVFADC proper — the two halves composed: the coarse IVF
+    quantizer prunes WHICH vectors a query scores (`nprobe` cells out
+    of `n_cells`, the partition-pruning half), and PQ codes decide HOW
+    each survivor is scored (8-byte ADC lookup sums, the memory half).
+    This is the tier a 100 TB serving deployment actually runs: the
+    corpus persists as (cell, m one-byte codes) — written partitioned
+    by cell so a probe READS only `nprobe` partitions — and the scored
+    payload per candidate is m code rows, never `dims` floats. Shuffle
+    volume: Σ(probed-cell sizes) × m, vs ivf's × dims floats and pq's
+    corpus × m (no pruning).
+
+    Same determinism contracts as the parent tiers (`ivf_topk`
+    sample-seeded centroids, argmax-cosine at 4 dp; `pq_topk`
+    sample-seeded codebooks, argmin-L2 at 6 dp, ADC rank at 4 dp with
+    neighbor-id tiebreak), so the DuckDB oracle reproduces the whole
+    assign→encode→probe→ADC pipeline bit-for-bit. Codes are computed
+    on the raw vectors, not cell residuals: residual encoding buys
+    accuracy but makes the codebook depend on the (float-summed)
+    centroid subtraction order — the engine-portability contract wins
+    here, and k-means/residual codebooks swap in at deploy time
+    without changing the plan shape."""
+    ranked, cells, subs, codebook, codes = _ivfpq_parts(
+        corpus, n_cells, dims, m, n_codes, id_col, vec_col
+    )
+    probes = ranked.filter(F.col("cent_rank") <= nprobe)
+    if max_query_id is not None:
+        probes = probes.filter(F.col(id_col) < max_query_id)
+    probes = probes.select(
+        F.col(id_col).alias("query_id"), F.col("cent_id").alias("cell")
+    )
+    q_subs = subs
+    if max_query_id is not None:
+        q_subs = subs.filter(F.col("vid") < max_query_id)
+    lut = q_subs.join(F.broadcast(codebook), F.col("j") == F.col("cb_j")).select(
+        F.col("vid").alias("query_id"),
+        "j",
+        "code",
+        _dot(F.col("sv"), F.col("c_vec")).alias("qdot"),
+    )
+
+    # --- compose: a candidate is scored ONLY if its cell is probed by
+    # the query. The coded corpus carries its cell (narrow id-keyed
+    # join — at deploy time the cell is a partition column and this
+    # join disappears into the layout: ivfpq_index_write/_topk below);
+    # probes prune, the LUT (m × n_codes rows per query) scores, Σ_j
+    # folds map-side.
+    coded = codes.join(cells, codes.vid == cells.c_id).select(
+        "vid", "cell", "j", "code"
+    )
+    # no hard broadcast hints: probes/lut are QUERY-proportional (and
+    # corpus-sized when max_query_id=None) — the r6/r7 lesson. AQE
+    # broadcasts both from runtime stats whenever the query set is
+    # actually small; at scale they degrade to keyed shuffles.
+    cand = (
+        coded.join(probes, "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .join(lut, ["query_id", "j", "code"])
+        .select("query_id", F.col("vid").alias("neighbor_id"), "qdot")
+    )
+    return _ivfpq_rank(cand, k)
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    dims: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVFADC index the way a 100 TB deployment lays it
+    out: the encoded corpus — (vid, j, code) rows, 8 bytes of payload
+    per vector — written **partitioned by cell** so a probe reads
+    `nprobe` directories and partition pruning does the IVF half at
+    the FILE layout, plus the two bounded quantizer artifacts
+    (`n_cells` centroids, m×n_codes codebook) as plain parquet. Same
+    `_ivfpq_parts` arithmetic as the in-memory tier, so
+    :func:`ivfpq_index_topk` over this layout returns bit-identical
+    results to :func:`ivfpq_topk` (equivalence pinned by the
+    `similarity_ivfpq_index` oracle row — same oracle SQL)."""
+    _, cells, _, codebook, codes = _ivfpq_parts(
+        corpus, n_cells, dims, m, n_codes, id_col, vec_col
+    )
+    cent = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    coded = codes.join(cells, codes.vid == cells.c_id).select(
+        "vid", "j", "code", "cell"
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN from the :func:`ivfpq_index_write` layout: queries
+    rank the (bounded, broadcast) centroid set for their `nprobe`
+    probe cells and score ONLY those cells' code partitions via ADC.
+    The cell join key is the PARTITION column of the codes table, so
+    Spark's dynamic partition pruning turns the probe list into a
+    file-level skip — the scan reads `nprobe` directories per query
+    batch, not the corpus (`tests/test_plans.py` pins the
+    dynamicpruning expression on the scan). Everything else is the
+    in-memory tier's arithmetic verbatim."""
+    cent = spark.read.parquet(f"{path}/centroids").select(
+        "cent_id",
+        "cent_vec",
+        F.sqrt(_dot(F.col("cent_vec"), F.col("cent_vec"))).alias("cent_norm"),
+    )
+    codebook = spark.read.parquet(f"{path}/codebook")
+    codes = spark.read.parquet(f"{path}/codes")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
+    )
+    q_scored = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "q_vec",
+        "cent_id",
+        r4(
+            _dot(F.col("q_vec"), F.col("cent_vec"))
+            / (F.col("q_norm") * F.col("cent_norm")),
+            4,
+        ).alias("cc"),
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.desc("cc"), F.asc("cent_id")
+    )
+    probes = (
+        q_scored.withColumn("cent_rank", F.row_number().over(w_assign))
+        .filter(F.col("cent_rank") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    m = codebook.agg(F.countDistinct("cb_j")).collect()[0][0]
+    dims = len(codebook.select("c_vec").first()[0]) * m
+    sub = dims // m
+    q_subs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    lut = q_subs.join(
+        F.broadcast(codebook), F.col("j") == F.col("cb_j")
+    ).select(
+        "query_id", "j", "code", _dot(F.col("sv"), F.col("c_vec")).alias("qdot")
+    )
+    cand = (
+        codes.withColumn("cell", F.col("cell").cast("long"))
+        .join(probes, "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .join(lut, ["query_id", "j", "code"])
+        .select("query_id", F.col("vid").alias("neighbor_id"), "qdot")
+    )
+    return _ivfpq_rank(cand, k)
 
 
 def normalize_embeddings(

@@ -762,6 +762,33 @@ def similarity_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_index",
+    oracle=f"""
+    WITH {_IVFPQ_CAND_CTES}
+    SELECT query_id, neighbor_id, approx_dot, rank FROM ivfpq
+    """,
+    tags=("pipeline", "similarity", "pq", "index"),
+)
+def similarity_ivfpq_index(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVFADC index round-trip (`ivfpq_index_write` →
+    `ivfpq_index_topk`): the encoded corpus persists PARTITIONED BY
+    CELL (8 bytes of codes per vector + two bounded quantizer
+    artifacts), queries probe their nprobe cells, and dynamic
+    partition pruning turns the probe list into a file-level skip —
+    the serving layout where the IVF half costs zero compute at query
+    time. Same oracle as `similarity_ivfpq`: the on-disk round trip
+    must be bit-identical to the in-memory tier."""
+    import tempfile
+
+    emb = load(spark, sf, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    S.ivfpq_index_write(emb, path, n_cells=8, dims=64, m=8, n_codes=16)
+    return S.ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=3
+    )
+
+
+@register(
     "similarity_ivfpq_recall",
     oracle=f"""
     WITH {_IVFPQ_CAND_CTES}, exact AS (

@@ -712,3 +712,15 @@ def test_ivfpq_cell_keyed_no_cartesian_no_forced_query_broadcast(spark):
     # the two seed joins are the only nested-loop sites: both sides
     # are bounded constants (8 centroids / 128 codebook rows)
     assert tree.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_ivfpq_index_probe_prunes_partitions_dynamically(spark):
+    """The serving layout's whole point: the codes table is
+    partitioned by cell, and the probe joins on that partition
+    column — Spark's dynamic partition pruning must turn the probe
+    list into a file-level skip (a dynamicpruningexpression in the
+    scan's PartitionFilters), so a query batch reads nprobe
+    directories, not the corpus."""
+    plan = _fmt(REGISTRY["similarity_ivfpq_index"].fn(spark, SF))
+    assert "dynamicpruningexpression" in plan
+    assert "CartesianProduct" not in plan.split("\n\n")[0]
