@@ -28,6 +28,30 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pretokenize_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """GPT-2-style BPE PRE-tokenizer segmentation count — the token
+    estimate that tracks real BPE vocab sizes far better than the
+    chars/4 proxy in :func:`token_stats`: the regex alternation splits
+    contraction suffixes ('s 't 're 've 'm 'll 'd), space-prefixed
+    letter runs, digit runs and punctuation runs — exactly the
+    boundaries a byte-pair vocabulary merges within but never across.
+    ASCII classes on purpose: identical semantics under Java regex
+    (Spark) and RE2 (DuckDB), so the count is engine-portable. One
+    in-row regexp_extract_all — zero shuffle at any corpus size."""
+    pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+    pre = F.filter(
+        F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)),
+        lambda t: t.rlike("[^ ]"),
+    )
+    n_ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    return df.select(
+        "doc_id",
+        F.size(pre).cast("long").alias("n_pre_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        r4(F.length(text_col) / F.size(pre), 4).alias("chars_per_token"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, mean token length, stopword ratio,
     type-token ratio — the standard cheap pre-filters for training

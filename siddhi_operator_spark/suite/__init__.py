@@ -67,6 +67,7 @@ _FRONT_NAMES = (
     "similarity_ivfpq_recall",  # its accuracy contract vs exact dot
     "text_classifier_train",  # logistic-GD trainer, unrolled oracle
     "similarity_ivfpq_index",  # partitioned-by-cell layout round-trip
+    "text_pretokenize_bpe",  # GPT-2-style pre-tokenizer count
     # (4) code changed in r8 — de-hinted broadcasts / shared refold
     "text_dedup_lines",
     "text_remove_repeated_spans",
@@ -99,15 +100,15 @@ _FRONT_NAMES = (
     "window_length",
     "window_lengthbatch",
     "window_session",
-    "window_sliding_time",
-    # (the eleven newest-checked r4 fillers — window_expired_events,
+    # (the twelve newest-checked r4 fillers — window_expired_events,
     # join_stream_table, join_windowed_self, join_asof,
     # join_unidirectional, ratelimit_first, ratelimit_last,
-    # window_cron, window_delay, window_timelength, window_sort_topk —
-    # were displaced by the r8 TPC-H completion batch, the bloom-tier
-    # row, the epoch-shuffle row, the IVFADC trio (in-memory, recall,
-    # partitioned index) and the classifier trainer, per the
-    # displace-the-END rule above)
+    # window_cron, window_delay, window_timelength, window_sort_topk,
+    # window_sliding_time — were displaced by the r8 TPC-H completion
+    # batch, the bloom-tier row, the epoch-shuffle row, the IVFADC
+    # trio (in-memory, recall, partitioned index), the classifier
+    # trainer and the BPE pre-tokenizer row, per the displace-the-END
+    # rule above)
 )
 _R3_MODULES: tuple[str, ...] = ()
 

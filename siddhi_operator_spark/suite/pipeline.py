@@ -1990,6 +1990,34 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_pretokenize_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(
+             regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'),
+             x -> regexp_matches(x, '[^ ]'))) AS BIGINT) AS n_pre_tokens,
+           CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+             AS BIGINT) AS n_ws_tokens,
+           round(1e-9 + length(text) * 1.0 / len(list_filter(
+             regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'),
+             x -> regexp_matches(x, '[^ ]'))), 4) AS chars_per_token
+    FROM documents
+    """,
+    tags=("pipeline", "text", "tokens"),
+)
+def text_pretokenize_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-2-style BPE pre-tokenizer segmentation count
+    (`pipeline.text.pretokenize_stats`): contraction suffixes,
+    space-prefixed letter/digit runs, punctuation runs — the token
+    estimate that tracks real BPE vocabularies, next to token_stats'
+    chars/4 proxy. ASCII regex classes so Java regex and RE2 agree;
+    one in-row regexp_extract_all, zero shuffle."""
+    return X.pretokenize_stats(load(spark, sf, "documents"))
+
+
+@register(
     "text_classifier_train",
     oracle="""
     WITH t AS (
