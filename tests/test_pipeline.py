@@ -1036,3 +1036,63 @@ def test_classifier_train_deterministic_and_learns_direction(spark):
         .collect()
     }
     assert m[True] > m[False]
+
+
+def test_classifier_train_matches_numpy_reference(spark):
+    """Third implementation check (beyond the DuckDB oracle): a pure
+    Python/numpy replay of the same two GD iterations — md5 slots,
+    6-dp epsilon rounding at every step — must reproduce the Spark
+    weights exactly. Catches any silent drift between the distributed
+    aggregation shape and the mathematical spec."""
+    import hashlib
+    import math
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import text as X
+
+    def r(v, n):
+        v = v + 1e-9
+        s = 1.0 if v >= 0 else -1.0
+        return s * math.floor(abs(v) * 10**n + 0.5) / 10**n
+
+    tab = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    feats = []  # (doc, {slot: x}, y)
+    for row in tab:
+        toks = [t for t in re.split(r"\s+", row["text"]) if t != ""]
+        if not toks:
+            continue
+        cnt = defaultdict(int)
+        for t in toks:
+            slot = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 4096
+            cnt[slot] += 1
+        n = len(toks)
+        feats.append(
+            ({s: c / n for s, c in cnt.items()}, 1.0 if n >= 50 else 0.0)
+        )
+    g1 = defaultdict(float)
+    for x, y in feats:
+        for s, v in x.items():
+            g1[s] += (0.5 - y) * v
+    w1 = {s: r(-r(g, 6), 6) for s, g in g1.items()}
+    g2 = defaultdict(float)
+    for x, y in feats:
+        m = r(sum(v * w1.get(s, 0.0) for s, v in x.items()), 6)
+        p = r(1.0 / (1.0 + math.exp(-m)), 6)
+        for s, v in x.items():
+            g2[s] += (p - y) * v
+    expect = {
+        s: r(r(w1.get(s, 0.0) - r(g, 6), 6), 4) for s, g in g2.items()
+    }
+    got = {
+        r_.slot: r_.weight
+        for r_ in X.classifier_train(
+            load(spark, "/root/testdata/sf0.001", "documents")
+        ).collect()
+    }
+    assert got == expect
