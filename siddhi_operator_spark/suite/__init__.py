@@ -129,6 +129,17 @@ _R3_MODULES: tuple[str, ...] = ()
 # join family, ratelimit trio, streaming CEP) with the balance of 50.
 # New registry rows displace the NEWEST-checked tail entries, never
 # the stale/never-checked groups.
+#
+# Round-9 rotation, pre-staged: lead with any r8 reds, then every row
+# added in round 9 (never-checked — ALL ten r8 additions made this
+# window, so r9 starts with zero never-checked backlog), then any rows
+# whose code changes in r9, then the TWELVE r4 fillers this window
+# displaced (window_expired_events, join_stream_table,
+# join_windowed_self, join_asof, join_unidirectional, ratelimit_first,
+# ratelimit_last, window_cron, window_delay, window_timelength,
+# window_sort_topk, window_sliding_time — they become the oldest
+# ledger tail at 5 rounds stale), then balance to the oldest-checked
+# remaining rows in registry order.
 
 
 def _rotate_for_driver_window() -> None:
