@@ -521,6 +521,26 @@ def cross_doc_repeats(
     )
 
 
+# at most ONE persisted shared-fp tail lives per session: each
+# remove_repeated_spans call releases the previous call's handle, so
+# the oracle gate + tests (which share a SparkSession) never
+# accumulate cached blocks in executor storage memory.  The LAST
+# call's tail stays cached until the next call (its consumer — the
+# caller's terminal action — runs after this function returns, so
+# unpersisting eagerly would force a third corpus-wide winnow pass,
+# the 474-vs-366 s regression the persist exists to prevent).
+_SPAN_TAIL_CACHE: list[DataFrame] = []
+
+
+def release_span_tail_cache() -> None:
+    """Unpersist the shared-fingerprint tail the last
+    `remove_repeated_spans(prefilter='bloom'/'auto')` call cached.
+    Called automatically at the start of every subsequent call; expose
+    it so long-lived sessions can free the final handle explicitly."""
+    while _SPAN_TAIL_CACHE:
+        _SPAN_TAIL_CACHE.pop().unpersist(blocking=False)
+
+
 def remove_repeated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -567,6 +587,16 @@ def remove_repeated_spans(
     nothing to prune, and the large cached tail adds GC pressure).
     Opt-in, not default: use it when most windows are NOT shared and
     the corpus is past broadcast scale.
+
+    ``prefilter="auto"`` computes the regime decision from the data:
+    ONE persisted pass over the (fp, n_docs) aggregation yields the
+    shared-tail cardinality (vs AQE's 10 MB broadcast threshold) and
+    the prunable-occurrence fraction (vs the saturation wash), and the
+    call picks bloom exactly in the regime the r8 measurements carved
+    out (tail past broadcast AND ≥30 % of window occurrences
+    prunable). Output is bit-identical across all three prefilter
+    modes (pinned by test). The persisted aggregation is released on
+    the NEXT call (or via :func:`release_span_tail_cache`).
 
     ``impl="fused"`` is the measured NEGATIVE kept for the record
     (SCALEBENCH r8): one explicit fp-partitioned exchange meant to
@@ -618,17 +648,51 @@ def remove_repeated_spans(
             .agg(F.collect_set("pos").alias("_hits"))
         )
     else:  # "probe": the r7 two-pass shape
+        # previous call's cached tail goes now (see _SPAN_TAIL_CACHE)
+        release_span_tail_cache()
         # shared-fp set: per-doc dedup happens IN-ROW (array_distinct)
         # before the explode, so the only corpus-sized shuffle is this
         # one map-side-combinable count — not a (doc, fp) DISTINCT
-        shared = (
+        fp_counts = (
             with_fps.select(F.explode(F.array_distinct("_fps")).alias("_fphex"))
             .select(F.unhex("_fphex").alias("fp"))
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("_nd"))
-            .filter(F.col("_nd") >= min_docs)
-            .select("fp")
         )
+        if prefilter == "auto":
+            # regime auto-pick (r8 verdict ask): the decision variables
+            # — tail size vs AQE's broadcast threshold, and the
+            # fraction of windows the bloom could prune — are
+            # computable from ONE pass over the fp aggregation.
+            # Persist the FULL (fp, count) agg (not just the shared
+            # tail) so the stats action, the derived tail, the bloom
+            # build and the exact semi join all reuse one corpus-wide
+            # winnow+agg; it is fp-set-sized, never corpus-sized.
+            fp_counts = fp_counts.persist(StorageLevel.MEMORY_AND_DISK)
+            _SPAN_TAIL_CACHE.append(fp_counts)
+            st = fp_counts.agg(
+                F.count(F.lit(1)).alias("n_fp"),
+                F.count_if(F.col("_nd") >= min_docs).alias("n_shared"),
+                F.sum("_nd").alias("w_all"),
+                F.sum(
+                    F.when(F.col("_nd") >= min_docs, F.col("_nd")).otherwise(0)
+                ).alias("w_shared"),
+            ).first()
+            # bloom pays when (a) the exact tail has outgrown AQE's
+            # 10 MB broadcast (below it the semi join broadcasts and
+            # pruning is free anyway — measured parity-to-−10 % at
+            # ×100) and (b) a meaningful fraction of window
+            # occurrences is NOT shared (at full saturation there is
+            # nothing to prune — measured wash-with-variance at the
+            # all-shared ×1000). ~40 B/row is the broadcast-relation
+            # estimate for a 16-byte binary key.
+            prunable = 1.0 - float(st.w_shared or 0) / float(st.w_all or 1)
+            prefilter = (
+                "bloom"
+                if st.n_shared * 40 > 10 * 1024 * 1024 and prunable >= 0.3
+                else "none"
+            )
+        shared = fp_counts.filter(F.col("_nd") >= min_docs).select("fp")
         # (doc_id, pos, fp) semi probe — AQE picks broadcast at small
         # scale, so only the HIT positions (the repeated tail) reach
         # the per-doc regroup; no hard hint (corpus-proportional side)
@@ -656,8 +720,12 @@ def remove_repeated_spans(
             # columnar on-heap cache spills per-batch only when it
             # must. On a saturated corpus (EVERY window shared) the
             # cached tail is large and the tier buys nothing anyway —
-            # see the docstring's regime note.
-            shared = shared.persist(StorageLevel.MEMORY_AND_DISK)
+            # see the docstring's regime note. (In auto mode the full
+            # fp_counts agg is already persisted above and `shared` is
+            # a filter over it — don't double-cache.)
+            if not _SPAN_TAIL_CACHE:
+                shared = shared.persist(StorageLevel.MEMORY_AND_DISK)
+                _SPAN_TAIL_CACHE.append(shared)
             bloom = bloom_build(
                 shared, "fp", k=4, hash_fn="xxhash64", bits_log2=24
             )
@@ -930,6 +998,11 @@ def deterministic_shuffle(
        a global one); per-bucket counts (≤65 536 rows — bounded by the
        bucket space, not the corpus) fold into exclusive prefix
        offsets and broadcast-join back: position = offset + rank."""
+    clash = {"position", "_k", "_b", "_rk"} & set(df.columns)
+    assert not clash, (
+        f"deterministic_shuffle emits 'position' and uses _k/_b/_rk "
+        f"internally; rename the colliding input column(s): {sorted(clash)}"
+    )
     key = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )

@@ -1240,11 +1240,38 @@ def mips_hyperplanes(n_bits: int, dims: int) -> list[list[int]]:
     return planes
 
 
+# expected rows per LSH bucket the derived geometry aims for: at
+# 2^n_bits cells per band, n_bits = log2(corpus / TARGET). 2048 is the
+# measured sweet spot — it reproduces the 8-bit/band geometry that ran
+# the embeddings-×1000 (500 k vectors, 5 k queries) leg in 838 s after
+# the shipped 4-bit default fed ~620 M re-rank pairs and was killed
+# (SCALEBENCH r8: "bucket bits are IVF cell counts by another name").
+MIPS_ANN_TARGET_BUCKET = 2048
+
+
+def mips_ann_bits(n_corpus: int) -> int:
+    """Corpus-scaled bucket bits for :func:`mips_ann_topk` — the same
+    cells-grow-with-the-corpus discipline `ivf_topk`'s `n_cells` and
+    `lsh_candidate_pairs`' `max_bucket` already enforce. In-bucket
+    re-rank work per band is Σ(cell × cell-queries); with cells fixed
+    (any constant n_bits) that is quadratic in the corpus BY
+    CONSTRUCTION, so the default must derive from a corpus count.
+    Floor 4 keeps the recall contract's gate-scale geometry; cap 16
+    bounds the hyperplane constant fold (n_bands × 16 × dims sign
+    literals) and leaves ≥2048-row buckets up to ~134 M vectors per
+    band — past that, raise the cap alongside a measured leg."""
+    import math
+
+    if n_corpus <= MIPS_ANN_TARGET_BUCKET:
+        return 4
+    return min(16, max(4, math.ceil(math.log2(n_corpus / MIPS_ANN_TARGET_BUCKET))))
+
+
 def mips_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1272,7 +1299,20 @@ def mips_ann_topk(
     hard broadcast hint on either join side: the query side is
     data-proportional (AQE broadcasts it while small). Unlike
     :func:`mips_topk` there is no query-count ceiling — this is the
-    tier to route unbounded query sets through."""
+    tier to route unbounded query sets through.
+
+    ``n_bits=None`` (the default) derives the bucket geometry from a
+    corpus count via :func:`mips_ann_bits` — cells scale with the
+    corpus, so the default can no longer reproduce the r8 scale
+    finding where a FIXED 4-bit band at 500 k vectors fed ~620 M
+    re-rank pairs. Pass an explicit n_bits only with a measured
+    reason (the recall-contract row pins 4×4 at gate scale so its
+    DuckDB oracle's inlined hyperplanes stay valid)."""
+    if n_bits is None:
+        # one count() — the same bounded corpus statistic ivf cell
+        # sizing needs; at serving scale pass the known count via an
+        # explicit n_bits=mips_ann_bits(n) to skip the job
+        n_bits = mips_ann_bits(corpus.count())
     planes = mips_hyperplanes(n_bits * n_bands, _infer_dims(corpus, vec_col))
     m2_row = corpus.select(
         F.max(_dot(F.col(vec_col), F.col(vec_col))).alias("_m2")

@@ -4,6 +4,9 @@ star): dedup, similarity search, text analysis, multimodal plumbing.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -761,6 +764,24 @@ def similarity_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivfpq_index_path(sf: str) -> str:
+    """Deterministic per-fixture index location (ADVICE r8): a fresh
+    tempfile.mkdtemp per invocation wrote the full three-table index
+    on EVERY call — including plan-only inspections — and never
+    cleaned up. Keying the path on (sf dir, embeddings mtime) makes
+    repeat invocations reuse one layout and regenerated fixtures
+    invalidate it; `_READY` gates the skip the way the bench scratch
+    dirs do."""
+    src = f"{sf.rstrip('/')}/embeddings.parquet"
+    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf)}:{mtime}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_idx/ivfpq_{key}"
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 @register(
     "similarity_ivfpq_index",
     oracle=f"""
@@ -778,11 +799,12 @@ def similarity_ivfpq_index(spark: SparkSession, sf: str) -> DataFrame:
     the serving layout where the IVF half costs zero compute at query
     time. Same oracle as `similarity_ivfpq`: the on-disk round trip
     must be bit-identical to the in-memory tier."""
-    import tempfile
-
     emb = load(spark, sf, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
-    S.ivfpq_index_write(emb, path, n_cells=8, dims=64, m=8, n_codes=16)
+    path = _ivfpq_index_path(sf)
+    if not os.path.exists(f"{path}/_READY"):
+        S.ivfpq_index_write(emb, path, n_cells=8, dims=64, m=8, n_codes=16)
+        with open(f"{path}/_READY", "w") as fh:
+            fh.write("ok")
     return S.ivfpq_index_topk(
         spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=3
     )

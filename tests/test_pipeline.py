@@ -627,6 +627,37 @@ def test_mips_ann_degenerate_bucket_equals_exact(spark):
     assert ann == exact
 
 
+def test_mips_ann_derived_geometry():
+    """r8 verdict #1: the DEFAULT bucket geometry must scale with the
+    corpus — a fixed n_bits makes in-bucket re-rank work quadratic by
+    construction (the 4-bit default at 500 k vectors fed ~620 M pairs;
+    the leg was killed). Pins the derivation: gate-scale floor of 4,
+    the measured 8-bit geometry at 500 k, log-growth past it, cap 16."""
+    assert S.mips_ann_bits(0) == 4
+    assert S.mips_ann_bits(500) == 4          # sf0.01 gate corpus
+    assert S.mips_ann_bits(2048 * 16) == 4    # floor holds to 32 k
+    assert S.mips_ann_bits(500_000) == 8      # the SCALEBENCH r8 run
+    assert S.mips_ann_bits(5_000_000) == 12
+    assert S.mips_ann_bits(10**9) == 16       # capped
+    # cells per band grow ∝ corpus between floor and cap
+    assert S.mips_ann_bits(2 * 500_000) == S.mips_ann_bits(500_000) + 1
+
+
+def test_mips_ann_default_uses_derived_bits(spark):
+    """`n_bits=None` (the default) routes through mips_ann_bits; at
+    gate scale the derived geometry is the 4-bit floor, so the default
+    call must equal the explicit 4-bit call row for row."""
+    from siddhi_operator_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    explicit = sorted(
+        map(tuple, S.mips_ann_topk(emb, q, k=3, n_bits=4, n_bands=4).collect())
+    )
+    derived = sorted(map(tuple, S.mips_ann_topk(emb, q, k=3).collect()))
+    assert derived == explicit
+
+
 def test_mips_ann_accepts_queries_past_broadcast_ceiling(spark):
     """The ANN tier is the documented route for query sets the exact
     tier refuses — it must NOT inherit the broadcast ceiling (its
@@ -750,6 +781,19 @@ def test_remove_repeated_spans_bloom_prefilter_equivalent(spark):
         .collect()
     )
     assert base == bloom
+    # r9: the auto regime pick is a routing decision, never a result
+    # change — at this corpus the tail is tiny so auto lands on the
+    # plain broadcast path, and the output is still bit-identical
+    auto = (
+        C.remove_repeated_spans(docs, prefilter="auto")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert base == auto
+    # the persisted decision aggregation is registered for release
+    assert len(C._SPAN_TAIL_CACHE) == 1
+    C.release_span_tail_cache()
+    assert not C._SPAN_TAIL_CACHE
 
 
 def test_quantize_int8_bound_and_codes(spark):
@@ -964,6 +1008,13 @@ def test_deterministic_shuffle_contract(spark):
     b = C.deterministic_shuffle(docs, seed=8).select("position", "doc_id")
     rows_b = sorted((r.position, r.doc_id) for r in b.collect())
     assert rows_a != rows_b  # seed changes the epoch order
+    # ADVICE r8: an input frame already carrying the output/temp
+    # column names would produce ambiguous columns — refuse up front
+    import pytest as _pytest
+
+    for bad in ("position", "_k", "_b", "_rk"):
+        with _pytest.raises(AssertionError, match=bad):
+            C.deterministic_shuffle(docs.withColumn(bad, F.lit(1)))
 
 
 def test_ivfpq_topk_contract(spark):
