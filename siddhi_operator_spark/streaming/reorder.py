@@ -10,11 +10,41 @@ delay and drop later events — the same contract kslack provides
 So the streaming mapping is `withWatermark` (a thin annotation, kept
 as an explicit operator so apps porting `reorder:kslack(ts, K)` have a
 1:1 target); the batch mapping is a keyed sort.
+
+`akslack` (the reference's AlterableKSlackExtension) ADAPTS K from the
+disorder it observes instead of taking it as a constant. This engine's
+mapping: per partition key, the observed disorder of an event is
+(running max event time in ARRIVAL order) − (its own event time); the
+adaptive slack is a rank-based discrete quantile of those disorders
+(the q-quantile = the ceil(q·n)-th smallest observed lateness — pure
+integer arithmetic, so the Spark plan, the pandas state op and the
+DuckDB oracle agree bit-for-bit with no float-interpolation seam), and
+events later than the derived slack are dropped — exactly the contract
+`kslack` enforces with a constant K.
+
+Scale shape (batch): three windows + the filter, all partitioned by
+the stream key — running max over arrival order, rank over lateness,
+per-key quantile pick — one hash shuffle total, no global order, no
+driver collects. The reference adapts ONE K per stream runtime; a
+100 TB stream has no global arrival total-order, so this engine
+applies the contract per partition key — the same answer Siddhi apps
+express with `partition with (key of stream)`, and the §3.10 scale-out
+story (per-key disorder also adapts to per-source skew, which a single
+global K cannot).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def kslack(stream: DataFrame, ts: str, slack: str) -> DataFrame:
@@ -23,3 +53,149 @@ def kslack(stream: DataFrame, ts: str, slack: str) -> DataFrame:
     dropped (the reference emits them out-of-order or drops per
     config; we standardize on drop — the stricter contract)."""
     return stream.withWatermark(ts, slack)
+
+
+def _quantile_idx(q_pct: int) -> None:
+    """(doc anchor) 1-based discrete-quantile index: ceil(q·n) computed
+    as (q_pct·n + 99) DIV 100 — integer arithmetic, never float (the
+    fp product 0.9·10 = 9.000000000000002 would flip a ceil)."""
+
+
+def akslack_batch(
+    df: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    arrival_col: str | None = None,
+    q_pct: int = 90,
+) -> DataFrame:
+    """Batch twin of `reorder:akslack(tsAttr)` — adaptive K-slack:
+
+    1. lateness of each event = running max of `ts` over ARRIVAL order
+       within its key, minus its own `ts` (microseconds — integer-exact at the fixture's full
+       timestamp precision, no ms-flooring seam, ≥ 0);
+    2. adaptive slack per key = the ceil(q·n)-th smallest lateness
+       (rank-based discrete quantile — an actual observed value);
+    3. drop events with lateness > slack (what a K-slack buffer of the
+       derived size would have failed to reorder), emit the rest with
+       their lateness and the derived slack.
+
+    `arrival_col` is the arrival-order column (ingestion offset, kafka
+    offset); defaults to `id_col`. Output: (id, key, ts, late_us,
+    slack_us) — all integer-typed except ts."""
+    arrival = arrival_col or id_col
+    w_arr = (
+        Window.partitionBy(key)
+        .orderBy(arrival)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = (
+        F.unix_micros(F.max(ts).over(w_arr)) - F.unix_micros(F.col(ts))
+    ).cast("long")
+    d = df.select(id_col, key, ts, F.col(arrival).alias("_arr")).withColumn(
+        "late_us", late
+    )
+    w_key = Window.partitionBy(key)
+    w_rank = Window.partitionBy(key).orderBy("late_us", "_arr")
+    idx = ((F.lit(q_pct) * F.count(F.lit(1)).over(w_key) + 99) / 100).cast(
+        "long"
+    )
+    d = d.withColumn("_rnk", F.row_number().over(w_rank)).withColumn(
+        "_idx", idx
+    )
+    slack = F.max(
+        F.when(F.col("_rnk") == F.col("_idx"), F.col("late_us"))
+    ).over(w_key)
+    return (
+        d.withColumn("slack_us", slack)
+        .filter(F.col("late_us") <= F.col("slack_us"))
+        .select(id_col, key, ts, "late_us", "slack_us")
+    )
+
+
+_AKSLACK_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("late_us", T.LongType()),
+        T.StructField("slack_us", T.LongType()),
+    ]
+)
+_AKSLACK_STATE = T.StructType([T.StructField("run_max_us", T.LongType())])
+
+
+def akslack(
+    stream: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    q_pct: int = 90,
+) -> DataFrame:
+    """Streaming `reorder:akslack` — the per-batch adaptive reorder:
+    each micro-batch derives its key's slack from the disorder it
+    OBSERVES (the same rank-based discrete quantile as
+    :func:`akslack_batch`, over this batch's events with the running
+    max carried across batches as state), drops events later than the
+    derived slack, and emits the rest. A single-batch replay is
+    therefore row-identical to the batch twin — which is what lets the
+    relational oracle prove this path.
+
+    State per key = ONE long (the running max event time): the
+    adaptive quantile re-derives from each batch's observed disorder
+    (the "windowed disorder quantile" contract — adaptation reacts at
+    batch granularity, like the reference recomputes K per arrived
+    chunk), so state never grows with history."""
+
+    def proc(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        run_max = state.get[0] if state.exists else None
+        outs = []
+        # the arrow reader may deliver one group's batch rows in
+        # several chunks — the quantile must see the WHOLE batch for
+        # the group (chunk-local slacks would diverge from the batch
+        # twin), so concatenate first; memory = one key's batch slice
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
+            pdf = pdf.sort_values(id_col)
+            ts_us = (
+                pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            cm = np.maximum.accumulate(ts_us)
+            if run_max is not None:
+                cm = np.maximum(cm, run_max)
+            late_us = cm - ts_us
+            n = len(late_us)
+            idx = (q_pct * n + 99) // 100  # ceil(q·n), integer-exact
+            slack = int(np.sort(late_us, kind="stable")[idx - 1])
+            keep = late_us <= slack
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": str(key_tuple[0]),
+                        "event_id": pdf[id_col].to_numpy()[keep],
+                        "ts": pdf[ts].to_numpy()[keep],
+                        "late_us": late_us[keep],
+                        "slack_us": slack,
+                    }
+                )
+            )
+            run_max = int(cm[-1])
+        state.update((run_max,))
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=[f.name for f in _AKSLACK_OUT.fields])
+        )
+
+    projected = stream.withColumn("__key", F.col(key).cast("string"))
+    return projected.groupBy("__key").applyInPandasWithState(
+        proc,
+        _AKSLACK_OUT,
+        _AKSLACK_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

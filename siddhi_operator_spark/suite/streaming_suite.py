@@ -975,6 +975,86 @@ def streaming_reorder_kslack(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_reorder_akslack",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, user_id, ts,
+             md5(CAST(event_id AS VARCHAR)) AS hh
+      FROM events
+    ), j AS (
+      SELECT event_id, user_id,
+             ts - to_seconds((
+               (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 65536
+             + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1)
+             ) % 86400) AS ts
+      FROM h
+    ), d AS (
+      SELECT event_id, user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS run_max
+      FROM j
+    ), l AS (
+      SELECT event_id, user_id, ts,
+             date_diff('microsecond', ts, run_max) AS late_us
+      FROM d
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY late_us, event_id) AS rnk,
+             (90 * count(*) OVER (PARTITION BY user_id) + 99) // 100 AS idx
+      FROM l
+    ), s AS (
+      SELECT *, max(CASE WHEN rnk = idx THEN late_us END)
+                  OVER (PARTITION BY user_id) AS slack_us
+      FROM r
+    )
+    SELECT event_id, user_id, ts, late_us, slack_us FROM s
+    WHERE late_us <= slack_us
+    """,
+    tags=("streaming", "reorder", "akslack"),
+)
+def streaming_reorder_akslack(spark: SparkSession, sf: str) -> DataFrame:
+    """`reorder:akslack(ts)` (§3.9 `[ext:reorder]`
+    AlterableKSlackExtension — the LAST unimplemented §3.9 surface):
+    K-slack whose K ADAPTS to observed disorder instead of being a
+    constant. Per key, an event's lateness is the running max event
+    time over arrival order minus its own; the slack is the
+    rank-based 90 %-quantile of those latenesses (integer-exact —
+    ceil arithmetic, an actual observed value, no float
+    interpolation); later-than-slack events drop, exactly kslack's
+    contract with the derived K. The fixture replays with a
+    deterministic per-event delay (first 5 md5 hex digits of the
+    event id, mod 86 400 s — md5 decorrelates the jitter from the
+    per-user event-id stride, and both engines derive the identical
+    integer), and the streaming state op (`streaming.reorder.akslack`,
+    one long of state per key) lands row-identical on the relational
+    oracle; the batch twin equivalence is pinned in
+    tests/test_streaming_extras.py."""
+    from ..streaming.reorder import akslack
+
+    s = _events_stream(spark, sf).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "ts - make_interval(0, 0, 0, 0, 0, 0, "
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 5), "
+            "16, 10) AS BIGINT) % 86400)"
+        ).alias("ts"),
+    )
+    out = akslack(s, ts="ts", key="user_id", q_pct=90).select(
+        "event_id",
+        F.col("key").cast("long").alias("user_id"),
+        "ts",
+        "late_us",
+        "slack_us",
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)
+
+
+@register(
     "streaming_join_full_outer",
     oracle="""
     WITH cutoff AS (

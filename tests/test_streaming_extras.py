@@ -560,3 +560,72 @@ def test_dead_letter_replay_is_idempotent(spark, events_df, tmp_path):
     n1 = spark.read.parquet(dl).count()
     wrapped(events_df, 7)  # replay of the same epoch
     assert spark.read.parquet(dl).count() == n1 == events_df.count()
+
+
+def test_akslack_single_batch_equals_batch_twin(spark):
+    """`reorder:akslack` streaming vs batch twin: a single-batch
+    replay must be row-identical (same rank-based discrete quantile,
+    same integer lateness arithmetic) — the property that lets the
+    relational oracle prove the streaming path."""
+    from siddhi_operator_spark.catalog import load, load_events_stream
+
+    jit = F.expr(
+        "ts - make_interval(0, 0, 0, 0, 0, 0, "
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 5), "
+        "16, 10) AS BIGINT) % 86400)"
+    ).alias("ts")
+    batch_in = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", jit
+    )
+    expected = sorted(
+        (r.event_id, str(r.user_id), r.ts, r.late_us, r.slack_us)
+        for r in reorder.akslack_batch(batch_in, q_pct=90).collect()
+    )
+    assert expected, "jittered fixture must actually discriminate"
+    assert any(r[3] > 0 for r in expected)  # real disorder survives
+    s = load_events_stream(spark, "/root/testdata/sf0.001").select(
+        "event_id", "user_id", jit
+    )
+    name = _run(reorder.akslack(s, q_pct=90))
+    got = sorted(
+        (r.event_id, r.key, r.ts, r.late_us, r.slack_us)
+        for r in spark.table(name).collect()
+    )
+    assert got == expected
+
+
+def test_akslack_adapts_across_batches(spark, tmp_path):
+    """The slack re-derives per micro-batch from OBSERVED disorder
+    (the 'alterable' in AlterableKSlack) and the running max carries
+    across batches: an ordered second batch still sees lateness
+    against the first batch's max, and the two batches derive
+    different slacks."""
+    rows = [
+        # batch split on event_id: 1-4 | 5-8 (replay_dir splits sorted)
+        (1, "2024-01-01 00:10:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:00:00", 1, "a", 1.0),   # 10 min late
+        (3, "2024-01-01 00:10:01", 1, "a", 1.0),
+        (4, "2024-01-01 00:09:00", 1, "a", 1.0),   # 61 s late vs e3
+        (5, "2024-01-01 00:20:00", 1, "a", 1.0),
+        (6, "2024-01-01 00:19:30", 1, "a", 1.0),   # 30 s late
+        (7, "2024-01-01 00:21:00", 1, "a", 1.0),
+        (8, "2024-01-01 00:05:00", 1, "a", 1.0),   # 16 min late (vs b1 max)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tempfile.mkdtemp(prefix="akslack_")
+    sources.replay_dir(df, d, "event_id", 2)
+    s = sources.file_stream(spark, d, df.schema, max_files_per_trigger=1)
+    name = _run(reorder.akslack(s, q_pct=75))
+    got = {r.event_id: r for r in spark.table(name).collect()}
+    # batch 1: latenesses [0, 600 s, 0, 61 s]; ceil(.75*4)=3rd smallest=61 s
+    assert set(got) >= {1, 3, 4}
+    assert 2 not in got  # 600 s > 61 s slack: dropped
+    assert got[4].slack_us == 61_000_000
+    # batch 2: run max carried (00:10:01): latenesses [0, 30s, 0, 16min];
+    # 3rd smallest = 30 s -> event 8 dropped, event 6 kept at the NEW slack
+    assert 8 not in got
+    assert got[6].slack_us == 30_000_000  # slack adapted batch-to-batch
+    assert got[6].late_us == 30_000_000
+    assert set(got) == {1, 3, 4, 5, 6, 7}
