@@ -1104,3 +1104,54 @@ def test_streaming_span_removal_replay_idempotent(spark, tmp_path):
         .collect()
     )
     assert max(r["sum(nd)"] for r in cnt) == 3  # boiler fp: docs 1,3,4
+
+
+def test_state_buckets_annotation_routes_length_window(spark, events_df):
+    """`@app:stateBuckets('5')` opts QL length-window queries into the
+    coarse-bucket state layout (streaming.windows.
+    length_window_bucketed) through the front end — identical rows to
+    the per-key default, and the routing itself is pinned (the
+    bucketed plan carries the __bucket state key, the per-key plan
+    carries __key)."""
+    import tempfile
+    import uuid
+
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    base = """
+    define stream E (event_id long, ts string, user_id long, event_type string, value double);
+    from E#window.length(3)
+    select user_id, event_id, sum(value) as sv
+    group by user_id
+    insert into O;
+    """
+    results = {}
+    for variant, app in (
+        ("per_key", base),
+        ("bucketed", "@app:stateBuckets('5')\n" + base),
+    ):
+        d = tempfile.mkdtemp(prefix="replay_lb_")
+        SRC.replay_dir(events_df, d, "ts", 2)
+        s = SRC.file_stream(spark, d, events_df.schema, max_files_per_trigger=1)
+        outs = run_app_streaming(app, {"E": s})
+        plan = outs["O"]._jdf.queryExecution().analyzed().toString()
+        if variant == "bucketed":
+            assert "__bucket" in plan  # routed to the coarse layout
+        else:
+            assert "__bucket" not in plan
+        name = f"lb_{uuid.uuid4().hex[:8]}"
+        q = (
+            outs["O"].writeStream.format("memory")
+            .queryName(name).outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[variant] = sorted(
+            (r.user_id, r.event_id, round(r.sv, 6))
+            for r in spark.table(name).collect()
+        )
+    assert results["per_key"] == results["bucketed"]
+    assert results["per_key"]
