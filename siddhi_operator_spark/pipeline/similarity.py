@@ -920,6 +920,107 @@ def ivfpq_index_write(
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
 
 
+def _ivfpq_encode_frozen(
+    df: DataFrame,
+    cent: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign cells + PQ-encode with FROZEN quantizer artifacts — the
+    incremental-index half of the IVFADC family. Identical arithmetic
+    to :func:`_ivfpq_parts` (4-dp argmax-cosine assignment with
+    cent_id tiebreak, 6-dp argmin-L2 codes with code tiebreak), but
+    the centroids/codebook come from the persisted index instead of
+    being re-seeded — which is exactly why appended vectors encode
+    bit-identically to a full rebuild (the quantizers are the same
+    frozen constants either way). Returns (vid, j, code, cell)."""
+    vec = F.col(vec_col)
+    cent = cent.select(
+        "cent_id",
+        "cent_vec",
+        F.sqrt(_dot(F.col("cent_vec"), F.col("cent_vec"))).alias("cent_norm"),
+    )
+    base = df.select(F.col(id_col), vec, F.sqrt(_dot(vec, vec)).alias("norm"))
+    scored = base.join(F.broadcast(cent)).select(
+        id_col,
+        "cent_id",
+        r4(
+            _dot(vec, F.col("cent_vec")) / (F.col("norm") * F.col("cent_norm")),
+            4,
+        ).alias("cc"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("cc"), F.asc("cent_id")
+    )
+    cells = (
+        scored.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select(F.col(id_col).alias("c_id"), F.col("cent_id").alias("cell"))
+    )
+    m = codebook.agg(F.countDistinct("cb_j")).collect()[0][0]
+    sub = len(codebook.select("c_vec").first()[0])
+    subs = df.select(
+        F.col(id_col).alias("vid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.transform(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vid", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    dist2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - 2.0 * _dot(F.col("sv"), F.col("c_vec"))
+        + _dot(F.col("c_vec"), F.col("c_vec"))
+    )
+    enc = subs.join(
+        F.broadcast(codebook), F.col("j") == F.col("cb_j")
+    ).select("vid", "j", "code", r4(dist2, 6).alias("d2"))
+    w_enc = Window.partitionBy("vid", "j").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        enc.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vid", "j", "code")
+    )
+    return codes.join(cells, codes.vid == cells.c_id).select(
+        "vid", "j", "code", "cell"
+    )
+
+
+def ivfpq_index_append(
+    corpus_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance (r8 verdict ask #7): a 100 TB
+    corpus APPENDS — rewriting the whole index per ingest batch is a
+    corpus-sized job for a batch-sized change. Encode ONLY the new
+    vectors with the index's FROZEN quantizers (read back from the
+    layout `ivfpq_index_write` persisted) and append their 8-byte code
+    rows to the cell partitions; the centroid/codebook artifacts are
+    untouched, so append-then-probe is bit-identical to
+    rebuild-then-probe over the union corpus (pinned by the
+    `similarity_ivfpq_append` oracle row and a direct equality test).
+    Work is new-batch-sized: one broadcast of the bounded quantizers,
+    two keyed windows over the batch, and a partitioned append that
+    only touches the cells the batch lands in."""
+    spark = corpus_new.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    codebook = spark.read.parquet(f"{path}/codebook")
+    coded = _ivfpq_encode_frozen(corpus_new, cent, codebook, id_col, vec_col)
+    coded.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
 def ivfpq_index_topk(
     spark,
     path: str,

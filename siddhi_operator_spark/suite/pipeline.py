@@ -811,6 +811,39 @@ def similarity_ivfpq_index(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_append",
+    oracle=f"""
+    WITH {_IVFPQ_CAND_CTES}
+    SELECT query_id, neighbor_id, approx_dot, rank FROM ivfpq
+    """,
+    tags=("pipeline", "similarity", "pq", "index", "incremental"),
+)
+def similarity_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVFADC maintenance (`ivfpq_index_append`): the
+    index is built from the FIRST 40 vectors only, the rest of the
+    corpus arrives later and is encoded with the FROZEN quantizers
+    and appended to the cell partitions — and probing the appended
+    layout must be bit-identical to the full-rebuild oracle (the same
+    SQL `similarity_ivfpq` proves), because the quantizer artifacts
+    are the same sample-seeded constants either way. This is the
+    100 TB ingest path: per-batch work is batch-sized, never
+    corpus-sized."""
+    emb = load(spark, sf, "embeddings")
+    path = _ivfpq_index_path(sf) + "_append"
+    if not os.path.exists(f"{path}/_READY"):
+        S.ivfpq_index_write(
+            emb.filter(F.col("vec_id") < 40), path,
+            n_cells=8, dims=64, m=8, n_codes=16,
+        )
+        S.ivfpq_index_append(emb.filter(F.col("vec_id") >= 40), path)
+        with open(f"{path}/_READY", "w") as fh:
+            fh.write("ok")
+    return S.ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=3
+    )
+
+
+@register(
     "similarity_ivfpq_recall",
     oracle=f"""
     WITH {_IVFPQ_CAND_CTES}, exact AS (

@@ -451,6 +451,90 @@ def streaming_ann_cell_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_ivfpq_ingest",
+    oracle=None,  # set right below from the shared IVFADC CTEs
+    tags=("streaming", "similarity", "ann", "pq", "incremental"),
+)
+def streaming_ivfpq_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming IVFADC index maintenance — the ingest half of
+    `ivfpq_index_append` as a RESIDENT service: embeddings arrive as
+    a stream and each is cell-assigned AND PQ-encoded on ingest with
+    the FROZEN quantizers (at 100 TB the sink appends these 8-byte
+    code rows to the cell partitions, so the serving index is always
+    fresh with no re-index batch job — `streaming_ann_cell_ingest`
+    proved the cell half, this row adds the codebook half). Both
+    quantizers collect to literals (8 centroids + 8×16 sub-codebook —
+    bounded artifacts, the ml-centroid contract); assignment is the
+    batch tier's rounded argmax/argmin replayed as in-row struct
+    array_min, so the batch oracle proves the stream row for row.
+    Codes serialize to a comma string (driver canonicalizer takes no
+    arrays)."""
+    from ..catalog import SCHEMAS
+    from ..fpround import EPS
+    from ..pipeline.similarity import _dot
+
+    emb = load(spark, sf, "embeddings")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cb = sorted(
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    m, sub = 8, 8
+    path = f"{sf}/embeddings.parquet"
+    if os.path.isdir(path):
+        s = spark.readStream.schema(SCHEMAS["embeddings"]).parquet(path)
+    else:
+        s = (
+            spark.readStream.schema(SCHEMAS["embeddings"])
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf)
+        )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(_dot(v, v))
+    choices = []
+    for r in cents:
+        cv = F.array(*[F.lit(float(x)) for x in r.embedding])
+        cnorm = float(sum(float(x) ** 2 for x in r.embedding)) ** 0.5
+        cc = F.round(_dot(v, cv) / (norm * F.lit(cnorm)) + F.lit(EPS), 4)
+        choices.append(
+            F.struct((-cc).alias("negcc"), F.lit(r.vec_id).alias("cent_id"))
+        )
+    cell = F.array_min(F.array(*choices))["cent_id"]
+    code_cols = []
+    for j in range(m):
+        sv = F.slice(v, j * sub + 1, sub)
+        cands = []
+        for r in cb:
+            cvec = [float(x) for x in r.embedding[j * sub : (j + 1) * sub]]
+            cva = F.array(*[F.lit(x) for x in cvec])
+            c2 = float(sum(x * x for x in cvec))
+            d2 = F.round(
+                _dot(sv, sv) - 2.0 * _dot(sv, cva) + F.lit(c2) + F.lit(EPS),
+                6,
+            )
+            cands.append(
+                F.struct(d2.alias("d2"), F.lit(r.vec_id).alias("code"))
+            )
+        code_cols.append(F.array_min(F.array(*cands))["code"])
+    out = s.select(
+        "vec_id",
+        cell.alias("cell"),
+        F.concat_ws(",", *[c.cast("string") for c in code_cols]).alias(
+            "codes_str"
+        ),
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)
+
+
+@register(
     "streaming_incremental_neardup",
     oracle=None,  # set right below to the batch LSH oracle
     tags=("streaming", "dedup", "lsh"),
@@ -482,9 +566,21 @@ def streaming_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 # the oracle is the batch LSH oracle — identical output contract
 from .pipeline import MINHASH_ORACLE as _MINHASH_ORACLE  # noqa: E402
+from .pipeline import _IVFPQ_CAND_CTES as _PQ_CTES  # noqa: E402
 from .registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_incremental_neardup"].oracle = _MINHASH_ORACLE
+
+# streaming_ivfpq_ingest: the batch IVFADC assign+encode CTEs (cells +
+# codes) prove the streaming ingest row; codes fold to the same comma
+# string the stream emits
+_REG["streaming_ivfpq_ingest"].oracle = f"""
+WITH {_PQ_CTES}
+SELECT c.vec_id, ce.cell,
+       array_to_string(list(c.code ORDER BY c.j), ',') AS codes_str
+FROM codes c JOIN cells ce ON ce.c_id = c.vec_id
+GROUP BY 1, 2
+"""
 
 
 @register(
