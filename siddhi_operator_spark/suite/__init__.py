@@ -28,89 +28,94 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 8.  The per-round correctness gate records
-# only the FIRST 50 registry entries in registration order.  This window
-# executes the r7-pre-staged plan: (1) r7 reds — there were none;
-# (2) the FIVE never-driver-checked r7 tail rows; (3) every row ADDED
-# in round 8 (never-checked); (4) the three text rows whose CODE
-# changed this round (broadcast hints dropped / refold refactor) —
-# green last round, but the plan under them is new, so they re-prove;
-# (5) the 22 remaining r3-stale rows (5 rounds — the oldest tail);
-# (6) balance to the oldest r4 rows in registry order (window family,
-# join family, ratelimit trio).  New r8 rows added after this window
-# fills displace the NEWEST-checked r4 fillers at the END of the
-# tuple, never groups (2)-(5).  After this window: never-checked = 0,
-# r3-stale = 0, max staleness ≤ 4 rounds.  Iteration order of a dict
-# is insertion order, so rebuilding REGISTRY re-ranks entries without
-# touching registration sites.
+# Driver-window rotation, round 9.  The per-round correctness gate
+# records only the FIRST 50 registry entries in registration order.
+# This window executes the r8-pre-staged plan: (1) r8 reds — there
+# were none; (2) every row ADDED in round 9 (never-checked): the
+# akslack reorder row, the QL bucketed-length row, and the IVFADC
+# incremental pair (append + streaming ingest); (3) rows whose
+# EXECUTED PLAN changed in round 9 — the two span-removal rows (the
+# persisted-tail release + fp_counts refactor sits under both) and
+# the ivfpq index row (deterministic reused layout) — green last
+# round, but the code under them is new, so they re-prove.
+# (mips_ann_recall and corpus_shuffle_order also saw module edits,
+# but their rows pin EXPLICIT geometry / gained only an input
+# assert — plans untouched, so they hold their r8 green.)
+# (4) the TWELVE r4 fillers the r8 window displaced (the oldest
+# ledger tail); (5) the balance of the r4-stale backlog in registry
+# order — 43 of the 44 r4 rows fit; `ml_perceptron_online` is the
+# one row left at r4 (re-verified locally this session, leads the
+# r10 plan below).  After this window: never-checked = 0, r4-stale
+# = 1, max staleness ≤ 5 (the single perceptron row).
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (2) never driver-checked r7 tail rows
-    "tpch_q8",
-    "tpch_q12",
-    "tpch_q17",
-    "similarity_int8_recall",
-    "similarity_mips",
-    # (3) new r8 rows — never checked
-    "similarity_mips_ann_recall",  # norm-augmented multi-band LSH MIPS tier
-    "streaming_incr_agg_replay",  # crash-replay exactly-once contract
-    "streaming_text_dedup_lines",  # streaming twin of line dedup
-    "streaming_text_remove_spans",  # streaming twin of span removal
-    "tpch_q2",  # TPC-H completion batch (22/22): correlated-min supplier
-    "tpch_q11",  # fraction-of-total HAVING
-    "tpch_q16",  # anti-join + countDistinct buckets
-    "tpch_q20",  # nested-semi-join qualification
-    "tpch_q21",  # per-order EXISTS/NOT-EXISTS collapse
-    "text_remove_spans_bloom",  # bloom pre-filter tier, same oracle
-    "corpus_shuffle_order",  # deterministic epoch shuffle, two-pass rank
-    "similarity_ivfpq",  # IVFADC composed: cell-pruned ADC scoring
-    "similarity_ivfpq_recall",  # its accuracy contract vs exact dot
-    "text_classifier_train",  # logistic-GD trainer, unrolled oracle
-    "similarity_ivfpq_index",  # partitioned-by-cell layout round-trip
-    "text_pretokenize_bpe",  # GPT-2-style pre-tokenizer count
-    # (4) code changed in r8 — de-hinted broadcasts / shared refold
-    "text_dedup_lines",
-    "text_remove_repeated_spans",
-    "text_tfidf_top_terms",  # also r3-stale
-    # (5) r3-stale rows — the oldest ledger tail
-    "agg_extrema_min_max_by",
-    "analytic_window_fns",
-    "approx_distinct_bound",
-    "approx_percentile_bound",
-    "corpus_weighted_sample",
-    "decontaminate_ngram",
-    "dedup_simhash",
-    "domain_mix_sample",
-    "embedding_centroids",
-    "list_fns",
-    "map_fns",
-    "pii_mask",
-    "quality_repetition",
-    "sample_hash_split",
-    "seq_pack_bins",
-    "set_ops",
-    "siddhiql_star_quantifier",
-    "similarity_ann_recall",
-    "sketch_count_min",
-    "text_winnow_fingerprint",
-    "window_batch_chunk",
-    "window_topk",
-    # (6) balance: oldest r4 rows, registry order — displaceable tail
-    "window_timebatch",
-    "window_length",
-    "window_lengthbatch",
-    "window_session",
-    # (the twelve newest-checked r4 fillers — window_expired_events,
-    # join_stream_table, join_windowed_self, join_asof,
-    # join_unidirectional, ratelimit_first, ratelimit_last,
-    # window_cron, window_delay, window_timelength, window_sort_topk,
-    # window_sliding_time — were displaced by the r8 TPC-H completion
-    # batch, the bloom-tier row, the epoch-shuffle row, the IVFADC
-    # trio (in-memory, recall, partitioned index), the classifier
-    # trainer and the BPE pre-tokenizer row, per the displace-the-END
-    # rule above)
+    # (2) new in r9 — never checked
+    "streaming_reorder_akslack",  # adaptive K-slack, md5-jittered replay
+    "siddhiql_bucketed_length_window",  # @app:stateBuckets via QL text
+    "similarity_ivfpq_append",  # frozen-quantizer incremental index
+    "streaming_ivfpq_ingest",  # cell-assign + PQ-encode on ingest
+    # (3) executed plan changed in r9
+    "text_remove_repeated_spans",  # fp_counts refactor under the probe
+    "text_remove_spans_bloom",  # persisted-tail release + cache registry
+    "similarity_ivfpq_index",  # deterministic reused index layout
+    # (4) the twelve r4 fillers displaced by r8's additions
+    "window_expired_events",
+    "join_stream_table",
+    "join_windowed_self",
+    "join_asof",
+    "join_unidirectional",
+    "ratelimit_first",
+    "ratelimit_last",
+    "window_cron",
+    "window_delay",
+    "window_timelength",
+    "window_sort_topk",
+    "window_sliding_time",
+    # (5) balance of the r4-stale backlog, registry order
+    "window_externaltimebatch",
+    "window_frequent",
+    "window_unique_last",
+    "window_lossy_frequent",
+    "window_expression_batch",
+    "window_unique_first",
+    "window_extrema_by_time",
+    "window_expression",
+    "window_unique_timebatch",
+    "window_unique_dedup",
+    "window_extrema_by_length",
+    "join_outer_stream_table",
+    "join_theta_residual",
+    "join_stream_aggregation",
+    "join_range_interval",
+    "agg_ts_regress_forecast",
+    "ratelimit_snapshot",
+    "incr_agg_day_retrieval",
+    "multimodal_features",
+    "streaming_timebatch",
+    "streaming_cep_followed_by",
+    "streaming_length_window",
+    "streaming_session_window",
+    "streaming_cep_absence",
+    "streaming_cep_count_quantifier",
+    "streaming_cep_logical_and",
+    "streaming_join_windowed",
+    "pattern_optional_step",
+    "siddhiql_trigger",
+    "table_cdc_feed",
+    "ml_kmeans",
 )
 _R3_MODULES: tuple[str, ...] = ()
+
+# Round-10 rotation, pre-staged: lead with any r9 reds, then
+# `ml_perceptron_online` (the single remaining r4 row — locally green
+# this session), then every row added in round 10 (never-checked),
+# then rows whose code changes in r10, then the r5-stale backlog in
+# registry order (50 rows last checked r5: the agg family, the batch
+# pattern family, the siddhiql core rows, the similarity ivf/lsh/knn
+# trio, tpch q1/q3/q5/q6, dedup_minhash_lsh — they become the oldest
+# tail at 5 rounds stale in r10), with the balance of 50.  New
+# registry rows displace the NEWEST-checked tail entries, never the
+# stale/never-checked groups.
 
 # Round-8 rotation, pre-staged: lead with any r7 reds (there were
 # none), then the FIVE never-driver-checked r7 tail rows (tpch_q8,
