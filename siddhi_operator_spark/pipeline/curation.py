@@ -531,6 +531,11 @@ def cross_doc_repeats(
 # the 474-vs-366 s regression the persist exists to prevent).
 _SPAN_TAIL_CACHE: list[DataFrame] = []
 
+# (picked_prefilter, n_shared_fps, prunable_fraction) of the LAST
+# remove_repeated_spans(prefilter="auto") call — observability for
+# tests and the SCALEBENCH tools; never consumed by the operator.
+LAST_SPAN_PREFILTER: tuple[str, int, float] | None = None
+
 
 def release_span_tail_cache() -> None:
     """Unpersist the shared-fingerprint tail the last
@@ -691,6 +696,14 @@ def remove_repeated_spans(
                 "bloom"
                 if st.n_shared * 40 > 10 * 1024 * 1024 and prunable >= 0.3
                 else "none"
+            )
+            # observability: tests and the scale tools read back what
+            # auto decided (module-level, like LAST_* in the ml ops)
+            global LAST_SPAN_PREFILTER
+            LAST_SPAN_PREFILTER = (
+                prefilter,
+                int(st.n_shared),
+                round(prunable, 4),
             )
         shared = fp_counts.filter(F.col("_nd") >= min_docs).select("fp")
         # (doc_id, pos, fp) semi probe — AQE picks broadcast at small
