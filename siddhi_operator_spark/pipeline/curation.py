@@ -665,33 +665,47 @@ def remove_repeated_spans(
             .agg(F.count(F.lit(1)).alias("_nd"))
         )
         if prefilter == "auto":
-            # regime auto-pick (r8 verdict ask): the decision variables
-            # — tail size vs AQE's broadcast threshold, and the
-            # fraction of windows the bloom could prune — are
-            # computable from ONE pass over the fp aggregation.
-            # Persist the FULL (fp, count) agg (not just the shared
-            # tail) so the stats action, the derived tail, the bloom
-            # build and the exact semi join all reuse one corpus-wide
-            # winnow+agg; it is fp-set-sized, never corpus-sized.
-            fp_counts = fp_counts.persist(StorageLevel.MEMORY_AND_DISK)
-            _SPAN_TAIL_CACHE.append(fp_counts)
-            st = fp_counts.agg(
-                F.count(F.lit(1)).alias("n_fp"),
-                F.count_if(F.col("_nd") >= min_docs).alias("n_shared"),
-                F.sum("_nd").alias("w_all"),
-                F.sum(
-                    F.when(F.col("_nd") >= min_docs, F.col("_nd")).otherwise(0)
-                ).alias("w_shared"),
-            ).first()
-            # bloom pays when (a) the exact tail has outgrown AQE's
-            # 10 MB broadcast (below it the semi join broadcasts and
+            # regime auto-pick (r8 verdict ask). Decision variables:
+            # (a) the shared tail's size vs AQE's 10 MB broadcast
+            # threshold (below it the exact semi join broadcasts and
             # pruning is free anyway — measured parity-to-−10 % at
-            # ×100) and (b) a meaningful fraction of window
-            # occurrences is NOT shared (at full saturation there is
-            # nothing to prune — measured wash-with-variance at the
-            # all-shared ×1000). ~40 B/row is the broadcast-relation
-            # estimate for a 16-byte binary key.
-            prunable = 1.0 - float(st.w_shared or 0) / float(st.w_all or 1)
+            # ×100; ~40 B/row is the broadcast-relation estimate for a
+            # 16-byte binary key), and (b) the fraction of window
+            # occurrences the bloom could prune (at full saturation
+            # there is nothing to prune — measured wash-with-variance
+            # at the all-shared ×1000). Persist ONLY the shared tail —
+            # the same artifact the manual bloom leg caches; the full
+            # (fp, count) agg at a mixed decade is dominated by the
+            # UNSHARED per-doc-unique fps and caching it is the large
+            # on-heap tail the r8 GC-thrash lesson warns about.
+            # n_shared/w_shared come from the cached tail; total
+            # occurrences are estimated from the deterministic per-doc
+            # window count (tokens − k − w + 2: a pure token-count
+            # scan, no interpreted winnow HOFs — so auto adds only a
+            # cheap pass over manual).
+            shared_c = fp_counts.filter(F.col("_nd") >= min_docs).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            _SPAN_TAIL_CACHE.append(shared_c)
+            st = shared_c.agg(
+                F.count(F.lit(1)).alias("n_shared"),
+                F.sum("_nd").alias("w_shared"),
+            ).first()
+            w_all = df.select(
+                F.sum(
+                    F.greatest(
+                        F.lit(0),
+                        F.size(
+                            F.filter(
+                                F.split(F.col(text_col), r"\s+"),
+                                lambda t: t != "",
+                            )
+                        )
+                        - F.lit(k + w - 2),
+                    )
+                )
+            ).first()[0]
+            prunable = 1.0 - float(st.w_shared or 0) / float(w_all or 1)
             prefilter = (
                 "bloom"
                 if st.n_shared * 40 > 10 * 1024 * 1024 and prunable >= 0.3
@@ -705,7 +719,9 @@ def remove_repeated_spans(
                 int(st.n_shared),
                 round(prunable, 4),
             )
-        shared = fp_counts.filter(F.col("_nd") >= min_docs).select("fp")
+            shared = shared_c.select("fp")
+        else:
+            shared = fp_counts.filter(F.col("_nd") >= min_docs).select("fp")
         # (doc_id, pos, fp) semi probe — AQE picks broadcast at small
         # scale, so only the HIT positions (the repeated tail) reach
         # the per-doc regroup; no hard hint (corpus-proportional side)
