@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -609,6 +609,19 @@ def remove_repeated_spans(
     two branches different exchange outputs, AQE reuse never fires,
     and it runs ~1.7× (×1000) to ~4× (×100) slower than the probe
     shape. Do not flip the default without re-measuring."""
+    if prefilter not in ("none", "bloom", "auto"):
+        raise ValueError(
+            f"prefilter must be 'none', 'bloom' or 'auto', got {prefilter!r}"
+        )
+    if impl == "fused" and prefilter != "none":
+        # the prefilter tiers are probe-shape only: fused's single
+        # co-partitioned exchange has no pre-shuffle explode to prune,
+        # so silently degrading to 'none' would misreport the regime
+        raise ValueError("impl='fused' supports prefilter='none' only")
+    # previous call's cached tail goes now (see _SPAN_TAIL_CACHE) —
+    # unconditionally, so a fused call cannot leak a prior probe
+    # call's persisted tail across the session
+    release_span_tail_cache()
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     _, hs, _, fps = _winnow_fps(k, w)
     span = w + k - 1  # tokens covered by one window: pos .. pos+span-1
@@ -653,8 +666,6 @@ def remove_repeated_spans(
             .agg(F.collect_set("pos").alias("_hits"))
         )
     else:  # "probe": the r7 two-pass shape
-        # previous call's cached tail goes now (see _SPAN_TAIL_CACHE)
-        release_span_tail_cache()
         # shared-fp set: per-doc dedup happens IN-ROW (array_distinct)
         # before the explode, so the only corpus-sized shuffle is this
         # one map-side-combinable count — not a (doc, fp) DISTINCT
@@ -678,33 +689,26 @@ def remove_repeated_spans(
             # (fp, count) agg at a mixed decade is dominated by the
             # UNSHARED per-doc-unique fps and caching it is the large
             # on-heap tail the r8 GC-thrash lesson warns about.
-            # n_shared/w_shared come from the cached tail; total
-            # occurrences are estimated from the deterministic per-doc
-            # window count (tokens − k − w + 2: a pure token-count
-            # scan, no interpreted winnow HOFs — so auto adds only a
-            # cheap pass over manual).
-            shared_c = fp_counts.filter(F.col("_nd") >= min_docs).persist(
-                StorageLevel.MEMORY_AND_DISK
+            # n_shared/w_shared come from the cached tail; the
+            # denominator is the SAME distinct-(doc, fp) basis,
+            # captured by an Observation on the pre-filter agg in the
+            # SAME job that materializes the tail — zero extra corpus
+            # passes, and no mixed-basis bias (a raw-position
+            # denominator counts within-doc repeats the numerator
+            # deduped, inflating `prunable` near the 0.3 threshold on
+            # repetition-heavy corpora).
+            obs = Observation()
+            shared_c = (
+                fp_counts.observe(obs, F.sum("_nd").alias("w_all"))
+                .filter(F.col("_nd") >= min_docs)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             _SPAN_TAIL_CACHE.append(shared_c)
             st = shared_c.agg(
                 F.count(F.lit(1)).alias("n_shared"),
                 F.sum("_nd").alias("w_shared"),
             ).first()
-            w_all = df.select(
-                F.sum(
-                    F.greatest(
-                        F.lit(0),
-                        F.size(
-                            F.filter(
-                                F.split(F.col(text_col), r"\s+"),
-                                lambda t: t != "",
-                            )
-                        )
-                        - F.lit(k + w - 2),
-                    )
-                )
-            ).first()[0]
+            w_all = obs.get["w_all"]
             prunable = 1.0 - float(st.w_shared or 0) / float(w_all or 1)
             prefilter = (
                 "bloom"

@@ -97,11 +97,14 @@ def akslack_batch(
     )
     w_key = Window.partitionBy(key)
     w_rank = Window.partitionBy(key).orderBy("late_us", "_arr")
-    idx = ((F.lit(q_pct) * F.count(F.lit(1)).over(w_key) + 99) / 100).cast(
-        "long"
-    )
-    d = d.withColumn("_rnk", F.row_number().over(w_rank)).withColumn(
-        "_idx", idx
+    # integer DIV, not float-divide-then-floor: the _quantile_idx
+    # contract ("never float") must hold in all three engines, and a
+    # floor-of-double only coincides with integer division while the
+    # product stays exactly representable
+    d = (
+        d.withColumn("_rnk", F.row_number().over(w_rank))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_key))
+        .withColumn("_idx", F.expr(f"({q_pct} * _cnt + 99) div 100"))
     )
     slack = F.max(
         F.when(F.col("_rnk") == F.col("_idx"), F.col("late_us"))

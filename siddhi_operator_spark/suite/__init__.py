@@ -136,7 +136,7 @@ _R3_MODULES: tuple[str, ...] = ()
 # the stale/never-checked groups.
 #
 # Round-9 rotation, pre-staged: lead with any r8 reds, then every row
-# added in round 9 (never-checked — ALL ten r8 additions made this
+# added in round 9 (never-checked — ALL twelve r8 additions made this
 # window, so r9 starts with zero never-checked backlog), then any rows
 # whose code changes in r9, then the TWELVE r4 fillers this window
 # displaced (window_expired_events, join_stream_table,

@@ -768,14 +768,19 @@ def _ivfpq_index_path(sf: str) -> str:
     """Deterministic per-fixture index location (ADVICE r8): a fresh
     tempfile.mkdtemp per invocation wrote the full three-table index
     on EVERY call — including plan-only inspections — and never
-    cleaned up. Keying the path on (sf dir, embeddings mtime) makes
-    repeat invocations reuse one layout and regenerated fixtures
-    invalidate it; `_READY` gates the skip the way the bench scratch
-    dirs do."""
+    cleaned up. Keying the path on (sf dir, embeddings mtime_ns,
+    writer-module hash) makes repeat invocations reuse one layout
+    while regenerated fixtures OR any code change to the writer
+    (`pipeline/similarity.py`) invalidate it — without the code token
+    a `_READY`-gated layout written by an older writer could green the
+    index/append oracle rows against stale artifacts (ADVICE r9);
+    `_READY` gates the skip the way the bench scratch dirs do."""
     src = f"{sf.rstrip('/')}/embeddings.parquet"
-    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    mtime = os.stat(src).st_mtime_ns if os.path.exists(src) else 0
+    with open(S.__file__, "rb") as fh:
+        code_tok = hashlib.md5(fh.read()).hexdigest()[:8]
     key = hashlib.md5(
-        f"{os.path.abspath(sf)}:{mtime}".encode()
+        f"{os.path.abspath(sf)}:{mtime}:{code_tok}".encode()
     ).hexdigest()[:12]
     path = f"/tmp/spark_graft_idx/ivfpq_{key}"
     os.makedirs(path, exist_ok=True)

@@ -30,7 +30,9 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     return load_events_stream(spark, sf)
 
 
-def _materialize(stream: DataFrame, mode: str) -> str:
+def _materialize(
+    stream: DataFrame, mode: str, expect_single_batch: bool = False
+) -> str:
     name = f"mq_{uuid.uuid4().hex[:10]}"
     q = (
         stream.writeStream.format("memory")
@@ -39,6 +41,18 @@ def _materialize(stream: DataFrame, mode: str) -> str:
         .start()
     )
     q.processAllAvailable()
+    if expect_single_batch:
+        # rows whose relational oracle is only valid for a one-trigger
+        # replay (e.g. akslack's per-batch quantile re-derivation)
+        # must FAIL LOUDLY if the fixture ever splits into multiple
+        # triggers (ADVICE r9) — a maxFilesPerTrigger option or a
+        # multi-part fixture would otherwise make a correct
+        # implementation gate red with no hint why
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(fed) <= 1, (
+            f"oracle assumes a single-trigger replay; stream fed "
+            f"{len(fed)} non-empty micro-batches"
+        )
     q.stop()
     return name
 
@@ -1146,7 +1160,7 @@ def streaming_reorder_akslack(spark: SparkSession, sf: str) -> DataFrame:
         "late_us",
         "slack_us",
     )
-    name = _materialize(out, "append")
+    name = _materialize(out, "append", expect_single_batch=True)
     return spark.table(name)
 
 

@@ -792,7 +792,40 @@ def test_remove_repeated_spans_bloom_prefilter_equivalent(spark):
     assert base == auto
     # the persisted decision aggregation is registered for release
     assert len(C._SPAN_TAIL_CACHE) == 1
+    # observability: auto recorded its pick and a same-basis prunable
+    # fraction (distinct-(doc,fp) on BOTH sides — r9 ADVICE)
+    picked, n_shared, prunable = C.LAST_SPAN_PREFILTER
+    assert picked in ("none", "bloom") and n_shared >= 0
+    assert 0.0 <= prunable <= 1.0
     C.release_span_tail_cache()
+    assert not C._SPAN_TAIL_CACHE
+
+
+def test_remove_repeated_spans_prefilter_validation(spark):
+    """Unknown prefilter strings and prefilter-with-fused are rejected
+    at entry (r9 ADVICE: 'auto'+fused used to silently degrade to
+    'none' and leak the previous call's persisted tail)."""
+    import pytest
+
+    from siddhi_operator_spark.pipeline import curation as C
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="prefilter"):
+        C.remove_repeated_spans(df, prefilter="blomm")
+    with pytest.raises(ValueError, match="fused"):
+        C.remove_repeated_spans(df, impl="fused", prefilter="auto")
+    # a fused call releases any previously persisted tail
+    C.remove_repeated_spans(
+        spark.createDataFrame(
+            [(1, "x y z w x y z w"), (2, "x y z w q r s t")],
+            "doc_id long, text string",
+        ),
+        prefilter="bloom",
+    ).collect()
+    assert len(C._SPAN_TAIL_CACHE) == 1
+    C.remove_repeated_spans(df, impl="fused").collect()
     assert not C._SPAN_TAIL_CACHE
 
 
