@@ -2280,6 +2280,97 @@ def _route_streaming_length(
     return out.select(*cols)
 
 
+def _route_streaming_expression(
+    env: dict, model: AppModel, q, inp, ts_col: str, id_col: str
+) -> DataFrame:
+    """QL `#window.expression('sum(col) <= L')` in streaming mode →
+    the retain-while state op (`streaming.windows.expression_window`),
+    or its coarse-bucket layout when the app carries
+    `@app:stateBuckets` (r9 verdict ask #5 — the 6.1×-measured
+    `expression_window_bucketed` tier was library-only; a ported app
+    now opts in with one annotation). Supported select shape mirrors
+    the length-window route: the group key, event_id/ts/budget-column
+    passthroughs, count() and sum(<budget col>) — the canonical Siddhi
+    expression-window query. Budgets are cent-scaled exactly like the
+    batch runner's `expression_sliding` translation, so all three
+    engines share the integer membership test."""
+    from ..streaming.windows import (
+        expression_window,
+        expression_window_bucketed,
+    )
+
+    keys = q.group_by or []
+    if len(keys) != 1:
+        raise ValueError(
+            "streaming #window.expression needs exactly one `group by` "
+            "key (the reference's per-key retain-while window); use "
+            "streaming.windows.expression_window directly for other "
+            "shapes"
+        )
+    key = keys[0]
+    retain = inp.window.args[0].strip("'\" ")
+    m = re.match(r"sum\((\w+)\)\s*<=\s*([\d.]+)\s*$", retain)
+    if not m:
+        raise ValueError(
+            "expression windows support the canonical retain form "
+            f"sum(col) <= limit, got {retain!r}"
+        )
+    value_col, limit = m.group(1), float(m.group(2))
+    src = env[inp.stream]
+    if inp.filter_expr:
+        src = src.filter(F.expr(inp.filter_expr))
+    passthrough = {id_col: "event_id", ts_col: "ts", value_col: "value"}
+    plan = []  # (state-op output column, alias)
+    for i, it in enumerate(q.select):
+        expr = it.expr.strip()
+        alias = _auto_alias(it, i)
+        m_agg = re.fullmatch(
+            r"(count)\(\*?\)|(sum)\(\s*(\w+)\s*\)", expr, re.I
+        )
+        if expr == key:
+            plan.append(("key", alias))
+        elif expr in passthrough:
+            plan.append((passthrough[expr], alias))
+        elif m_agg:
+            if m_agg.group(1):
+                plan.append(("win_n", alias))
+            else:
+                if m_agg.group(3) != value_col:
+                    raise ValueError(
+                        "streaming #window.expression aggregates the "
+                        f"retain budget column {value_col!r}, got "
+                        f"sum({m_agg.group(3)!r})"
+                    )
+                plan.append(("win_sum", alias))
+        else:
+            raise ValueError(
+                f"streaming #window.expression select supports the key, "
+                f"event_id/ts/{value_col}, count()/sum({value_col}) — got "
+                f"{expr!r}; use streaming.windows.expression_window "
+                "directly"
+            )
+    limit_scaled = int(round(limit * 100))
+    buckets = _state_buckets(model)
+    if buckets is not None:
+        out = expression_window_bucketed(
+            src, limit_scaled, key=key, n_buckets=buckets, ts=ts_col,
+            id_col=id_col, value_col=value_col,
+        )
+    else:
+        out = expression_window(
+            src, limit_scaled, key=key, ts=ts_col, id_col=id_col,
+            value_col=value_col,
+        )
+    key_type = src.schema[key].dataType
+    cols = []
+    for src_col, alias in plan:
+        c = F.col(src_col)
+        if src_col == "key":
+            c = c.cast(key_type)
+        cols.append(c.alias(alias))
+    return out.select(*cols)
+
+
 def run_app_streaming(
     app: str | AppModel,
     sources: dict[str, DataFrame] | None = None,
@@ -2425,6 +2516,16 @@ def run_app_streaming(
             # ONE value column, so the QL mapping is the canonical
             # select shape: key + count()/sum(x)/avg(x).
             df = _route_streaming_length(env, model, q, inp, ts_col, id_col)
+            _emit(q, df)
+            continue
+        if inp.window is not None and inp.window.kind == "expression":
+            # `#window.expression('sum(x) <= L')`: the dynamic
+            # retain-while window has a dedicated per-key state op and
+            # a bucketed layout (`@app:stateBuckets`) — same routing
+            # contract as the length window above
+            df = _route_streaming_expression(
+                env, model, q, inp, ts_col, id_col
+            )
             _emit(q, df)
             continue
         if inp.window is not None and inp.window.kind not in (

@@ -28,94 +28,107 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 9.  The per-round correctness gate
+# Driver-window rotation, round 10.  The per-round correctness gate
 # records only the FIRST 50 registry entries in registration order.
-# This window executes the r8-pre-staged plan: (1) r8 reds — there
-# were none; (2) every row ADDED in round 9 (never-checked): the
-# akslack reorder row, the QL bucketed-length row, and the IVFADC
-# incremental pair (append + streaming ingest); (3) rows whose
-# EXECUTED PLAN changed in round 9 — the two span-removal rows (the
-# persisted-tail release + fp_counts refactor sits under both) and
-# the ivfpq index row (deterministic reused layout) — green last
-# round, but the code under them is new, so they re-prove.
-# (mips_ann_recall and corpus_shuffle_order also saw module edits,
-# but their rows pin EXPLICIT geometry / gained only an input
-# assert — plans untouched, so they hold their r8 green.)
-# (4) the TWELVE r4 fillers the r8 window displaced (the oldest
-# ledger tail); (5) the balance of the r4-stale backlog in registry
-# order — 43 of the 44 r4 rows fit; `ml_perceptron_online` is the
-# one row left at r4 (re-verified locally this session, leads the
-# r10 plan below).  After this window: never-checked = 0, r4-stale
-# = 1, max staleness ≤ 5 (the single perceptron row).
+# This window executes the r9-pre-staged plan exactly: (1) r9 reds —
+# there were none; (2) `ml_perceptron_online`, the single r4-stale
+# row (5 rounds; independently re-verified green in r9); (3) every
+# row ADDED in round 10 (never-checked): the streaming IVFADC
+# serving-loop row (foreachBatch append + probe-after-ingest) and
+# the two QL stateBuckets rows (bucketed CEP pattern, bucketed
+# expression window — `_route_streaming_expression` is new surface);
+# (4) rows whose EXECUTED PLAN changed in round 10: the two
+# span-removal rows (prefilter validation + the Observation-based
+# same-basis auto decision sit under both), the ivfpq index + append
+# rows (code-versioned cache key re-proves a fresh layout), the
+# akslack row (integer-DIV quantile + the single-batch assert), and
+# the ivfpq ingest row (_materialize signature change); (5) the
+# r5-stale backlog in registry order — 40 of the 50 rows last
+# checked r5 fit (filter_project … siddhiql_table_upsert); the ten
+# displaced (siddhiql_partition_range, siddhiql_join_aggregation,
+# siddhiql_count_quantifier, siddhiql_absence_pattern,
+# siddhiql_logical_and_pattern, siddhiql_file_source,
+# siddhiql_logical_or_pattern, source_file_csv_mapper,
+# source_kafka_json_value, source_cdc_debezium) stay at staleness 5
+# and lead the r11 plan below.  After this window: never-checked =
+# 0, r5-stale = 10, max staleness = 5.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (2) new in r9 — never checked
-    "streaming_reorder_akslack",  # adaptive K-slack, md5-jittered replay
-    "siddhiql_bucketed_length_window",  # @app:stateBuckets via QL text
-    "similarity_ivfpq_append",  # frozen-quantizer incremental index
-    "streaming_ivfpq_ingest",  # cell-assign + PQ-encode on ingest
-    # (3) executed plan changed in r9
-    "text_remove_repeated_spans",  # fp_counts refactor under the probe
-    "text_remove_spans_bloom",  # persisted-tail release + cache registry
-    "similarity_ivfpq_index",  # deterministic reused index layout
-    # (4) the twelve r4 fillers displaced by r8's additions
-    "window_expired_events",
-    "join_stream_table",
-    "join_windowed_self",
-    "join_asof",
-    "join_unidirectional",
-    "ratelimit_first",
-    "ratelimit_last",
-    "window_cron",
-    "window_delay",
-    "window_timelength",
-    "window_sort_topk",
-    "window_sliding_time",
-    # (5) balance of the r4-stale backlog, registry order
-    "window_externaltimebatch",
-    "window_frequent",
-    "window_unique_last",
-    "window_lossy_frequent",
-    "window_expression_batch",
-    "window_unique_first",
-    "window_extrema_by_time",
-    "window_expression",
-    "window_unique_timebatch",
-    "window_unique_dedup",
-    "window_extrema_by_length",
-    "join_outer_stream_table",
-    "join_theta_residual",
-    "join_stream_aggregation",
-    "join_range_interval",
-    "agg_ts_regress_forecast",
-    "ratelimit_snapshot",
-    "incr_agg_day_retrieval",
-    "multimodal_features",
-    "streaming_timebatch",
-    "streaming_cep_followed_by",
-    "streaming_length_window",
-    "streaming_session_window",
-    "streaming_cep_absence",
-    "streaming_cep_count_quantifier",
-    "streaming_cep_logical_and",
-    "streaming_join_windowed",
-    "pattern_optional_step",
-    "siddhiql_trigger",
-    "table_cdc_feed",
-    "ml_kmeans",
+    # (2) the single r4 row — oldest in the ledger
+    "ml_perceptron_online",
+    # (3) new in r10 — never checked
+    "similarity_ivfpq_stream_serve",  # foreachBatch serving loop
+    "siddhiql_bucketed_pattern",  # @app:stateBuckets -> bucketed NFA
+    "siddhiql_bucketed_expression_window",  # new QL routing surface
+    # (4) executed plan changed in r10
+    "text_remove_repeated_spans",  # prefilter validation + observe
+    "text_remove_spans_bloom",  # unconditional tail release
+    "similarity_ivfpq_index",  # code-versioned layout cache key
+    "similarity_ivfpq_append",  # same (fresh layout re-proves)
+    "streaming_reorder_akslack",  # integer-DIV quantile + batch assert
+    "streaming_ivfpq_ingest",  # _materialize signature change
+    # (5) r5-stale backlog, registry order (40 of 50)
+    "filter_project",
+    "named_window_fanout",
+    "agg_basic",
+    "agg_forever_extrema",
+    "agg_unionset",
+    "agg_bool",
+    "agg_having_orderby_limit",
+    "agg_multikey",
+    "agg_rollup_cube",
+    "tpch_q1",
+    "agg_group_concat",
+    "tpch_q6",
+    "tpch_q3",
+    "tpch_q5",
+    "agg_udaf_custom",
+    "pattern_followed_by",
+    "pattern_absence",
+    "pattern_sequence_adjacent",
+    "pattern_count_quantifier",
+    "pattern_logical_and",
+    "pattern_absence_logical",
+    "pattern_logical_or",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "similarity_bruteforce",
+    "similarity_knn_graph",
+    "similarity_lsh",
+    "similarity_ivf",
+    "text_chunk_dedup_ratio",
+    "corpus_token_budget",
+    "siddhiql_filter",
+    "siddhiql_timebatch_agg",
+    "siddhiql_pattern",
+    "siddhiql_join",
+    "siddhiql_partition",
+    "siddhiql_sequence",
+    "siddhiql_output_rate_last",
+    "siddhiql_named_window",
+    "siddhiql_define_aggregation",
+    "siddhiql_table_upsert",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-10 rotation, pre-staged: lead with any r9 reds, then
-# `ml_perceptron_online` (the single remaining r4 row — locally green
-# this session), then every row added in round 10 (never-checked),
-# then rows whose code changes in r10, then the r5-stale backlog in
-# registry order (50 rows last checked r5: the agg family, the batch
-# pattern family, the siddhiql core rows, the similarity ivf/lsh/knn
-# trio, tpch q1/q3/q5/q6, dedup_minhash_lsh — they become the oldest
-# tail at 5 rounds stale in r10), with the balance of 50.  New
-# registry rows displace the NEWEST-checked tail entries, never the
-# stale/never-checked groups.
+# Round-11 rotation, pre-staged: lead with any r10 reds, then the TEN
+# r5-stale rows this window displaced (siddhiql_partition_range,
+# siddhiql_join_aggregation, siddhiql_count_quantifier,
+# siddhiql_absence_pattern, siddhiql_logical_and_pattern,
+# siddhiql_file_source, siddhiql_logical_or_pattern,
+# source_file_csv_mapper, source_kafka_json_value,
+# source_cdc_debezium — they become the oldest ledger tail at 6
+# rounds stale in r11), then every row added in round 11
+# (never-checked), then rows whose code changes in r11, then the
+# r6-stale backlog in registry order (48 rows last checked r6) with
+# the balance of 50.  New registry rows displace the NEWEST-checked
+# tail entries, never the stale/never-checked groups.
+#
+# (Archive) Round-10 rotation as pre-staged in r9: lead with any r9
+# reds, then `ml_perceptron_online` (the single remaining r4 row),
+# then every row added in round 10 (never-checked), then rows whose
+# code changed in r10, then the r5-stale backlog in registry order
+# with the balance of 50 — EXECUTED EXACTLY by the window above.
 
 # Round-8 rotation, pre-staged: lead with any r7 reds (there were
 # none), then the FIVE never-driver-checked r7 tail rows (tpch_q8,

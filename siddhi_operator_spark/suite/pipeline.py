@@ -849,6 +849,65 @@ def similarity_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_stream_serve",
+    oracle=f"""
+    WITH {_IVFPQ_CAND_CTES}
+    SELECT query_id, neighbor_id, approx_dot, rank FROM ivfpq
+    """,
+    tags=("pipeline", "similarity", "pq", "index", "incremental",
+          "streaming"),
+)
+def similarity_ivfpq_stream_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVFADC serving loop END-TO-END (r9 verdict ask #4): the
+    index is built from the first 40 vectors, the rest of the corpus
+    arrives as a Structured Streaming file source throttled to one
+    file per trigger, and `streaming.similarity.ivfpq_ingest_sink`
+    foreachBatch-appends each micro-batch's frozen-quantizer code rows
+    into the cell partitions — then `ivfpq_index_topk` probes the
+    layout the stream maintained. The result must be bit-identical to
+    the full-rebuild oracle (same SQL as `similarity_ivfpq`): the
+    freshness contract a 100 TB vector-serving deployment actually
+    needs — ingest work per trigger is batch-sized, and a probe at any
+    point serves everything ingested so far with no re-index job. The
+    row asserts the ingest really spanned ≥2 micro-batches (a single
+    trigger would only re-prove `similarity_ivfpq_append`)."""
+    from ..catalog import SCHEMAS
+    from ..streaming.similarity import ivfpq_ingest_sink
+
+    emb = load(spark, sf, "embeddings")
+    path = _ivfpq_index_path(sf) + "_serve"
+    if not os.path.exists(f"{path}/_READY"):
+        S.ivfpq_index_write(
+            emb.filter(F.col("vec_id") < 40), path,
+            n_cells=8, dims=64, m=8, n_codes=16,
+        )
+        staging = f"{path}/_staging"
+        (
+            emb.filter(F.col("vec_id") >= 40)
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        s = (
+            spark.readStream.schema(SCHEMAS["embeddings"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        q = ivfpq_ingest_sink(s, path, checkpoint=f"{path}/_ckpt")
+        q.processAllAvailable()
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        q.stop()
+        assert len(fed) >= 2, (
+            f"serving-loop row needs a multi-batch ingest, got {len(fed)}"
+        )
+        with open(f"{path}/_READY", "w") as fh:
+            fh.write("ok")
+    return S.ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=3
+    )
+
+
+@register(
     "similarity_ivfpq_recall",
     oracle=f"""
     WITH {_IVFPQ_CAND_CTES}, exact AS (

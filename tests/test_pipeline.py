@@ -1211,3 +1211,46 @@ def test_ivfpq_index_append_equals_rebuild(spark, tmp_path):
     n = emb.count()
     assert codes.count() == n * 8
     assert codes.select("vid").distinct().count() == n
+
+
+def test_ivfpq_stream_ingest_equals_rebuild(spark, tmp_path):
+    """`streaming.similarity.ivfpq_ingest_sink` drives
+    `ivfpq_index_append` from a throttled file stream — probing the
+    stream-maintained layout must be BIT-identical to a full rebuild
+    over the union corpus, and the ingest must genuinely span several
+    micro-batches (freshness across triggers, not one big append)."""
+    from siddhi_operator_spark.catalog import SCHEMAS, load
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.streaming.similarity import ivfpq_ingest_sink
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    full = str(tmp_path / "full")
+    live = str(tmp_path / "live")
+    S.ivfpq_index_write(emb, full, n_cells=8, dims=64, m=8, n_codes=16)
+    S.ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 30), live,
+        n_cells=8, dims=64, m=8, n_codes=16,
+    )
+    staging = str(tmp_path / "staging")
+    (
+        emb.filter(F.col("vec_id") >= 30)
+        .repartition(3)
+        .write.parquet(staging)
+    )
+    s = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    sq = ivfpq_ingest_sink(s, live, checkpoint=str(tmp_path / "ckpt"))
+    sq.processAllAvailable()
+    fed = [p for p in sq.recentProgress if p["numInputRows"] > 0]
+    sq.stop()
+    assert len(fed) >= 2
+    a = sorted(map(tuple, S.ivfpq_index_topk(spark, full, q, 2, 3).collect()))
+    b = sorted(map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect()))
+    assert a == b and a
+    codes = spark.read.parquet(f"{live}/codes")
+    n = emb.count()
+    assert codes.count() == n * 8

@@ -1155,3 +1155,54 @@ def test_state_buckets_annotation_routes_length_window(spark, events_df):
         )
     assert results["per_key"] == results["bucketed"]
     assert results["per_key"]
+
+
+def test_state_buckets_annotation_routes_expression_window(spark, events_df):
+    """`@app:stateBuckets('5')` opts QL `#window.expression` queries
+    into the coarse-bucket retain-while layout (streaming.windows.
+    expression_window_bucketed) through the front end — identical
+    rows to the per-key default, routing pinned by the state key in
+    the plan (bucketed = __bucket, per-key = __key)."""
+    import tempfile
+    import uuid
+
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    base = """
+    define stream E (event_id long, ts string, user_id long, event_type string, value double);
+    from E#window.expression('sum(value) <= 120')
+    select user_id, event_id, count() as win_n, sum(value) as win_sum
+    group by user_id
+    having win_n > 0
+    insert into O;
+    """
+    results = {}
+    for variant, app in (
+        ("per_key", base),
+        ("bucketed", "@app:stateBuckets('5')\n" + base),
+    ):
+        d = tempfile.mkdtemp(prefix="replay_eb_")
+        SRC.replay_dir(events_df, d, "ts", 2)
+        s = SRC.file_stream(spark, d, events_df.schema, max_files_per_trigger=1)
+        outs = run_app_streaming(app, {"E": s})
+        plan = outs["O"]._jdf.queryExecution().analyzed().toString()
+        if variant == "bucketed":
+            assert "__bucket" in plan
+        else:
+            assert "__bucket" not in plan
+        name = f"eb_{uuid.uuid4().hex[:8]}"
+        q = (
+            outs["O"].writeStream.format("memory")
+            .queryName(name).outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[variant] = sorted(
+            (r.user_id, r.event_id, r.win_n, round(r.win_sum, 6))
+            for r in spark.table(name).collect()
+        )
+    assert results["per_key"] == results["bucketed"]
+    assert results["per_key"]
