@@ -20,7 +20,10 @@ DataFrame — Spark's fixed per-action scheduling cost on this box) and
 "floor_bound" (queries finishing under 4x that floor). A floor-bound
 query's ratio measures job-launch overhead, not plan quality — at
 sf0.1 that is most of the suite, which is exactly why SCALEBENCH runs
-x100/x1000; read floor-bound rows there, not here.
+x100/x1000; read floor-bound rows there, not here. Since round 10
+"ratio_informative" carries ONLY the ratios of rows >= 4x the floor —
+the one dict the per-round perf gate (and weak-set adjudication)
+reads, so floor-bound rows never need re-arguing.
 
 Query set mirrors BASELINE.md §2 (the locally-measurable baseline):
 filter+project, tumbling agg, stream-table join, windowed self-join,
@@ -276,6 +279,17 @@ def main() -> None:
         dtot = sum(duck.values())
         if dtot > 0:
             out["ratio_total"] = round(sum(results.values()) / dtot, 3)
+        # the adjudicated per-query gate (r9 verdict ask #6): ratios
+        # ONLY for rows whose absolute is >= 4x the job floor — the
+        # floor-bound rows' "ratios" measure Spark's multi-stage
+        # scheduling minimum on sub-second queries, not plan quality,
+        # and re-arguing them each round was manual work this field
+        # retires. Weak-set membership reads off this dict directly.
+        out["ratio_informative"] = {
+            n: out["ratio"][n]
+            for n in out["ratio"]
+            if results[n] > 4 * job_floor
+        }
     print(json.dumps(out))
 
 
