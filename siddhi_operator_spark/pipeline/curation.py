@@ -596,10 +596,17 @@ def remove_repeated_spans(
     ``prefilter="auto"`` computes the regime decision from the data:
     ONE persisted pass over the (fp, n_docs) aggregation yields the
     shared-tail cardinality (vs AQE's 10 MB broadcast threshold) and
-    the prunable-occurrence fraction (vs the saturation wash), and the
-    call picks bloom exactly in the regime the r8 measurements carved
-    out (tail past broadcast AND ≥30 % of window occurrences
-    prunable). Output is bit-identical across all three prefilter
+    the prunable fraction (distinct-(doc, fp) basis on BOTH sides, via
+    an Observation on the same job — vs the saturation wash), and the
+    call picks bloom exactly in the regime the measurements carved
+    out: tail past broadcast AND ≥30 % of distinct pairs prunable AND
+    a ≤16 MB bloom can hold the tail at ~8 bits/key (the r10 mixed
+    ×1000 legs found a 19.8 M-fp tail saturating the fixed 2^24 bloom
+    to ~96 % FP — auto now derives ``bits_log2`` from the measured
+    tail, floor 24 cap 27, and refuses the tier past 2^27/8 keys;
+    SCALEBENCH r10). Measured at mixed ×1000: auto picked `none`
+    (prunable 0.168) at [278.6, 299.2] s and BEAT both manual legs —
+    the persisted decision tail doubles as the probe's cached input. Output is bit-identical across all three prefilter
     modes (pinned by test). The persisted aggregation is released on
     the NEXT call (or via :func:`release_span_tail_cache`).
 
@@ -675,6 +682,7 @@ def remove_repeated_spans(
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("_nd"))
         )
+        bloom_bits = 24  # manual-bloom default; auto derives from the tail
         if prefilter == "auto":
             # regime auto-pick (r8 verdict ask). Decision variables:
             # (a) the shared tail's size vs AQE's 10 MB broadcast
@@ -710,11 +718,30 @@ def remove_repeated_spans(
             ).first()
             w_all = obs.get["w_all"]
             prunable = 1.0 - float(st.w_shared or 0) / float(w_all or 1)
+            # three measured conditions, not two (r10: the mixed-decade
+            # legs found a third failure mode — a 19.8 M-fp tail
+            # saturates ANY fixed-size bloom; ~8 bits/key is the FP≈2 %
+            # regime, so past 2^27/8 keys there is no sane size inside
+            # a bounded broadcast and the tier is refused):
+            #   (a) tail past AQE's broadcast threshold (else pruning
+            #       is free anyway), (b) ≥30 % of distinct (doc, fp)
+            #       pairs prunable (else saturation wash), (c) a
+            #       ≤16 MB bloom can hold the tail at ~8 bits/key.
             prefilter = (
                 "bloom"
-                if st.n_shared * 40 > 10 * 1024 * 1024 and prunable >= 0.3
+                if st.n_shared * 40 > 10 * 1024 * 1024
+                and prunable >= 0.3
+                and st.n_shared * 8 <= 2**27
                 else "none"
             )
+            if prefilter == "bloom":
+                # derive the bloom size from the MEASURED tail (the
+                # mips_ann_bits / ivf n_cells discipline: geometry
+                # scales with the corpus, never a fixed constant that
+                # silently saturates): ~8 bits per key, floor 2^24.
+                bloom_bits = min(
+                    27, max(24, (int(st.n_shared) * 8 - 1).bit_length())
+                )
             # observability: tests and the scale tools read back what
             # auto decided (module-level, like LAST_* in the ml ops)
             global LAST_SPAN_PREFILTER
@@ -760,11 +787,11 @@ def remove_repeated_spans(
                 shared = shared.persist(StorageLevel.MEMORY_AND_DISK)
                 _SPAN_TAIL_CACHE.append(shared)
             bloom = bloom_build(
-                shared, "fp", k=4, hash_fn="xxhash64", bits_log2=24
+                shared, "fp", k=4, hash_fn="xxhash64", bits_log2=bloom_bits
             )
             probe_in = bloom_probe(
                 pos_fp, bloom, "fp", keys=("doc_id", "pos"), k=4,
-                hash_fn="xxhash64", bits_log2=24,
+                hash_fn="xxhash64", bits_log2=bloom_bits,
             )
         hit_pos = (
             probe_in.join(shared, "fp", "left_semi")

@@ -202,3 +202,133 @@ def akslack(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_AKSLACK_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("run_max_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def akslack_bucketed(
+    stream: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    q_pct: int = 90,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """`reorder:akslack` on the COARSE-bucket state layout — identical
+    output to :func:`akslack` (pinned by test), state keyed by
+    hash(key) % ``n_buckets`` so one python call handles every key in
+    a bucket per micro-batch. Shipped from the r10 ×100 measurement:
+    the per-key op processed 10 M events / 150 k keys at
+    0.417 M events/s with the per-(key × batch) call constant
+    dominating (150 k group calls for 24 s of wall; the Catalyst batch
+    twin does the same work in 2.25 s) — the same regime where the
+    bucketed length window measured 6–8× and the bucketed NFA 7.8×.
+
+    The bucket body is fully vectorized except two O(#keys-in-bucket)
+    segment loops (running max and quantile pick — each segment is one
+    key's batch slice, contiguous after the sort): per-event work
+    stays numpy, per-key work is a python-level constant ~300× rarer
+    than per-event. State per key is still ONE long, stored as
+    parallel (keys, run_max) arrays sorted by key."""
+
+    def proc(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            x = state.get
+            st_keys = np.asarray(x[0], dtype=str)
+            st_max = np.asarray(x[1], dtype="int64")
+        else:
+            st_keys = np.empty(0, dtype=str)
+            st_max = np.empty(0, dtype="int64")
+        chunks = [p for p in pdfs if len(p)]
+        outs = []
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
+            # whole-batch view per key: sort by (key, arrival) — the
+            # same contract as the per-key op's sort_values(id_col)
+            pdf = pdf.sort_values(["__sem_key", id_col], kind="stable")
+            b_keys = pdf["__sem_key"].to_numpy(dtype=str)
+            ts_us = (
+                pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            n = len(b_keys)
+            change = np.concatenate([[True], b_keys[1:] != b_keys[:-1]])
+            seg_starts = np.nonzero(change)[0]
+            seg_ends = np.concatenate([seg_starts[1:], [n]])
+            # carried running max for each segment's key (sorted-state
+            # binary search; absent keys get int64 min)
+            if len(st_keys):
+                pos = np.searchsorted(st_keys, b_keys[seg_starts])
+                pos = np.clip(pos, 0, len(st_keys) - 1)
+                hit = st_keys[pos] == b_keys[seg_starts]
+                carried = np.where(hit, st_max[pos], np.int64(-(2**62)))
+            else:
+                carried = np.full(len(seg_starts), -(2**62), dtype="int64")
+            cm = np.empty(n, dtype="int64")
+            late = np.empty(n, dtype="int64")
+            keep = np.zeros(n, dtype=bool)
+            slack_out = np.empty(n, dtype="int64")
+            new_max = np.empty(len(seg_starts), dtype="int64")
+            for si in range(len(seg_starts)):
+                s, e = seg_starts[si], seg_ends[si]
+                seg_cm = np.maximum.accumulate(ts_us[s:e])
+                if carried[si] != -(2**62):
+                    seg_cm = np.maximum(seg_cm, carried[si])
+                cm[s:e] = seg_cm
+                seg_late = seg_cm - ts_us[s:e]
+                late[s:e] = seg_late
+                idx = (q_pct * (e - s) + 99) // 100
+                slack = int(np.sort(seg_late, kind="stable")[idx - 1])
+                slack_out[s:e] = slack
+                keep[s:e] = seg_late <= slack
+                new_max[si] = int(seg_cm[-1])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": b_keys[keep],
+                        "event_id": pdf[id_col].to_numpy()[keep],
+                        "ts": pdf[ts].to_numpy()[keep],
+                        "late_us": late[keep],
+                        "slack_us": slack_out[keep],
+                    }
+                )
+            )
+            # merge the batch's per-key maxima into the sorted state
+            seg_key_arr = b_keys[seg_starts]
+            if len(st_keys):
+                merged = {k: int(v) for k, v in zip(st_keys, st_max)}
+            else:
+                merged = {}
+            merged.update(
+                {k: int(v) for k, v in zip(seg_key_arr, new_max)}
+            )
+            ks = sorted(merged)
+            st_keys = np.asarray(ks, dtype=str)
+            st_max = np.asarray([merged[k] for k in ks], dtype="int64")
+        state.update(
+            ([str(k) for k in st_keys], [int(v) for v in st_max])
+        )
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=[f.name for f in _AKSLACK_OUT.fields])
+        )
+
+    projected = stream.withColumn(
+        "__sem_key", F.col(key).cast("string")
+    ).withColumn("__bucket", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+    return projected.groupBy("__bucket").applyInPandasWithState(
+        proc,
+        _AKSLACK_OUT,
+        _AKSLACK_BUCKET_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

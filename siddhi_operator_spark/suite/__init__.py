@@ -66,7 +66,13 @@ _FRONT_NAMES = (
     "similarity_ivfpq_index",  # code-versioned layout cache key
     "similarity_ivfpq_append",  # same (fresh layout re-proves)
     "streaming_reorder_akslack",  # integer-DIV quantile + batch assert
-    "streaming_ivfpq_ingest",  # _materialize signature change
+    # (3b) added mid-round from the ask-#8 measurement: the bucketed
+    # akslack row displaces `streaming_ivfpq_ingest` per the
+    # displacement rule (newest-checked tier; its only r10 delta is a
+    # default-arg added to _materialize, which five other in-window
+    # streaming rows exercise — including both akslack rows, which
+    # pass expect_single_batch explicitly)
+    "streaming_reorder_akslack_bucketed",
     # (5) r5-stale backlog, registry order (40 of 50)
     "filter_project",
     "named_window_fanout",

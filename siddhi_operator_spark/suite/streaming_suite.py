@@ -1084,9 +1084,9 @@ def streaming_reorder_kslack(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
-@register(
-    "streaming_reorder_akslack",
-    oracle="""
+# shared by the per-key and bucketed akslack rows — the relational
+# fixed point of the adaptive K-slack over the md5-jittered replay
+_AKSLACK_ORACLE = """
     WITH h AS (
       SELECT event_id, user_id, ts,
              md5(CAST(event_id AS VARCHAR)) AS hh
@@ -1122,7 +1122,12 @@ def streaming_reorder_kslack(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT event_id, user_id, ts, late_us, slack_us FROM s
     WHERE late_us <= slack_us
-    """,
+    """
+
+
+@register(
+    "streaming_reorder_akslack",
+    oracle=_AKSLACK_ORACLE,
     tags=("streaming", "reorder", "akslack"),
 )
 def streaming_reorder_akslack(spark: SparkSession, sf: str) -> DataFrame:
@@ -1154,6 +1159,46 @@ def streaming_reorder_akslack(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("ts"),
     )
     out = akslack(s, ts="ts", key="user_id", q_pct=90).select(
+        "event_id",
+        F.col("key").cast("long").alias("user_id"),
+        "ts",
+        "late_us",
+        "slack_us",
+    )
+    name = _materialize(out, "append", expect_single_batch=True)
+    return spark.table(name)
+
+
+@register(
+    "streaming_reorder_akslack_bucketed",
+    oracle=_AKSLACK_ORACLE,
+    tags=("streaming", "reorder", "akslack", "state-buckets"),
+)
+def streaming_reorder_akslack_bucketed(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """`reorder:akslack` on the COARSE-bucket state layout
+    (`streaming.reorder.akslack_bucketed` — shipped from the r10 ×100
+    measurement: the per-key op ran 10 M events / 150 k keys at
+    0.417 M events/s with the per-(key × batch) python-call constant
+    dominating; hash(key) % 16 buckets cut wall 2.7× to
+    1.14 M events/s, SCALEBENCH r10). Output must be row-identical to
+    the per-key op — same oracle proves both, and the multi-batch
+    equivalence is pinned in tests/test_streaming_extras.py."""
+    from ..streaming.reorder import akslack_bucketed
+
+    s = _events_stream(spark, sf).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "ts - make_interval(0, 0, 0, 0, 0, 0, "
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 5), "
+            "16, 10) AS BIGINT) % 86400)"
+        ).alias("ts"),
+    )
+    out = akslack_bucketed(
+        s, ts="ts", key="user_id", q_pct=90, n_buckets=16
+    ).select(
         "event_id",
         F.col("key").cast("long").alias("user_id"),
         "ts",

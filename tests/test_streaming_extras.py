@@ -629,3 +629,44 @@ def test_akslack_adapts_across_batches(spark, tmp_path):
     assert got[6].slack_us == 30_000_000  # slack adapted batch-to-batch
     assert got[6].late_us == 30_000_000
     assert set(got) == {1, 3, 4, 5, 6, 7}
+
+
+def test_akslack_bucketed_equals_per_key(spark, tmp_path):
+    """`akslack_bucketed` (coarse-bucket state, r10 ×100 measurement:
+    the per-key op's 150 k group calls dominated 24 s of wall) must be
+    row-identical to the per-key op across a MULTI-batch replay —
+    running max carried per key inside the bucket arrays, quantile
+    re-derived per (key, batch), same integer arithmetic."""
+    from siddhi_operator_spark.catalog import load
+
+    jit = F.expr(
+        "ts - make_interval(0, 0, 0, 0, 0, 0, "
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 5), "
+        "16, 10) AS BIGINT) % 86400)"
+    ).alias("ts")
+    df = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", jit)
+    )
+    d = tempfile.mkdtemp(prefix="akslack_bkt_")
+    sources.replay_dir(df, d, "event_id", 3)
+    results = {}
+    for variant, fn in (
+        ("per_key", lambda s: reorder.akslack(s, q_pct=90)),
+        (
+            "bucketed",
+            lambda s: reorder.akslack_bucketed(s, q_pct=90, n_buckets=7),
+        ),
+    ):
+        s = sources.file_stream(
+            spark, d, df.schema, max_files_per_trigger=1
+        ).select("event_id", "user_id", "ts")
+        name = _run(fn(s))
+        results[variant] = sorted(
+            (r.event_id, r.key, r.ts, r.late_us, r.slack_us)
+            for r in spark.table(name).collect()
+        )
+    assert results["per_key"] == results["bucketed"]
+    assert results["per_key"]
+    assert any(r[3] > 0 for r in results["per_key"])

@@ -78,6 +78,28 @@ def main() -> None:
         )
         return
 
+    if leg == "akslack_bucketed":
+        from siddhi_operator_spark.streaming.reorder import akslack_bucketed
+
+        s = (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{sdir}/events.parquet")
+            .select("event_id", "user_id", F.expr(JITTER).alias("ts"))
+        )
+        out = akslack_bucketed(s, ts="ts", key="user_id", q_pct=90,
+                               n_buckets=128)
+        t0 = time.monotonic()
+        q = out.writeStream.format("noop").start()
+        q.processAllAvailable()
+        wall = time.monotonic() - t0
+        q.stop()
+        print(
+            f"akslack bucketed(128) x{scale}: {wall:.2f} s, "
+            f"{n / wall / 1e6:.3f} M events/s",
+            flush=True,
+        )
+        return
+
     if leg == "akslack_batch":
         from siddhi_operator_spark.streaming.reorder import akslack_batch
 
