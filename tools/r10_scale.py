@@ -17,6 +17,15 @@ Legs:
   akslack_batch     the batch twin (3 keyed windows, 1 shuffle) on the
                     same ×100 fixture — the Catalyst-native cost the
                     state op's constant is judged against.
+  akslack_bucketed  the coarse-bucket state layout (hash(key) % 128)
+                    shipped from the per-key measurement — 2.7× at
+                    ×100 (SCALEBENCH r10).
+  spanwin_none | spanwin_bloom | spanwin_auto
+                    remove_repeated_spans on the constructed
+                    bloom-POSITIVE fixture (small prunable tail —
+                    see ensure_docs_bloomwin): the other half of the
+                    auto-threshold evidence (the mixed fixture
+                    measured the negative route).
 
 Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/r10_scale.py <leg> [scale]
 """
@@ -36,6 +45,68 @@ JITTER = (
 )
 
 
+def ensure_docs_bloomwin(spark, scale: int, variants: int = 8) -> str:
+    """The bloom's POSITIVE regime, constructed deliberately (the r10
+    mixed-×1000 legs found the mixed fixture's tail saturates any
+    bounded bloom — its 'unique' family shares natural cross-doc
+    k-grams within a replica because the salt is the replica id).
+    Here the unique family salts per (doc, replica) — genuinely
+    unshared (every winnow trigram carries a salted token) — and the
+    shared family keeps `variants` boilerplate variants, so the
+    DISTINCT shared tail is ~base-shared-fps × variants (sf0.01 base:
+    1500 shared docs × ~100 fps × 8 variants ≈ 1.2 M — past AQE's
+    broadcast threshold, comfortably inside a 2^24–2^27 bloom at
+    ~8 bits/key) and ~70 % of distinct (doc, fp) pairs are prunable.
+    auto should pick bloom here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.catalog import SCHEMAS
+
+    base = os.environ.get(
+        "SPARK_GRAFT_BENCH_SCALE_DIR", "/tmp/spark_graft_scale"
+    )
+    out = f"{base}/docs_bloomwin_x{scale}"
+    if not os.path.exists(f"{out}/_READY"):
+        os.makedirs(out, exist_ok=True)
+        d = spark.read.schema(SCHEMAS["documents"]).parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+        k = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("k")
+        shared_family = (F.col("doc_id") % 10) < 3
+        v = (F.col("k") % variants).cast("string")
+        uniq = F.concat(
+            F.col("doc_id").cast("string"), F.lit("u"), F.col("k").cast("string")
+        )
+        salt = F.when(shared_family, v).otherwise(uniq)
+        toks = F.split(F.col("text"), r"\s+")
+        salted = F.array_join(
+            F.transform(
+                toks,
+                lambda t, i: F.when(
+                    i % 3 == 0, F.concat(t, F.lit("q"), salt)
+                ).otherwise(t),
+            ),
+            " ",
+        )
+        (
+            d.select("*", k)
+            .withColumn(
+                "doc_id",
+                F.col("doc_id") + F.col("k").cast("long") * F.lit(10**9),
+            )
+            .withColumn("text", salted)
+            .drop("k")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{out}/documents.parquet")
+        )
+        with open(f"{out}/_READY", "w") as fh:
+            fh.write("ok")
+    return out
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -45,6 +116,29 @@ def main() -> None:
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if leg.startswith("spanwin_"):
+        from siddhi_operator_spark.catalog import SCHEMAS
+        from siddhi_operator_spark.pipeline import curation as C
+
+        pf = leg.split("_", 1)[1]
+        wdir = ensure_docs_bloomwin(spark, scale)
+        docs = spark.read.schema(SCHEMAS["documents"]).parquet(
+            f"{wdir}/documents.parquet"
+        )
+        docs.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.monotonic()
+        C.remove_repeated_spans(docs, prefilter=pf).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        print(
+            f"spanwin prefilter={pf} x{scale}: "
+            f"{time.monotonic() - t0:.2f} s",
+            flush=True,
+        )
+        if pf == "auto":
+            print(f"auto picked: {C.LAST_SPAN_PREFILTER}", flush=True)
+        return
 
     from bench import ensure_scaled  # fixture cache shared with bench.py
 
