@@ -45,7 +45,7 @@ JITTER = (
 )
 
 
-def ensure_docs_bloomwin(spark, scale: int, variants: int = 8) -> str:
+def ensure_docs_bloomwin(spark, scale: int, variants: int = 32) -> str:
     """The bloom's POSITIVE regime, constructed deliberately (the r10
     mixed-×1000 legs found the mixed fixture's tail saturates any
     bounded bloom — its 'unique' family shares natural cross-doc
@@ -53,10 +53,14 @@ def ensure_docs_bloomwin(spark, scale: int, variants: int = 8) -> str:
     Here the unique family salts per (doc, replica) — genuinely
     unshared (every winnow trigram carries a salted token) — and the
     shared family keeps `variants` boilerplate variants, so the
-    DISTINCT shared tail is ~base-shared-fps × variants (sf0.01 base:
-    1500 shared docs × ~100 fps × 8 variants ≈ 1.2 M — past AQE's
-    broadcast threshold, comfortably inside a 2^24–2^27 bloom at
-    ~8 bits/key) and ~70 % of distinct (doc, fp) pairs are prunable.
+    DISTINCT shared tail is ~base-shared-fps × variants. Sizing is
+    empirical: the first cut (sf0.01 base, 8 variants) measured
+    n_shared = 24 515 — under the broadcast threshold, so auto
+    correctly picked `none` (recorded in SCALEBENCH as another
+    correct-route datapoint). This cut uses the sf0.1 base (1500
+    shared docs, ~20 winnow fps each) × 32 variants ≈ 1 M fps —
+    past AQE's broadcast threshold, comfortably inside a 2^24 bloom
+    at ~8 bits/key — and ~70 % of distinct (doc, fp) pairs prunable.
     auto should pick bloom here."""
     import os
 
@@ -67,11 +71,11 @@ def ensure_docs_bloomwin(spark, scale: int, variants: int = 8) -> str:
     base = os.environ.get(
         "SPARK_GRAFT_BENCH_SCALE_DIR", "/tmp/spark_graft_scale"
     )
-    out = f"{base}/docs_bloomwin_x{scale}"
+    out = f"{base}/docs_bloomwin_v{variants}_x{scale}"
     if not os.path.exists(f"{out}/_READY"):
         os.makedirs(out, exist_ok=True)
         d = spark.read.schema(SCHEMAS["documents"]).parquet(
-            "/root/testdata/sf0.01/documents.parquet"
+            "/root/testdata/sf0.1/documents.parquet"
         )
         k = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("k")
         shared_family = (F.col("doc_id") % 10) < 3
