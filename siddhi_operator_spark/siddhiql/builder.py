@@ -238,6 +238,30 @@ def _run_extension_window(
             item_cols=[win.args[0]],
             bottom=kind.endswith("bottomK"),
         )
+    if kind in ("reorder:kslack", "reorder:akslack"):
+        # `from S#reorder:kslack(ts, K)` / `#reorder:akslack(ts)` — the
+        # §3.9 [ext:reorder] stream processors route from QL text (r10;
+        # the operators shipped in r9). The reference adapts one K per
+        # stream runtime; this engine's contract is per partition key
+        # (module docstring, streaming/reorder.py), so the key comes
+        # from `partition with (...)` or a single `group by` key.
+        from ..streaming.reorder import akslack_batch, kslack_batch
+
+        if len(keys) != 1:
+            raise ValueError(
+                "reorder: stream processors need exactly one key "
+                "(`partition with (k of S)` or `group by k`) — the "
+                "engine's per-key disorder contract"
+            )
+        rts = win.args[0].strip("'\" ") if win.args else ts_col
+        if kind == "reorder:kslack":
+            ms = int(str(win.args[1]).strip("'\" "))
+            out = kslack_batch(
+                df, ts=rts, key=keys[0], id_col=id_col, slack_ms=ms
+            )
+        else:
+            out = akslack_batch(df, ts=rts, key=keys[0], id_col=id_col)
+        return _project(out)
     plug = OW.WINDOW_PLUGINS.get(kind.lower())
     if plug is not None:
         # custom `WindowProcessor` plugin (§3.11 SPI,
@@ -2371,6 +2395,73 @@ def _route_streaming_expression(
     return out.select(*cols)
 
 
+def _route_streaming_reorder(
+    env: dict, model: AppModel, q, inp, ts_col: str, id_col: str
+) -> DataFrame:
+    """QL `#reorder:kslack(ts, K)` / `#reorder:akslack(ts)` in
+    streaming mode (§3.9 [ext:reorder] stream processors, r10 QL
+    surface). kslack maps to the watermark annotation (late-beyond-K
+    drops on every downstream stateful op) with a passthrough
+    projection; akslack routes to the per-key adaptive state op —
+    or its coarse-bucket layout when the app carries
+    `@app:stateBuckets` (the 2.7×-at-×100 tier, SCALEBENCH r10).
+    Select shape for akslack: the key, `event_id`/`ts` passthroughs,
+    and the op's `late_us`/`slack_us` outputs."""
+    from ..streaming.reorder import akslack, akslack_bucketed, kslack
+
+    src = env[inp.stream]
+    if inp.filter_expr:
+        src = src.filter(F.expr(inp.filter_expr))
+    win = inp.window
+    rts = win.args[0].strip("'\" ") if win.args else ts_col
+    if win.kind == "reorder:kslack":
+        ms = int(str(win.args[1]).strip("'\" "))
+        out = kslack(src, rts, f"{ms} milliseconds")
+        if not q.select:
+            return out
+        return out.select(
+            *[
+                F.expr(it.expr).alias(_auto_alias(it, i))
+                for i, it in enumerate(q.select)
+            ]
+        )
+    keys = [q.partition_key] if q.partition_key else (q.group_by or [])
+    if len(keys) != 1:
+        raise ValueError(
+            "reorder:akslack needs exactly one key (`partition with "
+            "(k of S)` or `group by k`) — the engine's per-key "
+            "disorder contract"
+        )
+    key = keys[0]
+    buckets = _state_buckets(model)
+    if buckets is not None:
+        out = akslack_bucketed(
+            src, ts=rts, key=key, id_col=id_col, n_buckets=buckets
+        )
+    else:
+        out = akslack(src, ts=rts, key=key, id_col=id_col)
+    if not q.select:
+        return out
+    passthrough = {key: "key", id_col: "event_id", rts: "ts"}
+    key_type = src.schema[key].dataType
+    cols = []
+    for i, it in enumerate(q.select):
+        expr = it.expr.strip()
+        alias = _auto_alias(it, i)
+        src_col = passthrough.get(expr, expr)
+        if src_col not in ("key", "event_id", "ts", "late_us", "slack_us"):
+            raise ValueError(
+                f"reorder:akslack select supports the key, event_id/ts, "
+                f"late_us, slack_us — got {expr!r}; use "
+                "streaming.reorder.akslack directly"
+            )
+        c = F.col(src_col)
+        if src_col == "key":
+            c = c.cast(key_type)
+        cols.append(c.alias(alias))
+    return out.select(*cols)
+
+
 def run_app_streaming(
     app: str | AppModel,
     sources: dict[str, DataFrame] | None = None,
@@ -2526,6 +2617,11 @@ def run_app_streaming(
             df = _route_streaming_expression(
                 env, model, q, inp, ts_col, id_col
             )
+            _emit(q, df)
+            continue
+        if inp.window is not None and inp.window.kind.startswith("reorder:"):
+            # `#reorder:kslack/akslack` stream processors (§3.9)
+            df = _route_streaming_reorder(env, model, q, inp, ts_col, id_col)
             _emit(q, df)
             continue
         if inp.window is not None and inp.window.kind not in (

@@ -55,6 +55,39 @@ def kslack(stream: DataFrame, ts: str, slack: str) -> DataFrame:
     return stream.withWatermark(ts, slack)
 
 
+def kslack_batch(
+    df: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    arrival_col: str | None = None,
+    slack_ms: int = 0,
+) -> DataFrame:
+    """Batch twin of `reorder:kslack(tsAttr, K)` — the constant-K
+    variant of :func:`akslack_batch`: lateness over arrival order
+    within the key, drop events later than K (what a K-slack buffer
+    would have failed to reorder). One keyed window, no quantile pass.
+    Output shape matches the akslack family: (id, key, ts, late_us,
+    slack_us) with slack_us the constant K in microseconds."""
+    arrival = arrival_col or id_col
+    w_arr = (
+        Window.partitionBy(key)
+        .orderBy(arrival)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = (
+        F.unix_micros(F.max(ts).over(w_arr)) - F.unix_micros(F.col(ts))
+    ).cast("long")
+    return (
+        df.select(id_col, key, ts)
+        .withColumn("late_us", late)
+        .withColumn(
+            "slack_us", F.lit(int(slack_ms) * 1000).cast("long")
+        )
+        .filter(F.col("late_us") <= F.col("slack_us"))
+    )
+
+
 def _quantile_idx(q_pct: int) -> None:
     """(doc anchor) 1-based discrete-quantile index: ceil(q·n) computed
     as (q_pct·n + 99) DIV 100 — integer arithmetic, never float (the

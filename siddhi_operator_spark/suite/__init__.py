@@ -117,8 +117,10 @@ _FRONT_NAMES = (
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-11 rotation, pre-staged: lead with any r10 reds, then the TEN
-# r5-stale rows this window displaced (siddhiql_partition_range,
+# Round-11 rotation, pre-staged: lead with any r10 reds, then
+# `siddhiql_reorder_akslack` (added late in r10 after the window
+# filled — local-oracle-green, the only never-checked row), then the
+# TEN r5-stale rows this window displaced (siddhiql_partition_range,
 # siddhiql_join_aggregation, siddhiql_count_quantifier,
 # siddhiql_absence_pattern, siddhiql_logical_and_pattern,
 # siddhiql_file_source, siddhiql_logical_or_pattern,

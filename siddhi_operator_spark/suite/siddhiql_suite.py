@@ -980,6 +980,59 @@ def siddhiql_bucketed_expression_window(
 
 
 @register(
+    "siddhiql_reorder_akslack",
+    oracle=None,  # set right below to the shared akslack fixed point
+    tags=("siddhiql", "streaming", "reorder", "state-buckets"),
+)
+def siddhiql_reorder_akslack(spark: SparkSession, sf: str) -> DataFrame:
+    """`from events#reorder:akslack(ts)` — the §3.9 [ext:reorder]
+    stream processor routed from SiddhiQL text (r10 QL surface; the
+    operators shipped in r9/r10), here onto the COARSE-bucket state
+    layout via `@app:stateBuckets('16')` (`akslack_bucketed`, the
+    2.7×-at-×100 tier). The md5-jittered replay is applied to the
+    SOURCE handed to the app (the same disorder model as the
+    `streaming_reorder_akslack` row), and the QL output must land on
+    the identical relational fixed point — same oracle SQL."""
+    import uuid
+
+    from ..catalog import load_events_stream
+    from ..siddhiql import run_app_streaming
+
+    app = """
+    @app:stateBuckets('16')
+    define stream events (event_id long, ts string, user_id long);
+    from events#reorder:akslack(ts)
+    select event_id, user_id, ts, late_us, slack_us
+    group by user_id
+    insert into O;
+    """
+    src = load_events_stream(spark, sf).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "ts - make_interval(0, 0, 0, 0, 0, 0, "
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 5), "
+            "16, 10) AS BIGINT) % 86400)"
+        ).alias("ts"),
+    )
+    outs = run_app_streaming(app, {"events": src})
+    name = f"sra_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["O"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+from .registry import REGISTRY as _REG  # noqa: E402
+from .streaming_suite import _AKSLACK_ORACLE as _AKS  # noqa: E402
+
+_REG["siddhiql_reorder_akslack"].oracle = _AKS
+
+
+@register(
     "siddhiql_custom_window_plugin",
     oracle="""
     SELECT event_id, user_id, value FROM (

@@ -1813,3 +1813,46 @@ def test_siddhiql_window_fuzz(spark, events_df):
         g = sorted(map(tuple, got.collect()))
         e = sorted(map(tuple, expect.collect()))
         assert g == e, f"trial {trial}: {n} {unit} by {key}"
+
+
+def test_ql_reorder_batch_routes(spark, events_df):
+    """Batch `from E#reorder:akslack(ts) ... group by user_id` routes
+    to akslack_batch (same rows), and `#reorder:kslack(ts, K)` to the
+    constant-K twin — the §3.9 [ext:reorder] processors reachable
+    from QL text in BOTH runners."""
+    from siddhi_operator_spark.streaming import reorder
+
+    app_a = """
+    define stream E (event_id long, ts string, user_id long, event_type string, value double);
+    from E#reorder:akslack(ts)
+    select event_id, user_id, late_us, slack_us
+    group by user_id
+    insert into O;
+    """
+    got = sorted(
+        tuple(r) for r in run_app(app_a, {"E": events_df})["O"].collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.late_us, r.slack_us)
+        for r in reorder.akslack_batch(
+            events_df, ts="ts", key="user_id", q_pct=90
+        ).collect()
+    )
+    assert got == want and got
+    app_k = """
+    define stream E (event_id long, ts string, user_id long, event_type string, value double);
+    from E#reorder:kslack(ts, 600000)
+    select event_id, user_id, late_us
+    group by user_id
+    insert into O;
+    """
+    got_k = sorted(
+        tuple(r) for r in run_app(app_k, {"E": events_df})["O"].collect()
+    )
+    want_k = sorted(
+        (r.event_id, r.user_id, r.late_us)
+        for r in reorder.kslack_batch(
+            events_df, ts="ts", key="user_id", slack_ms=600000
+        ).collect()
+    )
+    assert got_k == want_k and got_k

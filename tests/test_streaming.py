@@ -1206,3 +1206,78 @@ def test_state_buckets_annotation_routes_expression_window(spark, events_df):
         )
     assert results["per_key"] == results["bucketed"]
     assert results["per_key"]
+
+
+def test_state_buckets_annotation_routes_reorder_akslack(spark, events_df):
+    """`from E#reorder:akslack(ts)` routes to the streaming adaptive
+    K-slack through the front end (r10 QL surface); with
+    `@app:stateBuckets('5')` it lands on the coarse-bucket layout —
+    identical rows, routing pinned by the state key in the plan."""
+    import tempfile
+    import uuid
+
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    base = """
+    define stream E (event_id long, ts string, user_id long, event_type string, value double);
+    from E#reorder:akslack(ts)
+    select event_id, user_id, ts, late_us, slack_us
+    group by user_id
+    insert into O;
+    """
+    results = {}
+    for variant, app in (
+        ("per_key", base),
+        ("bucketed", "@app:stateBuckets('5')\n" + base),
+    ):
+        d = tempfile.mkdtemp(prefix="replay_ra_")
+        SRC.replay_dir(events_df, d, "ts", 2)
+        s = SRC.file_stream(spark, d, events_df.schema, max_files_per_trigger=1)
+        outs = run_app_streaming(app, {"E": s})
+        plan = outs["O"]._jdf.queryExecution().analyzed().toString()
+        assert ("__bucket" in plan) == (variant == "bucketed")
+        name = f"ra_{uuid.uuid4().hex[:8]}"
+        q = (
+            outs["O"].writeStream.format("memory")
+            .queryName(name).outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[variant] = sorted(map(tuple, spark.table(name).collect()))
+        # key cast back to the source attribute type
+        assert str(spark.table(name).schema["user_id"].dataType) == "LongType()"
+    assert results["per_key"] == results["bucketed"]
+    assert results["per_key"]
+
+
+def test_ql_reorder_kslack_streaming_is_watermark(spark, events_df):
+    """`#reorder:kslack(ts, K)` in streaming mode = the watermark
+    annotation with a passthrough projection — every event emits (the
+    downstream stateful ops enforce the late-drop contract)."""
+    import tempfile
+    import uuid
+
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    app = """
+    define stream E (event_id long, ts string, user_id long, event_type string, value double);
+    from E#reorder:kslack(ts, 600000)
+    select event_id, user_id insert into O;
+    """
+    d = tempfile.mkdtemp(prefix="replay_rk_")
+    SRC.replay_dir(events_df, d, "ts", 2)
+    s = SRC.file_stream(spark, d, events_df.schema, max_files_per_trigger=1)
+    outs = run_app_streaming(app, {"E": s})
+    assert "watermark" in outs["O"]._jdf.queryExecution().analyzed().toString().lower()
+    name = f"rk_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["O"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.table(name).count() == events_df.count()
