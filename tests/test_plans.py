@@ -724,3 +724,15 @@ def test_ivfpq_index_probe_prunes_partitions_dynamically(spark):
     plan = _fmt(REGISTRY["similarity_ivfpq_index"].fn(spark, SF))
     assert "dynamicpruningexpression" in plan
     assert "CartesianProduct" not in plan.split("\n\n")[0]
+
+
+def test_ivfpq_stream_served_layout_keeps_dpp(spark):
+    """The layout the STREAM maintains (base write + foreachBatch
+    appends, `similarity_ivfpq_stream_serve`) must keep the same
+    file-level probe skip as the batch-written index: appended part
+    files land inside the cell=N partition directories, so dynamic
+    partition pruning still turns the probe list into a directory
+    skip — ingest freshness must not cost the serving plan."""
+    plan = _fmt(REGISTRY["similarity_ivfpq_stream_serve"].fn(spark, SF))
+    assert "dynamicpruningexpression" in plan
+    assert "CartesianProduct" not in plan.split("\n\n")[0]

@@ -144,6 +144,86 @@ def main() -> None:
             print(f"auto picked: {C.LAST_SPAN_PREFILTER}", flush=True)
         return
 
+    if leg == "ivfpq_serve":
+        # the serving loop at the embeddings ×1000 decade (500 k × 64):
+        # base index from the first 50 k vectors, the remaining 450 k
+        # stream-ingest in 10 micro-batches through ivfpq_ingest_sink,
+        # then the probe
+        # serves 1 000 queries off the stream-maintained layout and a
+        # FULL REBUILD over the union corpus must return bit-identical
+        # top-k — the freshness contract, proven at a decade.
+        import shutil
+
+        from siddhi_operator_spark.catalog import SCHEMAS
+        from siddhi_operator_spark.pipeline import similarity as S
+        from siddhi_operator_spark.streaming.similarity import (
+            ivfpq_ingest_sink,
+        )
+        from tools.scalebench_pipeline import ensure_embeddings
+
+        edir = ensure_embeddings(spark, scale)
+        emb = spark.read.schema(SCHEMAS["embeddings"]).parquet(
+            f"{edir}/embeddings.parquet"
+        )
+        emb.write.format("noop").mode("overwrite").save()  # warm
+        n = emb.count()
+        head = 50_000
+        cells = 64  # the r8 x1000 ivfpq leg geometry — the assign is
+        # 64-dim interpreted dots x cells x vecs, the leg's dominant
+        # term (a 256-cell first cut paced ~2.5 min/45 k-vec batch:
+        # 4x the work, and one staging file per trigger capped the
+        # assign at 8 tasks)
+        work = "/tmp/spark_graft_scale/ivfpq_serve_leg"
+        shutil.rmtree(work, ignore_errors=True)
+        t0 = time.monotonic()
+        S.ivfpq_index_write(
+            emb.filter(F.col("vec_id") < head), f"{work}/live",
+            n_cells=cells, dims=64, m=8, n_codes=16,
+        )
+        print(f"base index ({head} vecs): {time.monotonic()-t0:.1f} s",
+              flush=True)
+        (
+            emb.filter(F.col("vec_id") >= head)
+            .repartition(80)
+            .write.parquet(f"{work}/staging")
+        )
+        s = (
+            spark.readStream.schema(SCHEMAS["embeddings"])
+            .option("maxFilesPerTrigger", 8)
+            .parquet(f"{work}/staging")
+        )
+        t0 = time.monotonic()
+        q = ivfpq_ingest_sink(s, f"{work}/live", checkpoint=f"{work}/ckpt")
+        q.processAllAvailable()
+        wall = time.monotonic() - t0
+        fed = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        q.stop()
+        print(
+            f"stream ingest {n - head} vecs in {fed} batches: "
+            f"{wall:.1f} s, {(n - head) / wall / 1e3:.1f} k vecs/s",
+            flush=True,
+        )
+        queries = emb.filter(F.col("vec_id") % 500 == 0)  # 1 000 queries
+        t0 = time.monotonic()
+        live = S.ivfpq_index_topk(
+            spark, f"{work}/live", queries, nprobe=32, k=3
+        ).collect()
+        print(f"probe 1000 queries off served layout: "
+              f"{time.monotonic()-t0:.1f} s, {len(live)} rows", flush=True)
+        t0 = time.monotonic()
+        S.ivfpq_index_write(
+            emb, f"{work}/full", n_cells=cells, dims=64, m=8, n_codes=16
+        )
+        full = S.ivfpq_index_topk(
+            spark, f"{work}/full", queries, nprobe=32, k=3
+        ).collect()
+        print(f"full rebuild + probe: {time.monotonic()-t0:.1f} s",
+              flush=True)
+        match = sorted(map(tuple, live)) == sorted(map(tuple, full))
+        print(f"stream-served == full rebuild: {match}", flush=True)
+        assert match
+        return
+
     from bench import ensure_scaled  # fixture cache shared with bench.py
 
     sdir = ensure_scaled(spark, scale)
