@@ -203,10 +203,13 @@ def main() -> None:
             f"{wall:.1f} s, {(n - head) / wall / 1e3:.1f} k vecs/s",
             flush=True,
         )
-        queries = emb.filter(F.col("vec_id") % 500 == 0)  # 1 000 queries
+        queries = emb.filter(F.col("vec_id") % 2000 == 0)  # ~1 000 queries
         t0 = time.monotonic()
+        # nprobe=4 on 64 cells — the r8-proven probe shape; a 32-probe
+        # first cut multiplied the candidate join ~8x and spilled the
+        # box's 64 GB of free disk on the 2 M-vector corpus
         live = S.ivfpq_index_topk(
-            spark, f"{work}/live", queries, nprobe=32, k=3
+            spark, f"{work}/live", queries, nprobe=4, k=3
         ).collect()
         print(f"probe 1000 queries off served layout: "
               f"{time.monotonic()-t0:.1f} s, {len(live)} rows", flush=True)
@@ -215,7 +218,7 @@ def main() -> None:
             emb, f"{work}/full", n_cells=cells, dims=64, m=8, n_codes=16
         )
         full = S.ivfpq_index_topk(
-            spark, f"{work}/full", queries, nprobe=32, k=3
+            spark, f"{work}/full", queries, nprobe=4, k=3
         ).collect()
         print(f"full rebuild + probe: {time.monotonic()-t0:.1f} s",
               flush=True)
