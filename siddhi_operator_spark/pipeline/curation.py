@@ -176,10 +176,12 @@ def bloom_build(
 ) -> DataFrame:
     """Aggregate a gram set into a 2^``bits_log2``-bit bloom filter
     laid out as (word_idx, word) 64-bit words via ``bit_or`` — at most
-    2^(bits_log2-6) rows (~128 KB at the default) REGARDLESS of how
-    large the eval/blocklist set grows. That fixed size is the scale
-    story: the exact-gram broadcast in :func:`decontaminate` grows
-    linearly with the benchmark suite, this one never does."""
+    2^(bits_log2-6) rows, i.e. 2^(bits_log2-3) bytes (128 KB at the
+    20-bit default, 16 MB at the 27-bit auto-derivation cap)
+    REGARDLESS of how large the eval/blocklist set grows. That
+    key-count-independent size is the scale story: the exact-gram
+    broadcast in :func:`decontaminate` grows linearly with the
+    benchmark suite, this one is bounded by its bit geometry."""
     pos = F.explode(
         F.array(*_bloom_positions(F.col(gram_col), k, hash_fn, bits_log2))
     ).alias("pos")
@@ -207,9 +209,14 @@ def bloom_probe(
     every one of the k bit positions must be set (``hash_fn`` must
     match the one the bloom was built with).
 
-    ZERO-shuffle probe: the word table densifies into ONE 16 384-slot
-    array<long> row (every word_idx slot present, 128 KB) that joins
-    in as a broadcast single row; each gram then tests its k bits with
+    ZERO-shuffle probe: the word table densifies into ONE
+    2^(bits_log2-6)-slot array<long> row (every word_idx slot present;
+    16 384 slots / 128 KB at the 20-bit default, 2 M slots / 16 MB at
+    the 27-bit auto-derivation cap — the densify is one collect_list
+    reduction and the single row broadcasts to every task, so the cap
+    in the span auto-router is exactly the largest size this stays
+    cheap at; round-tripped at 27 bits by unit test) that joins in as
+    a broadcast single row; each gram then tests its k bits with
     `element_at(array, idx)` — an O(1) ARRAY INDEX — inside codegen.
     No explode, no per-gram join, no re-fold aggregation: a straight
     filter over the scan. (Two rejected formulations, both measured at

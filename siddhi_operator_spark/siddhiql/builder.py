@@ -253,9 +253,8 @@ def _run_extension_window(
                 "(`partition with (k of S)` or `group by k`) — the "
                 "engine's per-key disorder contract"
             )
-        rts = win.args[0].strip("'\" ") if win.args else ts_col
-        if kind == "reorder:kslack":
-            ms = int(str(win.args[1]).strip("'\" "))
+        rts, ms = _reorder_args(kind, win.args, ts_col)
+        if ms is not None:
             out = kslack_batch(
                 df, ts=rts, key=keys[0], id_col=id_col, slack_ms=ms
             )
@@ -277,6 +276,31 @@ def _run_extension_window(
         )
         return _project(out)
     raise ValueError(f"unsupported extension window {kind!r}")
+
+
+def _reorder_args(kind: str, args, ts_col: str) -> tuple[str, int | None]:
+    """Validate `#reorder:kslack(tsAttr, K)` / `#reorder:akslack(tsAttr)`
+    positional args once for BOTH runners (ADVICE r10: a missing K
+    surfaced as a bare IndexError; a non-numeric K as an unrouted
+    ValueError from int()). Returns (ts attribute, slack ms or None
+    for the adaptive variant)."""
+    rts = args[0].strip("'\" ") if args else ts_col
+    if kind != "reorder:kslack":
+        return rts, None
+    if len(args) < 2:
+        raise ValueError(
+            "reorder:kslack(tsAttr, K) needs the slack K in "
+            f"milliseconds as its second argument — got {len(args)} "
+            "argument(s)"
+        )
+    raw = str(args[1]).strip("'\" ")
+    try:
+        return rts, int(raw)
+    except ValueError:
+        raise ValueError(
+            "reorder:kslack slack K must be an integer millisecond "
+            f"count, got {raw!r}"
+        ) from None
 
 
 def _state_buckets(model: AppModel) -> int | None:
@@ -2400,46 +2424,46 @@ def _route_streaming_reorder(
 ) -> DataFrame:
     """QL `#reorder:kslack(ts, K)` / `#reorder:akslack(ts)` in
     streaming mode (§3.9 [ext:reorder] stream processors, r10 QL
-    surface). kslack maps to the watermark annotation (late-beyond-K
-    drops on every downstream stateful op) with a passthrough
-    projection; akslack routes to the per-key adaptive state op —
-    or its coarse-bucket layout when the app carries
-    `@app:stateBuckets` (the 2.7×-at-×100 tier, SCALEBENCH r10).
-    Select shape for akslack: the key, `event_id`/`ts` passthroughs,
-    and the op's `late_us`/`slack_us` outputs."""
-    from ..streaming.reorder import akslack, akslack_bucketed, kslack
+    surface). BOTH route to per-key drop-contract state ops so the
+    same app text yields the same row set as the batch runner (ADVICE
+    r10 — the earlier watermark-passthrough kslack emitted every
+    event, because only downstream stateful ops read a watermark):
+    kslack → the constant-K lateness filter
+    (`streaming.reorder.kslack_stateful`, single-batch row-identical
+    to `kslack_batch`); akslack → the per-key adaptive state op — or
+    its coarse-bucket layout when the app carries `@app:stateBuckets`
+    (the 2.7×-at-×100 tier, SCALEBENCH r10). The bare watermark
+    annotation stays available as `streaming.reorder.kslack` for apps
+    that want tolerance-without-drop explicitly. Select shape for
+    both: the key, `event_id`/`ts` passthroughs, and the op's
+    `late_us`/`slack_us` outputs."""
+    from ..streaming.reorder import akslack, akslack_bucketed, kslack_stateful
 
     src = env[inp.stream]
     if inp.filter_expr:
         src = src.filter(F.expr(inp.filter_expr))
     win = inp.window
-    rts = win.args[0].strip("'\" ") if win.args else ts_col
-    if win.kind == "reorder:kslack":
-        ms = int(str(win.args[1]).strip("'\" "))
-        out = kslack(src, rts, f"{ms} milliseconds")
-        if not q.select:
-            return out
-        return out.select(
-            *[
-                F.expr(it.expr).alias(_auto_alias(it, i))
-                for i, it in enumerate(q.select)
-            ]
-        )
+    rts, ms = _reorder_args(win.kind, win.args, ts_col)
     keys = [q.partition_key] if q.partition_key else (q.group_by or [])
     if len(keys) != 1:
         raise ValueError(
-            "reorder:akslack needs exactly one key (`partition with "
+            f"{win.kind} needs exactly one key (`partition with "
             "(k of S)` or `group by k`) — the engine's per-key "
             "disorder contract"
         )
     key = keys[0]
-    buckets = _state_buckets(model)
-    if buckets is not None:
-        out = akslack_bucketed(
-            src, ts=rts, key=key, id_col=id_col, n_buckets=buckets
+    if ms is not None:
+        out = kslack_stateful(
+            src, ts=rts, key=key, id_col=id_col, slack_ms=ms
         )
     else:
-        out = akslack(src, ts=rts, key=key, id_col=id_col)
+        buckets = _state_buckets(model)
+        if buckets is not None:
+            out = akslack_bucketed(
+                src, ts=rts, key=key, id_col=id_col, n_buckets=buckets
+            )
+        else:
+            out = akslack(src, ts=rts, key=key, id_col=id_col)
     if not q.select:
         return out
     passthrough = {key: "key", id_col: "event_id", rts: "ts"}
@@ -2451,9 +2475,9 @@ def _route_streaming_reorder(
         src_col = passthrough.get(expr, expr)
         if src_col not in ("key", "event_id", "ts", "late_us", "slack_us"):
             raise ValueError(
-                f"reorder:akslack select supports the key, event_id/ts, "
+                f"{win.kind} select supports the key, event_id/ts, "
                 f"late_us, slack_us — got {expr!r}; use "
-                "streaming.reorder.akslack directly"
+                "streaming.reorder directly"
             )
         c = F.col(src_col)
         if src_col == "key":

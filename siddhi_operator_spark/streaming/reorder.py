@@ -237,6 +237,76 @@ def akslack(
     )
 
 
+def kslack_stateful(
+    stream: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    slack_ms: int = 0,
+) -> DataFrame:
+    """Streaming `reorder:kslack(tsAttr, K)` with the DROP contract
+    enforced in-operator — the constant-K sibling of :func:`akslack`
+    and the state-op twin of :func:`kslack_batch` (ADVICE r10: the QL
+    routing must yield the same row set in both runners; the watermark
+    annotation alone emits every event because only downstream
+    stateful ops read it).
+
+    Per key: lateness = (running max event time over arrival order,
+    carried across micro-batches as ONE long of state) − own event
+    time; drop events with lateness > K. A single-batch replay is
+    row-identical to :func:`kslack_batch` — the shared relational
+    oracle proves the pair. Output shape matches the akslack family:
+    (key, event_id, ts, late_us, slack_us) with slack_us the constant
+    K in microseconds."""
+    slack_us = int(slack_ms) * 1000
+
+    def proc(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        run_max = state.get[0] if state.exists else None
+        outs = []
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
+            pdf = pdf.sort_values(id_col)
+            ts_us = (
+                pdf[ts].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            cm = np.maximum.accumulate(ts_us)
+            if run_max is not None:
+                cm = np.maximum(cm, run_max)
+            late_us = cm - ts_us
+            keep = late_us <= slack_us
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "key": str(key_tuple[0]),
+                        "event_id": pdf[id_col].to_numpy()[keep],
+                        "ts": pdf[ts].to_numpy()[keep],
+                        "late_us": late_us[keep],
+                        "slack_us": slack_us,
+                    }
+                )
+            )
+            run_max = int(cm[-1])
+        state.update((run_max,))
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=[f.name for f in _AKSLACK_OUT.fields])
+        )
+
+    projected = stream.withColumn("__key", F.col(key).cast("string"))
+    return projected.groupBy("__key").applyInPandasWithState(
+        proc,
+        _AKSLACK_OUT,
+        _AKSLACK_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 _AKSLACK_BUCKET_STATE = T.StructType(
     [
         T.StructField("keys", T.ArrayType(T.StringType())),

@@ -172,9 +172,11 @@ def _rotate_for_driver_window() -> None:
     # the driver records ONLY the first 50 — a 51st front name silently
     # falls out of the window (bit round 4: named_window_fanout), and a
     # typo'd name silently rotates nothing in.
-    assert len(_FRONT_NAMES) <= 50, f"{len(_FRONT_NAMES)} front names > 50"
+    if len(_FRONT_NAMES) > 50:  # contract checks — must survive python -O
+        raise RuntimeError(f"{len(_FRONT_NAMES)} front names > 50")
     unknown = [n for n in _FRONT_NAMES if n not in REGISTRY]
-    assert not unknown, f"front names not in REGISTRY: {unknown}"
+    if unknown:
+        raise RuntimeError(f"front names not in REGISTRY: {unknown}")
 
     def rank(item):
         name, spec = item

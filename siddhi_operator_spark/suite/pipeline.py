@@ -764,7 +764,7 @@ def similarity_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivfpq_index_path(sf: str) -> str:
+def _ivfpq_index_path(sf: str, extra: str = "") -> str:
     """Deterministic per-fixture index location (ADVICE r8): a fresh
     tempfile.mkdtemp per invocation wrote the full three-table index
     on EVERY call — including plan-only inspections — and never
@@ -774,13 +774,18 @@ def _ivfpq_index_path(sf: str) -> str:
     (`pipeline/similarity.py`) invalidate it — without the code token
     a `_READY`-gated layout written by an older writer could green the
     index/append oracle rows against stale artifacts (ADVICE r9);
-    `_READY` gates the skip the way the bench scratch dirs do."""
+    `_READY` gates the skip the way the bench scratch dirs do.
+    `extra` folds caller-specific tokens into the key — the serve row
+    passes the STREAMING sink module's hash + its geometry constants,
+    so an edit to `streaming/similarity.py` (the code under test
+    there) or a retuned row geometry invalidates its layout too
+    (ADVICE r10: the writer-module token alone left that hole)."""
     src = f"{sf.rstrip('/')}/embeddings.parquet"
     mtime = os.stat(src).st_mtime_ns if os.path.exists(src) else 0
     with open(S.__file__, "rb") as fh:
         code_tok = hashlib.md5(fh.read()).hexdigest()[:8]
     key = hashlib.md5(
-        f"{os.path.abspath(sf)}:{mtime}:{code_tok}".encode()
+        f"{os.path.abspath(sf)}:{mtime}:{code_tok}:{extra}".encode()
     ).hexdigest()[:12]
     path = f"/tmp/spark_graft_idx/ivfpq_{key}"
     os.makedirs(path, exist_ok=True)
@@ -872,10 +877,15 @@ def similarity_ivfpq_stream_serve(spark: SparkSession, sf: str) -> DataFrame:
     row asserts the ingest really spanned ≥2 micro-batches (a single
     trigger would only re-prove `similarity_ivfpq_append`)."""
     from ..catalog import SCHEMAS
+    from ..streaming import similarity as stream_sim
     from ..streaming.similarity import ivfpq_ingest_sink
 
     emb = load(spark, sf, "embeddings")
-    path = _ivfpq_index_path(sf) + "_serve"
+    with open(stream_sim.__file__, "rb") as fh:
+        sink_tok = hashlib.md5(fh.read()).hexdigest()[:8]
+    path = (
+        _ivfpq_index_path(sf, extra=f"{sink_tok}:c8d64m8k16") + "_serve"
+    )
     if not os.path.exists(f"{path}/_READY"):
         S.ivfpq_index_write(
             emb.filter(F.col("vec_id") < 40), path,
@@ -897,9 +907,10 @@ def similarity_ivfpq_stream_serve(spark: SparkSession, sf: str) -> DataFrame:
         q.processAllAvailable()
         fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
         q.stop()
-        assert len(fed) >= 2, (
-            f"serving-loop row needs a multi-batch ingest, got {len(fed)}"
-        )
+        if len(fed) < 2:  # contract check — must survive python -O
+            raise RuntimeError(
+                f"serving-loop row needs a multi-batch ingest, got {len(fed)}"
+            )
         with open(f"{path}/_READY", "w") as fh:
             fh.write("ok")
     return S.ivfpq_index_topk(

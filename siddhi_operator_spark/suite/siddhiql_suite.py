@@ -1022,14 +1022,84 @@ def siddhiql_reorder_akslack(spark: SparkSession, sf: str) -> DataFrame:
         .queryName(name).outputMode("append").start()
     )
     q.processAllAvailable()
+    # the shared _AKSLACK_ORACLE is only valid for a one-trigger
+    # replay (per-batch quantile re-derivation) — same guard as
+    # _materialize(..., expect_single_batch=True) (ADVICE r10)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
     q.stop()
+    if len(fed) > 1:  # contract check — must survive python -O
+        raise RuntimeError(
+            f"oracle assumes a single-trigger replay; stream fed "
+            f"{len(fed)} non-empty micro-batches"
+        )
     return spark.table(name)
 
 
 from .registry import REGISTRY as _REG  # noqa: E402
 from .streaming_suite import _AKSLACK_ORACLE as _AKS  # noqa: E402
+from .streaming_suite import _JITTER_LATE_CTES as _JLC  # noqa: E402
 
 _REG["siddhiql_reorder_akslack"].oracle = _AKS
+
+
+@register(
+    "siddhiql_reorder_kslack",
+    oracle=f"""
+    WITH {_JLC}
+    SELECT event_id, user_id, ts, late_us,
+           CAST(3600000000 AS BIGINT) AS slack_us
+    FROM l
+    WHERE late_us <= 3600000000
+    """,
+    tags=("siddhiql", "streaming", "reorder"),
+)
+def siddhiql_reorder_kslack(spark: SparkSession, sf: str) -> DataFrame:
+    """`from events#reorder:kslack(ts, 3600000)` routed from QL text
+    onto the STREAMING runner's constant-K drop filter
+    (`streaming.reorder.kslack_stateful` — r11, closing the ADVICE
+    r10 runner-divergence: the batch runner's `kslack_batch` and this
+    path now share one relational oracle, the md5-jittered lateness
+    fixed point with a constant 1-hour slack, so the same app text
+    provably yields the same row set in both engines)."""
+    import uuid
+
+    from ..catalog import load_events_stream
+    from ..siddhiql import run_app_streaming
+
+    app = """
+    define stream events (event_id long, ts string, user_id long);
+    from events#reorder:kslack(ts, 3600000)
+    select event_id, user_id, ts, late_us, slack_us
+    group by user_id
+    insert into O;
+    """
+    src = load_events_stream(spark, sf).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "ts - make_interval(0, 0, 0, 0, 0, 0, "
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 5), "
+            "16, 10) AS BIGINT) % 86400)"
+        ).alias("ts"),
+    )
+    outs = run_app_streaming(app, {"events": src})
+    name = f"srk_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["O"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    # constant-K lateness still re-derives the running max per
+    # trigger from arrival order — single-trigger replay required for
+    # the relational oracle, exactly like the akslack rows
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    q.stop()
+    if len(fed) > 1:  # contract check — must survive python -O
+        raise RuntimeError(
+            f"oracle assumes a single-trigger replay; stream fed "
+            f"{len(fed)} non-empty micro-batches"
+        )
+    return spark.table(name)
 
 
 @register(
@@ -1130,5 +1200,6 @@ def siddhiql_playback(spark: SparkSession, sf: str) -> DataFrame:
     )
     model = parse_app(app)
     cfg = playback_config(model)
-    assert cfg == {"idle.time": 0.1, "increment": 1.0}, cfg
+    if cfg != {"idle.time": 0.1, "increment": 1.0}:  # gate contract
+        raise RuntimeError(f"playback annotations mis-parsed: {cfg}")
     return run_app(model, {"events": load(spark, sf, "events")})["Hourly"]

@@ -604,7 +604,8 @@ def sink_file_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_id", "event_type", "value")
     )
     path = write_file_sink(filtered, out_def)
-    assert path == stage
+    if path != stage:  # gate contract — must survive python -O
+        raise RuntimeError(f"file sink wrote {path}, expected {stage}")
 
     reread_def = StreamDef(
         name="BigEventsIn",

@@ -49,10 +49,11 @@ def _materialize(
         # multi-part fixture would otherwise make a correct
         # implementation gate red with no hint why
         fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        assert len(fed) <= 1, (
-            f"oracle assumes a single-trigger replay; stream fed "
-            f"{len(fed)} non-empty micro-batches"
-        )
+        if len(fed) > 1:  # contract check — must survive python -O
+            raise RuntimeError(
+                f"oracle assumes a single-trigger replay; stream fed "
+                f"{len(fed)} non-empty micro-batches"
+            )
     q.stop()
     return name
 
@@ -1084,10 +1085,10 @@ def streaming_reorder_kslack(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
-# shared by the per-key and bucketed akslack rows — the relational
-# fixed point of the adaptive K-slack over the md5-jittered replay
-_AKSLACK_ORACLE = """
-    WITH h AS (
+# md5-jitter + per-key lateness CTEs shared by the whole [ext:reorder]
+# family (akslack rows here; the QL kslack row in siddhiql_suite —
+# one oracle prefix proving both runners' drop contract, ADVICE r10)
+_JITTER_LATE_CTES = """h AS (
       SELECT event_id, user_id, ts,
              md5(CAST(event_id AS VARCHAR)) AS hh
       FROM events
@@ -1109,7 +1110,12 @@ _AKSLACK_ORACLE = """
       SELECT event_id, user_id, ts,
              date_diff('microsecond', ts, run_max) AS late_us
       FROM d
-    ), r AS (
+    )"""
+
+# the per-key/bucketed akslack fixed point = jitter CTEs + the
+# rank-based discrete-quantile slack
+_AKSLACK_ORACLE = f"""
+    WITH {_JITTER_LATE_CTES}, r AS (
       SELECT *,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY late_us, event_id) AS rnk,

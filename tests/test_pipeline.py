@@ -300,6 +300,32 @@ def test_bloom_word_table_is_bounded(spark):
     assert hits.count() == 5000
 
 
+def test_bloom_probe_at_auto_derivation_cap(spark):
+    """The 27-bit cap the span auto-router can derive (ADVICE r10):
+    the densified filter is a single 2^21-slot / 16 MB array row — the
+    probe must still round-trip (zero false negatives, and at this
+    bits-per-key ratio zero false positives on a disjoint probe set)
+    through the one-row broadcast at that size."""
+    grams = spark.range(2000).select(
+        F.concat(F.lit("g-"), F.col("id")).alias("gram")
+    )
+    words = C.bloom_build(grams, "gram", k=4, bits_log2=27)
+    assert words.count() <= (1 << 21)
+    hits = C.bloom_probe(
+        grams.withColumn("doc_id", F.col("gram")), words, "gram",
+        keys=("doc_id",), k=4, bits_log2=27,
+    )
+    assert hits.count() == 2000
+    other = spark.range(2000).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("gram")
+    )
+    misses = C.bloom_probe(
+        other.withColumn("doc_id", F.col("gram")), words, "gram",
+        keys=("doc_id",), k=4, bits_log2=27,
+    )
+    assert misses.count() == 0
+
+
 def test_bm25_ranking_semantics(spark):
     """More distinct query terms beats one repeated term (tf
     saturation), rarer terms weigh more (idf), and docs with no query

@@ -1253,26 +1253,40 @@ def test_state_buckets_annotation_routes_reorder_akslack(spark, events_df):
     assert results["per_key"]
 
 
-def test_ql_reorder_kslack_streaming_is_watermark(spark, events_df):
-    """`#reorder:kslack(ts, K)` in streaming mode = the watermark
-    annotation with a passthrough projection — every event emits (the
-    downstream stateful ops enforce the late-drop contract)."""
+def test_ql_reorder_kslack_streaming_drops_like_batch(spark, events_df):
+    """`#reorder:kslack(ts, K)` in streaming mode enforces the DROP
+    contract in-operator (ADVICE r10: the earlier watermark
+    passthrough emitted every event, so the same app text yielded
+    different row sets across runners) — a single-batch replay is
+    row-identical to the batch runner / `kslack_batch`."""
     import tempfile
     import uuid
 
     from siddhi_operator_spark.siddhiql.builder import run_app_streaming
-    from siddhi_operator_spark.streaming import sources as SRC
+    from siddhi_operator_spark.streaming import reorder, sources as SRC
 
     app = """
     define stream E (event_id long, ts string, user_id long, event_type string, value double);
     from E#reorder:kslack(ts, 600000)
-    select event_id, user_id insert into O;
+    select event_id, user_id, ts, late_us, slack_us
+    group by user_id
+    insert into O;
     """
+    # disorder the fixture (shift every even event 20 min early) so
+    # the 10-minute slack actually drops rows on both sides
+    jittered = events_df.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.col("ts") - F.expr("INTERVAL 20 MINUTES"),
+        ).otherwise(F.col("ts")),
+    )
     d = tempfile.mkdtemp(prefix="replay_rk_")
-    SRC.replay_dir(events_df, d, "ts", 2)
-    s = SRC.file_stream(spark, d, events_df.schema, max_files_per_trigger=1)
+    SRC.replay_dir(jittered, d, "ts", 1)  # single trigger: the
+    # lateness seam (arrival order restarts per micro-batch) is the
+    # same one the akslack twins pin with expect_single_batch
+    s = SRC.file_stream(spark, d, events_df.schema)
     outs = run_app_streaming(app, {"E": s})
-    assert "watermark" in outs["O"]._jdf.queryExecution().analyzed().toString().lower()
     name = f"rk_{uuid.uuid4().hex[:8]}"
     q = (
         outs["O"].writeStream.format("memory")
@@ -1280,4 +1294,42 @@ def test_ql_reorder_kslack_streaming_is_watermark(spark, events_df):
     )
     q.processAllAvailable()
     q.stop()
-    assert spark.table(name).count() == events_df.count()
+    got = sorted(
+        (r.event_id, r.user_id, r.ts, r.late_us, r.slack_us)
+        for r in spark.table(name).collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.ts, r.late_us, r.slack_us)
+        for r in reorder.kslack_batch(
+            jittered, ts="ts", key="user_id", slack_ms=600000
+        ).collect()
+    )
+    assert got == want
+    assert got  # and the drop contract actually bites on this fixture
+    assert len(got) < events_df.count()
+
+
+def test_ql_reorder_kslack_arg_validation(spark, events_df):
+    """`#reorder:kslack(ts)` without K and a non-numeric K raise
+    descriptive ValueErrors in BOTH runners (ADVICE r10: these were a
+    bare IndexError / unrouted int() ValueError)."""
+    import pytest
+
+    from siddhi_operator_spark.siddhiql.builder import (
+        run_app,
+        run_app_streaming,
+    )
+
+    head = "define stream E (event_id long, ts string, user_id long, event_type string, value double);"
+    for bad, msg in (
+        ("#reorder:kslack(ts)", "second argument"),
+        ("#reorder:kslack(ts, 'soon')", "integer millisecond"),
+    ):
+        app = (
+            f"{head}\nfrom E{bad} select event_id, user_id, ts, "
+            "late_us, slack_us group by user_id insert into O;"
+        )
+        with pytest.raises(ValueError, match=msg):
+            run_app(app, {"E": events_df})
+        with pytest.raises(ValueError, match=msg):
+            run_app_streaming(app, {"E": events_df})
