@@ -1021,6 +1021,182 @@ def ivfpq_index_append(
     coded.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
 
 
+def _hfs(spark, path: str):
+    """(jvm Path class, FileSystem) for ``path`` — Hadoop FS so every
+    scheme works (same house pattern as `streaming/dedup._epoch_dirs`)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm.org.apache.hadoop.fs.Path, hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+
+def ivfpq_inc_batches(spark, path: str) -> list[str]:
+    """COMMITTED exactly-once ingest batches under ``{path}/codes_inc``
+    (see `streaming.similarity.ivfpq_ingest_sink(exactly_once=True)`):
+    each micro-batch stages to a dot-prefixed temp dir (invisible to
+    Spark's file index) and COMMITS via one atomic directory rename to
+    `batch=<id>` — so existence of the `batch=` dir IS the manifest
+    entry, and a torn append can never be read."""
+    P, fs = _hfs(spark, path)
+    inc = P(f"{path}/codes_inc")
+    if not fs.exists(inc):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(inc)
+        if st.getPath().getName().startswith("batch=")
+    )
+
+
+def _cell_fragments(spark, path: str) -> dict[int, int]:
+    """data-file count per `cell=N` partition dir of ``{path}/codes``
+    — pure FS metadata (one listStatus per cell), no Spark job."""
+    P, fs = _hfs(spark, path)
+    root = P(f"{path}/codes")
+    out: dict[int, int] = {}
+    if not fs.exists(root):
+        return out
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("cell="):
+            continue
+        n = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if not f.getPath().getName().startswith(("_", "."))
+        )
+        out[int(name.split("=", 1)[1])] = n
+    return out
+
+
+def ivfpq_index_compact(
+    spark,
+    path: str,
+    max_fragments_per_cell: int = 8,
+    target_file_mb: int = 128,
+) -> dict:
+    """Rewrite fragmented cell partitions of an
+    :func:`ivfpq_index_write` layout into sized files, and FOLD any
+    committed exactly-once ingest batches (`codes_inc/batch=*`) into
+    the base cells (SCALEBENCH r10 found the operational tax this
+    removes: per-trigger appends fragmented the cells until a probe
+    off the served layout cost 1.5× a probe off a fresh rebuild —
+    550.9 s vs 373.1 s at 2 M vectors).
+
+    The quantizers are FROZEN, so this is a pure file-level rewrite:
+    no re-encoding, no corpus re-scan — each touched cell is read once
+    (its fragments plus its slices of the committed inc batches) and
+    written back as ceil(bytes / target_file_mb) files, then swapped
+    in with two directory renames. Work scales with the FRAGMENTED
+    cells' bytes, never the index. Probe-before == probe-after
+    bit-identically (pinned by `tests/test_pipeline.py`).
+
+    Crash honesty: the per-cell swap is two renames and the folded
+    `codes_inc` batches are deleted only after every touched cell
+    swapped — a crash in between can leave a fold both in the base
+    cell and in `codes_inc` (a probe would double-count those rows
+    until compaction re-runs... which would re-fold). Run it from ONE
+    maintenance process with no concurrent probe — the same
+    single-writer contract the sink's checkpoint already implies; a
+    multi-writer deployment wants a table format with transactional
+    commits on top of this layout.
+
+    Returns {"cells": n_rewritten, "files_before": _, "files_after": _,
+    "folded_batches": [...]}.
+    """
+    P, fs = _hfs(spark, path)
+    frags = _cell_fragments(spark, path)
+    batches = ivfpq_inc_batches(spark, path)
+    inc_cells: set[int] = set()
+    for b in batches:
+        for st in fs.listStatus(P(f"{path}/codes_inc/{b}")):
+            name = st.getPath().getName()
+            if name.startswith("cell="):
+                inc_cells.add(int(name.split("=", 1)[1]))
+    todo = sorted(
+        inc_cells | {c for c, n in frags.items() if n > max_fragments_per_cell}
+    )
+    files_before = sum(frags.values())
+    for cell in todo:
+        srcs = []
+        base_dir = f"{path}/codes/cell={cell}"
+        if fs.exists(P(base_dir)):
+            srcs.append(base_dir)
+        srcs += [
+            f"{path}/codes_inc/{b}/cell={cell}"
+            for b in batches
+            if fs.exists(P(f"{path}/codes_inc/{b}/cell={cell}"))
+        ]
+        nbytes = 0
+        for s in srcs:
+            for f in fs.listStatus(P(s)):
+                if not f.getPath().getName().startswith(("_", ".")):
+                    nbytes += f.getLen()
+        n_out = max(1, -(-nbytes // (target_file_mb * 1024 * 1024)))
+        # fragment files carry only (vid, j, code) — `cell` lives in
+        # the directory name, exactly where the rewrite puts it back
+        merged = spark.read.parquet(*srcs).coalesce(int(n_out))
+        tmp = f"{path}/.compact/cell={cell}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{path}/.compact_old/cell={cell}"
+        fs.mkdirs(P(f"{path}/.compact_old"))
+        fs.delete(P(old), True)
+        if fs.exists(P(base_dir)):
+            fs.rename(P(base_dir), P(old))
+        fs.rename(P(tmp), P(base_dir))
+        fs.delete(P(old), True)
+    for b in batches:
+        fs.delete(P(f"{path}/codes_inc/{b}"), True)
+    fs.delete(P(f"{path}/.compact"), True)
+    fs.delete(P(f"{path}/.compact_old"), True)
+    return {
+        "cells": len(todo),
+        "files_before": files_before,
+        "files_after": sum(_cell_fragments(spark, path).values()),
+        "folded_batches": batches,
+    }
+
+
+#: Probe-geometry guard (r10's own decade lesson — nprobe × n_queries
+#: IS corpus geometry: a 4 k-query × nprobe=32 probe of the 2 M-vector
+#: index multiplied the candidate join ~25× over the proven shape and
+#: spilled the box's 64 GB of free disk). The estimate is
+#: n_queries × nprobe × (code rows / cells); the r8/r10-proven decade
+#: shape (1 k queries × nprobe=4 × 250 k rows/cell) is 1e9 — the
+#: default refuses past 2× that headroom, and
+#: `ivfpq_index_topk_chunked` is the derived-geometry alternative
+#: (query chunks sized so each probe stays under the cap).
+MAX_PROBE_CANDIDATES = 2_000_000_000
+
+
+def _probe_estimate(
+    spark, path: str, queries: DataFrame, id_col: str
+) -> tuple[int, int, int]:
+    """(n_queries, code_rows, n_cells) — two metadata-cheap counts
+    (parquet footer count for codes; the query set is bounded by the
+    same contract as `MAX_BROADCAST_QUERIES`) + the centroid row
+    count, shared by the guard and the chunk derivation."""
+    n_q = queries.select(id_col).count()
+    code_rows = _ivfpq_codes_union(spark, path).count()
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    return int(n_q), int(code_rows), max(1, int(n_cells))
+
+
+def _ivfpq_codes_union(spark, path: str) -> DataFrame:
+    """The full committed code set: base cells + manifested
+    exactly-once ingest batches (footer-only plan until consumed)."""
+    codes = spark.read.parquet(f"{path}/codes")
+    if ivfpq_inc_batches(spark, path):
+        inc = (
+            spark.read.option("basePath", f"{path}/codes_inc")
+            .parquet(f"{path}/codes_inc")
+            .select("vid", "j", "code", "cell")
+        )
+        return codes.select("vid", "j", "code", "cell").unionByName(inc)
+    return codes.select("vid", "j", "code", "cell")
+
+
 def ivfpq_index_topk(
     spark,
     path: str,
@@ -1029,6 +1205,7 @@ def ivfpq_index_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidate_rows: int | None = MAX_PROBE_CANDIDATES,
 ) -> DataFrame:
     """Serve ANN from the :func:`ivfpq_index_write` layout: queries
     rank the (bounded, broadcast) centroid set for their `nprobe`
@@ -1038,7 +1215,40 @@ def ivfpq_index_topk(
     file-level skip — the scan reads `nprobe` directories per query
     batch, not the corpus (`tests/test_plans.py` pins the
     dynamicpruning expression on the scan). Everything else is the
-    in-memory tier's arithmetic verbatim."""
+    in-memory tier's arithmetic verbatim.
+
+    Committed exactly-once ingest batches (`codes_inc/batch=*`, see
+    `streaming.similarity.ivfpq_ingest_sink`) are probed as a second
+    candidate branch unioned BELOW the rank — per-branch joins so the
+    dynamicpruning expression lands on BOTH scans (`cell` is a
+    partition column of each).
+
+    Probe geometry is corpus geometry (r11 guard, from r10's own
+    failed cut): the candidate join materializes
+    ≈ n_queries × nprobe × rows-per-cell rows, and a mis-sized probe
+    batch spills — so the estimate is computed from two metadata
+    counts and refused past ``max_candidate_rows`` (default
+    `MAX_PROBE_CANDIDATES`) with the derived safe query-chunk size in
+    the message; `ivfpq_index_topk_chunked` runs that derivation
+    automatically. ``None`` disables the guard."""
+    if max_candidate_rows is not None:
+        n_q, code_rows, n_cells = _probe_estimate(
+            spark, path, queries, id_col
+        )
+        est = n_q * nprobe * code_rows // n_cells
+        if est > max_candidate_rows:
+            per_query = max(1, nprobe * code_rows // n_cells)
+            safe = max(1, max_candidate_rows // per_query)
+            raise ValueError(
+                f"probe would materialize ~{est:,} candidate rows "
+                f"({n_q:,} queries × nprobe={nprobe} × "
+                f"~{code_rows // n_cells:,} code rows/cell) > "
+                f"max_candidate_rows={max_candidate_rows:,} — the "
+                f"shape that spilled 64 GB at the 2 M-vector decade. "
+                f"Probe ≤{safe:,} queries per batch (see "
+                f"ivfpq_index_topk_chunked), lower nprobe, or raise "
+                f"max_candidate_rows explicitly."
+            )
     cent = spark.read.parquet(f"{path}/centroids").select(
         "cent_id",
         "cent_vec",
@@ -1094,14 +1304,63 @@ def ivfpq_index_topk(
     ).select(
         "query_id", "j", "code", _dot(F.col("sv"), F.col("c_vec")).alias("qdot")
     )
-    cand = (
-        codes.withColumn("cell", F.col("cell").cast("long"))
-        .join(probes, "cell")
-        .filter(F.col("vid") != F.col("query_id"))
-        .join(lut, ["query_id", "j", "code"])
-        .select("query_id", F.col("vid").alias("neighbor_id"), "qdot")
-    )
+    def _cand(codes_df: DataFrame) -> DataFrame:
+        return (
+            codes_df.withColumn("cell", F.col("cell").cast("long"))
+            .join(probes, "cell")
+            .filter(F.col("vid") != F.col("query_id"))
+            .join(lut, ["query_id", "j", "code"])
+            .select("query_id", F.col("vid").alias("neighbor_id"), "qdot")
+        )
+
+    cand = _cand(codes)
+    if ivfpq_inc_batches(spark, path):
+        inc = (
+            spark.read.option("basePath", f"{path}/codes_inc")
+            .parquet(f"{path}/codes_inc")
+            .select("vid", "j", "code", "cell")
+        )
+        cand = cand.unionByName(_cand(inc))
     return _ivfpq_rank(cand, k)
+
+
+def ivfpq_index_topk_chunked(
+    spark,
+    path: str,
+    queries: DataFrame,
+    out_path: str,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_candidate_rows: int = MAX_PROBE_CANDIDATES,
+) -> DataFrame:
+    """The derived-geometry alternative the
+    :func:`ivfpq_index_topk` guard points at: when the query set is
+    too large to probe in one candidate join, split it into
+    hash-balanced chunks each under ``max_candidate_rows`` (the same
+    estimate arithmetic as the guard — `mips_ann_bits` discipline:
+    geometry derived from measured corpus stats, not hand-tuned) and
+    probe them SEQUENTIALLY, appending each chunk's bounded top-k to
+    ``out_path``. Peak shuffle footprint is one chunk's candidates;
+    total work is identical to the refused single join. Returns the
+    read-back union."""
+    n_q, code_rows, n_cells = _probe_estimate(
+        spark, path, queries, id_col
+    )
+    per_query = max(1, nprobe * code_rows // n_cells)
+    safe = max(1, max_candidate_rows // per_query)
+    n_chunks = max(1, -(-n_q // safe))
+    for i in range(n_chunks):
+        chunk = queries.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == i
+        )
+        out = ivfpq_index_topk(
+            spark, path, chunk, nprobe=nprobe, k=k, id_col=id_col,
+            vec_col=vec_col, max_candidate_rows=None,
+        )
+        out.write.mode("append" if i else "overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
 
 
 def normalize_embeddings(

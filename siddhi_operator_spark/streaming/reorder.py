@@ -315,13 +315,34 @@ _AKSLACK_BUCKET_STATE = T.StructType(
 )
 
 
+def derive_state_buckets(
+    n_keys: int, target_keys_per_bucket: int = 1500
+) -> int:
+    """Bucket-count derivation from OBSERVED key cardinality (r11,
+    the `mips_ann_bits` discipline — geometry from measured corpus
+    stats, never a constant that silently mis-sizes): the r10 decade
+    legs measured the bucketed op at 1.137 M events/s with ~1.2 k
+    keys/bucket (×100: 150 k keys / 128 buckets) but 0.717 M events/s
+    once growth pushed it to ~12 k keys/bucket (×1000: 1.5 M keys,
+    same 128) — the per-bucket segment loop is python-level, so
+    keys/bucket must stay roughly constant as keys grow. Next power
+    of two of n_keys / target, clamped to [16, 32768]; measure
+    cardinality on a history sample (`df.select(key).distinct()
+    .count()`) — state keying can't change mid-stream."""
+    if n_keys <= 0:
+        raise ValueError(f"n_keys must be positive, got {n_keys}")
+    raw = max(1, -(-n_keys // target_keys_per_bucket))
+    return min(32768, max(16, 1 << (raw - 1).bit_length()))
+
+
 def akslack_bucketed(
     stream: DataFrame,
     ts: str = "ts",
     key: str = "user_id",
     id_col: str = "event_id",
     q_pct: int = 90,
-    n_buckets: int = 128,
+    n_buckets: int | None = None,
+    approx_keys: int | None = None,
 ) -> DataFrame:
     """`reorder:akslack` on the COARSE-bucket state layout — identical
     output to :func:`akslack` (pinned by test), state keyed by
@@ -338,7 +359,18 @@ def akslack_bucketed(
     key's batch slice, contiguous after the sort): per-event work
     stays numpy, per-key work is a python-level constant ~300× rarer
     than per-event. State per key is still ONE long, stored as
-    parallel (keys, run_max) arrays sorted by key."""
+    parallel (keys, run_max) arrays sorted by key.
+
+    Sizing: pass ``approx_keys`` (measured key cardinality — a
+    distinct count over a history sample) and the bucket count derives
+    via :func:`derive_state_buckets` (~1.5 k keys/bucket, the
+    throughput-flat regime the decade legs measured); an explicit
+    ``n_buckets`` overrides; neither falls back to 128 (the ×100-tuned
+    legacy constant — fine to ~200 k keys, 36 % slow by ×1000)."""
+    if n_buckets is None:
+        n_buckets = (
+            derive_state_buckets(approx_keys) if approx_keys else 128
+        )
 
     def proc(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState

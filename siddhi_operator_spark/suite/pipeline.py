@@ -919,6 +919,81 @@ def similarity_ivfpq_stream_serve(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_compacted_serve",
+    oracle=f"""
+    WITH {_IVFPQ_CAND_CTES}
+    SELECT query_id, neighbor_id, approx_dot, rank FROM ivfpq
+    """,
+    tags=("pipeline", "similarity", "pq", "index", "incremental",
+          "streaming", "exactly-once"),
+)
+def similarity_ivfpq_compacted_serve(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The r11 serving-loop maintenance pair end-to-end: the stream
+    ingests in EXACTLY-ONCE mode (each micro-batch stages to a
+    dot-prefixed dir and commits via one atomic rename to
+    `codes_inc/batch=<id>` — a torn append is never readable, a
+    replayed batch is a no-op) with COUNT-TRIGGERED COMPACTION armed
+    (`max_fragments_per_cell=2`: committed batch dirs past the
+    threshold fold back into sized base cell files — the pure
+    file-level rewrite that pays down the fragmentation tax r10's
+    decade run measured at 1.5× probe wall). The probe after
+    ingest+compaction must be bit-identical to a full rebuild — the
+    same oracle as every other ivfpq row."""
+    from ..catalog import SCHEMAS
+    from ..streaming import similarity as stream_sim
+    from ..streaming.similarity import ivfpq_ingest_sink
+
+    emb = load(spark, sf, "embeddings")
+    with open(stream_sim.__file__, "rb") as fh:
+        sink_tok = hashlib.md5(fh.read()).hexdigest()[:8]
+    path = (
+        _ivfpq_index_path(sf, extra=f"{sink_tok}:eo2:c8d64m8k16")
+        + "_eoserve"
+    )
+    if not os.path.exists(f"{path}/_READY"):
+        S.ivfpq_index_write(
+            emb.filter(F.col("vec_id") < 40), path,
+            n_cells=8, dims=64, m=8, n_codes=16,
+        )
+        staging = f"{path}/_staging"
+        (
+            emb.filter(F.col("vec_id") >= 40)
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        s = (
+            spark.readStream.schema(SCHEMAS["embeddings"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        q = ivfpq_ingest_sink(
+            s, path, checkpoint=f"{path}/_ckpt",
+            exactly_once=True, max_fragments_per_cell=2,
+        )
+        q.processAllAvailable()
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        q.stop()
+        if len(fed) < 2:  # contract check — must survive python -O
+            raise RuntimeError(
+                f"exactly-once serve row needs a multi-batch ingest, "
+                f"got {len(fed)}"
+            )
+        frags = S._cell_fragments(spark, path)
+        if frags and max(frags.values()) > 2:
+            raise RuntimeError(
+                f"compaction contract violated: {frags}"
+            )
+        with open(f"{path}/_READY", "w") as fh:
+            fh.write("ok")
+    return S.ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 5), nprobe=2, k=3
+    )
+
+
+@register(
     "similarity_ivfpq_recall",
     oracle=f"""
     WITH {_IVFPQ_CAND_CTES}, exact AS (

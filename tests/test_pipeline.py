@@ -1280,3 +1280,199 @@ def test_ivfpq_stream_ingest_equals_rebuild(spark, tmp_path):
     codes = spark.read.parquet(f"{live}/codes")
     n = emb.count()
     assert codes.count() == n * 8
+
+
+def _serve_fixture(spark, tmp_path, **sink_kw):
+    """Shared serve-loop fixture: base index from vec_id<30, the rest
+    stream-ingested one file per trigger; returns (emb, full, live)."""
+    from siddhi_operator_spark.catalog import SCHEMAS, load
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.streaming.similarity import ivfpq_ingest_sink
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    full = str(tmp_path / "full")
+    live = str(tmp_path / "live")
+    S.ivfpq_index_write(emb, full, n_cells=8, dims=64, m=8, n_codes=16)
+    S.ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 30), live,
+        n_cells=8, dims=64, m=8, n_codes=16,
+    )
+    staging = str(tmp_path / "staging")
+    emb.filter(F.col("vec_id") >= 30).repartition(3).write.parquet(staging)
+    s = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    sq = ivfpq_ingest_sink(s, live, checkpoint=str(tmp_path / "ckpt"),
+                           **sink_kw)
+    sq.processAllAvailable()
+    fed = [p for p in sq.recentProgress if p["numInputRows"] > 0]
+    sq.stop()
+    assert len(fed) >= 2
+    return emb, full, live
+
+
+def test_ivfpq_compact_preserves_probe(spark, tmp_path):
+    """`ivfpq_index_compact` rewrites fragmented cell partitions into
+    sized files (the r10 decade found per-trigger appends taxed the
+    served-layout probe 1.5× a rebuilt one) — a pure file-level
+    rewrite under frozen quantizers, so the probe must be
+    BIT-identical before and after, row count preserved, fragment
+    count strictly reduced."""
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.pipeline.similarity import (
+        _cell_fragments,
+        ivfpq_index_compact,
+    )
+
+    emb, full, live = _serve_fixture(spark, tmp_path)
+    q = emb.filter(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+    )
+    frags_before = sum(_cell_fragments(spark, live).values())
+    stats = ivfpq_index_compact(spark, live, max_fragments_per_cell=1)
+    assert stats["cells"] >= 1
+    assert stats["files_after"] < frags_before
+    assert max(_cell_fragments(spark, live).values()) <= 1
+    after = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+    )
+    rebuilt = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, full, q, 2, 3).collect())
+    )
+    assert before == after == rebuilt and after
+    assert spark.read.parquet(f"{live}/codes").count() == emb.count() * 8
+
+
+def test_ivfpq_sink_count_triggered_compaction(spark, tmp_path):
+    """`ivfpq_ingest_sink(max_fragments_per_cell=N)` arms in-loop
+    compaction: after the ingest drains, no cell may hold more than N
+    fragments, and the probe still equals a full rebuild."""
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.pipeline.similarity import _cell_fragments
+
+    emb, full, live = _serve_fixture(
+        spark, tmp_path, max_fragments_per_cell=2
+    )
+    frags = _cell_fragments(spark, live)
+    assert frags and max(frags.values()) <= 2
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, S.ivfpq_index_topk(spark, full, q, 2, 3).collect()))
+    b = sorted(map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect()))
+    assert a == b and a
+
+
+def test_ivfpq_exactly_once_torn_replay(spark, tmp_path):
+    """Exactly-once ingest (r11, the r10 verdict ask): a batch stages
+    to a dot-prefixed dir (invisible), commits via one atomic rename;
+    a crash between stage and commit leaves nothing readable, and a
+    replay of a committed batch is a no-op — no duplicate code rows,
+    probe bit-identical to a full rebuild, through BOTH a torn append
+    and a full second replay of the stream."""
+    from siddhi_operator_spark.catalog import SCHEMAS, load
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.pipeline.similarity import (
+        ivfpq_inc_batches,
+        ivfpq_index_compact,
+    )
+    from siddhi_operator_spark.streaming.similarity import (
+        _commit_batch,
+        _stage_batch,
+        ivfpq_ingest_sink,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    full = str(tmp_path / "full")
+    live = str(tmp_path / "live")
+    S.ivfpq_index_write(emb, full, n_cells=8, dims=64, m=8, n_codes=16)
+    S.ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 30), live,
+        n_cells=8, dims=64, m=8, n_codes=16,
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    base_probe = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+    )
+    # TORN append: stage without commit — must be invisible to probes
+    batch30 = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 60))
+    _stage_batch(batch30, live, 77, "vec_id", "embedding")
+    assert ivfpq_inc_batches(spark, live) == []
+    assert base_probe == sorted(
+        map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+    )
+    # the crash-replay re-stages (overwrite) and commits — visible once
+    _stage_batch(batch30, live, 77, "vec_id", "embedding")
+    assert _commit_batch(spark, live, 77)
+    assert ivfpq_inc_batches(spark, live) == ["batch=77"]
+    # replaying the SAME committed batch is a no-op
+    assert not _commit_batch(spark, live, 77)
+    # ingest the remainder through the sink in exactly-once mode, then
+    # REPLAY the whole stream with a fresh checkpoint: batch ids
+    # restart, every batch dir already exists, nothing duplicates
+    staging = str(tmp_path / "staging")
+    emb.filter(F.col("vec_id") >= 60).repartition(2).write.parquet(staging)
+    for ckpt in ("ckpt1", "ckpt2"):
+        s = (
+            spark.readStream.schema(SCHEMAS["embeddings"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        sq = ivfpq_ingest_sink(
+            s, live, checkpoint=str(tmp_path / ckpt), exactly_once=True
+        )
+        sq.processAllAvailable()
+        sq.stop()
+    inc = (
+        spark.read.option("basePath", f"{live}/codes_inc")
+        .parquet(f"{live}/codes_inc")
+    )
+    n_new = emb.filter(F.col("vec_id") >= 30).count()
+    assert inc.count() == n_new * 8  # no duplicate code rows
+    assert inc.select("vid").distinct().count() == n_new
+    a = sorted(map(tuple, S.ivfpq_index_topk(spark, full, q, 2, 3).collect()))
+    b = sorted(map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect()))
+    assert a == b and a
+    # compaction folds the committed batches into the base cells —
+    # probe unchanged, manifest drained
+    ivfpq_index_compact(spark, live, max_fragments_per_cell=1)
+    assert ivfpq_inc_batches(spark, live) == []
+    assert spark.read.parquet(f"{live}/codes").count() == emb.count() * 8
+    assert a == sorted(
+        map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+    )
+
+
+def test_ivfpq_probe_geometry_guard(spark, tmp_path):
+    """The candidate-join size guard (r11, from r10's 64 GB spill):
+    a probe shape whose estimate exceeds max_candidate_rows is
+    REFUSED with the derived safe chunk size in the message, and the
+    chunked alternative completes with identical results."""
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import similarity as S
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    S.ivfpq_index_write(emb, idx, n_cells=8, dims=64, m=8, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 6)
+    with pytest.raises(ValueError, match="candidate rows"):
+        S.ivfpq_index_topk(spark, idx, q, 2, 3, max_candidate_rows=100)
+    free = sorted(
+        map(
+            tuple,
+            S.ivfpq_index_topk(
+                spark, idx, q, 2, 3, max_candidate_rows=None
+            ).collect(),
+        )
+    )
+    chunked = sorted(
+        map(
+            tuple,
+            S.ivfpq_index_topk_chunked(
+                spark, idx, q, str(tmp_path / "out"), 2, 3,
+                max_candidate_rows=3000,
+            ).collect(),
+        )
+    )
+    assert free == chunked and free

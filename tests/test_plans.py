@@ -736,3 +736,33 @@ def test_ivfpq_stream_served_layout_keeps_dpp(spark):
     plan = _fmt(REGISTRY["similarity_ivfpq_stream_serve"].fn(spark, SF))
     assert "dynamicpruningexpression" in plan
     assert "CartesianProduct" not in plan.split("\n\n")[0]
+
+
+def test_ivfpq_exactly_once_inc_branch_keeps_dpp(spark, tmp_path):
+    """With committed exactly-once ingest batches present
+    (`codes_inc/batch=*`), `ivfpq_index_topk` probes base and inc as
+    SEPARATE candidate branches unioned below the rank — precisely so
+    dynamic partition pruning lands on BOTH scans (`cell` is a
+    partition column of each; a union above the scans would defeat
+    per-branch pruning). Pin two dynamicpruningexpression sites."""
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.streaming.similarity import (
+        _commit_batch,
+        _stage_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    S.ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 200), idx,
+        n_cells=8, dims=64, m=8, n_codes=16,
+    )
+    _stage_batch(
+        emb.filter(F.col("vec_id") >= 200), idx, 0, "vec_id", "embedding"
+    )
+    assert _commit_batch(spark, idx, 0)
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _fmt(S.ivfpq_index_topk(spark, idx, q, 2, 3))
+    assert plan.count("dynamicpruningexpression") >= 2
+    assert "CartesianProduct" not in plan.split("\n\n")[0]

@@ -8,6 +8,7 @@ import tempfile
 import uuid
 
 import pyspark.sql.functions as F
+import pytest
 
 from siddhi_operator_spark.streaming import frequent as FR
 from siddhi_operator_spark.streaming import ratelimit as RL
@@ -670,3 +671,25 @@ def test_akslack_bucketed_equals_per_key(spark, tmp_path):
     assert results["per_key"] == results["bucketed"]
     assert results["per_key"]
     assert any(r[3] > 0 for r in results["per_key"])
+
+
+def test_derive_state_buckets_geometry():
+    """Bucket-count derivation targets ~1.5 k keys/bucket (r11 — the
+    regime both decade legs measured throughput-flat): the ×100
+    fixture's 150 k keys land on the measured-good 128, the ×1000
+    fixture's 1.5 M keys on 1024 (~1.5 k keys/bucket instead of the
+    12 k that cost 36 % throughput), clamped to [16, 32768]."""
+    d = reorder.derive_state_buckets
+    assert d(150_000) == 128
+    assert d(1_500_000) == 1024
+    assert d(100) == 16            # floor: tiny key sets
+    assert d(10**9) == 32768       # ceiling: shuffle-width bound
+    with pytest.raises(ValueError):
+        d(0)
+    # akslack_bucketed derives from approx_keys when n_buckets is
+    # omitted — geometry only; row identity is pinned above
+    import inspect
+
+    sig = inspect.signature(reorder.akslack_bucketed)
+    assert sig.parameters["n_buckets"].default is None
+    assert "approx_keys" in sig.parameters
