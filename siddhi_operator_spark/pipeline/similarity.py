@@ -1085,12 +1085,16 @@ def ivfpq_index_compact(
     550.9 s vs 373.1 s at 2 M vectors).
 
     The quantizers are FROZEN, so this is a pure file-level rewrite:
-    no re-encoding, no corpus re-scan — each touched cell is read once
-    (its fragments plus its slices of the committed inc batches) and
-    written back as ceil(bytes / target_file_mb) files, then swapped
-    in with two directory renames. Work scales with the FRAGMENTED
-    cells' bytes, never the index. Probe-before == probe-after
-    bit-identically (pinned by `tests/test_pipeline.py`).
+    no re-encoding, no corpus re-scan — ALL touched cells are read in
+    ONE Spark job (their fragments plus the committed inc batches,
+    partition-cell column preserved via basePath), salted so each
+    cell lands in ceil(bytes / target_file_mb) output files, written
+    `partitionBy(cell)` to a staging dir, then swapped in with two
+    directory renames per cell (FS metadata ops — a per-cell job loop
+    would be #cells tiny Spark jobs, the wrong shape at any scale).
+    Work scales with the FRAGMENTED cells' bytes, never the index.
+    Probe-before == probe-after bit-identically (pinned by
+    `tests/test_pipeline.py`).
 
     Crash honesty: the per-cell swap is two renames and the folded
     `codes_inc` batches are deleted only after every touched cell
@@ -1118,34 +1122,71 @@ def ivfpq_index_compact(
         inc_cells | {c for c, n in frags.items() if n > max_fragments_per_cell}
     )
     files_before = sum(frags.values())
+    if not todo:
+        return {
+            "cells": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+            "folded_batches": [],
+        }
+    base_srcs, nbytes = [], 0
     for cell in todo:
-        srcs = []
-        base_dir = f"{path}/codes/cell={cell}"
-        if fs.exists(P(base_dir)):
-            srcs.append(base_dir)
-        srcs += [
-            f"{path}/codes_inc/{b}/cell={cell}"
-            for b in batches
-            if fs.exists(P(f"{path}/codes_inc/{b}/cell={cell}"))
-        ]
-        nbytes = 0
-        for s in srcs:
-            for f in fs.listStatus(P(s)):
+        d = f"{path}/codes/cell={cell}"
+        if fs.exists(P(d)):
+            base_srcs.append(d)
+            for f in fs.listStatus(P(d)):
                 if not f.getPath().getName().startswith(("_", ".")):
                     nbytes += f.getLen()
-        n_out = max(1, -(-nbytes // (target_file_mb * 1024 * 1024)))
-        # fragment files carry only (vid, j, code) — `cell` lives in
-        # the directory name, exactly where the rewrite puts it back
-        merged = spark.read.parquet(*srcs).coalesce(int(n_out))
-        tmp = f"{path}/.compact/cell={cell}"
-        merged.write.mode("overwrite").parquet(tmp)
+    # fragment files carry only (vid, j, code) — `cell` comes back
+    # from the partition directory name via basePath
+    parts = []
+    if base_srcs:
+        parts.append(
+            spark.read.option("basePath", f"{path}/codes")
+            .parquet(*base_srcs)
+            .select("vid", "j", "code", "cell")
+        )
+    if batches:
+        inc_srcs = [f"{path}/codes_inc/{b}" for b in batches]
+        for s in inc_srcs:
+            for st in fs.listStatus(P(s)):
+                if st.getPath().getName().startswith("cell="):
+                    for f in fs.listStatus(st.getPath()):
+                        if not f.getPath().getName().startswith(("_", ".")):
+                            nbytes += f.getLen()
+        parts.append(
+            spark.read.option("basePath", f"{path}/codes_inc")
+            .parquet(*inc_srcs)
+            .select("vid", "j", "code", "cell")
+        )
+    merged = parts[0]
+    for p_ in parts[1:]:
+        merged = merged.unionByName(p_)
+    # files per cell from the measured bytes (one write job for every
+    # touched cell): the salt splits WITHIN a cell when a cell
+    # outgrows target_file_mb; hash-repartition on (cell, salt) makes
+    # one output file per present (cell, salt) pair
+    per_cell = max(
+        1, -(-nbytes // (len(todo) * target_file_mb * 1024 * 1024))
+    )
+    staged = (
+        merged.withColumn(
+            "_salt", F.pmod(F.xxhash64("vid"), F.lit(int(per_cell)))
+        )
+        .repartition(len(todo) * int(per_cell), F.col("cell"), F.col("_salt"))
+        .drop("_salt")
+    )
+    staged.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/.compact"
+    )
+    fs.mkdirs(P(f"{path}/.compact_old"))
+    for cell in todo:
+        base_dir = f"{path}/codes/cell={cell}"
         old = f"{path}/.compact_old/cell={cell}"
-        fs.mkdirs(P(f"{path}/.compact_old"))
         fs.delete(P(old), True)
         if fs.exists(P(base_dir)):
             fs.rename(P(base_dir), P(old))
-        fs.rename(P(tmp), P(base_dir))
-        fs.delete(P(old), True)
+        fs.rename(P(f"{path}/.compact/cell={cell}"), P(base_dir))
     for b in batches:
         fs.delete(P(f"{path}/codes_inc/{b}"), True)
     fs.delete(P(f"{path}/.compact"), True)

@@ -28,109 +28,109 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 10.  The per-round correctness gate
+# Driver-window rotation, round 11.  The per-round correctness gate
 # records only the FIRST 50 registry entries in registration order.
-# This window executes the r9-pre-staged plan exactly: (1) r9 reds —
-# there were none; (2) `ml_perceptron_online`, the single r4-stale
-# row (5 rounds; independently re-verified green in r9); (3) every
-# row ADDED in round 10 (never-checked): the streaming IVFADC
-# serving-loop row (foreachBatch append + probe-after-ingest) and
-# the two QL stateBuckets rows (bucketed CEP pattern, bucketed
-# expression window — `_route_streaming_expression` is new surface);
-# (4) rows whose EXECUTED PLAN changed in round 10: the two
-# span-removal rows (prefilter validation + the Observation-based
-# same-basis auto decision sit under both), the ivfpq index + append
-# rows (code-versioned cache key re-proves a fresh layout), the
-# akslack row (integer-DIV quantile + the single-batch assert), and
-# the ivfpq ingest row (_materialize signature change); (5) the
-# r5-stale backlog in registry order — 40 of the 50 rows last
-# checked r5 fit (filter_project … siddhiql_table_upsert); the ten
-# displaced (siddhiql_partition_range, siddhiql_join_aggregation,
-# siddhiql_count_quantifier, siddhiql_absence_pattern,
-# siddhiql_logical_and_pattern, siddhiql_file_source,
-# siddhiql_logical_or_pattern, source_file_csv_mapper,
-# source_kafka_json_value, source_cdc_debezium) stay at staleness 5
-# and lead the r11 plan below.  After this window: never-checked =
-# 0, r5-stale = 10, max staleness = 5.
+# This window executes the r10-pre-staged plan exactly: (1) r10 reds
+# — there were none; (2) `siddhiql_reorder_akslack`, the one
+# never-driver-checked row (added after the r10 window filled);
+# (3) the TEN r5-stale rows the r10 window displaced (siddhiql
+# pattern/source tail + the source_* trio — the oldest ledger tail at
+# 6 rounds); (4) every row ADDED in round 11 (never-checked):
+# `siddhiql_reorder_kslack` (QL kslack drop-contract convergence,
+# shared oracle with the batch runner) and
+# `similarity_ivfpq_compacted_serve` (exactly-once ingest +
+# count-triggered compaction); (5) rows whose EXECUTED PLAN changed
+# in r11: the five ivfpq rows under the reworked `ivfpq_index_topk`
+# (probe-geometry guard + inc-branch read path; code-versioned cache
+# keys re-prove fresh layouts) and the bucketed akslack row
+# (`n_buckets` derivation seam); (6) the r6-stale backlog in registry
+# order — 31 of the 48 rows last checked r6 fit (filter_compound …
+# text_bm25_topk); the 17 displaced (text_char_lm_score …
+# sink_file_csv_roundtrip) stay at staleness 6 and lead the r12 plan
+# below.  After this window: never-checked = 0, r6-stale = 17, max
+# staleness = 6.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (2) the single r4 row — oldest in the ledger
-    "ml_perceptron_online",
-    # (3) new in r10 — never checked
-    "similarity_ivfpq_stream_serve",  # foreachBatch serving loop
-    "siddhiql_bucketed_pattern",  # @app:stateBuckets -> bucketed NFA
-    "siddhiql_bucketed_expression_window",  # new QL routing surface
-    # (4) executed plan changed in r10
-    "text_remove_repeated_spans",  # prefilter validation + observe
-    "text_remove_spans_bloom",  # unconditional tail release
-    "similarity_ivfpq_index",  # code-versioned layout cache key
-    "similarity_ivfpq_append",  # same (fresh layout re-proves)
-    "streaming_reorder_akslack",  # integer-DIV quantile + batch assert
-    # (3b) added mid-round from the ask-#8 measurement: the bucketed
-    # akslack row displaces `streaming_ivfpq_ingest` per the
-    # displacement rule (newest-checked tier; its only r10 delta is a
-    # default-arg added to _materialize, which five other in-window
-    # streaming rows exercise — including both akslack rows, which
-    # pass expect_single_batch explicitly)
+    # (2) the one never-driver-checked row
+    "siddhiql_reorder_akslack",
+    # (3) the ten r5-stale rows (oldest ledger tail)
+    "siddhiql_partition_range",
+    "siddhiql_join_aggregation",
+    "siddhiql_count_quantifier",
+    "siddhiql_absence_pattern",
+    "siddhiql_logical_and_pattern",
+    "siddhiql_file_source",
+    "siddhiql_logical_or_pattern",
+    "source_file_csv_mapper",
+    "source_kafka_json_value",
+    "source_cdc_debezium",
+    # (4) new in r11 — never checked
+    "siddhiql_reorder_kslack",
+    "similarity_ivfpq_compacted_serve",
+    # (5) executed plan changed in r11
+    "similarity_ivfpq_stream_serve",
+    "similarity_ivfpq_index",
+    "similarity_ivfpq_append",
+    "similarity_ivfpq_recall",
+    "streaming_ivfpq_ingest",
     "streaming_reorder_akslack_bucketed",
-    # (5) r5-stale backlog, registry order (40 of 50)
-    "filter_project",
-    "named_window_fanout",
-    "agg_basic",
-    "agg_forever_extrema",
-    "agg_unionset",
-    "agg_bool",
-    "agg_having_orderby_limit",
-    "agg_multikey",
-    "agg_rollup_cube",
-    "tpch_q1",
-    "agg_group_concat",
-    "tpch_q6",
-    "tpch_q3",
-    "tpch_q5",
-    "agg_udaf_custom",
-    "pattern_followed_by",
-    "pattern_absence",
-    "pattern_sequence_adjacent",
-    "pattern_count_quantifier",
-    "pattern_logical_and",
-    "pattern_absence_logical",
-    "pattern_logical_or",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped",
-    "similarity_bruteforce",
-    "similarity_knn_graph",
-    "similarity_lsh",
-    "similarity_ivf",
-    "text_chunk_dedup_ratio",
-    "corpus_token_budget",
-    "siddhiql_filter",
-    "siddhiql_timebatch_agg",
-    "siddhiql_pattern",
-    "siddhiql_join",
-    "siddhiql_partition",
-    "siddhiql_sequence",
-    "siddhiql_output_rate_last",
-    "siddhiql_named_window",
-    "siddhiql_define_aggregation",
-    "siddhiql_table_upsert",
+    # (6) r6-stale backlog, registry order (31 of 48)
+    "filter_compound",
+    "scalar_str",
+    "scalar_time",
+    "scalar_json",
+    "conditional_fns",
+    "cast_convert",
+    "regex_fns",
+    "union_streams",
+    "setops_intersect",
+    "scalar_pol2cart",
+    "partition_range_agg",
+    "udtf_tokenize",
+    "json_struct_roundtrip",
+    "scalar_str_extra",
+    "join_in_table",
+    "join_not_in_table",
+    "join_multiway_dims",
+    "agg_distinct_count_salted",
+    "tpch_q14",
+    "tpch_q10",
+    "pattern_first_match",
+    "ondemand_sql",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "neardup_token_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_pq",
+    "sample_leakage_safe_split",
+    "decontaminate_bloom",
+    "domain_mix_temperature",
+    "text_bm25_topk",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-11 rotation, pre-staged: lead with any r10 reds, then
-# `siddhiql_reorder_akslack` (added late in r10 after the window
-# filled — local-oracle-green, the only never-checked row), then the
-# TEN r5-stale rows this window displaced (siddhiql_partition_range,
-# siddhiql_join_aggregation, siddhiql_count_quantifier,
-# siddhiql_absence_pattern, siddhiql_logical_and_pattern,
-# siddhiql_file_source, siddhiql_logical_or_pattern,
-# source_file_csv_mapper, source_kafka_json_value,
-# source_cdc_debezium — they become the oldest ledger tail at 6
-# rounds stale in r11), then every row added in round 11
-# (never-checked), then rows whose code changes in r11, then the
-# r6-stale backlog in registry order (48 rows last checked r6) with
-# the balance of 50.  New registry rows displace the NEWEST-checked
-# tail entries, never the stale/never-checked groups.
+# Round-12 rotation, pre-staged: lead with any r11 reds, then the
+# SEVENTEEN remaining r6-stale rows this window displaced
+# (text_char_lm_score, text_cross_doc_repeats, sample_stratified_quota,
+# text_chunk_documents, streaming_dedup_watermark,
+# streaming_ann_cell_ingest, streaming_incremental_neardup,
+# streaming_join_outer, siddhiql_define_function,
+# source_file_xml_mapper, source_file_keyvalue_mapper,
+# source_avro_wire_roundtrip, source_onerror_fault_split,
+# source_protobuf_wire_roundtrip, source_binary_wire_roundtrip,
+# source_http_json_stream, sink_file_csv_roundtrip — the oldest
+# ledger tail at 6 rounds stale in r12), then every row added in
+# round 12 (never-checked), then rows whose code changes in r12, then
+# the r7-stale backlog in registry order (48 rows last checked r7)
+# with the balance of 50.  New registry rows displace the
+# NEWEST-checked tail entries, never the stale/never-checked groups.
+#
+# (Archive) Round-11 rotation as pre-staged in r10: lead with any r10
+# reds, then `siddhiql_reorder_akslack` (the only never-checked row),
+# then the TEN r5-stale rows (siddhiql pattern/source tail +
+# source_* trio), then rows added in r11, then changed-code rows,
+# then the r6-stale backlog with the balance of 50 — EXECUTED EXACTLY
+# by the window above.
 #
 # (Archive) Round-10 rotation as pre-staged in r9: lead with any r9
 # reds, then `ml_perceptron_online` (the single remaining r4 row),
