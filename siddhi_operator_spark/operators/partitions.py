@@ -34,5 +34,6 @@ def range_partition(
     for upper, label in bounds:
         cond = col < upper
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-    assert expr is not None, "range_partition requires at least one bound"
+    if expr is None:
+        raise ValueError("range_partition requires at least one bound")
     return expr.otherwise(default_label)

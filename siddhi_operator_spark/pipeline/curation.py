@@ -158,8 +158,10 @@ def _bloom_positions(
             F.xxhash64(col, F.lit(j)).bitwiseAND(F.lit((1 << bits_log2) - 1))
             for j in range(k)
         ]
-    assert bits_log2 == 20, "md5 slice tier is fixed at 20-bit positions"
-    assert 1 <= k <= 6, "md5 has 32 hex digits = six 5-digit slices"
+    if bits_log2 != 20:
+        raise ValueError("md5 slice tier is fixed at 20-bit positions")
+    if not 1 <= k <= 6:
+        raise ValueError("md5 has 32 hex digits = six 5-digit slices")
     h = F.md5(col)
     return [
         F.conv(F.substring(h, 5 * j + 1, 5), 16, 10).cast("long")

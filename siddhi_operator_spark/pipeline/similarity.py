@@ -505,7 +505,8 @@ def pq_topk(
     tier.
     """
     sub = dims // m
-    assert sub * m == dims, "m must divide dims"
+    if sub * m != dims:
+        raise ValueError(f"m={m} must divide dims={dims}")
     if impl == "arrow":
         return _pq_topk_arrow(
             corpus, dims, m, n_codes, k, id_col, vec_col, max_query_id
@@ -725,7 +726,8 @@ def _ivfpq_parts(
     (:func:`ivfpq_index_write` / :func:`ivfpq_index_topk`) are the
     SAME arithmetic, not a copy."""
     sub = dims // m
-    assert sub * m == dims, "m must divide dims"
+    if sub * m != dims:
+        raise ValueError(f"m={m} must divide dims={dims}")
     vec = F.col(vec_col)
     cent = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cent_id"),

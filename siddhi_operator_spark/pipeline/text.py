@@ -366,7 +366,8 @@ def chunk_documents(
     Pure projection + one explode: token arrays slice in codegen, no
     shuffle at any scale; (doc_id, chunk_idx) is a stable sample key
     for downstream packing/dedup."""
-    assert 0 <= overlap < chunk_tokens
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, {chunk_tokens}), got {overlap}")
     stride = chunk_tokens - overlap
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     n = F.size(toks)

@@ -145,6 +145,39 @@ def main() -> None:
             raise SystemExit("bit-identity violated")
         return
 
+    if leg == "ivfpq_probe_ab":
+        # probe-only walls on the COMPACTED-served vs REBUILT layouts
+        # (the serve_compact leg lumps rebuild+probe into one number —
+        # this isolates the layout effect): alternate orders, 2 reps
+        # each, same 1 000 queries, same process.
+        from siddhi_operator_spark.catalog import SCHEMAS
+        from siddhi_operator_spark.pipeline import similarity as S
+        from tools.scalebench_pipeline import ensure_embeddings
+
+        edir = ensure_embeddings(spark, scale)
+        emb = spark.read.schema(SCHEMAS["embeddings"]).parquet(
+            f"{edir}/embeddings.parquet"
+        )
+        if not os.path.exists(f"{SERVE_WORK}/full"):
+            raise SystemExit("run ivfpq_serve_compact first")
+        queries = emb.filter(F.col("vec_id") % 2000 == 0)
+        for rep, name in enumerate(
+            ("compacted", "rebuilt", "rebuilt", "compacted")
+        ):
+            sub = "live" if name == "compacted" else "full"
+            t0 = time.monotonic()
+            n_rows = len(
+                S.ivfpq_index_topk(
+                    spark, f"{SERVE_WORK}/{sub}", queries, nprobe=4, k=3
+                ).collect()
+            )
+            print(
+                f"probe[{rep}] {name}: {time.monotonic()-t0:.1f} s "
+                f"({n_rows} rows)",
+                flush=True,
+            )
+        return
+
     if leg == "ivfpq_probe_guard":
         from siddhi_operator_spark.catalog import SCHEMAS
         from siddhi_operator_spark.pipeline import similarity as S
