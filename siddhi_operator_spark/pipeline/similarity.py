@@ -799,6 +799,13 @@ def _ivfpq_rank(cand: DataFrame, k: int) -> DataFrame:
     scored_q = cand.groupBy("query_id", "neighbor_id").agg(
         F.sum("qdot").alias("approx_dot")
     )
+    return _ivfpq_rank_scored(scored_q, k)
+
+
+def _ivfpq_rank_scored(scored_q: DataFrame, k: int) -> DataFrame:
+    """Rank tail over already-summed (query_id, neighbor_id,
+    approx_dot) rows — the wide probe path lands here directly (its
+    per-row codegen ADC sum replaces the groupBy)."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc(r4("approx_dot", 4)), F.asc("neighbor_id")
     )
@@ -1249,6 +1256,7 @@ def ivfpq_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_candidate_rows: int | None = MAX_PROBE_CANDIDATES,
+    impl: str = "long",
 ) -> DataFrame:
     """Serve ANN from the :func:`ivfpq_index_write` layout: queries
     rank the (bounded, broadcast) centroid set for their `nprobe`
@@ -1274,24 +1282,6 @@ def ivfpq_index_topk(
     `MAX_PROBE_CANDIDATES`) with the derived safe query-chunk size in
     the message; `ivfpq_index_topk_chunked` runs that derivation
     automatically. ``None`` disables the guard."""
-    if max_candidate_rows is not None:
-        n_q, code_rows, n_cells = _probe_estimate(
-            spark, path, queries, id_col
-        )
-        est = n_q * nprobe * code_rows // n_cells
-        if est > max_candidate_rows:
-            per_query = max(1, nprobe * code_rows // n_cells)
-            safe = max(1, max_candidate_rows // per_query)
-            raise ValueError(
-                f"probe would materialize ~{est:,} candidate rows "
-                f"({n_q:,} queries × nprobe={nprobe} × "
-                f"~{code_rows // n_cells:,} code rows/cell) > "
-                f"max_candidate_rows={max_candidate_rows:,} — the "
-                f"shape that spilled 64 GB at the 2 M-vector decade. "
-                f"Probe ≤{safe:,} queries per batch (see "
-                f"ivfpq_index_topk_chunked), lower nprobe, or raise "
-                f"max_candidate_rows explicitly."
-            )
     cent = spark.read.parquet(f"{path}/centroids").select(
         "cent_id",
         "cent_vec",
@@ -1325,6 +1315,32 @@ def ivfpq_index_topk(
     m = codebook.agg(F.countDistinct("cb_j")).collect()[0][0]
     dims = len(codebook.select("c_vec").first()[0]) * m
     sub = dims // m
+    if max_candidate_rows is not None:
+        n_q, code_rows, n_cells = _probe_estimate(
+            spark, path, queries, id_col
+        )
+        # the wide path materializes ONE candidate row per (query,
+        # probed vector) instead of one per (query, vector, j)
+        est = n_q * nprobe * code_rows // n_cells // (
+            m if impl == "wide" else 1
+        )
+        if est > max_candidate_rows:
+            per_query = max(
+                1,
+                nprobe * code_rows // n_cells
+                // (m if impl == "wide" else 1),
+            )
+            safe = max(1, max_candidate_rows // per_query)
+            raise ValueError(
+                f"probe would materialize ~{est:,} candidate rows "
+                f"({n_q:,} queries × nprobe={nprobe} × "
+                f"~{code_rows // n_cells:,} code rows/cell) > "
+                f"max_candidate_rows={max_candidate_rows:,} — the "
+                f"shape that spilled 64 GB at the 2 M-vector decade. "
+                f"Probe ≤{safe:,} queries per batch (see "
+                f"ivfpq_index_topk_chunked), lower nprobe, or raise "
+                f"max_candidate_rows explicitly."
+            )
     q_subs = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
@@ -1347,6 +1363,80 @@ def ivfpq_index_topk(
     ).select(
         "query_id", "j", "code", _dot(F.col("sv"), F.col("c_vec")).alias("qdot")
     )
+    inc_df = None
+    if ivfpq_inc_batches(spark, path):
+        inc_df = (
+            spark.read.option("basePath", f"{path}/codes_inc")
+            .parquet(f"{path}/codes_inc")
+            .select("vid", "j", "code", "cell")
+        )
+
+    if impl == "wide":
+        # r11 probe shape (A/B'd at the 2 M decade — see SCALEBENCH):
+        # pivot each probed cell's code rows to ONE row per vector
+        # (vid, c0..c{m-1}) BEFORE the candidate join, so the join
+        # materializes n_queries × probed-vectors rows instead of m×
+        # that, the per-row ADC sum runs in codegen over a fixed j
+        # order, and the 1e9-row groupBy re-aggregation disappears.
+        # DPP does not reach a scan under an Aggregate (measured), so
+        # the file skip is STATIC: the probed cell set is bounded by
+        # n_cells (the same boundedness as the centroid broadcast) —
+        # collect it and push `cell IN (...)` into the scan's
+        # PartitionFilters (plan-pinned; stronger than DPP, no
+        # subquery wait).
+        cells_list = [
+            r[0] for r in probes.select("cell").distinct().collect()
+        ]
+        lut_j = lut.groupBy("query_id", "j").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "qdot"))),
+                lambda e: e["qdot"],
+            ).alias("arr")
+        )
+        lutw = lut_j.groupBy("query_id").agg(
+            *[
+                F.first(
+                    F.when(F.col("j") == j, F.col("arr")),
+                    ignorenulls=True,
+                ).alias(f"a{j}")
+                for j in range(m)
+            ]
+        )
+
+        def _scored(codes_df: DataFrame) -> DataFrame:
+            pruned = codes_df.withColumn(
+                "cell", F.col("cell").cast("long")
+            ).filter(F.col("cell").isin(cells_list))
+            wide = pruned.groupBy("vid", "cell").agg(
+                *[
+                    F.max(
+                        F.when(F.col("j") == j, F.col("code"))
+                    ).alias(f"c{j}")
+                    for j in range(m)
+                ]
+            )
+            adc = None
+            for j in range(m):
+                term = F.element_at(
+                    F.col(f"a{j}"), F.col(f"c{j}").cast("int") + 1
+                )
+                adc = term if adc is None else adc + term
+            return (
+                wide.join(probes, "cell")
+                .filter(F.col("vid") != F.col("query_id"))
+                .join(lutw, "query_id")
+                .select(
+                    "query_id",
+                    F.col("vid").alias("neighbor_id"),
+                    adc.alias("approx_dot"),
+                )
+            )
+
+        scored = _scored(codes)
+        if inc_df is not None:
+            scored = scored.unionByName(_scored(inc_df))
+        return _ivfpq_rank_scored(scored, k)
+
     def _cand(codes_df: DataFrame) -> DataFrame:
         return (
             codes_df.withColumn("cell", F.col("cell").cast("long"))
@@ -1357,13 +1447,8 @@ def ivfpq_index_topk(
         )
 
     cand = _cand(codes)
-    if ivfpq_inc_batches(spark, path):
-        inc = (
-            spark.read.option("basePath", f"{path}/codes_inc")
-            .parquet(f"{path}/codes_inc")
-            .select("vid", "j", "code", "cell")
-        )
-        cand = cand.unionByName(_cand(inc))
+    if inc_df is not None:
+        cand = cand.unionByName(_cand(inc_df))
     return _ivfpq_rank(cand, k)
 
 

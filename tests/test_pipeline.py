@@ -1444,6 +1444,45 @@ def test_ivfpq_exactly_once_torn_replay(spark, tmp_path):
     )
 
 
+def test_ivfpq_wide_probe_equals_long(spark, tmp_path):
+    """The r11 wide probe (pivot codes to one row per vector, static
+    cell-list pruning, per-row codegen ADC sum) must be bit-identical
+    to the long path — same addends in a fixed j order under the
+    epsilon-bias rounding — including over committed exactly-once inc
+    batches."""
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.streaming.similarity import (
+        _commit_batch,
+        _stage_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "idx")
+    S.ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 300), idx,
+        n_cells=8, dims=64, m=8, n_codes=16,
+    )
+    _stage_batch(
+        emb.filter(F.col("vec_id") >= 300), idx, 0, "vec_id", "embedding"
+    )
+    assert _commit_batch(spark, idx, 0)
+    q = emb.filter(F.col("vec_id") < 6)
+    long_rows = sorted(
+        map(
+            tuple,
+            S.ivfpq_index_topk(spark, idx, q, 2, 3, impl="long").collect(),
+        )
+    )
+    wide_rows = sorted(
+        map(
+            tuple,
+            S.ivfpq_index_topk(spark, idx, q, 2, 3, impl="wide").collect(),
+        )
+    )
+    assert long_rows == wide_rows and long_rows
+
+
 def test_ivfpq_probe_geometry_guard(spark, tmp_path):
     """The candidate-join size guard (r11, from r10's 64 GB spill):
     a probe shape whose estimate exceeds max_candidate_rows is

@@ -178,6 +178,45 @@ def main() -> None:
             )
         return
 
+    if leg == "ivfpq_probe_wide_ab":
+        # the r11 WIDE probe (pivot-to-one-row-per-vector, static
+        # cell-list pruning, codegen ADC sum — no 1e9-row groupBy) vs
+        # the long path, on the compacted served layout: alternate
+        # orders, 2 reps each.
+        from siddhi_operator_spark.catalog import SCHEMAS
+        from siddhi_operator_spark.pipeline import similarity as S
+        from tools.scalebench_pipeline import ensure_embeddings
+
+        edir = ensure_embeddings(spark, scale)
+        emb = spark.read.schema(SCHEMAS["embeddings"]).parquet(
+            f"{edir}/embeddings.parquet"
+        )
+        if not os.path.exists(f"{SERVE_WORK}/live"):
+            raise SystemExit("run ivfpq_serve_compact first")
+        queries = emb.filter(F.col("vec_id") % 2000 == 0)
+        rows = {}
+        for rep, name in enumerate(("wide", "long", "long", "wide")):
+            t0 = time.monotonic()
+            got = sorted(
+                map(
+                    tuple,
+                    S.ivfpq_index_topk(
+                        spark, f"{SERVE_WORK}/live", queries, nprobe=4,
+                        k=3, impl=name,
+                    ).collect(),
+                )
+            )
+            rows[name] = got
+            print(
+                f"probe[{rep}] {name}: {time.monotonic()-t0:.1f} s "
+                f"({len(got)} rows)",
+                flush=True,
+            )
+        print(f"wide == long: {rows['wide'] == rows['long']}", flush=True)
+        if rows["wide"] != rows["long"]:
+            raise SystemExit("bit-identity violated")
+        return
+
     if leg == "ivfpq_probe_guard":
         from siddhi_operator_spark.catalog import SCHEMAS
         from siddhi_operator_spark.pipeline import similarity as S
