@@ -1256,23 +1256,33 @@ def ivfpq_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_candidate_rows: int | None = MAX_PROBE_CANDIDATES,
-    impl: str = "long",
+    impl: str = "wide",
 ) -> DataFrame:
     """Serve ANN from the :func:`ivfpq_index_write` layout: queries
     rank the (bounded, broadcast) centroid set for their `nprobe`
-    probe cells and score ONLY those cells' code partitions via ADC.
-    The cell join key is the PARTITION column of the codes table, so
-    Spark's dynamic partition pruning turns the probe list into a
-    file-level skip — the scan reads `nprobe` directories per query
-    batch, not the corpus (`tests/test_plans.py` pins the
-    dynamicpruning expression on the scan). Everything else is the
-    in-memory tier's arithmetic verbatim.
+    probe cells and score ONLY those cells' code partitions via ADC —
+    `cell` is the PARTITION column of the codes table, so the probe
+    list becomes a file-level skip (`tests/test_plans.py` pins it).
+    Two probe implementations, bit-identical (pinned by unit test and
+    a decade A/B):
+
+    * ``impl="wide"`` (default — 2.9× the long path at the 2 M-vector
+      decade, SCALEBENCH r11): pivot each probed cell's code rows to
+      ONE row per vector, compute the ADC sum per row in codegen over
+      a fixed j order, rank directly — the m×-larger candidate join
+      and its re-aggregation never materialize. DPP cannot reach a
+      scan under an Aggregate, so the skip is STATIC: the probed cell
+      set (bounded by n_cells, the centroid-broadcast boundedness
+      class) collects once and pushes `cell IN (...)` into
+      PartitionFilters.
+    * ``impl="long"``: per-(vector, j) candidate join + groupBy sum,
+      dynamic partition pruning on the scan.
 
     Committed exactly-once ingest batches (`codes_inc/batch=*`, see
     `streaming.similarity.ivfpq_ingest_sink`) are probed as a second
     candidate branch unioned BELOW the rank — per-branch joins so the
-    dynamicpruning expression lands on BOTH scans (`cell` is a
-    partition column of each).
+    partition skip lands on BOTH scans (`cell` is a partition column
+    of each).
 
     Probe geometry is corpus geometry (r11 guard, from r10's own
     failed cut): the candidate join materializes
@@ -1462,6 +1472,7 @@ def ivfpq_index_topk_chunked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_candidate_rows: int = MAX_PROBE_CANDIDATES,
+    impl: str = "wide",
 ) -> DataFrame:
     """The derived-geometry alternative the
     :func:`ivfpq_index_topk` guard points at: when the query set is
@@ -1476,7 +1487,14 @@ def ivfpq_index_topk_chunked(
     n_q, code_rows, n_cells = _probe_estimate(
         spark, path, queries, id_col
     )
-    per_query = max(1, nprobe * code_rows // n_cells)
+    m = int(
+        spark.read.parquet(f"{path}/codebook")
+        .agg(F.countDistinct("cb_j"))
+        .collect()[0][0]
+    )
+    per_query = max(
+        1, nprobe * code_rows // n_cells // (m if impl == "wide" else 1)
+    )
     safe = max(1, max_candidate_rows // per_query)
     n_chunks = max(1, -(-n_q // safe))
     for i in range(n_chunks):
@@ -1485,7 +1503,7 @@ def ivfpq_index_topk_chunked(
         )
         out = ivfpq_index_topk(
             spark, path, chunk, nprobe=nprobe, k=k, id_col=id_col,
-            vec_col=vec_col, max_candidate_rows=None,
+            vec_col=vec_col, max_candidate_rows=None, impl=impl,
         )
         out.write.mode("append" if i else "overwrite").parquet(out_path)
     return spark.read.parquet(out_path)

@@ -723,6 +723,12 @@ def test_ivfpq_index_probe_prunes_partitions_dynamically(spark):
     directories, not the corpus."""
     plan = _fmt(REGISTRY["similarity_ivfpq_index"].fn(spark, SF))
     assert "dynamicpruningexpression" in plan
+    # the r11 wide probe ALSO pushes the bounded probed-cell set as a
+    # static partition IN-filter (collected once, n_cells-bounded) —
+    # the scan skips files even before the DPP subquery resolves
+    import re
+
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan)
     assert "CartesianProduct" not in plan.split("\n\n")[0]
 
 
