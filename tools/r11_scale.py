@@ -251,6 +251,47 @@ def main() -> None:
         )
         return
 
+    if leg == "bloom27":
+        # ADVICE r10: the span auto-router may derive bits_log2 up to
+        # 27, where bloom_probe's densified filter is one 2^21-slot /
+        # 16 MB array row built by a collect_list reduction and
+        # broadcast to every task — verify that densify+broadcast
+        # path at a decade-sized probe stream (docs ×100 winnow
+        # grams) against the 2^20 default. Warm pass then 2 timed
+        # reps per size, alternating.
+        from siddhi_operator_spark.catalog import SCHEMAS
+        from siddhi_operator_spark.pipeline import curation as C
+        from tools.scalebench_pipeline import ensure_docs
+
+        ddir = ensure_docs(spark, scale)
+        docs = spark.read.schema(SCHEMAS["documents"]).parquet(
+            f"{ddir}/documents.parquet"
+        )
+        docs.write.format("noop").mode("overwrite").save()  # warm
+        fps = C.winnow_positions(docs).select(
+            "doc_id", F.col("fp").alias("gram")  # binary probes fine
+        )
+        n = fps.count()
+        keys = (
+            fps.filter(F.col("doc_id") % 7 == 0)
+            .select("gram")
+            .distinct()
+        )
+        nk = keys.count()
+        print(f"probe stream={n} rows, bloom keys={nk}", flush=True)
+        for rep, bits in enumerate((27, 20, 20, 27)):
+            bloom = C.bloom_build(keys, "gram", k=4, bits_log2=bits)
+            t0 = time.monotonic()
+            hits = C.bloom_probe(
+                fps, bloom, "gram", keys=("doc_id",), k=4, bits_log2=bits
+            ).count()
+            print(
+                f"probe[{rep}] bits={bits}: {time.monotonic()-t0:.1f} s "
+                f"({hits} hits)",
+                flush=True,
+            )
+        return
+
     from bench import ensure_scaled  # fixture cache shared with bench.py
 
     sdir = ensure_scaled(spark, scale)
