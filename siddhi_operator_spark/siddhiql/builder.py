@@ -2437,7 +2437,12 @@ def _route_streaming_reorder(
     that want tolerance-without-drop explicitly. Select shape for
     both: the key, `event_id`/`ts` passthroughs, and the op's
     `late_us`/`slack_us` outputs."""
-    from ..streaming.reorder import akslack, akslack_bucketed, kslack_stateful
+    from ..streaming.reorder import (
+        akslack,
+        akslack_bucketed,
+        kslack_bucketed,
+        kslack_stateful,
+    )
 
     src = env[inp.stream]
     if inp.filter_expr:
@@ -2452,12 +2457,18 @@ def _route_streaming_reorder(
             "disorder contract"
         )
     key = keys[0]
+    buckets = _state_buckets(model)
     if ms is not None:
-        out = kslack_stateful(
-            src, ts=rts, key=key, id_col=id_col, slack_ms=ms
-        )
+        if buckets is not None:
+            out = kslack_bucketed(
+                src, ts=rts, key=key, id_col=id_col, slack_ms=ms,
+                n_buckets=buckets,
+            )
+        else:
+            out = kslack_stateful(
+                src, ts=rts, key=key, id_col=id_col, slack_ms=ms
+            )
     else:
-        buckets = _state_buckets(model)
         if buckets is not None:
             out = akslack_bucketed(
                 src, ts=rts, key=key, id_col=id_col, n_buckets=buckets

@@ -343,6 +343,7 @@ def akslack_bucketed(
     q_pct: int = 90,
     n_buckets: int | None = None,
     approx_keys: int | None = None,
+    const_slack_us: int | None = None,
 ) -> DataFrame:
     """`reorder:akslack` on the COARSE-bucket state layout — identical
     output to :func:`akslack` (pinned by test), state keyed by
@@ -420,8 +421,11 @@ def akslack_bucketed(
                 cm[s:e] = seg_cm
                 seg_late = seg_cm - ts_us[s:e]
                 late[s:e] = seg_late
-                idx = (q_pct * (e - s) + 99) // 100
-                slack = int(np.sort(seg_late, kind="stable")[idx - 1])
+                if const_slack_us is None:
+                    idx = (q_pct * (e - s) + 99) // 100
+                    slack = int(np.sort(seg_late, kind="stable")[idx - 1])
+                else:  # constant-K tier (kslack_bucketed wrapper)
+                    slack = const_slack_us
                 slack_out[s:e] = slack
                 keep[s:e] = seg_late <= slack
                 new_max[si] = int(seg_cm[-1])
@@ -466,4 +470,28 @@ def akslack_bucketed(
         _AKSLACK_BUCKET_STATE,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def kslack_bucketed(
+    stream: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    slack_ms: int = 0,
+    n_buckets: int | None = None,
+    approx_keys: int | None = None,
+) -> DataFrame:
+    """Constant-K `reorder:kslack` on the COARSE-bucket state layout —
+    the :func:`kslack_stateful` drop contract with
+    :func:`akslack_bucketed`'s geometry (hash(key) % buckets state,
+    numpy per-event work, cardinality-derived bucket count via
+    ``approx_keys``). Same output shape and single-batch row identity
+    with :func:`kslack_batch` as the per-key op (pinned by test) —
+    the difference is the per-(key × micro-batch) python-call
+    constant, the 2.7-2.8× the decade legs measured for the adaptive
+    sibling."""
+    return akslack_bucketed(
+        stream, ts=ts, key=key, id_col=id_col, n_buckets=n_buckets,
+        approx_keys=approx_keys, const_slack_us=int(slack_ms) * 1000,
     )

@@ -1265,7 +1265,7 @@ def test_ql_reorder_kslack_streaming_drops_like_batch(spark, events_df):
     from siddhi_operator_spark.siddhiql.builder import run_app_streaming
     from siddhi_operator_spark.streaming import reorder, sources as SRC
 
-    app = """
+    base = """
     define stream E (event_id long, ts string, user_id long, event_type string, value double);
     from E#reorder:kslack(ts, 600000)
     select event_id, user_id, ts, late_us, slack_us
@@ -1281,32 +1281,35 @@ def test_ql_reorder_kslack_streaming_drops_like_batch(spark, events_df):
             F.col("ts") - F.expr("INTERVAL 20 MINUTES"),
         ).otherwise(F.col("ts")),
     )
-    d = tempfile.mkdtemp(prefix="replay_rk_")
-    SRC.replay_dir(jittered, d, "ts", 1)  # single trigger: the
-    # lateness seam (arrival order restarts per micro-batch) is the
-    # same one the akslack twins pin with expect_single_batch
-    s = SRC.file_stream(spark, d, events_df.schema)
-    outs = run_app_streaming(app, {"E": s})
-    name = f"rk_{uuid.uuid4().hex[:8]}"
-    q = (
-        outs["O"].writeStream.format("memory")
-        .queryName(name).outputMode("append").start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    got = sorted(
-        (r.event_id, r.user_id, r.ts, r.late_us, r.slack_us)
-        for r in spark.table(name).collect()
-    )
     want = sorted(
         (r.event_id, r.user_id, r.ts, r.late_us, r.slack_us)
         for r in reorder.kslack_batch(
             jittered, ts="ts", key="user_id", slack_ms=600000
         ).collect()
     )
-    assert got == want
-    assert got  # and the drop contract actually bites on this fixture
-    assert len(got) < events_df.count()
+    for app in (base, "@app:stateBuckets('5')\n" + base):
+        d = tempfile.mkdtemp(prefix="replay_rk_")
+        SRC.replay_dir(jittered, d, "ts", 1)  # single trigger: the
+        # lateness seam (arrival order restarts per micro-batch) is
+        # the same one the akslack twins pin with expect_single_batch
+        s = SRC.file_stream(spark, d, events_df.schema)
+        outs = run_app_streaming(app, {"E": s})
+        plan = outs["O"]._jdf.queryExecution().analyzed().toString()
+        assert ("__bucket" in plan) == app.startswith("@app")
+        name = f"rk_{uuid.uuid4().hex[:8]}"
+        q = (
+            outs["O"].writeStream.format("memory")
+            .queryName(name).outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            (r.event_id, r.user_id, r.ts, r.late_us, r.slack_us)
+            for r in spark.table(name).collect()
+        )
+        assert got == want
+        assert got  # and the drop contract actually bites here
+        assert len(got) < events_df.count()
 
 
 def test_ql_reorder_kslack_arg_validation(spark, events_df):

@@ -673,6 +673,54 @@ def test_akslack_bucketed_equals_per_key(spark, tmp_path):
     assert any(r[3] > 0 for r in results["per_key"])
 
 
+def test_kslack_bucketed_equals_per_key(spark, tmp_path):
+    """`kslack_bucketed` (constant-K drop contract on the coarse-bucket
+    state layout, r11) must be row-identical to the per-key
+    `kslack_stateful` across a MULTI-batch replay — same running-max
+    carry, same constant slack, bucket arrays only change the state
+    keying."""
+    from siddhi_operator_spark.catalog import load
+
+    jit = F.expr(
+        "ts - make_interval(0, 0, 0, 0, 0, 0, "
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 5), "
+        "16, 10) AS BIGINT) % 86400)"
+    ).alias("ts")
+    df = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", jit)
+    )
+    d = tempfile.mkdtemp(prefix="kslack_bkt_")
+    sources.replay_dir(df, d, "event_id", 3)
+    results = {}
+    for variant, fn in (
+        (
+            "per_key",
+            lambda s: reorder.kslack_stateful(s, slack_ms=3_600_000),
+        ),
+        (
+            "bucketed",
+            lambda s: reorder.kslack_bucketed(
+                s, slack_ms=3_600_000, n_buckets=5
+            ),
+        ),
+    ):
+        s = sources.file_stream(
+            spark, d, df.schema, max_files_per_trigger=1
+        ).select("event_id", "user_id", "ts")
+        name = _run(fn(s))
+        results[variant] = sorted(
+            (r.event_id, r.key, r.ts, r.late_us, r.slack_us)
+            for r in spark.table(name).collect()
+        )
+    assert results["per_key"] == results["bucketed"]
+    assert results["per_key"]
+    # constant slack emitted, and the drop contract actually bites
+    assert all(r[4] == 3_600_000_000 for r in results["per_key"])
+    assert len(results["per_key"]) < df.count()
+
+
 def test_derive_state_buckets_geometry():
     """Bucket-count derivation targets ~1.5 k keys/bucket (r11 — the
     regime both decade legs measured throughput-flat): the ×100
