@@ -1068,10 +1068,12 @@ def deterministic_shuffle(
        bucket space, not the corpus) fold into exclusive prefix
        offsets and broadcast-join back: position = offset + rank."""
     clash = {"position", "_k", "_b", "_rk"} & set(df.columns)
-    assert not clash, (
-        f"deterministic_shuffle emits 'position' and uses _k/_b/_rk "
-        f"internally; rename the colliding input column(s): {sorted(clash)}"
-    )
+    if clash:  # input validation — must survive python -O
+        raise ValueError(
+            f"deterministic_shuffle emits 'position' and uses _k/_b/_rk "
+            f"internally; rename the colliding input column(s): "
+            f"{sorted(clash)}"
+        )
     key = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
     )

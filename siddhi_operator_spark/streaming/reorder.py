@@ -369,8 +369,11 @@ def akslack_bucketed(
     ``n_buckets`` overrides; neither falls back to 128 (the ×100-tuned
     legacy constant — fine to ~200 k keys, 36 % slow by ×1000)."""
     if n_buckets is None:
+        # `is None`, not truthiness: approx_keys=0 is a measurement
+        # error and must raise in derive_state_buckets, not silently
+        # fall back to the legacy 128 (ADVICE r11)
         n_buckets = (
-            derive_state_buckets(approx_keys) if approx_keys else 128
+            128 if approx_keys is None else derive_state_buckets(approx_keys)
         )
 
     def proc(

@@ -92,7 +92,8 @@ def source_file_csv_mapper(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     df = load_file_source(spark, stream)
-    assert df is not None
+    if df is None:  # contract check — must survive python -O
+        raise RuntimeError("load_file_source returned None")
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         r4(F.sum("value"), 4).alias("sum_value"),
@@ -381,7 +382,8 @@ def source_onerror_fault_split(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     pair = load_file_source_with_faults(spark, stream)
-    assert pair is not None
+    if pair is None:  # contract check — must survive python -O
+        raise RuntimeError("load_file_source_with_faults returned None")
     clean, faults = pair
     return clean.select(F.lit("clean").alias("lane")).union(
         faults.select(F.lit("fault").alias("lane"))
@@ -539,7 +541,8 @@ def source_http_json_stream(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     s = stream_http_source(spark, stream)
-    assert s is not None
+    if s is None:  # contract check — must survive python -O
+        raise RuntimeError("stream_http_source returned None")
     name = f"http_{uuid.uuid4().hex[:8]}"
     q = (
         s.writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -616,7 +619,8 @@ def sink_file_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         ],
     )
     back = load_file_source(spark, reread_def)
-    assert back is not None
+    if back is None:  # contract check — must survive python -O
+        raise RuntimeError("load_file_source returned None")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         r4(F.sum("value"), 4).alias("sum_value"),

@@ -1628,6 +1628,26 @@ def test_ivfpq_wide_probe_equals_long(spark, tmp_path):
     assert long_rows == wide_rows and long_rows
 
 
+def test_ivfpq_geo_token_derived():
+    """The suite rows' layout cache-key geometry token is DERIVED from
+    the same dict passed to `ivfpq_index_write` (r11 verdict #3: a
+    hand-maintained literal token let a retuned row re-green a
+    `_READY`-gated layout against stale geometry) — changing any kwarg
+    must change the token, and the shipped default must match the
+    shipped geometry."""
+    from siddhi_operator_spark.suite.pipeline import (
+        _IVFPQ_GEO,
+        _ivfpq_geo_token,
+    )
+
+    base = _ivfpq_geo_token()
+    assert base == _ivfpq_geo_token(_IVFPQ_GEO)
+    for kw in _IVFPQ_GEO:
+        assert _ivfpq_geo_token({**_IVFPQ_GEO, kw: _IVFPQ_GEO[kw] + 1}) != base
+    with pytest.raises(KeyError):
+        _ivfpq_geo_token({"n_cells": 8})  # a typo'd dict raises
+
+
 def test_ivfpq_probe_geometry_guard(spark, tmp_path):
     """The candidate-join size guard (r11, from r10's 64 GB spill):
     a probe shape whose estimate exceeds max_candidate_rows is

@@ -741,3 +741,11 @@ def test_derive_state_buckets_geometry():
     sig = inspect.signature(reorder.akslack_bucketed)
     assert sig.parameters["n_buckets"].default is None
     assert "approx_keys" in sig.parameters
+    # approx_keys=0 is a measurement error, not "use the default":
+    # it must reach derive_state_buckets and raise there, for the
+    # bucketed kslack delegate too (ADVICE r11)
+    df_dummy = None
+    with pytest.raises(ValueError, match="n_keys"):
+        reorder.akslack_bucketed(df_dummy, approx_keys=0)
+    with pytest.raises(ValueError, match="n_keys"):
+        reorder.kslack_bucketed(df_dummy, approx_keys=0)
