@@ -28,102 +28,109 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 11.  The per-round correctness gate
+# Driver-window rotation, round 12.  The per-round correctness gate
 # records only the FIRST 50 registry entries in registration order.
-# This window executes the r10-pre-staged plan exactly: (1) r10 reds
-# — there were none; (2) `siddhiql_reorder_akslack`, the one
-# never-driver-checked row (added after the r10 window filled);
-# (3) the TEN r5-stale rows the r10 window displaced (siddhiql
-# pattern/source tail + the source_* trio — the oldest ledger tail at
-# 6 rounds); (4) every row ADDED in round 11 (never-checked):
-# `siddhiql_reorder_kslack` (QL kslack drop-contract convergence,
-# shared oracle with the batch runner) and
-# `similarity_ivfpq_compacted_serve` (exactly-once ingest +
-# count-triggered compaction); (5) rows whose EXECUTED PLAN changed
-# in r11: the five ivfpq rows under the reworked `ivfpq_index_topk`
-# (probe-geometry guard + inc-branch read path; code-versioned cache
-# keys re-prove fresh layouts) and the bucketed akslack row
-# (`n_buckets` derivation seam); (6) the r6-stale backlog in registry
-# order — 31 of the 48 rows last checked r6 fit (filter_compound …
-# text_bm25_topk); the 17 displaced (text_char_lm_score …
-# sink_file_csv_roundtrip) stay at staleness 6 and lead the r12 plan
-# below.  After this window: never-checked = 0, r6-stale = 17, max
-# staleness = 6.
+# This window executes the r11-pre-staged plan exactly: (1) r11 reds
+# — there were none; (2) the SEVENTEEN r6-stale rows the r11 window
+# displaced (text/streaming tail + the wire-codec source family — the
+# oldest ledger tail at 6 rounds); (3) every row ADDED in round 12
+# (never-checked): `streaming_reorder_kslack_bucketed` (the bucketed
+# constant-K tier's first oracle row — r11 verdict missing #2) and
+# `siddhiql_reorder_kslack_bucketed` (the `@app:stateBuckets` QL
+# routing onto it); (4) rows whose EXECUTED CODE changed in r12: the
+# six ivfpq rows (fold-tombstone exactly-once manifest, compaction
+# crash-recovery protocol, cached+limit-bounded probe guard, derived
+# geometry cache tokens), `source_file_csv_mapper` and
+# `corpus_shuffle_order` (assert→raise contract-check sweep);
+# (5) the r7-stale backlog in registry order — 23 of the 48 rows last
+# checked r7 fit (scalar_math … text_langid); the 25 displaced
+# (text_shingles … sink_http_json_roundtrip) stay at staleness 7 and
+# lead the r13 plan below.  After this window: never-checked = 0,
+# r7-stale = 25, max staleness = 6 (the r7 tail in r13).
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (2) the one never-driver-checked row
-    "siddhiql_reorder_akslack",
-    # (3) the ten r5-stale rows (oldest ledger tail)
-    "siddhiql_partition_range",
-    "siddhiql_join_aggregation",
-    "siddhiql_count_quantifier",
-    "siddhiql_absence_pattern",
-    "siddhiql_logical_and_pattern",
-    "siddhiql_file_source",
-    "siddhiql_logical_or_pattern",
-    "source_file_csv_mapper",
-    "source_kafka_json_value",
-    "source_cdc_debezium",
-    # (4) new in r11 — never checked
-    "siddhiql_reorder_kslack",
-    "similarity_ivfpq_compacted_serve",
-    # (5) executed plan changed in r11
-    "similarity_ivfpq_stream_serve",
+    # (2) the seventeen r6-stale rows (oldest ledger tail)
+    "text_char_lm_score",
+    "text_cross_doc_repeats",
+    "sample_stratified_quota",
+    "text_chunk_documents",
+    "streaming_dedup_watermark",
+    "streaming_ann_cell_ingest",
+    "streaming_incremental_neardup",
+    "streaming_join_outer",
+    "siddhiql_define_function",
+    "source_file_xml_mapper",
+    "source_file_keyvalue_mapper",
+    "source_avro_wire_roundtrip",
+    "source_onerror_fault_split",
+    "source_protobuf_wire_roundtrip",
+    "source_binary_wire_roundtrip",
+    "source_http_json_stream",
+    "sink_file_csv_roundtrip",
+    # (3) new in r12 — never checked
+    "streaming_reorder_kslack_bucketed",
+    "siddhiql_reorder_kslack_bucketed",
+    # (4) executed code changed in r12
     "similarity_ivfpq_index",
     "similarity_ivfpq_append",
+    "similarity_ivfpq_stream_serve",
+    "similarity_ivfpq_compacted_serve",
     "similarity_ivfpq_recall",
     "streaming_ivfpq_ingest",
-    "streaming_reorder_akslack_bucketed",
-    # (6) r6-stale backlog, registry order (31 of 48)
-    "filter_compound",
-    "scalar_str",
-    "scalar_time",
-    "scalar_json",
-    "conditional_fns",
-    "cast_convert",
-    "regex_fns",
-    "union_streams",
-    "setops_intersect",
-    "scalar_pol2cart",
-    "partition_range_agg",
-    "udtf_tokenize",
-    "json_struct_roundtrip",
-    "scalar_str_extra",
-    "join_in_table",
-    "join_not_in_table",
-    "join_multiway_dims",
-    "agg_distinct_count_salted",
-    "tpch_q14",
-    "tpch_q10",
-    "pattern_first_match",
-    "ondemand_sql",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "neardup_token_jaccard",
-    "dedup_embedding_cosine",
-    "similarity_pq",
-    "sample_leakage_safe_split",
-    "decontaminate_bloom",
-    "domain_mix_temperature",
-    "text_bm25_topk",
+    "source_file_csv_mapper",
+    "corpus_shuffle_order",
+    # (5) r7-stale backlog, registry order (23 of 48)
+    "scalar_math",
+    "scalar_udf_registered",
+    "join_bucketed_colocated",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q18",
+    "agg_percentile",
+    "agg_percentile_approx_contract",
+    "tpch_q9",
+    "tpch_q19",
+    "tpch_q22",
+    "incr_agg_day",
+    "incr_agg_month",
+    "incr_agg_hour_slice",
+    "table_upsert",
+    "table_update_add",
+    "table_delete",
+    "dedup_connected_components",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-12 rotation, pre-staged: lead with any r11 reds, then the
-# SEVENTEEN remaining r6-stale rows this window displaced
-# (text_char_lm_score, text_cross_doc_repeats, sample_stratified_quota,
-# text_chunk_documents, streaming_dedup_watermark,
-# streaming_ann_cell_ingest, streaming_incremental_neardup,
-# streaming_join_outer, siddhiql_define_function,
-# source_file_xml_mapper, source_file_keyvalue_mapper,
-# source_avro_wire_roundtrip, source_onerror_fault_split,
-# source_protobuf_wire_roundtrip, source_binary_wire_roundtrip,
-# source_http_json_stream, sink_file_csv_roundtrip — the oldest
-# ledger tail at 6 rounds stale in r12), then every row added in
-# round 12 (never-checked), then rows whose code changes in r12, then
-# the r7-stale backlog in registry order (48 rows last checked r7)
-# with the balance of 50.  New registry rows displace the
-# NEWEST-checked tail entries, never the stale/never-checked groups.
+# Round-13 rotation, pre-staged: lead with any r12 reds, then the
+# TWENTY-FIVE remaining r7-stale rows this window displaced
+# (text_shingles, multimodal_meta, multimodal_frame_sample,
+# multimodal_decode_real, text_inverted_index, embedding_normalize,
+# dedup_semantic_clusters, embedding_quantize_int8,
+# text_quality_classifier, streaming_join_unidirectional,
+# streaming_ratelimit_snapshot, streaming_expression_window,
+# streaming_join_table_probe, streaming_approx_distinct,
+# streaming_approx_percentile, streaming_sliding_panes,
+# streaming_reorder_kslack, streaming_join_full_outer,
+# streaming_incr_agg_state, siddhiql_cr_process,
+# siddhiql_streaming_filter_agg, siddhiql_custom_window_plugin,
+# siddhiql_custom_source_plugin, siddhiql_playback,
+# sink_http_json_roundtrip — the oldest ledger tail at 6 rounds stale
+# in r13), then every row added in round 13 (never-checked), then
+# rows whose code changes in r13, then the r8-stale backlog in
+# registry order (46 rows last checked r8) with the balance of 50.
+# New registry rows displace the NEWEST-checked tail entries, never
+# the stale/never-checked groups.
+#
+# (Archive) Round-12 rotation as pre-staged in r11: lead with any r11
+# reds, then the SEVENTEEN r6-stale rows (text/streaming/source
+# tail), then rows added in r12, then changed-code rows, then the
+# r7-stale backlog with the balance of 50 — EXECUTED EXACTLY by the
+# window above.
 #
 # (Archive) Round-11 rotation as pre-staged in r10: lead with any r10
 # reds, then `siddhiql_reorder_akslack` (the only never-checked row),

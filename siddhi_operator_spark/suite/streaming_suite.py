@@ -1215,6 +1215,60 @@ def streaming_reorder_akslack_bucketed(
     return spark.table(name)
 
 
+# constant-K drop contract on the md5-jitter fixture — shared with the
+# QL kslack rows in siddhiql_suite (one relational fixed point proving
+# the batch runner, the per-key streaming op, and the bucketed tier)
+_KSLACK_CONST_ORACLE = f"""
+    WITH {_JITTER_LATE_CTES}
+    SELECT event_id, user_id, ts, late_us,
+           CAST(3600000000 AS BIGINT) AS slack_us
+    FROM l
+    WHERE late_us <= 3600000000
+    """
+
+
+@register(
+    "streaming_reorder_kslack_bucketed",
+    oracle=_KSLACK_CONST_ORACLE,
+    tags=("streaming", "reorder", "kslack", "state-buckets"),
+)
+def streaming_reorder_kslack_bucketed(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Constant-K `reorder:kslack` on the COARSE-bucket state layout
+    (`streaming.reorder.kslack_bucketed` — r11 code, first oracle row
+    r12 per the r11 verdict: the op was pinned row-identical to
+    `kslack_batch` by routing tests but never exercised through the
+    driver gate). Same geometry as the bucketed akslack sibling
+    (hash(key) % n_buckets state, numpy per-event work) with the
+    1-hour constant slack; the md5-jittered lateness fixed point is
+    the same relational oracle the QL kslack row proves, so all three
+    runners (batch, per-key streaming, bucketed streaming) land on
+    one row set."""
+    from ..streaming.reorder import kslack_bucketed
+
+    s = _events_stream(spark, sf).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "ts - make_interval(0, 0, 0, 0, 0, 0, "
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 5), "
+            "16, 10) AS BIGINT) % 86400)"
+        ).alias("ts"),
+    )
+    out = kslack_bucketed(
+        s, ts="ts", key="user_id", slack_ms=3_600_000, n_buckets=16
+    ).select(
+        "event_id",
+        F.col("key").cast("long").alias("user_id"),
+        "ts",
+        "late_us",
+        "slack_us",
+    )
+    name = _materialize(out, "append", expect_single_batch=True)
+    return spark.table(name)
+
+
 @register(
     "streaming_join_full_outer",
     oracle="""

@@ -1,0 +1,222 @@
+"""Round-12 decade checks, one leg per process (the r8 A/B lesson:
+in-process sequential legs inherit JVM/cache state and fake wins —
+ONE FRESH PROCESS PER LEG, warm pass inside).
+
+Legs:
+  ivfpq_serve_eo        the r11 serve_compact leg in EXACTLY-ONCE mode
+                        with inline compaction armed — the exact
+                        configuration `similarity_ivfpq_compacted_serve`
+                        ships and the r11 verdict's replay hole lived
+                        in: base index from 50 k of the ×1000
+                        embeddings (2 M × 64-dim), the rest
+                        stream-ingested via staged-rename commits with
+                        count-triggered folds (tombstoned since r12),
+                        then the WHOLE stream REPLAYED with a fresh
+                        checkpoint (batch ids restart — exactly the
+                        ids the folds consumed; every batch must be
+                        skipped via its tombstone, zero rows
+                        re-ingested), then probe 1 000 queries off the
+                        served layout and assert bit-identity with a
+                        full rebuild. Leaves its work dir for the
+                        probe legs.
+  ivfpq_probe_wide_ab3  the r11 wide-vs-long probe A/B at THREE reps
+                        per arm (r11 verdict "what's wrong" #4: the
+                        2.9× headline was a median of 2 with the wide
+                        arm spanning 3.7× between its own reps) —
+                        alternating w,l,l,w,w,l so neither arm owns
+                        the warm tail. Run AFTER ivfpq_serve_eo
+                        (reuses its served layout).
+
+Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/r12_scale.py <leg> [scale]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SERVE_WORK = "/tmp/spark_graft_scale/ivfpq_serve_eo_leg"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.session import build_session
+
+    leg = sys.argv[1]
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if leg == "ivfpq_serve_eo":
+        import shutil
+
+        from siddhi_operator_spark.catalog import SCHEMAS
+        from siddhi_operator_spark.pipeline import similarity as S
+        from siddhi_operator_spark.pipeline.similarity import (
+            ivfpq_folded_batches,
+            ivfpq_inc_batches,
+        )
+        from siddhi_operator_spark.streaming.similarity import (
+            ivfpq_ingest_sink,
+        )
+        from tools.scalebench_pipeline import ensure_embeddings
+
+        edir = ensure_embeddings(spark, scale)
+        emb = spark.read.schema(SCHEMAS["embeddings"]).parquet(
+            f"{edir}/embeddings.parquet"
+        )
+        emb.write.format("noop").mode("overwrite").save()  # warm
+        n = emb.count()
+        head = min(50_000, n // 4)  # ×1000: 50 k; small smoke scales: n/4
+        cells = 64  # r10 leg geometry
+        shutil.rmtree(SERVE_WORK, ignore_errors=True)
+        t0 = time.monotonic()
+        S.ivfpq_index_write(
+            emb.filter(F.col("vec_id") < head), f"{SERVE_WORK}/live",
+            n_cells=cells, dims=64, m=8, n_codes=16,
+        )
+        print(f"base index ({head} vecs): {time.monotonic()-t0:.1f} s",
+              flush=True)
+        (
+            emb.filter(F.col("vec_id") >= head)
+            .repartition(80)
+            .write.parquet(f"{SERVE_WORK}/staging")
+        )
+
+        def run_stream(ckpt: str) -> tuple[float, int]:
+            s = (
+                spark.readStream.schema(SCHEMAS["embeddings"])
+                .option("maxFilesPerTrigger", 8)
+                .parquet(f"{SERVE_WORK}/staging")
+            )
+            t0 = time.monotonic()
+            q = ivfpq_ingest_sink(
+                s, f"{SERVE_WORK}/live", checkpoint=f"{SERVE_WORK}/{ckpt}",
+                exactly_once=True, max_fragments_per_cell=4,
+            )
+            q.processAllAvailable()
+            wall = time.monotonic() - t0
+            fed = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+            q.stop()
+            return wall, fed
+
+        wall, fed = run_stream("ckpt1")
+        live_b = ivfpq_inc_batches(spark, f"{SERVE_WORK}/live")
+        folded = ivfpq_folded_batches(spark, f"{SERVE_WORK}/live")
+        rows_after = spark.read.parquet(f"{SERVE_WORK}/live/codes").count()
+        print(
+            f"exactly-once ingest {n - head} vecs in {fed} batches "
+            f"(inline compaction at 4): {wall:.1f} s, "
+            f"{(n - head) / wall / 1e3:.1f} k vecs/s; "
+            f"folded={len(folded)} live_batches={len(live_b)} "
+            f"base_code_rows={rows_after}",
+            flush=True,
+        )
+        # WHOLE-STREAM REPLAY, fresh checkpoint: batch ids restart at
+        # the exact ids the inline folds consumed — every batch must be
+        # skipped (live dir ∪ tombstone), zero rows re-ingested
+        inc_rows_before = (
+            spark.read.option("basePath", f"{SERVE_WORK}/live/codes_inc")
+            .parquet(f"{SERVE_WORK}/live/codes_inc")
+            .count()
+            if live_b
+            else 0
+        )
+        rwall, rfed = run_stream("ckpt_replay")
+        live_b2 = ivfpq_inc_batches(spark, f"{SERVE_WORK}/live")
+        rows_after2 = spark.read.parquet(f"{SERVE_WORK}/live/codes").count()
+        inc_rows_after = (
+            spark.read.option("basePath", f"{SERVE_WORK}/live/codes_inc")
+            .parquet(f"{SERVE_WORK}/live/codes_inc")
+            .count()
+            if live_b2
+            else 0
+        )
+        dup_free = (
+            rows_after2 == rows_after
+            and inc_rows_after == inc_rows_before
+            and live_b2 == live_b
+        )
+        print(
+            f"whole-stream replay (fresh ckpt, {rfed} batches): "
+            f"{rwall:.1f} s; zero re-ingest: {dup_free}",
+            flush=True,
+        )
+        if not dup_free:
+            raise SystemExit("replay duplicated rows — tombstone hole")
+        queries = emb.filter(F.col("vec_id") % 2000 == 0)  # ~1 000
+        t0 = time.monotonic()
+        live = S.ivfpq_index_topk(
+            spark, f"{SERVE_WORK}/live", queries, nprobe=4, k=3
+        ).collect()
+        print(f"probe 1000 queries off SERVED layout: "
+              f"{time.monotonic()-t0:.1f} s, {len(live)} rows", flush=True)
+        t0 = time.monotonic()
+        S.ivfpq_index_write(
+            emb, f"{SERVE_WORK}/full", n_cells=cells, dims=64, m=8,
+            n_codes=16,
+        )
+        full = S.ivfpq_index_topk(
+            spark, f"{SERVE_WORK}/full", queries, nprobe=4, k=3
+        ).collect()
+        print(f"full rebuild + probe: {time.monotonic()-t0:.1f} s",
+              flush=True)
+        match = sorted(map(tuple, live)) == sorted(map(tuple, full))
+        print(f"eo-served == full rebuild: {match}", flush=True)
+        if not match:
+            raise SystemExit("bit-identity violated")
+        return
+
+    if leg == "ivfpq_probe_wide_ab3":
+        from siddhi_operator_spark.catalog import SCHEMAS
+        from siddhi_operator_spark.pipeline import similarity as S
+        from tools.scalebench_pipeline import ensure_embeddings
+
+        edir = ensure_embeddings(spark, scale)
+        emb = spark.read.schema(SCHEMAS["embeddings"]).parquet(
+            f"{edir}/embeddings.parquet"
+        )
+        if not os.path.exists(f"{SERVE_WORK}/live"):
+            raise SystemExit("run ivfpq_serve_eo first")
+        queries = emb.filter(F.col("vec_id") % 2000 == 0)
+        rows = {}
+        walls: dict[str, list[float]] = {"wide": [], "long": []}
+        for rep, name in enumerate(
+            ("wide", "long", "long", "wide", "wide", "long")
+        ):
+            t0 = time.monotonic()
+            got = sorted(
+                map(
+                    tuple,
+                    S.ivfpq_index_topk(
+                        spark, f"{SERVE_WORK}/live", queries, nprobe=4,
+                        k=3, impl=name,
+                    ).collect(),
+                )
+            )
+            w = time.monotonic() - t0
+            rows[name] = got
+            walls[name].append(w)
+            print(f"probe[{rep}] {name}: {w:.1f} s ({len(got)} rows)",
+                  flush=True)
+        med = {
+            k: sorted(v)[len(v) // 2] for k, v in walls.items()
+        }
+        print(
+            f"medians of 3: wide={med['wide']:.1f} s "
+            f"long={med['long']:.1f} s ratio={med['long']/med['wide']:.2f}×; "
+            f"wide == long: {rows['wide'] == rows['long']}",
+            flush=True,
+        )
+        if rows["wide"] != rows["long"]:
+            raise SystemExit("bit-identity violated")
+        return
+
+    raise SystemExit(f"unknown leg {leg!r}")
+
+
+if __name__ == "__main__":
+    main()
