@@ -1072,7 +1072,9 @@ def test_deterministic_shuffle_contract(spark):
     import pytest as _pytest
 
     for bad in ("position", "_k", "_b", "_rk"):
-        with _pytest.raises(AssertionError, match=bad):
+        # ValueError since r12 (assert sweep: input validation must
+        # survive python -O)
+        with _pytest.raises(ValueError, match=bad):
             C.deterministic_shuffle(docs.withColumn(bad, F.lit(1)))
 
 
