@@ -24,6 +24,79 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _nearest_probe_scan(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    arm_pred: Column,
+    probe_pred: Column,
+    backwards: bool = False,
+) -> DataFrame:
+    """Per ARM event, the nearest PROBE event for the same key STRICTLY
+    after it (``backwards=True``: strictly before it) — ONE keyed
+    window pass instead of a join (r12). The join shape pays twice on
+    a DENSE key: per-key fanout (every armed state × every in-window
+    completion materializes a row BEFORE first-match filtering) and a
+    SECOND shuffle (the first-match `row_number` re-partitions the
+    fanned-out join output by (key, e1_id)). This pass is fanout-free
+    and single-shuffle: union the two filtered role scans, sort per
+    key by time, and take a running min/max of the probe rows. It is
+    the OPT-IN tier, not the default — the ×1000 A/B (constant
+    per-key density, tiny fanout) measured it SLOWER than the join
+    (5.3–8.7 s vs 3.7–5.2 s; WindowExec's running min-struct is not
+    whole-stage-codegen'd where SMJ is) — see :func:`followed_by` for
+    the regime call.
+
+    The frame trick: Spark computes UNBOUNDED PRECEDING frames
+    incrementally (O(n) per key) but re-scans UNBOUNDED FOLLOWING
+    frames per row (O(n²) on a hot key — `WindowExec`'s
+    `UnboundedFollowingWindowFunctionFrame`), so "nearest later
+    probe" is computed over time REVERSED with a growing frame, never
+    over forward time with a shrinking one. Strictness costs no
+    filter: the secondary sort key `_p` (arm=0, probe=1) places every
+    equal-timestamp probe AFTER the arm row, outside its preceding
+    frame. min/max of the (ts, id) STRUCT makes the per-arm pick
+    deterministic and equal to the join path's (e2_ts, e2_id)
+    ordering.
+
+    Returns: k, e1_ts, e1_id, _probe (struct p_ts/p_id — null when no
+    probe exists on that side of the arm event)."""
+    arm = df.filter(arm_pred).select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("_ts"),
+        F.col("event_id").alias("_id"),
+        F.lit(0).alias("_p"),
+    )
+    probe = df.filter(probe_pred).select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("_ts"),
+        F.col("event_id").alias("_id"),
+        F.lit(1).alias("_p"),
+    )
+    direction = F.asc if backwards else F.desc
+    w = (
+        Window.partitionBy("k")
+        .orderBy(direction("_ts"), F.asc("_p"), direction("_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    probe_struct = F.when(
+        F.col("_p") == 1,
+        F.struct(F.col("_ts").alias("p_ts"), F.col("_id").alias("p_id")),
+    )
+    nearest = (F.max if backwards else F.min)(probe_struct).over(w)
+    return (
+        arm.unionByName(probe)
+        .withColumn("_probe", nearest)
+        .filter(F.col("_p") == 0)
+        .select(
+            "k",
+            F.col("_ts").alias("e1_ts"),
+            F.col("_id").alias("e1_id"),
+            "_probe",
+        )
+    )
+
+
 def followed_by(
     df: DataFrame,
     key: str,
@@ -34,6 +107,7 @@ def followed_by(
     every: bool = True,
     first_match_only: bool = True,
     bucket: bool = False,
+    impl: str = "join",
 ) -> DataFrame:
     """`from every e1=S[p1] -> e2=S[p2] within t` — non-contiguous
     followed-by (`StreamPreStateProcessor.java`).
@@ -45,7 +119,50 @@ def followed_by(
 
     Returns columns: key, e1_ts, e1_id, e2_ts, e2_id (+ e1_/e2_ prefixed
     payload hooks can be added by the caller before/after).
-    """
+
+    ``impl`` (r12): ``"join"`` (default) is the time-bounded keyed
+    equi-join + first-match re-window; ``"scan"`` is the fanout-free
+    single-shuffle nearest-probe pass (:func:`_nearest_probe_scan` —
+    "first completing e2 per e1" IS "nearest later e2, then a time
+    filter"; `every` + first-match shapes only). Measured ×1000
+    (100 M events, constant per-key density, SCALEBENCH r12): the
+    join reads 3.7–5.2 s vs the scan's 5.3–8.7 s — SMJ + the tiny
+    fanout stay in whole-stage codegen while WindowExec's running
+    min-struct does not — so the join stays the default; the scan is
+    HOT-KEY INSURANCE, the same regime story as ``bucket``: its
+    per-key cost is O(n log n) always, where the join's pre-filter
+    pair production is O(signups × in-window purchases) on a dense
+    key (a key with 1 M events and an hour-wide budget materializes
+    billions of pairs before the rn=1 filter — the scan shape
+    survives it, row-identically)."""
+    if impl not in ("join", "scan"):
+        raise ValueError(f"impl must be 'join' or 'scan', got {impl!r}")
+    if impl == "scan":
+        if not (every and first_match_only and not bucket):
+            raise ValueError(
+                "impl='scan' expresses the `every` + first-match shape "
+                "only (all-matches output is genuinely the pair count; "
+                "bucket is a join-tier option)"
+            )
+        scanned = _nearest_probe_scan(df, key, ts, first_pred, second_pred)
+        return (
+            scanned.filter(
+                F.col("_probe").isNotNull()
+                & (
+                    F.col("_probe.p_ts")
+                    <= F.col("e1_ts")
+                    + F.expr(f"INTERVAL {within_seconds} SECONDS")
+                )
+            )
+            .select(
+                "k",
+                "e1_ts",
+                "e1_id",
+                F.col("_probe.p_ts").alias("e2_ts"),
+                F.col("_probe.p_id").alias("e2_id"),
+            )
+            .withColumnRenamed("k", key)
+        )
     e1 = df.filter(first_pred).select(
         F.col(key).alias("k"),
         F.col(ts).alias("e1_ts"),
@@ -100,14 +217,37 @@ def absence(
     first_pred: Column,
     absent_pred: Column,
     within_seconds: float,
+    impl: str = "join",
 ) -> DataFrame:
     """Absence pattern: `e1=S[p1] -> not S[p2] for t`
     (`AbsentStreamPreStateProcessor.java`) — e1 events with NO p2 event
     for the same key in (e1.ts, e1.ts + t].
 
-    Batch mapping: time-bounded left-anti join (the reference arms a
-    state timer; the anti-join is its fixed point).
+    ``impl="join"`` (default): time-bounded left-anti join (the
+    reference arms a state timer; the anti-join is its fixed point).
+    ``impl="scan"`` (r12): "no p2 in (e1.ts, e1.ts + t]" IS "the
+    nearest LATER p2 is absent or past the budget" — the fanout-free
+    single-shuffle pass (:func:`_nearest_probe_scan`); hot-key
+    insurance for keys where the anti-join's range residual degrades
+    the per-key probe (see :func:`followed_by` for the measured
+    regime call).
     """
+    if impl not in ("join", "scan"):
+        raise ValueError(f"impl must be 'join' or 'scan', got {impl!r}")
+    if impl == "scan":
+        scanned = _nearest_probe_scan(df, key, ts, first_pred, absent_pred)
+        return (
+            scanned.filter(
+                F.col("_probe").isNull()
+                | (
+                    F.col("_probe.p_ts")
+                    > F.col("e1_ts")
+                    + F.expr(f"INTERVAL {within_seconds} SECONDS")
+                )
+            )
+            .select("k", "e1_ts", "e1_id")
+            .withColumnRenamed("k", key)
+        )
     e1 = df.filter(first_pred).select(
         F.col(key).alias("k"),
         F.col(ts).alias("e1_ts"),
@@ -124,7 +264,8 @@ def absence(
                 & (F.col("e2_ts") > F.col("e1_ts"))
                 & (
                     F.col("e2_ts")
-                    <= F.col("e1_ts") + F.expr(f"INTERVAL {within_seconds} SECONDS")
+                    <= F.col("e1_ts")
+                    + F.expr(f"INTERVAL {within_seconds} SECONDS")
                 )
             ),
             how="left_anti",
@@ -205,6 +346,7 @@ def absence_logical(
     present_pred: Column,
     absent_pred: Column,
     within_seconds: float,
+    impl: str = "join",
 ) -> DataFrame:
     """Logical absence: `from not S[p_absent] and e2=S[p_present]`
     (`AbsentLogicalPreStateProcessor.java`) — e2 events with NO
@@ -212,7 +354,30 @@ def absence_logical(
     absent branch is armed at match start; e2 completes the pair only
     if the absent side never fired).
 
-    Batch mapping: time-bounded left-anti join looking backwards."""
+    ``impl="join"`` (default): time-bounded left-anti join looking
+    backwards. ``impl="scan"`` (r12): "no p_absent in
+    [e2.ts − t, e2.ts)" IS "the nearest EARLIER p_absent is absent or
+    before the window" — the mirrored (``backwards=True``)
+    single-shuffle pass; see :func:`absence` / :func:`followed_by`
+    for the measured regime call."""
+    if impl not in ("join", "scan"):
+        raise ValueError(f"impl must be 'join' or 'scan', got {impl!r}")
+    if impl == "scan":
+        scanned = _nearest_probe_scan(
+            df, key, ts, present_pred, absent_pred, backwards=True
+        )
+        return scanned.filter(
+            F.col("_probe").isNull()
+            | (
+                F.col("_probe.p_ts")
+                < F.col("e1_ts")
+                - F.expr(f"INTERVAL {within_seconds} SECONDS")
+            )
+        ).select(
+            "k",
+            F.col("e1_ts").alias("e2_ts"),
+            F.col("e1_id").alias("e2_id"),
+        )
     e2 = df.filter(present_pred).select(
         F.col(key).alias("k"),
         F.col(ts).alias("e2_ts"),
@@ -229,7 +394,8 @@ def absence_logical(
                 & (F.col("a_ts") < F.col("e2_ts"))
                 & (
                     F.col("a_ts")
-                    >= F.col("e2_ts") - F.expr(f"INTERVAL {within_seconds} SECONDS")
+                    >= F.col("e2_ts")
+                    - F.expr(f"INTERVAL {within_seconds} SECONDS")
                 )
             ),
             how="left_anti",

@@ -41,12 +41,16 @@ from . import sources_suite  # noqa: E402,F401
 # six ivfpq rows (fold-tombstone exactly-once manifest, compaction
 # crash-recovery protocol, cached+limit-bounded probe guard, derived
 # geometry cache tokens), `source_file_csv_mapper` and
-# `corpus_shuffle_order` (assert→raise contract-check sweep);
-# (5) the r7-stale backlog in registry order — 23 of the 48 rows last
-# checked r7 fit (scalar_math … text_langid); the 25 displaced
-# (text_shingles … sink_http_json_roundtrip) stay at staleness 7 and
-# lead the r13 plan below.  After this window: never-checked = 0,
-# r7-stale = 25, max staleness = 6 (the r7 tail in r13).
+# `corpus_shuffle_order` (assert→raise contract-check sweep; the
+# pattern ops gained an OPT-IN impl="scan" tier in r12 but their
+# shipped default plan is byte-identical to r11's join formulation —
+# the ×1000 A/B kept the join, SCALEBENCH r12 — so they do not
+# re-enter); (5) the r7-stale backlog in registry order — 23 of the
+# 48 rows last checked r7 fit (scalar_math … text_langid); the 25
+# displaced (text_shingles … sink_http_json_roundtrip) stay at
+# staleness 7 and lead the r13 plan below.  After this window:
+# never-checked = 0, r7-stale = 25, max staleness = 6 (the r7 tail
+# in r13).
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
     # (2) the seventeen r6-stale rows (oldest ledger tail)

@@ -117,6 +117,58 @@ def test_absence(events_df):
     assert [r.e1_id for r in out.collect()] == [4]
 
 
+def test_pattern_scan_tier_row_identical(events_df):
+    """The r12 opt-in impl='scan' tier (fanout-free single-shuffle
+    nearest-probe pass — hot-key insurance; the ×1000 A/B kept the
+    join as default, SCALEBENCH r12) must be row-identical to the
+    join formulation for followed_by, absence, and absence_logical,
+    and must reject the shapes it cannot express."""
+    import pytest
+
+    fb = dict(
+        key="user_id", ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        second_pred=F.col("event_type") == "purchase",
+    )
+    for within in (10, 3600, 86400):
+        a = P.followed_by(events_df, within_seconds=within, **fb)
+        b = P.followed_by(events_df, within_seconds=within, impl="scan", **fb)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+    ab = dict(
+        key="user_id", ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        absent_pred=F.col("event_type") == "purchase",
+    )
+    for within in (10, 3600):
+        a = P.absence(events_df, within_seconds=within, **ab)
+        b = P.absence(events_df, within_seconds=within, impl="scan", **ab)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+    al = dict(
+        key="user_id", ts="ts",
+        present_pred=F.col("event_type") == "purchase",
+        absent_pred=F.col("event_type") == "click",
+    )
+    for within in (10, 3600):
+        a = P.absence_logical(events_df, within_seconds=within, **al)
+        b = P.absence_logical(
+            events_df, within_seconds=within, impl="scan", **al
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+    with pytest.raises(ValueError, match="impl"):
+        P.followed_by(events_df, within_seconds=10, impl="scna", **fb)
+    with pytest.raises(ValueError, match="scan"):
+        P.followed_by(
+            events_df, within_seconds=10, impl="scan",
+            first_match_only=False, **fb,
+        )
+
+
 def test_sequence_adjacent(events_df):
     out = P.sequence_adjacent(
         events_df,

@@ -215,6 +215,48 @@ def main() -> None:
             raise SystemExit("bit-identity violated")
         return
 
+    if leg == "pattern_scan_ab":
+        # r12 followed-by re-plan A/B: the shipped single-shuffle
+        # fanout-free scan (nearest-later-probe window) vs the legacy
+        # join + re-window formulation, on the ×1000 events fixture —
+        # alternating s,j,j,s, row sets asserted equal.
+        from siddhi_operator_spark.operators import patterns as P
+
+        from bench import ensure_scaled
+
+        sdir = ensure_scaled(spark, scale)
+        ev = spark.read.parquet(f"{sdir}/events.parquet")
+        ev.write.format("noop").mode("overwrite").save()  # warm
+        n = ev.count()
+        print(f"events={n} x{scale}", flush=True)
+
+        def plan(impl):
+            def run():
+                return P.followed_by(
+                    ev, key="user_id", ts="ts",
+                    first_pred=F.col("event_type") == "signup",
+                    second_pred=F.col("event_type") == "purchase",
+                    within_seconds=3600, impl=impl,
+                )
+            return run
+
+        plans = {"scan": plan("scan"), "join": plan("join")}
+        counts = {}
+        for rep, name in enumerate(("scan", "join", "join", "scan")):
+            t0 = time.monotonic()
+            c = plans[name]().count()
+            counts[name] = c
+            print(f"followed_by[{rep}] {name}: "
+                  f"{time.monotonic()-t0:.1f} s ({c} matches)", flush=True)
+        eq = (
+            plans["scan"]().exceptAll(plans["join"]()).isEmpty()
+            and counts["scan"] == counts["join"]
+        )
+        print(f"scan == join: {eq}", flush=True)
+        if not eq:
+            raise SystemExit("row-set mismatch")
+        return
+
     raise SystemExit(f"unknown leg {leg!r}")
 
 
