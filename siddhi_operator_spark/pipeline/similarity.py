@@ -1023,8 +1023,17 @@ def ivfpq_index_append(
     `similarity_ivfpq_append` oracle row and a direct equality test).
     Work is new-batch-sized: one broadcast of the bounded quantizers,
     two keyed windows over the batch, and a partitioned append that
-    only touches the cells the batch lands in."""
+    only touches the cells the batch lands in.
+
+    Opens with :func:`ivfpq_compact_recover` (one `exists()` when
+    clean — r12): appending into a layout torn by a mid-compaction
+    crash is the one sequence that could lose rows (a base cell
+    displaced to `.compact_old` mid-swap, recreated by this append
+    with ONLY the new rows, would have those new rows displaced-then-
+    dropped by a LATER roll-forward); recovering first makes the
+    layout whole before any cell dir is touched."""
     spark = corpus_new.sparkSession
+    ivfpq_compact_recover(spark, path)
     cent = spark.read.parquet(f"{path}/centroids")
     codebook = spark.read.parquet(f"{path}/codebook")
     coded = _ivfpq_encode_frozen(corpus_new, cent, codebook, id_col, vec_col)

@@ -1589,6 +1589,39 @@ def test_ivfpq_compact_crash_recovery(spark, tmp_path, monkeypatch):
     assert probe() == before
     assert ivfpq_compact_recover(spark, live) == "clean"
     assert spark.read.parquet(f"{live}/codes").count() == emb.count() * 8
+    # APPEND INTO A TORN LAYOUT (r12): ivfpq_index_append opens with
+    # recovery — without it, rows appended into a cell the crashed
+    # swap had displaced to .compact_old would be displaced-then-
+    # DROPPED by the later roll-forward (the new base dir holds only
+    # the appended rows; _compact_finish moves it to .compact_old and
+    # deletes it at the end)
+    n0 = emb.count()
+    fresh1 = emb.limit(20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    fresh2 = emb.limit(20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(2_000_000)
+    )
+    S.ivfpq_index_append(fresh1, live)  # re-fragment the cells
+    monkeypatch.setattr(S, "_compact_finish", lambda *a, **k: None)
+    S.ivfpq_index_compact(spark, live, max_fragments_per_cell=1)
+    monkeypatch.undo()
+    assert fs.exists(P(f"{live}/.compact/_COMMIT_CELLS"))
+    cells2 = [
+        st.getPath().getName()
+        for st in fs.listStatus(P(f"{live}/.compact"))
+        if st.getPath().getName().startswith("cell=")
+    ]
+    fs.mkdirs(P(f"{live}/.compact_old"))
+    assert fs.rename(
+        P(f"{live}/codes/{cells2[0]}"),
+        P(f"{live}/.compact_old/{cells2[0]}"),
+    )
+    S.ivfpq_index_append(fresh2, live)  # must recover BEFORE writing
+    assert S.ivfpq_compact_recover(spark, live) == "clean"
+    assert (
+        spark.read.parquet(f"{live}/codes").count() == (n0 + 40) * 8
+    )  # nothing displaced-then-dropped
 
 
 def test_ivfpq_wide_probe_equals_long(spark, tmp_path):
