@@ -772,3 +772,32 @@ def test_ivfpq_exactly_once_inc_branch_keeps_dpp(spark, tmp_path):
     plan = _fmt(S.ivfpq_index_topk(spark, idx, q, 2, 3))
     assert plan.count("dynamicpruningexpression") >= 2
     assert "CartesianProduct" not in plan.split("\n\n")[0]
+
+
+def test_pattern_scan_tier_single_shuffle_no_join(spark):
+    """The opt-in impl='scan' pattern tier (r12 hot-key insurance —
+    `operators/patterns._nearest_probe_scan`) must be what it claims:
+    fanout-free (NO join operator of any kind) and single-shuffle (one
+    Exchange, the keyed window partitioning), with the window ordered
+    over REVERSED time so the frame is the incremental UNBOUNDED
+    PRECEDING kind, never the per-row-rescan UNBOUNDED FOLLOWING."""
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.operators import patterns as P
+
+    e = load(spark, SF, "events")
+    plan = _fmt(
+        P.followed_by(
+            e, key="user_id", ts="ts",
+            first_pred=F.col("event_type") == "signup",
+            second_pred=F.col("event_type") == "purchase",
+            within_seconds=3600, impl="scan",
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree  # no SMJ/BHJ/BNLJ/cartesian anywhere
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(k" in plan
+    assert "unboundedpreceding" in plan.lower()
+    assert "unboundedfollowing" not in plan.lower()
