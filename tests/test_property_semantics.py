@@ -85,18 +85,11 @@ def test_session_window_matches_bruteforce(spark, evs):
 @given(evs=events_strategy)
 def test_followed_by_matches_bruteforce(spark, evs):
     """`every e1=S[a] -> e2=S[b] within 120s`, first match per e1:
-    the earliest b strictly after a (ties: lowest id) within budget."""
+    the earliest b strictly after a (ties: lowest id) within budget —
+    for BOTH impls (the r12 opt-in scan tier must agree with the join
+    on every generated event set, including simultaneous-timestamp
+    edges where strictness is carried by the scan's tie-ordering)."""
     from siddhi_operator_spark.operators.patterns import followed_by
-
-    out = followed_by(
-        _df(spark, evs),
-        key="user_id",
-        ts="ts",
-        first_pred=F.col("event_type") == "a",
-        second_pred=F.col("event_type") == "b",
-        within_seconds=120,
-    )
-    got = sorted((r["e1_id"], r["e2_id"]) for r in out.collect())
 
     rows = [
         (i, BASE + datetime.timedelta(seconds=off), u, t)
@@ -116,7 +109,18 @@ def test_followed_by_matches_bruteforce(spark, evs):
         ]
         if cands:
             want.append((i1, min(cands)[1]))
-    assert got == sorted(want)
+    for impl in ("join", "scan"):
+        out = followed_by(
+            _df(spark, evs),
+            key="user_id",
+            ts="ts",
+            first_pred=F.col("event_type") == "a",
+            second_pred=F.col("event_type") == "b",
+            within_seconds=120,
+            impl=impl,
+        )
+        got = sorted((r["e1_id"], r["e2_id"]) for r in out.collect())
+        assert got == sorted(want), impl
 
 
 @settings(
