@@ -80,10 +80,18 @@ def _materialized_paths(spark: SparkSession, sf: str) -> dict[str, str]:
     from ..catalog import _events_ts_kind
 
     src = f"{sf.rstrip('/')}/events.parquet"
-    # Key by mtime AND the sniffed physical ts vintage AND a reader
-    # version, so a reader fix (r4: nanos→native) or a fixture flip
-    # invalidates caches built under the old interpretation.
-    stamp = f"{int(os.stat(src).st_mtime)}-{_events_ts_kind(sf)}-v2"
+    # Key by mtime AND the sniffed physical ts vintage AND the WRITER
+    # MODULE's hash (r12 — replaces the hand-maintained "v2" reader
+    # token, the same stale-cache class the r11 verdict flagged for
+    # the ivfpq serve rows: a code change to the cascade writer must
+    # invalidate layouts it wrote, without anyone remembering to bump
+    # a literal), so a reader fix (r4: nanos→native), a fixture flip,
+    # or any edit to `operators/incremental.py` rebuilds the cascade.
+    import hashlib
+
+    with open(I.__file__, "rb") as fh:
+        code_tok = hashlib.md5(fh.read()).hexdigest()[:8]
+    stamp = f"{int(os.stat(src).st_mtime)}-{_events_ts_kind(sf)}-{code_tok}"
     base = f"/tmp/spark_graft_incr/{os.path.basename(sf.rstrip('/'))}-{stamp}"
     marker = f"{base}/_READY"
     paths = {g: f"{base}/gran={g}" for g in ("hour", "day", "month")}
