@@ -1025,8 +1025,8 @@ def ivfpq_index_append(
     two keyed windows over the batch, and a partitioned append that
     only touches the cells the batch lands in.
 
-    Opens with :func:`ivfpq_compact_recover` (one `exists()` when
-    clean — r12): appending into a layout torn by a mid-compaction
+    Opens with :func:`ivfpq_compact_recover` (three `exists()` calls
+    when clean — r12): appending into a layout torn by a mid-compaction
     crash is the one sequence that could lose rows (a base cell
     displaced to `.compact_old` mid-swap, recreated by this append
     with ONLY the new rows, would have those new rows displaced-then-
@@ -1164,7 +1164,7 @@ def ivfpq_compact_recover(spark, path: str) -> str:
 
     Returns "forward" / "back" / "clean". Called automatically at the
     top of :func:`ivfpq_index_compact` and per-batch by the
-    exactly-once sink (one `exists()` when clean)."""
+    exactly-once sink (three `exists()` calls when clean)."""
     P, fs = _hfs(spark, path)
     if fs.exists(P(f"{path}/.compact/_COMMIT_CELLS")):
         _compact_finish(spark, path)

@@ -152,8 +152,8 @@ def ivfpq_ingest_sink(
             P, fs = _hfs(spark, path)
             # a prior run may have died mid-compaction: make the
             # layout whole (roll the committed swap forward / discard
-            # a torn one) BEFORE consulting the manifest — one
-            # exists() when clean
+            # a torn one) BEFORE consulting the manifest — three
+            # exists() calls when clean
             ivfpq_compact_recover(spark, path)
             if _ever_committed(fs, P, path, batch_id):
                 return  # replay of a committed batch — exactly-once skip
