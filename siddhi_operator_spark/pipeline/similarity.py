@@ -914,7 +914,20 @@ def ivfpq_index_write(
     `_ivfpq_parts` arithmetic as the in-memory tier, so
     :func:`ivfpq_index_topk` over this layout returns bit-identical
     results to :func:`ivfpq_topk` (equivalence pinned by the
-    `similarity_ivfpq_index` oracle row — same oracle SQL)."""
+    `similarity_ivfpq_index` oracle row — same oracle SQL).
+
+    A rebuild REPLACES the index, so any state a previous life of this
+    path left behind is discarded first (r12 review): a torn or
+    committed-but-unswapped compaction (`.compact`/`.compact_old` —
+    rolling it forward LATER would rename pre-rebuild cell data over
+    the fresh cells) and the whole exactly-once ingest manifest
+    (`codes_inc` batch dirs AND `_folded` tombstones — old-index
+    batches must neither union into probes of the new index nor
+    shadow a new stream's batch ids)."""
+    spark = corpus.sparkSession
+    P, fs = _hfs(spark, path)
+    for stale in (".compact", ".compact_old", "codes_inc"):
+        fs.delete(P(f"{path}/{stale}"), True)
     _, cells, _, codebook, codes = _ivfpq_parts(
         corpus, n_cells, dims, m, n_codes, id_col, vec_col
     )
@@ -1056,12 +1069,13 @@ def ivfpq_inc_batches(spark, path: str) -> list[str]:
     (see `streaming.similarity.ivfpq_ingest_sink(exactly_once=True)`):
     each micro-batch stages to a dot-prefixed temp dir (invisible to
     Spark's file index) and COMMITS via one atomic directory rename to
-    `batch=<id>`. Existence of the `batch=` dir marks a LIVE committed
-    batch; once compaction folds it into the base cells the dir is
-    replaced by a `_folded/batch=<id>` tombstone (r12 — the replay
-    guard must survive the fold, see :func:`ivfpq_folded_batches`), so
-    "ever committed" = live dir ∪ tombstone and a torn append is
-    neither."""
+    `batch=<stream_id>-<batch_id>` (the stream id scopes the manifest
+    to its checkpoint — r12 review). Existence of the `batch=` dir
+    marks a LIVE committed batch; once compaction folds it into the
+    base cells the dir is replaced by a `_folded/batch=...` tombstone
+    (r12 — the replay guard must survive the fold, see
+    :func:`ivfpq_folded_batches`), so "ever committed" = live dir ∪
+    tombstone and a torn append is neither."""
     P, fs = _hfs(spark, path)
     inc = P(f"{path}/codes_inc")
     if not fs.exists(inc):
@@ -1138,8 +1152,14 @@ def _compact_finish(spark, path: str) -> None:
                 raise RuntimeError(
                     f"compaction swap: rename {st.getPath()} -> {base} failed"
                 )
-    for b in ivfpq_folded_batches(spark, path):
-        fs.delete(P(f"{path}/codes_inc/{b}"), True)
+    # only tombstoned batches whose dirs are STILL LIVE need deleting
+    # (exactly the set the committed swap folded); iterating every
+    # tombstone ever written would make this tail O(stream age) in
+    # no-op delete calls (r12 review)
+    folded = set(ivfpq_folded_batches(spark, path))
+    for b in ivfpq_inc_batches(spark, path):
+        if b in folded:
+            fs.delete(P(f"{path}/codes_inc/{b}"), True)
     fs.delete(staged, True)
     fs.delete(P(f"{path}/.compact_old"), True)
 
@@ -1492,21 +1512,38 @@ def ivfpq_index_topk(
             1,
             nprobe * code_rows // n_cells // (m if impl == "wide" else 1),
         )
-        safe = max(1, max_candidate_rows // per_query)
-        # limit-bounded count: stops the (arbitrary) query plan at
-        # safe+1 rows — the guard only needs the comparison, not n_q
-        n_q = queries.select(id_col).limit(safe + 1).count()
-        if n_q > safe:
+        if per_query > max_candidate_rows:
+            # a SINGLE query already exceeds the cap — no chunking can
+            # help (the r12 review caught the safe=max(1,...) clamp
+            # silently admitting this shape the old est-check refused)
             raise ValueError(
-                f"probe would materialize >{safe * per_query:,} "
-                f"candidate rows (>{safe:,} queries × nprobe={nprobe} "
-                f"× ~{code_rows // n_cells:,} code rows/cell) > "
-                f"max_candidate_rows={max_candidate_rows:,} — the "
-                f"shape that spilled 64 GB at the 2 M-vector decade. "
-                f"Probe ≤{safe:,} queries per batch (see "
-                f"ivfpq_index_topk_chunked), lower nprobe, or raise "
+                f"probe would materialize ~{per_query:,} candidate "
+                f"rows PER QUERY (nprobe={nprobe} × "
+                f"~{code_rows // n_cells:,} code rows/cell"
+                f"{' ÷ m' if impl == 'wide' else ''}) > "
+                f"max_candidate_rows={max_candidate_rows:,} — "
+                f"chunking cannot reduce this; lower nprobe or raise "
                 f"max_candidate_rows explicitly."
             )
+        safe = max_candidate_rows // per_query
+        # limit-bounded count: stops the (arbitrary) query plan at
+        # safe+1 rows — the guard only needs the comparison, not n_q.
+        # Skip when safe exceeds DataFrame.limit's Int32 ceiling: no
+        # real query set reaches 2^31 rows, and limit() would raise.
+        if safe < 2**31 - 1:
+            n_q = queries.select(id_col).limit(safe + 1).count()
+            if n_q > safe:
+                raise ValueError(
+                    f"probe would materialize >{safe * per_query:,} "
+                    f"candidate rows (>{safe:,} queries × "
+                    f"nprobe={nprobe} × "
+                    f"~{code_rows // n_cells:,} code rows/cell) > "
+                    f"max_candidate_rows={max_candidate_rows:,} — the "
+                    f"shape that spilled 64 GB at the 2 M-vector "
+                    f"decade. Probe ≤{safe:,} queries per batch (see "
+                    f"ivfpq_index_topk_chunked), lower nprobe, or "
+                    f"raise max_candidate_rows explicitly."
+                )
     q_subs = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
@@ -1651,7 +1688,14 @@ def ivfpq_index_topk_chunked(
     per_query = max(
         1, nprobe * code_rows // n_cells // (m if impl == "wide" else 1)
     )
-    safe = max(1, max_candidate_rows // per_query)
+    if per_query > max_candidate_rows:
+        raise ValueError(
+            f"a SINGLE query materializes ~{per_query:,} candidate "
+            f"rows > max_candidate_rows={max_candidate_rows:,} — "
+            f"chunking cannot reduce this; lower nprobe or raise "
+            f"max_candidate_rows explicitly."
+        )
+    safe = max_candidate_rows // per_query
     n_chunks = max(1, -(-n_q // safe))
     for i in range(n_chunks):
         chunk = queries.filter(

@@ -24,6 +24,10 @@ rewrite; the frozen quantizers make compaction re-encode nothing).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -39,22 +43,46 @@ from ..pipeline.similarity import (
 )
 
 
-def _ever_committed(fs, P, path: str, batch_id: int) -> bool:
+def _stream_id(checkpoint: str | None) -> str:
+    """The manifest's stream-identity token (r12 review: Spark batch
+    ids are unique only PER CHECKPOINT, so a manifest keyed by the
+    bare id aliases across streams — a NEW stream of NEW vectors with
+    a fresh checkpoint would collide with a folded batch's tombstone
+    and be SILENTLY dropped). Deterministic from the checkpoint path
+    (it must survive restarts of the same stream — that is the replay
+    the manifest exists for); without a checkpoint there is no replay,
+    so a random token merely keeps two checkpoint-less sinks on the
+    same index from colliding."""
+    if checkpoint is None:
+        return uuid.uuid4().hex[:8]
+    return hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+
+
+def _ever_committed(fs, P, path: str, sid: str, batch_id: int) -> bool:
     """Replay detection that SURVIVES compaction (r12, closing the r11
     verdict's exactly-once hole): a batch is "ever committed" if its
-    live `batch=<id>` dir exists OR compaction left its durable
-    `_folded/batch=<id>` tombstone — two O(1) `exists()` calls, never
-    a listing. The r11 check consulted only the live dir, so a batch
-    folded inline before Spark recorded its offsets re-ingested on
-    replay and double-counted in every probe."""
+    live `batch=<sid>-<id>` dir exists OR compaction left its durable
+    `_folded/batch=<sid>-<id>` tombstone — two O(1) `exists()` calls,
+    never a listing. The r11 check consulted only the live dir, so a
+    batch folded inline before Spark recorded its offsets re-ingested
+    on replay and double-counted in every probe; the r12 review added
+    the stream-id scope so the tombstones of one stream can never
+    shadow another stream's batches."""
     return bool(
-        fs.exists(P(f"{path}/codes_inc/batch={batch_id}"))
-        or fs.exists(P(f"{path}/codes_inc/_folded/batch={batch_id}"))
+        fs.exists(P(f"{path}/codes_inc/batch={sid}-{batch_id}"))
+        or fs.exists(P(f"{path}/codes_inc/_folded/batch={sid}-{batch_id}"))
     )
 
 
 def _stage_batch(
-    batch_df: DataFrame, path: str, batch_id: int, id_col: str, vec_col: str
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str,
+    vec_col: str,
+    sid: str = "s0",
 ) -> str:
     """Encode a micro-batch with the index's frozen quantizers and
     write it cell-partitioned to a DOT-PREFIXED staging dir (invisible
@@ -63,12 +91,12 @@ def _stage_batch(
     cent = spark.read.parquet(f"{path}/centroids")
     codebook = spark.read.parquet(f"{path}/codebook")
     coded = _ivfpq_encode_frozen(batch_df, cent, codebook, id_col, vec_col)
-    tmp = f"{path}/codes_inc/.staged_b{batch_id}"
+    tmp = f"{path}/codes_inc/.staged_{sid}_b{batch_id}"
     coded.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     return tmp
 
 
-def _commit_batch(spark, path: str, batch_id: int) -> bool:
+def _commit_batch(spark, path: str, batch_id: int, sid: str = "s0") -> bool:
     """ONE atomic directory rename `.staged_b<id>` → `batch=<id>` is
     the manifest commit — after it the batch is visible to
     `ivfpq_inc_batches` / `ivfpq_index_topk`, before it nothing is.
@@ -78,10 +106,10 @@ def _commit_batch(spark, path: str, batch_id: int) -> bool:
     returning False, not raising — swallowing it would drop the batch
     while the checkpoint advances, data loss with no signal)."""
     P, fs = _hfs(spark, path)
-    if _ever_committed(fs, P, path, batch_id):
+    if _ever_committed(fs, P, path, sid, batch_id):
         return False
-    src = P(f"{path}/codes_inc/.staged_b{batch_id}")
-    dst = P(f"{path}/codes_inc/batch={batch_id}")
+    src = P(f"{path}/codes_inc/.staged_{sid}_b{batch_id}")
+    dst = P(f"{path}/codes_inc/batch={sid}-{batch_id}")
     if not fs.rename(src, dst):
         raise RuntimeError(
             f"exactly-once commit rename {src} -> {dst} failed "
@@ -134,7 +162,16 @@ def ivfpq_ingest_sink(
       offsets is still detected and skipped on replay instead of
       double-ingested. Each batch also opens with
       `ivfpq_compact_recover`, so a crash mid-compaction can never
-      leave a cell missing or a batch double-readable.
+      leave a cell missing or a batch double-readable. The manifest is
+      SCOPED TO THE STREAM (r12 review: dirs/tombstones are
+      `batch=<stream_id>-<batch_id>` with the stream id derived from
+      the checkpoint path) — exactly-once is a per-checkpoint
+      contract, so a restart of the SAME checkpoint skips replayed
+      batches, while a NEW stream (fresh checkpoint) pointed at the
+      same index ingests everything it is fed: re-feeding
+      already-ingested data through a new stream duplicates it by
+      design, and deduplicating that is an application decision, not
+      a silent drop.
 
     ``max_fragments_per_cell`` arms the count-triggered COMPACTION
     (SCALEBENCH r10: per-trigger appends fragmented cells until the
@@ -143,6 +180,8 @@ def ivfpq_ingest_sink(
     fragmented cells are rewritten into sized files (and any committed
     inc batches folded) by `ivfpq_index_compact` — work proportional
     to the fragmented cells, not the index."""
+
+    sid = _stream_id(checkpoint)
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -155,10 +194,10 @@ def ivfpq_ingest_sink(
             # a torn one) BEFORE consulting the manifest — three
             # exists() calls when clean
             ivfpq_compact_recover(spark, path)
-            if _ever_committed(fs, P, path, batch_id):
+            if _ever_committed(fs, P, path, sid, batch_id):
                 return  # replay of a committed batch — exactly-once skip
-            _stage_batch(batch_df, path, batch_id, id_col, vec_col)
-            _commit_batch(spark, path, batch_id)
+            _stage_batch(batch_df, path, batch_id, id_col, vec_col, sid=sid)
+            _commit_batch(spark, path, batch_id, sid=sid)
         else:
             ivfpq_index_append(batch_df, path, id_col=id_col, vec_col=vec_col)
         if max_fragments_per_cell is not None:

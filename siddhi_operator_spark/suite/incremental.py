@@ -87,11 +87,12 @@ def _materialized_paths(spark: SparkSession, sf: str) -> dict[str, str]:
     # invalidate layouts it wrote, without anyone remembering to bump
     # a literal), so a reader fix (r4: nanos→native), a fixture flip,
     # or any edit to `operators/incremental.py` rebuilds the cascade.
-    import hashlib
+    from .registry import module_code_token
 
-    with open(I.__file__, "rb") as fh:
-        code_tok = hashlib.md5(fh.read()).hexdigest()[:8]
-    stamp = f"{int(os.stat(src).st_mtime)}-{_events_ts_kind(sf)}-{code_tok}"
+    stamp = (
+        f"{int(os.stat(src).st_mtime)}-{_events_ts_kind(sf)}"
+        f"-{module_code_token(I)}"
+    )
     base = f"/tmp/spark_graft_incr/{os.path.basename(sf.rstrip('/'))}-{stamp}"
     marker = f"{base}/_READY"
     paths = {g: f"{base}/gran={g}" for g in ("hour", "day", "month")}

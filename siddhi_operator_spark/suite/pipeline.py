@@ -16,7 +16,7 @@ from ..pipeline import multimodal as M
 from ..pipeline import similarity as S
 from ..pipeline import text as X
 from ..fpround import r4
-from .registry import REGISTRY, register
+from .registry import REGISTRY, module_code_token, register
 
 N_HASHES = 32
 BAND_SIZE = 8
@@ -782,8 +782,7 @@ def _ivfpq_index_path(sf: str, extra: str = "") -> str:
     (ADVICE r10: the writer-module token alone left that hole)."""
     src = f"{sf.rstrip('/')}/embeddings.parquet"
     mtime = os.stat(src).st_mtime_ns if os.path.exists(src) else 0
-    with open(S.__file__, "rb") as fh:
-        code_tok = hashlib.md5(fh.read()).hexdigest()[:8]
+    code_tok = module_code_token(S)
     key = hashlib.md5(
         f"{os.path.abspath(sf)}:{mtime}:{code_tok}:{extra}".encode()
     ).hexdigest()[:12]
@@ -896,8 +895,7 @@ def similarity_ivfpq_stream_serve(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.similarity import ivfpq_ingest_sink
 
     emb = load(spark, sf, "embeddings")
-    with open(stream_sim.__file__, "rb") as fh:
-        sink_tok = hashlib.md5(fh.read()).hexdigest()[:8]
+    sink_tok = module_code_token(stream_sim)
     path = (
         _ivfpq_index_path(sf, extra=f"{sink_tok}:{_ivfpq_geo_token()}")
         + "_serve"
@@ -959,8 +957,7 @@ def similarity_ivfpq_compacted_serve(
     from ..streaming.similarity import ivfpq_ingest_sink
 
     emb = load(spark, sf, "embeddings")
-    with open(stream_sim.__file__, "rb") as fh:
-        sink_tok = hashlib.md5(fh.read()).hexdigest()[:8]
+    sink_tok = module_code_token(stream_sim)
     path = (
         _ivfpq_index_path(sf, extra=f"{sink_tok}:eo2:{_ivfpq_geo_token()}")
         + "_eoserve"

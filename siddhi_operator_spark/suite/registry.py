@@ -10,6 +10,7 @@ Conventions enforced here (they ARE the driver contract):
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -27,6 +28,17 @@ class QuerySpec:
 
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+
+def module_code_token(mod) -> str:
+    """8-hex md5 of a module's source file — THE stale-cache key
+    ingredient for every `_READY`-gated scratch layout in the suite
+    (r12 review: three hand-rolled copies of this idiom had already
+    drifted into existence; one helper keeps the contract — "a code
+    change to the writer invalidates layouts it wrote" — in one
+    place)."""
+    with open(mod.__file__, "rb") as fh:
+        return hashlib.md5(fh.read()).hexdigest()[:8]
 
 
 def register(

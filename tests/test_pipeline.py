@@ -1366,6 +1366,28 @@ def test_ivfpq_sink_count_triggered_compaction(spark, tmp_path):
     assert a == b and a
 
 
+def _erase_newest_commit(ckpt_dir) -> None:
+    """Simulate the exactly-once crash window: sink committed, offsets
+    written, but the checkpoint's commits/<id> marker never landed —
+    Spark re-runs that batch id on restart. Hadoop's LocalFS keeps a
+    `.N.crc` checksum sibling; leaving it behind makes the replayed
+    commit write throw FileAlreadyExists, so erase both."""
+    import glob as _glob
+    import os as _os
+
+    commits = sorted(
+        _glob.glob(str(ckpt_dir / "commits" / "[0-9]*")),
+        key=lambda f: int(_os.path.basename(f)),
+    )
+    last = commits[-1]
+    _os.remove(last)
+    crc = _os.path.join(
+        _os.path.dirname(last), f".{_os.path.basename(last)}.crc"
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+
 def test_ivfpq_exactly_once_torn_replay(spark, tmp_path):
     """Exactly-once ingest (r11, the r10 verdict ask): a batch stages
     to a dot-prefixed dir (invisible), commits via one atomic rename;
@@ -1407,25 +1429,34 @@ def test_ivfpq_exactly_once_torn_replay(spark, tmp_path):
     # the crash-replay re-stages (overwrite) and commits — visible once
     _stage_batch(batch30, live, 77, "vec_id", "embedding")
     assert _commit_batch(spark, live, 77)
-    assert ivfpq_inc_batches(spark, live) == ["batch=77"]
-    # replaying the SAME committed batch is a no-op
+    assert ivfpq_inc_batches(spark, live) == ["batch=s0-77"]
+    # replaying the SAME committed batch (same stream id) is a no-op
     assert not _commit_batch(spark, live, 77)
     # ingest the remainder through the sink in exactly-once mode, then
-    # REPLAY the whole stream with a fresh checkpoint: batch ids
-    # restart, every batch dir already exists, nothing duplicates
+    # replay the CRASH WINDOW on the SAME checkpoint: erase the newest
+    # commits/<id> marker so Spark re-runs that batch with the same
+    # batch id — the live batch dir must skip it, nothing duplicates
+    # (the manifest is stream-scoped since the r12 review: a FRESH
+    # checkpoint is a new stream and would re-ingest by design)
     staging = str(tmp_path / "staging")
     emb.filter(F.col("vec_id") >= 60).repartition(2).write.parquet(staging)
-    for ckpt in ("ckpt1", "ckpt2"):
+
+    def run_sink():
         s = (
             spark.readStream.schema(SCHEMAS["embeddings"])
             .option("maxFilesPerTrigger", 1)
             .parquet(staging)
         )
         sq = ivfpq_ingest_sink(
-            s, live, checkpoint=str(tmp_path / ckpt), exactly_once=True
+            s, live, checkpoint=str(tmp_path / "ckpt1"), exactly_once=True
         )
         sq.processAllAvailable()
         sq.stop()
+        sq.awaitTermination()  # the re-run shares this checkpoint
+
+    run_sink()
+    _erase_newest_commit(tmp_path / "ckpt1")
+    run_sink()  # re-runs the last batch id — skipped via its live dir
     inc = (
         spark.read.option("basePath", f"{live}/codes_inc")
         .parquet(f"{live}/codes_inc")
@@ -1488,6 +1519,7 @@ def test_ivfpq_exactly_once_fold_replay(spark, tmp_path):
     )
     sq.processAllAvailable()
     sq.stop()
+    sq.awaitTermination()  # the crash-window re-run shares ckpt1
     committed = ivfpq_inc_batches(spark, live)
     assert committed  # the stream committed batch dirs
     q = emb.filter(F.col("vec_id") < 5)
@@ -1499,20 +1531,22 @@ def test_ivfpq_exactly_once_fold_replay(spark, tmp_path):
     ivfpq_index_compact(spark, live, max_fragments_per_cell=1)
     assert ivfpq_inc_batches(spark, live) == []
     assert ivfpq_folded_batches(spark, live) == committed
-    # direct replay of a FOLDED batch id: detected, refused, no write
+    # direct replay of a FOLDED batch id (same stream id): detected
+    # via its tombstone, refused, no write
     n_rows = spark.read.parquet(f"{live}/codes").count()
-    folded_id = int(committed[0].split("=", 1)[1])
-    assert not _commit_batch(spark, live, folded_id)
-    # whole-stream replay with a FRESH checkpoint (batch ids restart
-    # from 0 — the exact ids compaction just folded): every batch must
-    # be skipped via its tombstone
+    sid, _, bid = committed[0].split("=", 1)[1].rpartition("-")
+    assert not _commit_batch(spark, live, int(bid), sid=sid)
+    # CRASH-WINDOW replay on the SAME checkpoint: erase the newest
+    # commits/<id> marker so Spark re-runs that batch id — its dir is
+    # GONE (compaction folded it), so the tombstone ALONE must skip it
+    _erase_newest_commit(tmp_path / "ckpt1")
     s2 = (
         spark.readStream.schema(SCHEMAS["embeddings"])
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
     sq2 = ivfpq_ingest_sink(
-        s2, live, checkpoint=str(tmp_path / "ckpt2"), exactly_once=True
+        s2, live, checkpoint=str(tmp_path / "ckpt1"), exactly_once=True
     )
     sq2.processAllAvailable()
     sq2.stop()
@@ -1531,6 +1565,33 @@ def test_ivfpq_exactly_once_fold_replay(spark, tmp_path):
         map(tuple, S.ivfpq_index_topk(spark, full, q, 2, 3).collect())
     )
     assert probe == after == rebuilt and after
+    # and the contract the r12 review demanded: a NEW stream (fresh
+    # checkpoint) of NEW vectors against the same index must INGEST —
+    # immortal tombstones of the old stream must not shadow its batch
+    # ids into silent data loss
+    staging2 = str(tmp_path / "staging2")
+    (
+        emb.limit(10)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(5_000_000))
+        .write.parquet(staging2)
+    )
+    s3 = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .parquet(staging2)
+    )
+    sq3 = ivfpq_ingest_sink(
+        s3, live, checkpoint=str(tmp_path / "ckpt_new"), exactly_once=True
+    )
+    sq3.processAllAvailable()
+    sq3.stop()
+    new_committed = ivfpq_inc_batches(spark, live)
+    assert len(new_committed) == 1  # the new stream's batch 0 landed
+    assert (
+        spark.read.option("basePath", f"{live}/codes_inc")
+        .parquet(f"{live}/codes_inc")
+        .count()
+        == 10 * 8
+    )
 
 
 def test_ivfpq_compact_crash_recovery(spark, tmp_path, monkeypatch):
@@ -1663,6 +1724,55 @@ def test_ivfpq_wide_probe_equals_long(spark, tmp_path):
     assert long_rows == wide_rows and long_rows
 
 
+def test_ivfpq_rebuild_discards_stale_state(spark, tmp_path, monkeypatch):
+    """An in-place REBUILD replaces the index, so it must discard any
+    prior life's compaction/ingest state (r12 review): a stale
+    `.compact/_COMMIT_CELLS` would later roll pre-rebuild cell data
+    OVER the fresh cells, and stale `codes_inc` batches would union
+    old-index rows into probes of the new index (and their tombstones
+    would shadow a new stream's batch ids)."""
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import similarity as S
+    from siddhi_operator_spark.pipeline.similarity import _hfs
+    from siddhi_operator_spark.streaming.similarity import (
+        _commit_batch,
+        _stage_batch,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    live = str(tmp_path / "live")
+    P, fs = _hfs(spark, live)
+    S.ivfpq_index_write(
+        emb.filter(F.col("vec_id") < 30), live,
+        n_cells=8, dims=64, m=8, n_codes=16,
+    )
+    # leave behind: a committed eo batch AND a committed-but-unswapped
+    # compaction (marker present, swap never ran)
+    _stage_batch(
+        emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 40)),
+        live, 5, "vec_id", "embedding",
+    )
+    assert _commit_batch(spark, live, 5)
+    monkeypatch.setattr(S, "_compact_finish", lambda *a, **k: None)
+    S.ivfpq_index_compact(spark, live, max_fragments_per_cell=0)
+    monkeypatch.undo()
+    assert fs.exists(P(f"{live}/.compact/_COMMIT_CELLS"))
+    # REBUILD in place over the torn layout
+    S.ivfpq_index_write(emb, live, n_cells=8, dims=64, m=8, n_codes=16)
+    assert not fs.exists(P(f"{live}/.compact"))
+    assert not fs.exists(P(f"{live}/codes_inc"))
+    assert S.ivfpq_compact_recover(spark, live) == "clean"
+    q = emb.filter(F.col("vec_id") < 5)
+    fresh = str(tmp_path / "fresh")
+    S.ivfpq_index_write(emb, fresh, n_cells=8, dims=64, m=8, n_codes=16)
+    assert sorted(
+        map(tuple, S.ivfpq_index_topk(spark, live, q, 2, 3).collect())
+    ) == sorted(
+        map(tuple, S.ivfpq_index_topk(spark, fresh, q, 2, 3).collect())
+    )
+    assert spark.read.parquet(f"{live}/codes").count() == emb.count() * 8
+
+
 def test_ivfpq_geo_token_derived():
     """The suite rows' layout cache-key geometry token is DERIVED from
     the same dict passed to `ivfpq_index_write` (r11 verdict #3: a
@@ -1697,6 +1807,18 @@ def test_ivfpq_probe_geometry_guard(spark, tmp_path):
     q = emb.filter(F.col("vec_id") < 6)
     with pytest.raises(ValueError, match="candidate rows"):
         S.ivfpq_index_topk(spark, idx, q, 2, 3, max_candidate_rows=100)
+    # r12 review regression: when a SINGLE query's candidate volume
+    # already exceeds the cap, the guard must refuse even n_q=1 (the
+    # safe=max(1,...) clamp silently admitted this shape) — and the
+    # chunked driver must refuse too, since no chunking can help
+    one_q = emb.filter(F.col("vec_id") < 1)
+    with pytest.raises(ValueError, match="PER QUERY"):
+        S.ivfpq_index_topk(spark, idx, one_q, 2, 3, max_candidate_rows=1)
+    with pytest.raises(ValueError, match="SINGLE query"):
+        S.ivfpq_index_topk_chunked(
+            spark, idx, one_q, str(tmp_path / "never"), 2, 3,
+            max_candidate_rows=1,
+        )
     free = sorted(
         map(
             tuple,

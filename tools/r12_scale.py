@@ -11,11 +11,12 @@ Legs:
                         embeddings (2 M × 64-dim), the rest
                         stream-ingested via staged-rename commits with
                         count-triggered folds (tombstoned since r12),
-                        then the WHOLE stream REPLAYED with a fresh
-                        checkpoint (batch ids restart — exactly the
-                        ids the folds consumed; every batch must be
-                        skipped via its tombstone, zero rows
-                        re-ingested), then probe 1 000 queries off the
+                        then the CRASH WINDOW replayed on the SAME
+                        checkpoint (newest commits/<id> marker erased
+                        → Spark re-runs that batch id; the fold
+                        consumed its dir, so the tombstone alone must
+                        skip it — zero rows re-ingested), then probe
+                        1 000 queries off the
                         served layout and assert bit-identity with a
                         full rebuild. Leaves its work dir for the
                         probe legs.
@@ -101,6 +102,7 @@ def main() -> None:
             wall = time.monotonic() - t0
             fed = len([p for p in q.recentProgress if p["numInputRows"] > 0])
             q.stop()
+            q.awaitTermination()  # the crash-window re-run shares ckpt1
             return wall, fed
 
         wall, fed = run_stream("ckpt1")
@@ -115,9 +117,15 @@ def main() -> None:
             f"base_code_rows={rows_after}",
             flush=True,
         )
-        # WHOLE-STREAM REPLAY, fresh checkpoint: batch ids restart at
-        # the exact ids the inline folds consumed — every batch must be
-        # skipped (live dir ∪ tombstone), zero rows re-ingested
+        # CRASH-WINDOW REPLAY on the SAME checkpoint (r12 review: the
+        # manifest is stream-scoped, so a FRESH checkpoint is a new
+        # stream and re-ingests by design; the exactly-once window is
+        # sink-commit-then-crash-before-offset-commit): delete the
+        # newest commits/<id> marker so Spark re-runs that batch with
+        # the same batch id — the fold consumed its dir, so the
+        # tombstone alone must skip it, zero rows re-ingested
+        import glob as _glob
+
         inc_rows_before = (
             spark.read.option("basePath", f"{SERVE_WORK}/live/codes_inc")
             .parquet(f"{SERVE_WORK}/live/codes_inc")
@@ -125,7 +133,18 @@ def main() -> None:
             if live_b
             else 0
         )
-        rwall, rfed = run_stream("ckpt_replay")
+        commits = sorted(
+            _glob.glob(f"{SERVE_WORK}/ckpt1/commits/[0-9]*"),
+            key=lambda f: int(os.path.basename(f)),
+        )
+        os.remove(commits[-1])
+        crc = os.path.join(
+            os.path.dirname(commits[-1]),
+            f".{os.path.basename(commits[-1])}.crc",
+        )
+        if os.path.exists(crc):  # LocalFS checksum sibling
+            os.remove(crc)
+        rwall, rfed = run_stream("ckpt1")
         live_b2 = ivfpq_inc_batches(spark, f"{SERVE_WORK}/live")
         rows_after2 = spark.read.parquet(f"{SERVE_WORK}/live/codes").count()
         inc_rows_after = (
@@ -141,7 +160,8 @@ def main() -> None:
             and live_b2 == live_b
         )
         print(
-            f"whole-stream replay (fresh ckpt, {rfed} batches): "
+            f"crash-window replay (same ckpt, commit marker erased, "
+            f"{rfed} replayed batches): "
             f"{rwall:.1f} s; zero re-ingest: {dup_free}",
             flush=True,
         )
@@ -216,10 +236,12 @@ def main() -> None:
         return
 
     if leg == "pattern_scan_ab":
-        # r12 followed-by re-plan A/B: the shipped single-shuffle
-        # fanout-free scan (nearest-later-probe window) vs the legacy
-        # join + re-window formulation, on the ×1000 events fixture —
-        # alternating s,j,j,s, row sets asserted equal.
+        # r12 followed-by re-plan A/B: the opt-in impl='scan'
+        # single-shuffle fanout-free pass vs the SHIPPED DEFAULT
+        # impl='join' (the join WON this A/B 1.4× and stays the
+        # default; the scan is hot-key insurance — SCALEBENCH r12) —
+        # alternating s,j,j,s on the ×1000 events fixture, row sets
+        # asserted equal.
         from siddhi_operator_spark.operators import patterns as P
 
         from bench import ensure_scaled
