@@ -35,21 +35,25 @@ from . import sources_suite  # noqa: E402,F401
 # displaced (text/streaming tail + the wire-codec source family — the
 # oldest ledger tail at 6 rounds); (3) every row ADDED in round 12
 # (never-checked): `streaming_reorder_kslack_bucketed` (the bucketed
-# constant-K tier's first oracle row — r11 verdict missing #2) and
+# constant-K tier's first oracle row — r11 verdict missing #2),
 # `siddhiql_reorder_kslack_bucketed` (the `@app:stateBuckets` QL
-# routing onto it); (4) rows whose EXECUTED CODE changed in r12: the
-# six ivfpq rows (fold-tombstone exactly-once manifest, compaction
-# crash-recovery protocol, cached+limit-bounded probe guard, derived
-# geometry cache tokens), `source_file_csv_mapper` and
-# `corpus_shuffle_order` (assert→raise contract-check sweep; the
-# pattern ops gained an OPT-IN impl="scan" tier in r12 but their
-# shipped default plan is byte-identical to r11's join formulation —
-# the ×1000 A/B kept the join, SCALEBENCH r12 — so they do not
-# re-enter); (5) the r7-stale backlog in registry order — 23 of the
-# 48 rows last checked r7 fit (scalar_math … text_langid); the 25
-# displaced (text_shingles … sink_http_json_roundtrip) stay at
+# routing onto it), and `pattern_followed_by_scan` /
+# `pattern_absence_scan` (the opt-in fanout-free scan tier's first
+# oracle rows — the same gap class as the bucketed-kslack miss; the
+# shipped DEFAULT pattern plans stay byte-identical to r11's join
+# formulation — the ×1000 A/B kept the join, SCALEBENCH r12 — so the
+# join-tier rows do not re-enter); (4) rows whose EXECUTED CODE
+# changed in r12: the six ivfpq rows (fold-tombstone exactly-once
+# manifest, compaction crash-recovery protocol, cached+limit-bounded
+# probe guard, derived geometry cache tokens),
+# `source_file_csv_mapper` and `corpus_shuffle_order` (assert→raise
+# contract-check sweep); (5) the r7-stale backlog in registry order —
+# 21 of the 48 rows last checked r7 fit (scalar_math …
+# dedup_connected_components, text_token_stats); the 27 displaced
+# (text_shingles … sink_http_json_roundtrip, plus text_quality and
+# text_langid, displaced by the two scan-tier rows) stay at
 # staleness 7 and lead the r13 plan below.  After this window:
-# never-checked = 0, r7-stale = 25, max staleness = 6 (the r7 tail
+# never-checked = 0, r7-stale = 27, max staleness = 6 (the r7 tail
 # in r13).
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
@@ -74,6 +78,8 @@ _FRONT_NAMES = (
     # (3) new in r12 — never checked
     "streaming_reorder_kslack_bucketed",
     "siddhiql_reorder_kslack_bucketed",
+    "pattern_followed_by_scan",
+    "pattern_absence_scan",
     # (4) executed code changed in r12
     "similarity_ivfpq_index",
     "similarity_ivfpq_append",
@@ -105,13 +111,11 @@ _FRONT_NAMES = (
     "table_delete",
     "dedup_connected_components",
     "text_token_stats",
-    "text_quality",
-    "text_langid",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
 # Round-13 rotation, pre-staged: lead with any r12 reds, then the
-# TWENTY-FIVE remaining r7-stale rows this window displaced
+# TWENTY-SEVEN remaining r7-stale rows this window displaced
 # (text_shingles, multimodal_meta, multimodal_frame_sample,
 # multimodal_decode_real, text_inverted_index, embedding_normalize,
 # dedup_semantic_clusters, embedding_quantize_int8,
@@ -123,7 +127,8 @@ _R3_MODULES: tuple[str, ...] = ()
 # streaming_incr_agg_state, siddhiql_cr_process,
 # siddhiql_streaming_filter_agg, siddhiql_custom_window_plugin,
 # siddhiql_custom_source_plugin, siddhiql_playback,
-# sink_http_json_roundtrip — the oldest ledger tail at 6 rounds stale
+# sink_http_json_roundtrip, text_quality, text_langid — the oldest
+# ledger tail at 6 rounds stale
 # in r13), then every row added in round 13 (never-checked), then
 # rows whose code changes in r13, then the r8-stale backlog in
 # registry order (46 rows last checked r8) with the balance of 50.

@@ -305,3 +305,85 @@ def pattern_logical_or(spark: SparkSession, sf: str) -> DataFrame:
         pred_b=F.col("value") > 400,
     )
     return out.select("event_id", "user_id", "ts", "branch")
+
+
+@register(
+    "pattern_followed_by_scan",
+    oracle="""
+    SELECT user_id, e1_id AS signup_id, e1_ts AS signup_ts,
+           e2_id AS purchase_id, e2_ts AS purchase_ts
+    FROM (
+      SELECT a.user_id, a.event_id AS e1_id, a.ts AS e1_ts,
+             b.event_id AS e2_id, b.ts AS e2_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("pattern", "followed-by", "scan-tier"),
+)
+def pattern_followed_by_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """The r12 ``impl="scan"`` tier of :func:`pattern_followed_by` —
+    the fanout-free single-shuffle nearest-probe pass
+    (`operators/patterns.py::_nearest_probe_scan`), driven through the
+    driver gate against the SAME relational oracle as the join tier
+    (row-identity is additionally pinned by
+    `tests/test_operators_batch.py::test_pattern_scan_tier_row_identical`).
+    The join stays the shipped default (×1000 A/B, SCALEBENCH r12);
+    this row keeps the hot-key-insurance tier oracle-proven — the
+    same gap class the r11 verdict flagged for bucketed kslack."""
+    e = load(spark, sf, "events")
+    out = P.followed_by(
+        e,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=3600,
+        impl="scan",
+    )
+    return out.select(
+        "user_id",
+        F.col("e1_id").alias("signup_id"),
+        F.col("e1_ts").alias("signup_ts"),
+        F.col("e2_id").alias("purchase_id"),
+        F.col("e2_ts").alias("purchase_ts"),
+    )
+
+
+@register(
+    "pattern_absence_scan",
+    oracle="""
+    SELECT a.user_id, a.event_id AS signup_id, a.ts AS signup_ts
+    FROM events a
+    WHERE a.event_type = 'signup'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      )
+    """,
+    tags=("pattern", "absence", "scan-tier"),
+)
+def pattern_absence_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """The r12 ``impl="scan"`` tier of :func:`pattern_absence` —
+    "no purchase within the budget" IS "the nearest later purchase is
+    absent or past it" — against the join tier's relational oracle."""
+    e = load(spark, sf, "events")
+    out = P.absence(
+        e,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        absent_pred=F.col("event_type") == "purchase",
+        within_seconds=3600,
+        impl="scan",
+    )
+    return out.select(
+        "user_id",
+        F.col("e1_id").alias("signup_id"),
+        F.col("e1_ts").alias("signup_ts"),
+    )
