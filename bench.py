@@ -82,9 +82,38 @@ BENCH_QUERIES = [
     "similarity_bruteforce",
 ]
 
+# SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to a subset of
+# BENCH_QUERIES — the ×10000 leg (SCALEBENCH r12) scales EVENTS alone
+# to 1 B rows (lineitem ×10000 = 6 B rows does not fit the box) and
+# benches only the events-backed queries there. A typo'd name raises
+# rather than silently benching nothing.
+_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+if _only:
+    _sel = [s.strip() for s in _only.split(",") if s.strip()]
+    _bad = [n for n in _sel if n not in BENCH_QUERIES]
+    if _bad:
+        raise ValueError(f"SPARK_GRAFT_BENCH_ONLY not in BENCH_QUERIES: {_bad}")
+    BENCH_QUERIES = [n for n in BENCH_QUERIES if n in _sel]
+
 N_RUNS = 3
 
-_SCALED_TABLES = ("events", "lineitem", "embeddings")
+# SPARK_GRAFT_BENCH_SCALE_TABLES=events limits which fact tables the
+# ×N replica build materializes (the rest symlink to SF_DIR unscaled —
+# only valid together with SPARK_GRAFT_BENCH_ONLY restricted to queries
+# that touch the scaled facts). The scaled dir name carries the subset
+# so a partial build can never be mistaken for the full one.
+_SCALED_TABLES = tuple(
+    s.strip()
+    for s in os.environ.get(
+        "SPARK_GRAFT_BENCH_SCALE_TABLES", "events,lineitem,embeddings"
+    ).split(",")
+    if s.strip()
+)
+_unknown_scaled = [
+    t for t in _SCALED_TABLES if t not in ("events", "lineitem", "embeddings")
+]
+if _unknown_scaled:
+    raise ValueError(f"SPARK_GRAFT_BENCH_SCALE_TABLES unknown: {_unknown_scaled}")
 
 
 def ensure_scaled(spark, scale: int) -> str:
@@ -94,7 +123,12 @@ def ensure_scaled(spark, scale: int) -> str:
 
     from siddhi_operator_spark.catalog import SCHEMAS, TABLES, load
 
-    out = f"{SCALE_BASE}/x{scale}"
+    suffix = (
+        ""
+        if set(_SCALED_TABLES) == {"events", "lineitem", "embeddings"}
+        else "_" + "-".join(_SCALED_TABLES)
+    )
+    out = f"{SCALE_BASE}/x{scale}{suffix}"
     if os.path.exists(f"{out}/_READY"):
         return out
     os.makedirs(out, exist_ok=True)
@@ -103,42 +137,47 @@ def ensure_scaled(spark, scale: int) -> str:
 
     # catalog.load normalizes ts to TimestampType regardless of the
     # fixture's physical vintage, so the scaled copy is always native.
-    ev = load(spark, SF_DIR, "events")
-    umax = int(ev.agg(F.max("user_id")).first()[0]) + 1
-    (
-        # repartition BEFORE the explode: the fixture is one file, so
-        # without this the xN row production serializes in one task
-        # (measured: the x1000 build sat in a single task for minutes)
-        ev.repartition(32).select("*", k)
-        .withColumn("event_id", F.col("event_id") + kl * F.lit(10**12))
-        .withColumn("user_id", F.col("user_id") + kl * F.lit(umax))
-        .drop("k")
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(f"{out}/events.parquet")
-    )
-    li = spark.read.schema(SCHEMAS["lineitem"]).parquet(
-        f"{SF_DIR}/lineitem.parquet"
-    )
-    (
-        li.repartition(32).select("*", k)
-        .withColumn("l_orderkey", F.col("l_orderkey") + kl * F.lit(10**10))
-        .drop("k")
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(f"{out}/lineitem.parquet")
-    )
-    em = spark.read.schema(SCHEMAS["embeddings"]).parquet(
-        f"{SF_DIR}/embeddings.parquet"
-    )
-    (
-        em.repartition(8).select("*", k)
-        .withColumn("vec_id", F.col("vec_id") + kl * F.lit(10**9))
-        .drop("k")
-        .repartition(8)
-        .write.mode("overwrite")
-        .parquet(f"{out}/embeddings.parquet")
-    )
+    # No repartition AFTER the explode (r12): the pre-explode
+    # round-robin already balances the 32 output tasks, and a
+    # post-explode repartition is a full shuffle of the REPLICATED
+    # rows — ~30 GB of shuffle spill at events ×10000 for an
+    # identically-shaped layout.
+    if "events" in _SCALED_TABLES:
+        ev = load(spark, SF_DIR, "events")
+        umax = int(ev.agg(F.max("user_id")).first()[0]) + 1
+        (
+            # repartition BEFORE the explode: the fixture is one file, so
+            # without this the xN row production serializes in one task
+            # (measured: the x1000 build sat in a single task for minutes)
+            ev.repartition(32).select("*", k)
+            .withColumn("event_id", F.col("event_id") + kl * F.lit(10**12))
+            .withColumn("user_id", F.col("user_id") + kl * F.lit(umax))
+            .drop("k")
+            .write.mode("overwrite")
+            .parquet(f"{out}/events.parquet")
+        )
+    if "lineitem" in _SCALED_TABLES:
+        li = spark.read.schema(SCHEMAS["lineitem"]).parquet(
+            f"{SF_DIR}/lineitem.parquet"
+        )
+        (
+            li.repartition(32).select("*", k)
+            .withColumn("l_orderkey", F.col("l_orderkey") + kl * F.lit(10**10))
+            .drop("k")
+            .write.mode("overwrite")
+            .parquet(f"{out}/lineitem.parquet")
+        )
+    if "embeddings" in _SCALED_TABLES:
+        em = spark.read.schema(SCHEMAS["embeddings"]).parquet(
+            f"{SF_DIR}/embeddings.parquet"
+        )
+        (
+            em.repartition(8).select("*", k)
+            .withColumn("vec_id", F.col("vec_id") + kl * F.lit(10**9))
+            .drop("k")
+            .write.mode("overwrite")
+            .parquet(f"{out}/embeddings.parquet")
+        )
     for t in TABLES:
         if t not in _SCALED_TABLES:
             dst = f"{out}/{t}.parquet"
