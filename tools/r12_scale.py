@@ -279,6 +279,105 @@ def main() -> None:
             raise SystemExit("row-set mismatch")
         return
 
+    if leg == "pattern_hotkey_ab":
+        # The regime the scan tier EXISTS for, measured (the x1000 A/B
+        # above has constant per-key density and the join rightly wins
+        # there — this leg is the other regime): ONE key holding 400 k
+        # events over 10 days with an hour-wide budget. The join's
+        # pre-filter pair production on that key is
+        # 200 k signups x ~830 in-window purchases ~ 1.7e8 rows,
+        # materialized in a single SMJ partition and re-shuffled for
+        # the first-match row_number; the scan's cost stays the per-key
+        # sort (400 k rows, one task). Normal-density background tier
+        # (sf0.1 events x100, 10 M rows) keeps the rest of the plan
+        # honest. Alternating s,j,j,s; row sets asserted equal.
+        from pyspark.sql import types as T
+
+        from siddhi_operator_spark.catalog import load
+        from siddhi_operator_spark.operators import patterns as P
+
+        hot_n = int(os.environ.get("SPARK_GRAFT_HOTKEY_N", "400000"))
+        hdir = f"/tmp/spark_graft_scale/events_hotkey_{scale}_{hot_n}"
+        if not os.path.exists(f"{hdir}/_READY"):
+            ev = load(spark, "/root/testdata/sf0.1", "events")
+            k = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("k")
+            kl = F.col("k").cast("long")
+            umax = int(ev.agg(F.max("user_id")).first()[0]) + 1
+            base = (
+                ev.repartition(32)
+                .select("*", k)
+                .withColumn("event_id", F.col("event_id") + kl * F.lit(10**12))
+                .withColumn("user_id", F.col("user_id") + kl * F.lit(umax))
+                .drop("k")
+            )
+            span_s = 10 * 86_400
+            hot = (
+                spark.range(hot_n)
+                .select(
+                    (F.lit(2 * 10**15) + F.col("id")).alias("event_id"),
+                    (
+                        F.lit("2024-01-01 00:00:00").cast("timestamp")
+                        + F.make_interval(
+                            secs=F.col("id")
+                            * F.lit(span_s)
+                            / F.lit(float(hot_n))
+                        )
+                    ).alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.when(F.col("id") % 2 == 0, F.lit("signup"))
+                    .otherwise(F.lit("purchase"))
+                    .alias("event_type"),
+                    (F.col("id") % 997).cast("double").alias("value"),
+                    F.lit("{}").alias("props"),
+                )
+            )
+            base.unionByName(hot).write.mode("overwrite").parquet(
+                f"{hdir}/events.parquet"
+            )
+            with open(f"{hdir}/_READY", "w") as fh:
+                fh.write("ok")
+        ev = spark.read.parquet(f"{hdir}/events.parquet")
+        ev.write.format("noop").mode("overwrite").save()  # warm
+        print(f"events={ev.count()} (background x{scale} + hot key "
+              f"{hot_n})", flush=True)
+
+        def plan(impl):
+            def run():
+                return P.followed_by(
+                    ev, key="user_id", ts="ts",
+                    first_pred=F.col("event_type") == "signup",
+                    second_pred=F.col("event_type") == "purchase",
+                    within_seconds=3600, impl=impl,
+                )
+            return run
+
+        plans = {"scan": plan("scan"), "join": plan("join")}
+        counts = {}
+        walls: dict[str, list[float]] = {"scan": [], "join": []}
+        for rep, name in enumerate(("scan", "join", "join", "scan")):
+            t0 = time.monotonic()
+            c = plans[name]().count()
+            w = time.monotonic() - t0
+            counts[name] = c
+            walls[name].append(w)
+            print(f"followed_by[{rep}] {name}: {w:.1f} s ({c} matches)",
+                  flush=True)
+        med = {k: sorted(v)[len(v) // 2] for k, v in walls.items()}
+        print(
+            f"medians of 2: scan={med['scan']:.1f} s "
+            f"join={med['join']:.1f} s "
+            f"ratio={med['join'] / med['scan']:.2f}x",
+            flush=True,
+        )
+        eq = (
+            counts["scan"] == counts["join"]
+            and plans["scan"]().exceptAll(plans["join"]()).isEmpty()
+        )
+        print(f"scan == join: {eq}", flush=True)
+        if not eq:
+            raise SystemExit("row-set mismatch")
+        return
+
     raise SystemExit(f"unknown leg {leg!r}")
 
 
