@@ -28,6 +28,16 @@ Legs:
                         the warm tail. Run AFTER ivfpq_serve_eo
                         (reuses its served layout).
 
+  pattern_scan_ab       followed_by impl='scan' vs impl='join' on the
+                        CONSTANT-DENSITY ×1000 events fixture (the
+                        join's regime — it won 1.4× and stays the
+                        default).
+  pattern_hotkey_ab     the same A/B in the regime the scan tier
+                        exists for: one 400 k-event key, hour budget
+                        (~1.7e8 join pairs in one SMJ partition) over
+                        a ×100 background. Hot-key size via
+                        SPARK_GRAFT_HOTKEY_N.
+
 Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/r12_scale.py <leg> [scale]
 """
 from __future__ import annotations
