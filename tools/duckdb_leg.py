@@ -1,0 +1,94 @@
+"""DuckDB side of a scale leg, ONE QUERY PER PROCESS.
+
+Why this exists (r12, the ×10000 lesson): bench.py times both engines
+in one process, and its DuckDB analog of Spark's noop sink is a
+`CREATE OR REPLACE TEMP TABLE __bench AS <oracle>` materialization.
+At events ×10000 (1 B rows) the heavy queries' sort/join spill plus
+the materialized result exceeded the box's free disk and the whole
+nine-query run died with nothing recorded. This harness replicates
+bench.py's DuckDB protocol (same views, same warm-then-median-of-3,
+same temp-table materialization) but isolates each query in its own
+process so temp space is returned between queries and one
+out-of-disk query costs only itself.
+
+``--sink csv`` swaps the materialization for
+`COPY (<oracle>) TO '/dev/null' (FORMAT CSV)` — streams every result
+row without storing it (closer to Spark's noop sink for queries whose
+RESULT is itself huge, at the cost of CSV serialization; record which
+mode a number came from).
+
+Usage: python tools/duckdb_leg.py <sf_dir> <query_name> [--sink csv]
+Prints one JSON line: {"query": ..., "median_s": ..., "times": [...],
+"rows": ..., "sink": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_RUNS = 3
+
+
+def main() -> None:
+    import duckdb
+
+    from siddhi_operator_spark.catalog import TABLES
+    from siddhi_operator_spark.suite import REGISTRY
+
+    sf_dir = sys.argv[1]
+    name = sys.argv[2]
+    sink = "csv" if "--sink" in sys.argv and "csv" in sys.argv else "table"
+    spec = REGISTRY[name]
+    if not spec.oracle:
+        raise SystemExit(f"{name} has no oracle SQL")
+
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.cpu_count() or 32}")
+    con.execute("SET temp_directory = '/tmp/duckdb_leg_tmp'")
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+
+    if sink == "table":
+        def run():
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __bench AS {spec.oracle}")
+    else:
+        def run():
+            con.execute(
+                f"COPY ({spec.oracle}) TO '/dev/null' (FORMAT CSV)"
+            )
+
+    run()  # warm (page cache + any plan caching)
+    times = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        run()
+        times.append(round(time.perf_counter() - t0, 4))
+    rows = None
+    if sink == "table":
+        rows = con.execute("SELECT count(*) FROM __bench").fetchone()[0]
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "median_s": round(statistics.median(times), 4),
+                "times": times,
+                "rows": rows,
+                "sink": sink,
+                "sf_dir": sf_dir,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
