@@ -42,6 +42,22 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces DOWN from the initial partition count but never
+        # splits UP past it, so `shuffle.partitions ≈ cores` silently
+        # becomes the ceiling on reduce-side parallelism-per-bytes: at
+        # events ×10000 (1 B rows) each of 32 reducers sorted ~31 M
+        # rows and the sort-heavy shapes went spill-bound
+        # (join_windowed_self 79 s, window_session 322 s — SCALEBENCH
+        # r12 ×10000). A high initial count costs only shuffle-block
+        # metadata on small inputs (AQE folds them back to a few
+        # tasks); it is what keeps per-reducer state memory-resident
+        # when the input is 1000× the test fixture.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS", str(32 * cpus)
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
