@@ -301,6 +301,13 @@ def main() -> None:
         # sort (400 k rows, one task). Normal-density background tier
         # (sf0.1 events x100, 10 M rows) keeps the rest of the plan
         # honest. Alternating s,j,j,s; row sets asserted equal.
+        #
+        # MEASURED OUTCOME (SCALEBENCH r12): this full protocol cannot
+        # complete in reasonable wall — the scan reps read 1.6–4.7 s
+        # but the JOIN arm did not finish ONE rep inside a 9.5-minute
+        # cap (and a 40-minute s,j,j,s run died inside the join reps),
+        # bounding the regime crossover at >=120x. Budget accordingly
+        # (or run scan-only and cap the join arm) if you re-run it.
         from pyspark.sql import types as T
 
         from siddhi_operator_spark.catalog import load
