@@ -115,6 +115,49 @@ _unknown_scaled = [
 if _unknown_scaled:
     raise ValueError(f"SPARK_GRAFT_BENCH_SCALE_TABLES unknown: {_unknown_scaled}")
 
+# Which fact tables each bench query reads (dims are always symlinked
+# and irrelevant to scale).  Enforcement (ADVICE r12): with a PROPER
+# subset of facts scaled, the other facts symlink to SF_DIR unscaled,
+# so a query over them would run at ×1 while the output JSON records
+# "scale": N — a silently wrong benchmark row.  That combination now
+# requires SPARK_GRAFT_BENCH_ONLY and raises if any selected query
+# touches an unscaled fact.  `documents` is never scalable by this
+# builder, so its queries are only valid in a full-set build (where
+# the output tags them with their true effective scale, below).
+_QUERY_FACTS = {
+    "filter_project": {"events"},
+    "window_timebatch": {"events"},
+    "join_stream_table": {"events"},
+    "join_windowed_self": {"events"},
+    "tpch_q1": {"lineitem"},
+    "window_sort_topk": {"events"},
+    "pattern_followed_by": {"events"},
+    "window_session": {"events"},
+    "incr_agg_day": {"events"},
+    "incr_agg_day_retrieval": {"events"},
+    "dedup_minhash_lsh": {"documents"},
+    "similarity_bruteforce": {"embeddings"},
+}
+if SCALE > 1 and set(_SCALED_TABLES) != {"events", "lineitem", "embeddings"}:
+    if not _only:
+        raise ValueError(
+            "SPARK_GRAFT_BENCH_SCALE_TABLES is a subset: set "
+            "SPARK_GRAFT_BENCH_ONLY to the queries that touch the "
+            "scaled facts"
+        )
+    _mis = [
+        n
+        for n in BENCH_QUERIES
+        if not _QUERY_FACTS[n] <= set(_SCALED_TABLES)
+    ]
+    if _mis:
+        raise ValueError(
+            f"queries {_mis} touch facts outside "
+            f"SPARK_GRAFT_BENCH_SCALE_TABLES={','.join(_SCALED_TABLES)} — "
+            "they would run at x1 under a x"
+            f"{SCALE} label"
+        )
+
 
 def ensure_scaled(spark, scale: int) -> str:
     """Synthesize the scaled dir once (idempotent): fact tables
@@ -310,6 +353,16 @@ def main() -> None:
     ]
     if SCALE > 1:
         out["scale"] = SCALE
+        # per-query truth: a query whose facts aren't all in the
+        # scaled set ran at base scale (e.g. documents is never
+        # replicated by ensure_scaled) — tag it so no row can read as
+        # ×N when its input wasn't (ADVICE r12)
+        eff = {
+            n: (SCALE if _QUERY_FACTS[n] <= set(_SCALED_TABLES) else 1)
+            for n in BENCH_QUERIES
+        }
+        if any(v != SCALE for v in eff.values()):
+            out["query_effective_scale"] = eff
     if duck:
         out["duckdb"] = duck
         out["ratio"] = {

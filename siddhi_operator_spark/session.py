@@ -51,11 +51,16 @@ def build_session(
         # r12 ×10000). A high initial count costs only shuffle-block
         # metadata on small inputs (AQE folds them back to a few
         # tasks); it is what keeps per-reducer state memory-resident
-        # when the input is 1000× the test fixture.
+        # when the input is 1000× the test fixture. The default is
+        # max(32 × cores, shuffle_partitions) — an explicit
+        # ``shuffle_partitions`` larger than 32 × local cores (the
+        # cluster-submit path) must never be silently CAPPED by a
+        # local-cpu-derived initial count (ADVICE r12).
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get(
-                "SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS", str(32 * cpus)
+                "SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS",
+                str(max(32 * cpus, shuffle_partitions)),
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -24,6 +24,7 @@ Prints one JSON line: {"query": ..., "median_s": ..., "times": [...],
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -41,9 +42,23 @@ def main() -> None:
     from siddhi_operator_spark.catalog import TABLES
     from siddhi_operator_spark.suite import REGISTRY
 
-    sf_dir = sys.argv[1]
-    name = sys.argv[2]
-    sink = "csv" if "--sink" in sys.argv and "csv" in sys.argv else "table"
+    # argparse, not argv sniffing (ADVICE r12): the old
+    # `"csv" in sys.argv` form let ANY bare 'csv' token flip the sink
+    # mode and ignored the value actually following --sink
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir")
+    ap.add_argument("query_name")
+    ap.add_argument("--sink", choices=("table", "csv"), default="table")
+    ap.add_argument(
+        "--runs", type=int, default=N_RUNS,
+        help="timed repetitions after the warm run (default 3)",
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    name = args.query_name
+    sink = args.sink
+    if name not in REGISTRY:
+        raise SystemExit(f"unknown query {name!r}")
     spec = REGISTRY[name]
     if not spec.oracle:
         raise SystemExit(f"{name} has no oracle SQL")
@@ -68,7 +83,7 @@ def main() -> None:
 
     run()  # warm (page cache + any plan caching)
     times = []
-    for _ in range(N_RUNS):
+    for _ in range(args.runs):
         t0 = time.perf_counter()
         run()
         times.append(round(time.perf_counter() - t0, 4))

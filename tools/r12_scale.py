@@ -308,8 +308,6 @@ def main() -> None:
         # cap (and a 40-minute s,j,j,s run died inside the join reps),
         # bounding the regime crossover at >=120x. Budget accordingly
         # (or run scan-only and cap the join arm) if you re-run it.
-        from pyspark.sql import types as T
-
         from siddhi_operator_spark.catalog import load
         from siddhi_operator_spark.operators import patterns as P
 
@@ -379,9 +377,13 @@ def main() -> None:
             walls[name].append(w)
             print(f"followed_by[{rep}] {name}: {w:.1f} s ({c} matches)",
                   flush=True)
+        # sorted(v)[len(v)//2] on an even-length list is the UPPER
+        # middle — for the 2-rep protocol that is the WORSE of the two
+        # walls, not a median; label it honestly (ADVICE r12)
         med = {k: sorted(v)[len(v) // 2] for k, v in walls.items()}
+        _lbl = "medians of 3" if len(next(iter(walls.values()))) >= 3 else "worse of 2"
         print(
-            f"medians of 2: scan={med['scan']:.1f} s "
+            f"{_lbl}: scan={med['scan']:.1f} s "
             f"join={med['join']:.1f} s "
             f"ratio={med['join'] / med['scan']:.2f}x",
             flush=True,
