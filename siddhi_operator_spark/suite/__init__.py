@@ -28,112 +28,117 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 12.  The per-round correctness gate
+# Driver-window rotation, round 13.  The per-round correctness gate
 # records only the FIRST 50 registry entries in registration order.
-# This window executes the r11-pre-staged plan exactly: (1) r11 reds
-# — there were none; (2) the SEVENTEEN r6-stale rows the r11 window
-# displaced (text/streaming tail + the wire-codec source family — the
-# oldest ledger tail at 6 rounds); (3) every row ADDED in round 12
-# (never-checked): `streaming_reorder_kslack_bucketed` (the bucketed
-# constant-K tier's first oracle row — r11 verdict missing #2),
-# `siddhiql_reorder_kslack_bucketed` (the `@app:stateBuckets` QL
-# routing onto it), and `pattern_followed_by_scan` /
-# `pattern_absence_scan` (the opt-in fanout-free scan tier's first
-# oracle rows — the same gap class as the bucketed-kslack miss; the
-# shipped DEFAULT pattern plans stay byte-identical to r11's join
-# formulation — the ×1000 A/B kept the join, SCALEBENCH r12 — so the
-# join-tier rows do not re-enter); (4) rows whose EXECUTED CODE
-# changed in r12: the six ivfpq rows (fold-tombstone exactly-once
-# manifest, compaction crash-recovery protocol, cached+limit-bounded
-# probe guard, derived geometry cache tokens),
-# `source_file_csv_mapper` and `corpus_shuffle_order` (assert→raise
-# contract-check sweep); (5) the r7-stale backlog in registry order —
-# 21 of the 48 rows last checked r7 fit (scalar_math …
-# dedup_connected_components, text_token_stats); the 27 displaced
-# (text_shingles … sink_http_json_roundtrip, plus text_quality and
-# text_langid, displaced by the two scan-tier rows) stay at
-# staleness 7 and lead the r13 plan below.  After this window:
-# never-checked = 0, r7-stale = 27, max staleness = 6 (the r7 tail
-# in r13).
+# This window executes the r12-pre-staged plan exactly: (1) r12 reds
+# — there were none; (2) the TWENTY-SEVEN r7-stale rows the r12
+# window displaced (multimodal quartet, text tail, streaming
+# join/ratelimit/approx tail, siddhiql plugin/playback/CR rows — the
+# oldest ledger tail at 6 rounds); (3) every row ADDED in round 13
+# (never-checked): `pattern_followed_by_auto` — the derived
+# join-vs-scan regime pick (`operators/patterns.py::
+# choose_pattern_impl`), closing the r12 verdict's "one remaining
+# hand knob"; (4) rows whose EXECUTED CODE changed in r13: the five
+# operator-tier pattern rows (`followed_by`/`absence`/
+# `absence_logical` grew the `impl="auto"` branch and the widened
+# impl validation; the QL pattern rows build their joins inline in
+# `siddhiql/builder.py` and are unchanged); (5) the r8-stale backlog
+# in registry order — 17 of the 45 rows last checked r8 fit
+# (window_timebatch … tpch_q21).  After this window: never-checked
+# = 0, r7-stale = 0, r8-stale = 28, max staleness = 6 (the r8 tail
+# displaced to r14).
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (2) the seventeen r6-stale rows (oldest ledger tail)
-    "text_char_lm_score",
-    "text_cross_doc_repeats",
-    "sample_stratified_quota",
-    "text_chunk_documents",
-    "streaming_dedup_watermark",
-    "streaming_ann_cell_ingest",
-    "streaming_incremental_neardup",
-    "streaming_join_outer",
-    "siddhiql_define_function",
-    "source_file_xml_mapper",
-    "source_file_keyvalue_mapper",
-    "source_avro_wire_roundtrip",
-    "source_onerror_fault_split",
-    "source_protobuf_wire_roundtrip",
-    "source_binary_wire_roundtrip",
-    "source_http_json_stream",
-    "sink_file_csv_roundtrip",
-    # (3) new in r12 — never checked
-    "streaming_reorder_kslack_bucketed",
-    "siddhiql_reorder_kslack_bucketed",
+    # (2) the twenty-seven r7-stale rows (oldest ledger tail)
+    "text_quality",
+    "text_langid",
+    "text_shingles",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_decode_real",
+    "text_inverted_index",
+    "embedding_normalize",
+    "dedup_semantic_clusters",
+    "embedding_quantize_int8",
+    "text_quality_classifier",
+    "streaming_join_unidirectional",
+    "streaming_ratelimit_snapshot",
+    "streaming_expression_window",
+    "streaming_join_table_probe",
+    "streaming_approx_distinct",
+    "streaming_approx_percentile",
+    "streaming_sliding_panes",
+    "streaming_reorder_kslack",
+    "streaming_join_full_outer",
+    "streaming_incr_agg_state",
+    "siddhiql_cr_process",
+    "siddhiql_streaming_filter_agg",
+    "siddhiql_custom_window_plugin",
+    "siddhiql_custom_source_plugin",
+    "siddhiql_playback",
+    "sink_http_json_roundtrip",
+    # (3) new in r13 — never checked
+    "pattern_followed_by_auto",
+    # (4) executed code changed in r13 (impl='auto' branch + widened
+    # validation in operators/patterns.py)
+    "pattern_followed_by",
+    "pattern_absence",
+    "pattern_absence_logical",
     "pattern_followed_by_scan",
     "pattern_absence_scan",
-    # (4) executed code changed in r12
-    "similarity_ivfpq_index",
-    "similarity_ivfpq_append",
-    "similarity_ivfpq_stream_serve",
-    "similarity_ivfpq_compacted_serve",
-    "similarity_ivfpq_recall",
-    "streaming_ivfpq_ingest",
-    "source_file_csv_mapper",
-    "corpus_shuffle_order",
-    # (5) r7-stale backlog, registry order (23 of 48)
-    "scalar_math",
-    "scalar_udf_registered",
-    "join_bucketed_colocated",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q18",
-    "agg_percentile",
-    "agg_percentile_approx_contract",
-    "tpch_q9",
-    "tpch_q19",
-    "tpch_q22",
-    "incr_agg_day",
-    "incr_agg_month",
-    "incr_agg_hour_slice",
-    "table_upsert",
-    "table_update_add",
-    "table_delete",
-    "dedup_connected_components",
-    "text_token_stats",
+    # (5) r8-stale backlog, registry order (17 of 45)
+    "window_timebatch",
+    "window_length",
+    "window_lengthbatch",
+    "window_session",
+    "window_topk",
+    "window_batch_chunk",
+    "agg_extrema_min_max_by",
+    "analytic_window_fns",
+    "set_ops",
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q17",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-13 rotation, pre-staged: lead with any r12 reds, then the
-# TWENTY-SEVEN remaining r7-stale rows this window displaced
-# (text_shingles, multimodal_meta, multimodal_frame_sample,
-# multimodal_decode_real, text_inverted_index, embedding_normalize,
-# dedup_semantic_clusters, embedding_quantize_int8,
-# text_quality_classifier, streaming_join_unidirectional,
-# streaming_ratelimit_snapshot, streaming_expression_window,
-# streaming_join_table_probe, streaming_approx_distinct,
-# streaming_approx_percentile, streaming_sliding_panes,
-# streaming_reorder_kslack, streaming_join_full_outer,
-# streaming_incr_agg_state, siddhiql_cr_process,
-# siddhiql_streaming_filter_agg, siddhiql_custom_window_plugin,
-# siddhiql_custom_source_plugin, siddhiql_playback,
-# sink_http_json_roundtrip, text_quality, text_langid — the oldest
-# ledger tail at 6 rounds stale
-# in r13), then every row added in round 13 (never-checked), then
-# rows whose code changes in r13, then the r8-stale backlog in
-# registry order (46 rows last checked r8) with the balance of 50.
+# Round-14 rotation, pre-staged: lead with any r13 reds, then the
+# TWENTY-EIGHT remaining r8-stale rows this window displaced
+# (dedup_simhash, similarity_ivfpq, sample_hash_split,
+# similarity_ann_recall, pii_mask, quality_repetition,
+# decontaminate_ngram, domain_mix_sample, seq_pack_bins,
+# text_winnow_fingerprint, corpus_weighted_sample,
+# text_tfidf_top_terms, embedding_centroids, text_pretokenize_bpe,
+# text_classifier_train, text_dedup_lines, similarity_int8_recall,
+# similarity_mips, similarity_mips_ann_recall,
+# streaming_incr_agg_replay, streaming_text_dedup_lines,
+# streaming_text_remove_spans, siddhiql_star_quantifier, list_fns,
+# map_fns, approx_distinct_bound, sketch_count_min,
+# approx_percentile_bound — the oldest ledger tail at 6 rounds stale
+# in r14), then every row added in round 14 (never-checked), then
+# rows whose code changes in r14, then the r9-stale backlog in
+# registry order (44 rows last checked r9) with the balance of 50.
 # New registry rows displace the NEWEST-checked tail entries, never
 # the stale/never-checked groups.
+#
+# (Archive) Round-13 rotation as pre-staged in r12: lead with any r12
+# reds, then the TWENTY-SEVEN r7-stale rows (multimodal quartet,
+# streaming tail, siddhiql plugin/playback/CR, text rows), then rows
+# added in r13, then changed-code rows, then the r8-stale backlog
+# with the balance of 50 — EXECUTED EXACTLY by the window above.
+#
+# (Archive) Round-12 rotation as executed: (1) no r11 reds; (2) the
+# seventeen r6-stale rows (text/streaming tail + wire-codec source
+# family); (3) r12 additions (bucketed-kslack pair, scan-tier pair);
+# (4) changed-code rows (six ivfpq + csv mapper + corpus shuffle);
+# (5) r7-stale backlog balance (scalar_math …
+# dedup_connected_components, text_token_stats).  Left r7-stale = 27,
+# max staleness 6 — retired by the r13 window above.
 #
 # (Archive) Round-12 rotation as pre-staged in r11: lead with any r11
 # reds, then the SEVENTEEN r6-stale rows (text/streaming/source
