@@ -136,8 +136,12 @@ def choose_pattern_impl(
     scans (map-side partial agg → per-key counts → 1-row global max /
     sum) — the same "measure then fix the plan" discipline as
     ``derive_state_buckets``; run it once per (stream, pattern), not
-    per micro-batch. arm_k × all-probe_k over-estimates in-window
-    pairs, which only errs toward the tier that cannot blow up.
+    per micro-batch. Measured at events ×10000 (1 B rows, ~150 M
+    keys): the decision costs 30.2 s ≈ one execution of the query
+    itself (SCALEBENCH r13) — priced for continuous/repeated
+    queries, not one-shots. arm_k × all-probe_k over-estimates
+    in-window pairs, which only errs toward the tier that cannot
+    blow up.
     """
     row = (
         df.filter(arm_pred | probe_pred)

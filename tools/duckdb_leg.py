@@ -53,6 +53,20 @@ def main() -> None:
         "--runs", type=int, default=N_RUNS,
         help="timed repetitions after the warm run (default 3)",
     )
+    ap.add_argument(
+        "--memory-limit", default=None,
+        help="DuckDB memory_limit (e.g. 60GB) — below the OS ceiling so "
+        "big materializations SPILL to temp_directory instead of dying "
+        "on a failed allocation (the x10000 window_session warm run "
+        "OOM'd at the ~102GB default, r13)",
+    )
+    ap.add_argument(
+        "--no-preserve-order", action="store_true",
+        help="SET preserve_insertion_order=false — drops DuckDB's "
+        "order buffers on huge CTAS results (memory reducer; result "
+        "order is irrelevant to the timing protocol, but record that "
+        "the flag was used)",
+    )
     args = ap.parse_args()
     sf_dir = args.sf_dir
     name = args.query_name
@@ -66,6 +80,10 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"SET threads = {os.cpu_count() or 32}")
     con.execute("SET temp_directory = '/tmp/duckdb_leg_tmp'")
+    if args.memory_limit:
+        con.execute(f"SET memory_limit = '{args.memory_limit}'")
+    if args.no_preserve_order:
+        con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
@@ -99,6 +117,8 @@ def main() -> None:
                 "rows": rows,
                 "sink": sink,
                 "sf_dir": sf_dir,
+                "memory_limit": args.memory_limit,
+                "preserve_insertion_order": not args.no_preserve_order,
             }
         ),
         flush=True,

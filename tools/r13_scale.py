@@ -143,6 +143,78 @@ def main() -> None:
             raise SystemExit("row-set mismatch between arms")
         return
 
+    if leg == "jws_shj":
+        # Third structural arm for the re-adjudication: SHUFFLE_HASH
+        # instead of sort-merge.  The r7/r8 SHJ A/Bs were negative at
+        # <=x1000 where the SMJ sorts were cheap; at 1 B rows the two
+        # O(n log n) sorts dominate the join, and per-partition hash
+        # builds (~1 M rows/partition under the 1024 initial
+        # partitions) fit executor memory.  Alternating p,s,s,p,p,s.
+        from siddhi_operator_spark.catalog import load
+        from siddhi_operator_spark.operators import joins as J
+
+        sdir = _events_dir(scale)
+        ev = load(spark, sdir, "events")
+        ev.write.format("noop").mode("overwrite").save()  # warm cache
+        print(f"events={ev.count()} x{scale}", flush=True)
+        base_max = int(
+            load(spark, "/root/testdata/sf0.1", "events")
+            .agg(F.max("user_id"))
+            .first()[0]
+        )
+
+        def plan(shj: bool):
+            clicks = ev.filter(F.col("event_type") == "click")
+            views = ev.filter(F.col("event_type") == "view")
+            if shj:
+                views = views.hint("SHUFFLE_HASH")
+            j = J.windowed_stream_join(
+                clicks, views, left_ts="ts", right_ts="ts",
+                equi_keys=[("user_id", "user_id")],
+                within_seconds=300,
+            )
+            return j.select(
+                F.col("l.user_id").alias("user_id"),
+                F.col("l.event_id").alias("click_id"),
+                F.col("r.event_id").alias("view_id"),
+                F.col("l.ts").alias("click_ts"),
+                F.col("r.ts").alias("view_ts"),
+            )
+
+        # prove the hint actually flips the physical plan
+        shj_plan = plan(True)._jdf.queryExecution().executedPlan().toString()
+        if "ShuffledHashJoin" not in shj_plan:
+            raise SystemExit("SHUFFLE_HASH hint did not take")
+        plans = {"plain": lambda: plan(False), "shj": lambda: plan(True)}
+        walls: dict[str, list[float]] = {"plain": [], "shj": []}
+        for name in ("plain", "shj"):
+            w = _noop(plans[name]())
+            print(f"warm {name}: {w:.1f} s", flush=True)
+        for rep, name in enumerate(
+            ("plain", "shj", "shj", "plain", "plain", "shj")
+        ):
+            w = _noop(plans[name]())
+            walls[name].append(w)
+            print(f"jws[{rep}] {name}: {w:.1f} s", flush=True)
+        med = {k: statistics.median(v) for k, v in walls.items()}
+        print(
+            f"medians of 3: plain={med['plain']:.1f} s "
+            f"shj={med['shj']:.1f} s "
+            f"shj/plain={med['shj'] / med['plain']:.2f}x",
+            flush=True,
+        )
+        a = plans["plain"]().filter(F.col("user_id") <= base_max)
+        b = plans["shj"]().filter(F.col("user_id") <= base_max)
+        ca, cb = a.count(), b.count()
+        eq = ca == cb and a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        print(
+            f"bounded equality (user_id<=base, {ca} vs {cb} rows): {eq}",
+            flush=True,
+        )
+        if not eq:
+            raise SystemExit("row-set mismatch between arms")
+        return
+
     if leg == "pattern_ab":
         from siddhi_operator_spark.catalog import load
         from siddhi_operator_spark.operators import patterns as P
