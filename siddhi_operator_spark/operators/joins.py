@@ -55,6 +55,60 @@ def in_table(
     return stream.join(t, on=on, how="left_anti" if negate else "left_semi")
 
 
+def derive_join_bucket(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: Sequence[tuple[str, str]],
+) -> bool:
+    """Derive the plain-vs-epoch-coarsened regime pick for
+    :func:`windowed_stream_join` from MEASURED key density (r13 — the
+    same discipline as `operators/patterns.py::choose_pattern_impl`,
+    extended to the join family's hot-key insurance tier).
+
+    The plain keyed join's degenerate regime is per-key pair
+    production: it materializes l_k × r_k rows for key k BEFORE the
+    time-range residual filters them — one key holding 400 k events
+    is ~4e10 pairs and the join never finishes (measured, SCALEBENCH
+    r13 `jws_hotkey`). The epoch-coarsened tier (``bucket=True``)
+    bounds pairs to adjacent `within`-wide epochs, at a measured
+    1.4–1.7× penalty in the constant-density regime (×100 r8,
+    ×10000 r13) — same cost structure as the pattern scan tier, so
+    the same anchored rule: coarsen iff the worst key's pair
+    production ``max_k(l_k × r_k)`` exceeds ``max(total_rows / 4,
+    1e6)``.
+
+    Cost: one aggregation job (per-side per-key counts unioned with a
+    side tag → one keyed agg → 1-row global max/sum). Run once per
+    (stream pair, join), not per micro-batch — at events ×10000 the
+    analogous pattern stats job costs ≈ one execution of the query
+    (SCALEBENCH r13), priced for continuous queries."""
+    lk = [p[0] for p in equi_keys]
+    rk = [p[1] for p in equi_keys]
+    lc = left.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(lk)],
+        F.lit(1).alias("_l"),
+        F.lit(0).alias("_r"),
+    )
+    rc = right.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(rk)],
+        F.lit(0).alias("_l"),
+        F.lit(1).alias("_r"),
+    )
+    row = (
+        lc.unionByName(rc)
+        .groupBy(*[f"_k{i}" for i in range(len(lk))])
+        .agg(F.sum("_l").alias("_nl"), F.sum("_r").alias("_nr"))
+        .agg(
+            F.max(F.col("_nl") * F.col("_nr")).alias("max_pairs"),
+            F.sum(F.col("_nl") + F.col("_nr")).alias("total"),
+        )
+        .first()
+    )
+    if row is None or row["max_pairs"] is None:
+        return False  # no rows on either side — either plan is a no-op
+    return row["max_pairs"] > max(row["total"] // 4, 1_000_000)
+
+
 def windowed_stream_join(
     left: DataFrame,
     right: DataFrame,
@@ -65,7 +119,7 @@ def windowed_stream_join(
     extra_cond: Column | None = None,
     how: str = "inner",
     unidirectional: bool = False,
-    bucket: bool = False,
+    bucket: bool | str = False,
 ) -> DataFrame:
     """Stream ⋈ stream over time windows: Siddhi
     `from S1#window.time(t) join S2#window.time(t) on cond`
@@ -85,9 +139,17 @@ def windowed_stream_join(
     hot-key insurance when one key is pathologically dense. Measured
     ×100 on the horizontally scaled fixture (key cardinality grows,
     per-key density constant) it is ~1.4× SLOWER than the plain keyed
-    join (SCALEBENCH.md), so it stays opt-in. Keep it OFF for the
+    join (1.69× at ×10000, SCALEBENCH r13), so it stays opt-in.
+    ``bucket="auto"`` (r13) DERIVES the pick from measured key density
+    (:func:`derive_join_bucket` — one stats job; the hot-key fixture
+    where the plain join cannot finish picks the coarsened tier,
+    constant density stays plain). Keep it OFF for the
     streaming twin: Structured Streaming needs the raw time-interval
     condition to size its state eviction."""
+    if isinstance(bucket, str):
+        if bucket != "auto":
+            raise ValueError(f"bucket must be a bool or 'auto', got {bucket!r}")
+        bucket = how == "inner" and derive_join_bucket(left, right, equi_keys)
     w_us = int(within_seconds * 1_000_000)
     if bucket and how == "inner":
         # right: its own epoch; left: every epoch a partner could be in

@@ -35,17 +35,19 @@ from . import sources_suite  # noqa: E402,F401
 # window displaced (multimodal quartet, text tail, streaming
 # join/ratelimit/approx tail, siddhiql plugin/playback/CR rows — the
 # oldest ledger tail at 6 rounds); (3) every row ADDED in round 13
-# (never-checked): `pattern_followed_by_auto` — the derived
-# join-vs-scan regime pick (`operators/patterns.py::
-# choose_pattern_impl`), closing the r12 verdict's "one remaining
-# hand knob"; (4) rows whose EXECUTED CODE changed in r13: the five
+# (never-checked): `pattern_followed_by_auto` and
+# `join_windowed_self_auto` — the derived regime picks
+# (`operators/patterns.py::choose_pattern_impl`,
+# `operators/joins.py::derive_join_bucket`), closing the r12
+# verdict's "one remaining hand knob" and extending the same
+# discipline to the join family's hot-key insurance tier; (4) rows whose EXECUTED CODE changed in r13: the five
 # operator-tier pattern rows (`followed_by`/`absence`/
 # `absence_logical` grew the `impl="auto"` branch and the widened
 # impl validation; the QL pattern rows build their joins inline in
 # `siddhiql/builder.py` and are unchanged); (5) the r8-stale backlog
-# in registry order — 17 of the 45 rows last checked r8 fit
-# (window_timebatch … tpch_q21).  After this window: never-checked
-# = 0, r7-stale = 0, r8-stale = 28, max staleness = 6 (the r8 tail
+# in registry order — 16 of the 45 rows last checked r8 fit
+# (window_timebatch … tpch_q20).  After this window: never-checked
+# = 0, r7-stale = 0, r8-stale = 29, max staleness = 6 (the r8 tail
 # displaced to r14).
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
@@ -79,6 +81,7 @@ _FRONT_NAMES = (
     "sink_http_json_roundtrip",
     # (3) new in r13 — never checked
     "pattern_followed_by_auto",
+    "join_windowed_self_auto",
     # (4) executed code changed in r13 (impl='auto' branch + widened
     # validation in operators/patterns.py)
     "pattern_followed_by",
@@ -86,7 +89,7 @@ _FRONT_NAMES = (
     "pattern_absence_logical",
     "pattern_followed_by_scan",
     "pattern_absence_scan",
-    # (5) r8-stale backlog, registry order (17 of 45)
+    # (5) r8-stale backlog, registry order (16 of 45)
     "window_timebatch",
     "window_length",
     "window_lengthbatch",
@@ -103,13 +106,12 @@ _FRONT_NAMES = (
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
-    "tpch_q21",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
 # Round-14 rotation, pre-staged: lead with any r13 reds, then the
-# TWENTY-EIGHT remaining r8-stale rows this window displaced
-# (dedup_simhash, similarity_ivfpq, sample_hash_split,
+# TWENTY-NINE remaining r8-stale rows this window displaced
+# (tpch_q21, dedup_simhash, similarity_ivfpq, sample_hash_split,
 # similarity_ann_recall, pii_mask, quality_repetition,
 # decontaminate_ngram, domain_mix_sample, seq_pack_bins,
 # text_winnow_fingerprint, corpus_weighted_sample,

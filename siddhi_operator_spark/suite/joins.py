@@ -435,3 +435,49 @@ def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+@register(
+    "join_windowed_self_auto",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+           a.ts AS click_ts, b.ts AS view_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+    tags=("join", "stream-stream", "auto-tier"),
+)
+def join_windowed_self_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """The r13 ``bucket="auto"`` tier of :func:`join_windowed_self`:
+    the plain-vs-epoch-coarsened pick is DERIVED from measured key
+    density (`operators/joins.py::derive_join_bucket` — worst-key
+    l×r pair production vs max(total/4, 1e6), the same anchored rule
+    as the pattern tier's `choose_pattern_impl`). On constant-density
+    fixtures it resolves to the plain keyed join (measured faster at
+    ×100 r8 and ×10000 r13); the hot-key pick is unit-pinned in
+    `tests/test_operators_batch.py::test_join_bucket_auto_derives_regime`
+    and decade-measured in SCALEBENCH r13 `jws_hotkey`. Driver-gated
+    against the same relational oracle as the shipped row, so
+    whichever plan the stats pick must match DuckDB."""
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    joined = J.windowed_stream_join(
+        clicks,
+        views,
+        left_ts="ts",
+        right_ts="ts",
+        equi_keys=[("user_id", "user_id")],
+        within_seconds=300,
+        bucket="auto",
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("view_ts"),
+    )

@@ -643,3 +643,73 @@ def test_salted_distinct_count_exact(spark):
     want = {r.k: r.n for r in df.groupBy("k").agg(
         F.countDistinct("v").alias("n")).collect()}
     assert got == want
+
+
+def test_join_bucket_auto_derives_regime(spark, events_df):
+    """r13: the windowed join's plain-vs-epoch-coarsened pick is
+    DERIVED from measured key density (`derive_join_bucket`) — the
+    hot-key shape picks the coarsened tier, constant density stays on
+    the plain keyed join, `bucket='auto'` is row-identical to the
+    explicit tiers, and outer joins never coarsen."""
+    import pytest
+
+    from siddhi_operator_spark.operators import joins as J
+
+    def mk(n_keys: int, per_key: int):
+        n = n_keys * per_key * 2
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+                (F.col("id") % n_keys).alias("user_id"),
+                F.when((F.col("id") % 2) == 0, "click")
+                .otherwise("view")
+                .alias("event_type"),
+            )
+        )
+
+    keys = [("user_id", "user_id")]
+    hot = mk(1, 1200)
+    hc, hv = (
+        hot.filter(F.col("event_type") == "click"),
+        hot.filter(F.col("event_type") == "view"),
+    )
+    assert J.derive_join_bucket(hc, hv, keys) is True
+    flat = mk(1000, 2)
+    fc, fv = (
+        flat.filter(F.col("event_type") == "click"),
+        flat.filter(F.col("event_type") == "view"),
+    )
+    assert J.derive_join_bucket(fc, fv, keys) is False
+    # empty side -> either plan is a no-op -> plain
+    assert J.derive_join_bucket(fc.limit(0), fv, keys) is False
+
+    clicks = events_df.filter(F.col("event_type") == "click")
+    other = events_df.filter(F.col("event_type") != "click")
+    want = sorted(
+        (r[0], r[1])
+        for r in J.windowed_stream_join(
+            clicks, other, "ts", "ts", keys, within_seconds=60,
+        ).select(F.col("l.event_id"), F.col("r.event_id")).collect()
+    )
+    got = sorted(
+        (r[0], r[1])
+        for r in J.windowed_stream_join(
+            clicks, other, "ts", "ts", keys, within_seconds=60,
+            bucket="auto",
+        ).select(F.col("l.event_id"), F.col("r.event_id")).collect()
+    )
+    assert got == want
+    # outer joins never coarsen (the epoch explode would fabricate
+    # multiplicity on unmatched rows) — auto resolves to plain
+    outer = J.windowed_stream_join(
+        clicks, other, "ts", "ts", keys, within_seconds=60,
+        how="left", bucket="auto",
+    )
+    assert outer.count() >= len(want)
+    with pytest.raises(ValueError, match="bucket"):
+        J.windowed_stream_join(
+            clicks, other, "ts", "ts", keys, within_seconds=60,
+            bucket="atuo",
+        )

@@ -350,6 +350,96 @@ def main() -> None:
               flush=True)
         return
 
+    if leg == "jws_hotkey":
+        # The windowed JOIN's hot-key regime (r13): same fixture as
+        # hotkey_eq, but the operator is windowed_stream_join (all
+        # pairs within ±5 min), the shape `join_windowed_self` ships.
+        # The plain keyed join's pre-filter pair production on the
+        # 400 k-event key is ~4e10 — it cannot finish (the pattern
+        # twin bounded the same blow-up at >=120x in r12) — so the
+        # leg measures: (a) the derived pick chooses the coarsened
+        # tier here; (b) plain == bucket row-for-row on a TRUNCATED
+        # input (hot signups capped so plain's pair production is
+        # ~4e8 and it finishes); (c) the bucket tier's wall on the
+        # FULL fixture, 3 reps — the plan that survives the key.
+        from siddhi_operator_spark.operators import joins as J
+
+        hot_n = int(os.environ.get("SPARK_GRAFT_HOTKEY_N", "400000"))
+        arm_cap = int(os.environ.get("SPARK_GRAFT_HOTKEY_ARM_CAP", "2000"))
+        hdir = f"{SCALE_BASE}/events_hotkey_{scale}_{hot_n}"
+        if not os.path.exists(f"{hdir}/_READY"):
+            raise SystemExit(
+                f"{hdir} not built — run tools/r12_scale.py "
+                f"pattern_hotkey_ab {scale} once to build it"
+            )
+        ev = spark.read.parquet(f"{hdir}/events.parquet")
+        ev.write.format("noop").mode("overwrite").save()  # warm
+        sig = ev.filter(F.col("event_type") == "signup")
+        pur = ev.filter(F.col("event_type") == "purchase")
+        keys = [("user_id", "user_id")]
+        print(f"events={ev.count()} (hot key {hot_n})", flush=True)
+
+        t0 = time.monotonic()
+        pick = J.derive_join_bucket(sig, pur, keys)
+        print(
+            f"derive_join_bucket(hot fixture) -> {pick} "
+            f"in {time.monotonic()-t0:.1f} s",
+            flush=True,
+        )
+        if not pick:
+            raise SystemExit("derived pick failed to choose bucket on hot key")
+
+        def plan(left, bucket):
+            j = J.windowed_stream_join(
+                left, pur, left_ts="ts", right_ts="ts", equi_keys=keys,
+                within_seconds=300, bucket=bucket,
+            )
+            return j.select(
+                F.col("l.user_id").alias("user_id"),
+                F.col("l.event_id").alias("sig_id"),
+                F.col("r.event_id").alias("pur_id"),
+            )
+
+        cutoff = (
+            sig.filter(F.col("user_id") == -1)
+            .select("event_id")
+            .orderBy("event_id")
+            .limit(arm_cap)
+            .agg(F.max("event_id"))
+            .first()[0]
+        )
+        sig_t = sig.filter(
+            (F.col("user_id") != -1) | (F.col("event_id") <= F.lit(cutoff))
+        )
+        t0 = time.monotonic()
+        a = plan(sig_t, False)
+        b = plan(sig_t, True)
+        ca, cb = a.count(), b.count()
+        eq = ca == cb and a.exceptAll(b).isEmpty()
+        tp = time.monotonic() - t0
+        print(
+            f"truncated-arm equality (cap={arm_cap}, {ca} vs {cb} rows): "
+            f"{eq} in {tp:.1f} s",
+            flush=True,
+        )
+        if not eq:
+            raise SystemExit("plain != bucket on truncated hot key")
+
+        walls = []
+        for rep in range(3):
+            t0 = time.monotonic()
+            plan(sig, True).write.format("noop").mode("overwrite").save()
+            walls.append(time.monotonic() - t0)
+            print(f"bucket-full[{rep}]: {walls[-1]:.1f} s", flush=True)
+        print(
+            f"bucket-full median of 3: {statistics.median(walls):.1f} s "
+            f"(plain-full pair production is ~{400000 // 2 // arm_cap}x the "
+            "truncated arm's — not attempted; the pattern twin bounded the "
+            "same blow-up at >=120x, SCALEBENCH r12)",
+            flush=True,
+        )
+        return
+
     raise SystemExit(f"unknown leg {leg!r}")
 
 
