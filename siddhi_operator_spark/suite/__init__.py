@@ -40,14 +40,18 @@ from . import sources_suite  # noqa: E402,F401
 # (`operators/patterns.py::choose_pattern_impl`,
 # `operators/joins.py::derive_join_bucket`), closing the r12
 # verdict's "one remaining hand knob" and extending the same
-# discipline to the join family's hot-key insurance tier; (4) rows whose EXECUTED CODE changed in r13: the five
-# operator-tier pattern rows (`followed_by`/`absence`/
-# `absence_logical` grew the `impl="auto"` branch and the widened
-# impl validation; the QL pattern rows build their joins inline in
-# `siddhiql/builder.py` and are unchanged); (5) the r8-stale backlog
-# in registry order — 16 of the 45 rows last checked r8 fit
-# (window_timebatch … tpch_q20).  After this window: never-checked
-# = 0, r7-stale = 0, r8-stale = 29, max staleness = 6 (the r8 tail
+# discipline to the join family's hot-key insurance tier; (4) rows
+# whose EXECUTED CODE changed in r13: the five operator-tier pattern
+# rows (`followed_by`/`absence`/`absence_logical` grew the
+# `impl="auto"` branch and the widened impl validation; the QL
+# pattern rows build their joins inline in `siddhiql/builder.py` and
+# are unchanged) and the three `windowed_stream_join` callers not
+# already in group (2) (`join_windowed_self`, `join_unidirectional`,
+# `streaming_join_windowed` — the function grew the bucket='auto'
+# branch); (5) the r8-stale backlog
+# in registry order — 13 of the 45 rows last checked r8 fit
+# (window_timebatch … tpch_q2).  After this window: never-checked
+# = 0, r7-stale = 0, r8-stale = 32, max staleness = 6 (the r8 tail
 # displaced to r14).
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
@@ -83,13 +87,19 @@ _FRONT_NAMES = (
     "pattern_followed_by_auto",
     "join_windowed_self_auto",
     # (4) executed code changed in r13 (impl='auto' branch + widened
-    # validation in operators/patterns.py)
+    # validation in operators/patterns.py; bucket='auto' branch in
+    # operators/joins.py::windowed_stream_join — every row that calls
+    # it rotates in: the three below plus streaming_join_outer /
+    # _unidirectional / _full_outer already in group (2))
     "pattern_followed_by",
     "pattern_absence",
     "pattern_absence_logical",
     "pattern_followed_by_scan",
     "pattern_absence_scan",
-    # (5) r8-stale backlog, registry order (16 of 45)
+    "join_windowed_self",
+    "join_unidirectional",
+    "streaming_join_windowed",
+    # (5) r8-stale backlog, registry order (13 of 45)
     "window_timebatch",
     "window_length",
     "window_lengthbatch",
@@ -103,15 +113,13 @@ _FRONT_NAMES = (
     "tpch_q12",
     "tpch_q17",
     "tpch_q2",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
 # Round-14 rotation, pre-staged: lead with any r13 reds, then the
-# TWENTY-NINE remaining r8-stale rows this window displaced
-# (tpch_q21, dedup_simhash, similarity_ivfpq, sample_hash_split,
+# THIRTY-TWO remaining r8-stale rows this window displaced
+# (tpch_q11, tpch_q16, tpch_q20, tpch_q21, dedup_simhash,
+# similarity_ivfpq, sample_hash_split,
 # similarity_ann_recall, pii_mask, quality_repetition,
 # decontaminate_ngram, domain_mix_sample, seq_pack_bins,
 # text_winnow_fingerprint, corpus_weighted_sample,
