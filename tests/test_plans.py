@@ -801,3 +801,51 @@ def test_pattern_scan_tier_single_shuffle_no_join(spark):
     assert "hashpartitioning(k" in plan
     assert "unboundedpreceding" in plan.lower()
     assert "unboundedfollowing" not in plan.lower()
+
+
+def test_join_bucket_tiers_plan_shapes(spark):
+    """r13: the epoch-coarsened windowed-join tier must actually change
+    the physical plan — `bucket=True` introduces the epoch explode
+    (Generate) and joins on the widened key; the plain tier has no
+    Generate; `bucket='auto'` resolves to the coarsened plan on a
+    hot-key input and to the plain plan on the constant-density one
+    (the derived pick flips the PLAN, not just a flag)."""
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.operators import joins as J
+
+    def mk(n_keys: int, per_key: int):
+        n = n_keys * per_key * 2
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+                (F.col("id") % n_keys).alias("user_id"),
+                F.when((F.col("id") % 2) == 0, "click")
+                .otherwise("view")
+                .alias("event_type"),
+            )
+        )
+
+    keys = [("user_id", "user_id")]
+
+    def plan_for(df, bucket):
+        c = df.filter(F.col("event_type") == "click")
+        v = df.filter(F.col("event_type") == "view")
+        return _fmt(
+            J.windowed_stream_join(
+                c, v, "ts", "ts", keys, within_seconds=60, bucket=bucket,
+            )
+        )
+
+    flat = mk(1000, 2)
+    plain = plan_for(flat, False)
+    coarse = plan_for(flat, True)
+    assert "Generate" not in plain.split("\n\n")[0]
+    assert "Generate" in coarse.split("\n\n")[0]  # the epoch explode
+    assert "_tb" in coarse  # joined on the widened (key, epoch) tuple
+    # auto on constant density -> plain shape; on the hot key -> coarse
+    assert "Generate" not in plan_for(flat, "auto").split("\n\n")[0]
+    hot = mk(1, 1200)
+    assert "Generate" in plan_for(hot, "auto").split("\n\n")[0]
