@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "similarity_bruteforce",
 ]
 
+_FULL_BENCH_QUERIES = tuple(BENCH_QUERIES)
+
 # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to a subset of
 # BENCH_QUERIES — the ×10000 leg (SCALEBENCH r12) scales EVENTS alone
 # to 1 B rows (lineitem ×10000 = 6 B rows does not fit the box) and
@@ -138,6 +140,19 @@ _QUERY_FACTS = {
     "dedup_minhash_lsh": {"documents"},
     "similarity_bruteforce": {"embeddings"},
 }
+# Contract (ADVICE r13): _QUERY_FACTS is only consulted when SCALE > 1,
+# so a query added to BENCH_QUERIES without a facts entry would pass
+# every ×1 run and die with a bare KeyError at the first scaled run.
+# Checked at import time against the FULL list (before the _only
+# filter) — must survive `python -O`, so no bare assert.
+_missing_facts = sorted(set(_FULL_BENCH_QUERIES) - set(_QUERY_FACTS))
+_extra_facts = sorted(set(_QUERY_FACTS) - set(_FULL_BENCH_QUERIES))
+if _missing_facts or _extra_facts:
+    raise RuntimeError(
+        f"_QUERY_FACTS out of sync with BENCH_QUERIES: "
+        f"missing={_missing_facts} extra={_extra_facts}"
+    )
+
 if SCALE > 1 and set(_SCALED_TABLES) != {"events", "lineitem", "embeddings"}:
     if not _only:
         raise ValueError(

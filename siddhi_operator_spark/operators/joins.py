@@ -55,10 +55,33 @@ def in_table(
     return stream.join(t, on=on, how="left_anti" if negate else "left_semi")
 
 
+# In-process memo for the derived regime pick (r14 — see
+# `operators/patterns.py` for the full rationale): keyed by both
+# analyzed plans' semanticHash + the key tuple + a rule version, so a
+# caller who composes the same auto join twice (or a front end that
+# rebuilds it per request) pays the stats job once per (stream pair,
+# join shape), not once per construction.
+_RULE_VERSION = 2  # v2: null-key rows excluded from the stats scan
+_DECISION_CACHE: dict[tuple, bool] = {}
+STATS_JOBS_RUN = 0  # incremented per executed stats job (test hook)
+
+
+def clear_decision_cache() -> None:
+    _DECISION_CACHE.clear()
+
+
+def _plan_token(df: DataFrame) -> int | None:
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
 def derive_join_bucket(
     left: DataFrame,
     right: DataFrame,
     equi_keys: Sequence[tuple[str, str]],
+    stats: tuple[int, int] | None = None,
 ) -> bool:
     """Derive the plain-vs-epoch-coarsened regime pick for
     :func:`windowed_stream_join` from MEASURED key density (r13 — the
@@ -81,9 +104,42 @@ def derive_join_bucket(
     side tag → one keyed agg → 1-row global max/sum). Run once per
     (stream pair, join), not per micro-batch — at events ×10000 the
     analogous pattern stats job costs ≈ one execution of the query
-    (SCALEBENCH r13), priced for continuous queries."""
+    (SCALEBENCH r13), priced for continuous queries.
+
+    r14: the decision is MEMOIZED per (analyzed-plan identities, key
+    tuple) so repeated construction runs zero extra Spark jobs, and
+    ``stats`` accepts a precomputed ``(max_pairs, total)`` pair to
+    skip the job entirely.  NULL keys are excluded from the stats
+    scan (ADVICE r13): an equi-join emits nothing for NULL keys, so a
+    null-heavy input must not flip the pick toward the
+    measured-slower coarsened tier."""
+    global STATS_JOBS_RUN
+    if stats is not None:
+        max_pairs, total = stats
+        return max_pairs > max(total // 4, 1_000_000)
+    if left.isStreaming or right.isStreaming:
+        raise ValueError(
+            "bucket='auto' is batch-only: the regime pick runs a stats "
+            "job at plan-build time — derive it on a batch sample via "
+            "derive_join_bucket(stats=...) and pass bucket=True/False "
+            "(Structured Streaming also needs the raw time-interval "
+            "condition to size state eviction)"
+        )
     lk = [p[0] for p in equi_keys]
     rk = [p[1] for p in equi_keys]
+    cache_key = None
+    lt, rt = _plan_token(left), _plan_token(right)
+    if lt is not None and rt is not None:
+        cache_key = (_RULE_VERSION, lt, rt, tuple(lk), tuple(rk))
+        if cache_key in _DECISION_CACHE:
+            return _DECISION_CACHE[cache_key]
+    STATS_JOBS_RUN += 1
+    lnn, rnn = F.lit(True), F.lit(True)
+    for c in lk:
+        lnn = lnn & F.col(c).isNotNull()
+    for c in rk:
+        rnn = rnn & F.col(c).isNotNull()
+    left, right = left.filter(lnn), right.filter(rnn)
     lc = left.select(
         *[F.col(c).alias(f"_k{i}") for i, c in enumerate(lk)],
         F.lit(1).alias("_l"),
@@ -105,8 +161,12 @@ def derive_join_bucket(
         .first()
     )
     if row is None or row["max_pairs"] is None:
-        return False  # no rows on either side — either plan is a no-op
-    return row["max_pairs"] > max(row["total"] // 4, 1_000_000)
+        pick = False  # no rows on either side — either plan is a no-op
+    else:
+        pick = row["max_pairs"] > max(row["total"] // 4, 1_000_000)
+    if cache_key is not None:
+        _DECISION_CACHE[cache_key] = pick
+    return pick
 
 
 def windowed_stream_join(
@@ -143,9 +203,13 @@ def windowed_stream_join(
     ``bucket="auto"`` (r13) DERIVES the pick from measured key density
     (:func:`derive_join_bucket` — one stats job; the hot-key fixture
     where the plain join cannot finish picks the coarsened tier,
-    constant density stays plain). Keep it OFF for the
-    streaming twin: Structured Streaming needs the raw time-interval
-    condition to size its state eviction."""
+    constant density stays plain). ``"auto"`` is batch-only — the
+    stats job cannot run on a streaming plan (guarded) — but
+    ``bucket=True`` itself is streaming-safe (r14): the raw
+    time-interval condition stays in the join condition, so
+    Structured Streaming sizes state eviction exactly as in the plain
+    plan, while the epoch keys bound per-key state probes (see
+    ``streaming.joins.stream_stream_join``)."""
     if isinstance(bucket, str):
         if bucket != "auto":
             raise ValueError(f"bucket must be a bool or 'auto', got {bucket!r}")

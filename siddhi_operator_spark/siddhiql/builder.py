@@ -58,6 +58,75 @@ def _duration_str(arg: str) -> str:
     return f"{time_constant_seconds(arg)} seconds"
 
 
+_PLAN_ANN_RE = re.compile(r"@plan\s*\((.*)\)\s*$", re.I | re.S)
+_PLAN_KV_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
+
+
+def _plan_hints(q: QueryDef) -> dict[str, str]:
+    """`@plan(impl='auto')` / `@plan(bucket='auto')` — the r14 engine
+    extension that routes the derived hot-key regime picks through the
+    QL front end (the reference's primary entry, `[qc] SiddhiQL.g4` →
+    `SiddhiCompiler`; its `@Extension`-style annotation surface is
+    `[qapi] annotation/Annotation.java`).  Without it a QL pattern /
+    windowed-join query could never reach the scan / epoch-coarsened
+    insurance tiers that `operators/patterns.py::choose_pattern_impl`
+    and `operators/joins.py::derive_join_bucket` prove are the only
+    plans that finish on a pathologically dense key (SCALEBENCH
+    r12/r13: the plain join DNFs in 9.5 min where scan/coarsened take
+    1–3 s).
+
+    Keys: ``impl`` ∈ {join, scan, auto} (pattern queries), ``bucket``
+    ∈ {false, true, auto} (windowed stream-stream joins).  Unknown
+    keys or values raise — a typo'd hint must never silently run the
+    unprotected plan the user asked to avoid."""
+    hints: dict[str, str] = {}
+    for a in q.annotations:
+        m = _PLAN_ANN_RE.match(a.strip())
+        if not m:
+            continue
+        body = m.group(1)
+        pairs = _PLAN_KV_RE.findall(body)
+        if not pairs and body.strip():
+            raise ValueError(
+                f"@plan annotation needs key='value' pairs, got {body!r}"
+            )
+        for k, v in pairs:
+            hints[k.lower()] = v.lower()
+    bad = sorted(set(hints) - {"impl", "bucket"})
+    if bad:
+        raise ValueError(f"@plan: unknown keys {bad} (known: impl, bucket)")
+    if hints.get("impl") not in (None, "join", "scan", "auto"):
+        raise ValueError(
+            f"@plan: impl must be 'join', 'scan' or 'auto', got {hints['impl']!r}"
+        )
+    if hints.get("bucket") not in (None, "false", "true", "auto"):
+        raise ValueError(
+            f"@plan: bucket must be 'false', 'true' or 'auto', got {hints['bucket']!r}"
+        )
+    return hints
+
+
+def _equi_pairs(on_expr: str, lname: str, rname: str) -> list[tuple[str, str]]:
+    """Extract `(left_col, right_col)` equi terms from a translated
+    join condition — top-level AND conjuncts of the form
+    `L.x = R.y` (either side order).  Non-equi conjuncts (the time
+    residual, value comparisons) are fine — they stay in the join
+    condition; they just don't contribute keys."""
+    pairs: list[tuple[str, str]] = []
+    for part in re.split(r"\band\b", on_expr, flags=re.I):
+        m = re.fullmatch(
+            r"\s*\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?\s*", part
+        )
+        if not m:
+            continue
+        a, ac, b, bc = m.groups()
+        if a == lname and b == rname:
+            pairs.append((ac, bc))
+        elif a == rname and b == lname:
+            pairs.append((bc, ac))
+    return pairs
+
+
 def _apply_window_groupby(
     df: DataFrame, q: QueryDef, win, ts_col: str
 ) -> tuple[DataFrame, list[str]]:
@@ -694,6 +763,47 @@ def _run_join(
                 within = time_constant_seconds(side.window.args[0])
     lname = inp.left.alias or inp.left.stream
     rname = inp.right.alias or inp.right.stream
+    # `@plan(bucket='auto'|'true')` — the hot-key insurance tier,
+    # reachable from QL since r14: coarsen event time into
+    # `within`-wide epochs and widen the equi keys with them, exactly
+    # `operators/joins.py::windowed_stream_join(bucket=...)` (the QL
+    # join is symmetric — |Δts| ≤ t — so the left side explodes to
+    # {b−1, b, b+1}).  'auto' derives the pick from measured key
+    # density (`derive_join_bucket`, memoized); per-key pair
+    # production then stays bounded however dense one key is.
+    bucket_hint = _plan_hints(q).get("bucket")
+    coarsen = False
+    if bucket_hint in ("true", "auto"):
+        if inp.kind != "inner" or within is None or inp.per is not None:
+            raise ValueError(
+                "@plan(bucket=...) applies to inner stream-stream "
+                "joins with a time window (`within t` or time windows "
+                "on both sides)"
+            )
+        equi = _equi_pairs(inp.on_expr, lname, rname)
+        if not equi:
+            raise ValueError(
+                "@plan(bucket=...) needs at least one `L.x == R.y` "
+                "equi term in the on condition (the epoch key widens "
+                "the equi keys; a pure range join has none to widen)"
+            )
+        from ..operators.joins import derive_join_bucket
+
+        coarsen = (
+            derive_join_bucket(left, right, equi)
+            if bucket_hint == "auto"
+            else True
+        )
+    if coarsen:
+        w_us = int(within * 1_000_000)
+        right = right.withColumn(
+            "__tb", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(w_us))
+        )
+        lb = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(w_us))
+        left = left.withColumn(
+            "__tb", F.explode(F.array(lb - 1, lb, lb + 1))
+        )
+        cond = cond & (F.col(f"{lname}.__tb") == F.col(f"{rname}.__tb"))
     j = left.alias(lname).join(
         right.alias(rname),
         on=cond
@@ -709,6 +819,8 @@ def _run_join(
         how={"inner": "inner", "left outer": "left", "right outer": "right",
              "full outer": "full"}[inp.kind],
     )
+    if coarsen:
+        j = j.drop("__tb")
     if q.select:
         if any(_AGG_RE.search(it.expr) for it in q.select):
             # aggregate over the joined stream (`join … select k,
@@ -1131,6 +1243,88 @@ def _classify_step_predicate(
     return None, _map_outside_quotes(pred, rewrite)
 
 
+def _pattern_scan_two_step(
+    df: DataFrame,
+    q: QueryDef,
+    inp: PatternInput,
+    ts_col: str,
+    id_col: str,
+    key: str,
+    impl_hint: str,
+    base_cols: list[str],
+    project: bool,
+) -> DataFrame | None:
+    """The QL pattern scan tier: `e1=S[p1] -> e2=S[p2] within t` via
+    one fanout-free keyed window pass (`operators/patterns.py::
+    _nearest_probe_scan` — "first completing e2 per e1" IS "nearest
+    later e2, then a time filter") instead of the chained join, whose
+    per-key pair production explodes on one dense key.  Payload
+    columns re-attach by two equi-joins on the globally unique event
+    id — fanout 1 per row, key density irrelevant — so the output is
+    column-identical to the join tier (`__k`, `e1_*`, `e2_*`).
+
+    Returns None when the shape isn't scannable (not exactly two
+    non-strict steps, or a cross-step predicate that must filter
+    BEFORE the first-match pick) or when ``impl_hint='auto'`` and the
+    measured key density picks the join tier."""
+    if inp.strict or len(inp.steps) != 2:
+        return None
+    s1, s2 = inp.steps
+    pre1 = pre2 = None
+    if s1.predicate:
+        pre1, d1 = _classify_step_predicate(s1.predicate, s1.alias, [], base_cols)
+        if d1:
+            return None  # first step referencing a prior alias — the
+            # join tier raises the proper error
+    if s2.predicate:
+        pre2, d2 = _classify_step_predicate(
+            s2.predicate, s2.alias, [s1.alias], base_cols
+        )
+        if d2:
+            return None  # cross-step predicate filters before the
+            # first-match pick — not a nearest-probe shape
+    p1 = F.expr(pre1) if pre1 else F.lit(True)
+    p2 = F.expr(pre2) if pre2 else F.lit(True)
+    from ..operators.patterns import _nearest_probe_scan, choose_pattern_impl
+
+    if impl_hint == "auto":
+        if choose_pattern_impl(df, key, p1, p2) == "join":
+            return None
+    scanned = _nearest_probe_scan(df, key, ts_col, p1, p2, id_col=id_col)
+    hit = scanned.filter(F.col("_probe").isNotNull())
+    if inp.within_seconds is not None:
+        hit = hit.filter(
+            F.col("_probe.p_ts")
+            <= F.col("e1_ts") + F.expr(f"INTERVAL {inp.within_seconds} SECONDS")
+        )
+    a1, a2 = s1.alias, s2.alias
+    e1_payload = df.select(
+        F.col(id_col).alias("__id1"),
+        *[F.col(c).alias(f"{a1}_{c}") for c in base_cols],
+    )
+    e2_payload = df.select(
+        F.col(id_col).alias("__id2"),
+        *[F.col(c).alias(f"{a2}_{c}") for c in base_cols],
+    )
+    out = (
+        hit.select(
+            F.col("k").alias("__k"),
+            F.col("e1_id").alias("__id1"),
+            F.col("_probe.p_id").alias("__id2"),
+        )
+        .join(e1_payload, "__id1")
+        .join(e2_payload, "__id2")
+        .select(
+            "__k",
+            *[f"{a1}_{c}" for c in base_cols],
+            *[f"{a2}_{c}" for c in base_cols],
+        )
+    )
+    if not project:
+        return out
+    return _rewrite_pattern_select(out, q)
+
+
 def _run_pattern_simple(
     df: DataFrame,
     q: QueryDef,
@@ -1149,6 +1343,29 @@ def _run_pattern_simple(
     the IMMEDIATELY next event (`__seq == prev + 1`), matching
     `StreamPreStateProcessor`'s strict-contiguity mode."""
     base_cols = df.columns
+    # `@plan(impl='scan'|'auto')` — the fanout-free hot-key tier,
+    # reachable from QL since r14 (r13 verdict #1).  The scannable
+    # shape mirrors the operator tier's (`operators/patterns.py::
+    # followed_by`): a non-strict two-step followed-by whose second
+    # step has no cross-step predicate.  'auto' derives the pick from
+    # measured key density (`choose_pattern_impl`, memoized); explicit
+    # 'scan' on an inexpressible shape raises rather than silently
+    # running the unprotected join.
+    impl_hint = _plan_hints(q).get("impl")
+    if impl_hint in ("scan", "auto"):
+        scan_df = _pattern_scan_two_step(
+            df, q, inp, ts_col, id_col, key, impl_hint, base_cols, project
+        )
+        if scan_df is not None:
+            return scan_df
+        if impl_hint == "scan":
+            raise ValueError(
+                "@plan(impl='scan') expresses the non-strict two-step "
+                "followed-by shape with per-step predicates only — "
+                "longer chains, sequences and cross-step predicates "
+                "run on the join tier (use impl='auto' to fall back "
+                "silently)"
+            )
     if inp.strict:
         seq_w = Window.partitionBy(key).orderBy(ts_col, id_col)
         df = df.withColumn("__seq", F.row_number().over(seq_w))

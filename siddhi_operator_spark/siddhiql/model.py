@@ -125,6 +125,13 @@ class QueryDef:
     # `insert [current|expired|all] events into` — QuerySelector's
     # output event type (`[core] query/selector/QuerySelector.java`)
     event_type: str = "current"
+    # query-level annotations (`@info(name='q1')`, and the r14 engine
+    # extension `@plan(impl=..., bucket=...)` that routes the derived
+    # hot-key regime picks — `operators/patterns.py::choose_pattern_impl`
+    # / `operators/joins.py::derive_join_bucket` — through the QL front
+    # end; the reference's annotation surface is `[qapi]
+    # annotation/Annotation.java`)
+    annotations: list[str] = field(default_factory=list)
 
 
 @dataclass

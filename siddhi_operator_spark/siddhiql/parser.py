@@ -994,7 +994,9 @@ def _parse_partition(stmt: str) -> list[QueryDef]:
     # attachments (`S#window.time(..)`, `S#unique:first(..)`) keep
     # theirs — the marker is a name prefix only when it starts a token.
     for inner in _split_statements(re.sub(r"(?<![\w)\]])#", "", body)):
+        inner, inner_anns = _strip_annotations(inner)
         q = _parse_query(inner)
+        q.annotations = inner_anns
         q.partition_key = key
         q.partition_ranges = ranges
         if isinstance(q.input, (SingleInput, JoinInput)):
@@ -1040,7 +1042,9 @@ def parse_app(text: str) -> AppModel:
         elif low.startswith("partition"):
             app.queries.extend(_parse_partition(body))
         elif low.startswith("from"):
-            app.queries.append(_parse_query(body))
+            q = _parse_query(body)
+            q.annotations = anns
+            app.queries.append(q)
         elif low.startswith("define"):
             raise ValueError(f"unsupported definition: {body.split()[1]}")
         else:

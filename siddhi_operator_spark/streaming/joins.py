@@ -30,13 +30,46 @@ def stream_stream_join(
     watermark: str,
     extra_cond: Column | None = None,
     how: str = "inner",
+    bucket: bool = False,
 ) -> DataFrame:
     """`S1#window.time(t) join S2#window.time(t) on …` with state
-    bounded by watermark + range condition."""
+    bounded by watermark + range condition.
+
+    ``bucket=True`` (r14 — the streaming twin of the batch hot-key
+    insurance tier): widen the join keys with `within`-wide time
+    epochs (`operators/joins.py::windowed_stream_join(bucket=True)`).
+    The symmetric-hash join's state store is KEYED by the equi keys,
+    and each arrival probes every state row under its key — one
+    pathologically dense key degrades each micro-batch to
+    O(arrivals_k × state_k) row comparisons, the streaming analog of
+    the batch pair-production blowup (measured, SCALEBENCH r14). The
+    epoch keys bound the probed state to adjacent `within`-wide
+    epochs; the raw time-range condition REMAINS in the join
+    condition (the explode is a stateless projection upstream of the
+    join and the watermark column passes through it), so state
+    eviction semantics are unchanged and output stays row-identical.
+    Inner joins only (the batch tier's contract).  ``bucket='auto'``
+    is batch-only — the pick runs a stats job the streaming planner
+    cannot: derive it on a batch sample via
+    ``operators.joins.derive_join_bucket`` and pass the bool."""
+    if isinstance(bucket, str):
+        raise ValueError(
+            "bucket='auto' is batch-only — derive the pick on a batch "
+            "sample via operators.joins.derive_join_bucket and pass "
+            "bucket=True/False"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     return windowed_stream_join(
-        lw, rw, left_ts, right_ts, equi_keys, within_seconds, extra_cond, how
+        lw,
+        rw,
+        left_ts,
+        right_ts,
+        equi_keys,
+        within_seconds,
+        extra_cond,
+        how,
+        bucket=bucket,
     )
 
 

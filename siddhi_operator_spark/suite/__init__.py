@@ -28,113 +28,125 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 13.  The per-round correctness gate
+# Driver-window rotation, round 14.  The per-round correctness gate
 # records only the FIRST 50 registry entries in registration order.
-# This window executes the r12-pre-staged plan exactly: (1) r12 reds
-# — there were none; (2) the TWENTY-SEVEN r7-stale rows the r12
-# window displaced (multimodal quartet, text tail, streaming
-# join/ratelimit/approx tail, siddhiql plugin/playback/CR rows — the
-# oldest ledger tail at 6 rounds); (3) every row ADDED in round 13
-# (never-checked): `pattern_followed_by_auto` and
-# `join_windowed_self_auto` — the derived regime picks
-# (`operators/patterns.py::choose_pattern_impl`,
-# `operators/joins.py::derive_join_bucket`), closing the r12
-# verdict's "one remaining hand knob" and extending the same
-# discipline to the join family's hot-key insurance tier; (4) rows
-# whose EXECUTED CODE changed in r13: the five operator-tier pattern
-# rows (`followed_by`/`absence`/`absence_logical` grew the
-# `impl="auto"` branch and the widened impl validation; the QL
-# pattern rows build their joins inline in `siddhiql/builder.py` and
-# are unchanged) and the three `windowed_stream_join` callers not
-# already in group (2) (`join_windowed_self`, `join_unidirectional`,
-# `streaming_join_windowed` — the function grew the bucket='auto'
-# branch); (5) the r8-stale backlog
-# in registry order — 13 of the 45 rows last checked r8 fit
-# (window_timebatch … tpch_q2).  After this window: never-checked
-# = 0, r7-stale = 0, r8-stale = 32, max staleness = 6 (the r8 tail
-# displaced to r14).
+# This window executes the r13-pre-staged plan exactly: (1) r13 reds
+# — there were none; (2) the THIRTY-TWO r8-stale rows the r13 window
+# displaced (tpch tail, similarity/MIPS tail, decontaminate /
+# domain-mix / curation rows, streaming text twins, collections and
+# sketch-bound rows — the oldest ledger tail at 6 rounds); (3) every
+# row ADDED in round 14 (never-checked): the QL front-door routing of
+# the derived regime picks (`siddhiql_pattern_auto`,
+# `siddhiql_join_windowed_auto` — r13 verdict #1: `@plan(impl=...)`
+# / `@plan(bucket=...)` now reach `choose_pattern_impl` /
+# `derive_join_bucket` from entry A) and the streaming hot-key
+# insurance tier (`streaming_join_windowed_bucket` — epoch-widened
+# join keys bound per-key state probes; r13 verdict #3); (4) rows
+# whose EXECUTED CODE changed in r14: `choose_pattern_impl` /
+# `derive_join_bucket` grew the decision memo + null-key filter +
+# streaming guard (→ the two r13 auto rows), `_nearest_probe_scan`
+# grew the id_col parameter (→ the two scan-tier rows),
+# `streaming.joins.stream_stream_join` grew the bucket passthrough
+# (→ `streaming_join_windowed`), and `siddhiql/builder.py`'s
+# `_run_join` / `_run_pattern_simple` grew the `@plan` hint routing
+# (→ every QL row that executes them: the join pair and the
+# simple/or-chain/special pattern rows not already in group 2);
+# (5) the r9-stale backlog in registry order — 3 of the 41 fit.
+# After this window: never-checked = 0, r8-stale = 0, r9-stale = 38,
+# max staleness = 5.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (2) the twenty-seven r7-stale rows (oldest ledger tail)
-    "text_quality",
-    "text_langid",
-    "text_shingles",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_decode_real",
-    "text_inverted_index",
-    "embedding_normalize",
-    "dedup_semantic_clusters",
-    "embedding_quantize_int8",
-    "text_quality_classifier",
-    "streaming_join_unidirectional",
-    "streaming_ratelimit_snapshot",
-    "streaming_expression_window",
-    "streaming_join_table_probe",
-    "streaming_approx_distinct",
-    "streaming_approx_percentile",
-    "streaming_sliding_panes",
-    "streaming_reorder_kslack",
-    "streaming_join_full_outer",
-    "streaming_incr_agg_state",
-    "siddhiql_cr_process",
-    "siddhiql_streaming_filter_agg",
-    "siddhiql_custom_window_plugin",
-    "siddhiql_custom_source_plugin",
-    "siddhiql_playback",
-    "sink_http_json_roundtrip",
-    # (3) new in r13 — never checked
+    # (2) the thirty-two r8-stale rows (oldest ledger tail)
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "dedup_simhash",
+    "similarity_ivfpq",
+    "sample_hash_split",
+    "similarity_ann_recall",
+    "pii_mask",
+    "quality_repetition",
+    "decontaminate_ngram",
+    "domain_mix_sample",
+    "seq_pack_bins",
+    "text_winnow_fingerprint",
+    "corpus_weighted_sample",
+    "text_tfidf_top_terms",
+    "embedding_centroids",
+    "text_pretokenize_bpe",
+    "text_classifier_train",
+    "text_dedup_lines",
+    "similarity_int8_recall",
+    "similarity_mips",
+    "similarity_mips_ann_recall",
+    "streaming_incr_agg_replay",
+    "streaming_text_dedup_lines",
+    "streaming_text_remove_spans",
+    "siddhiql_star_quantifier",
+    "list_fns",
+    "map_fns",
+    "approx_distinct_bound",
+    "sketch_count_min",
+    "approx_percentile_bound",
+    # (3) new in r14 — never checked
+    "siddhiql_pattern_auto",
+    "siddhiql_join_windowed_auto",
+    "streaming_join_windowed_bucket",
+    # (4) executed code changed in r14
     "pattern_followed_by_auto",
     "join_windowed_self_auto",
-    # (4) executed code changed in r13 (impl='auto' branch + widened
-    # validation in operators/patterns.py; bucket='auto' branch in
-    # operators/joins.py::windowed_stream_join — every row that calls
-    # it rotates in: the three below plus streaming_join_outer /
-    # _unidirectional / _full_outer already in group (2))
-    "pattern_followed_by",
-    "pattern_absence",
-    "pattern_absence_logical",
     "pattern_followed_by_scan",
     "pattern_absence_scan",
-    "join_windowed_self",
-    "join_unidirectional",
     "streaming_join_windowed",
-    # (5) r8-stale backlog, registry order (13 of 45)
-    "window_timebatch",
-    "window_length",
-    "window_lengthbatch",
-    "window_session",
-    "window_topk",
-    "window_batch_chunk",
-    "agg_extrema_min_max_by",
-    "analytic_window_fns",
-    "set_ops",
-    "tpch_q8",
-    "tpch_q12",
-    "tpch_q17",
-    "tpch_q2",
+    "siddhiql_join",
+    "siddhiql_join_aggregation",
+    "siddhiql_pattern",
+    "siddhiql_sequence",
+    "siddhiql_logical_or_pattern",
+    "siddhiql_absence_pattern",
+    "siddhiql_logical_and_pattern",
+    # (5) r9-stale backlog, registry order (3 of 41)
+    "window_externaltimebatch",
+    "window_sliding_time",
+    "window_sort_topk",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-14 rotation, pre-staged: lead with any r13 reds, then the
-# THIRTY-TWO remaining r8-stale rows this window displaced
-# (tpch_q11, tpch_q16, tpch_q20, tpch_q21, dedup_simhash,
-# similarity_ivfpq, sample_hash_split,
-# similarity_ann_recall, pii_mask, quality_repetition,
-# decontaminate_ngram, domain_mix_sample, seq_pack_bins,
-# text_winnow_fingerprint, corpus_weighted_sample,
-# text_tfidf_top_terms, embedding_centroids, text_pretokenize_bpe,
-# text_classifier_train, text_dedup_lines, similarity_int8_recall,
-# similarity_mips, similarity_mips_ann_recall,
-# streaming_incr_agg_replay, streaming_text_dedup_lines,
-# streaming_text_remove_spans, siddhiql_star_quantifier, list_fns,
-# map_fns, approx_distinct_bound, sketch_count_min,
-# approx_percentile_bound — the oldest ledger tail at 6 rounds stale
-# in r14), then every row added in round 14 (never-checked), then
-# rows whose code changes in r14, then the r9-stale backlog in
-# registry order (44 rows last checked r9) with the balance of 50.
-# New registry rows displace the NEWEST-checked tail entries, never
-# the stale/never-checked groups.
+# Round-15 rotation, pre-staged: lead with any r14 reds, then the
+# THIRTY-EIGHT remaining r9-stale rows this window displaced, in
+# registry order (window_frequent, window_unique_last,
+# window_timelength, window_delay, window_lossy_frequent,
+# window_expression_batch, window_unique_first,
+# window_extrema_by_time, window_expression, window_cron,
+# window_unique_timebatch, window_unique_dedup,
+# window_extrema_by_length, window_expired_events,
+# join_stream_table, join_outer_stream_table, join_theta_residual,
+# join_stream_aggregation, join_asof, join_range_interval,
+# agg_ts_regress_forecast, ratelimit_first, ratelimit_last,
+# ratelimit_snapshot, incr_agg_day_retrieval, multimodal_features,
+# streaming_timebatch, streaming_cep_followed_by,
+# streaming_length_window, streaming_session_window,
+# streaming_cep_absence, streaming_cep_count_quantifier,
+# streaming_cep_logical_and, pattern_optional_step,
+# siddhiql_trigger, siddhiql_bucketed_length_window, table_cdc_feed,
+# ml_kmeans — re-verify by folding CORRECTNESS_r01..r14 against the
+# registry before staging), then every
+# row added in round 15 (never-checked), then rows whose code changes
+# in r15, then the r10-stale backlog in registry order (43 rows last
+# checked r10) with the balance of 50.  New registry rows displace
+# the NEWEST-checked tail entries, never the stale/never-checked
+# groups.
+#
+# (Archive) Round-13 rotation as executed: (1) no r12 reds; (2) the
+# twenty-seven r7-stale rows (multimodal quartet, text tail,
+# streaming join/ratelimit/approx tail, siddhiql
+# plugin/playback/CR rows); (3) r13 additions
+# (`pattern_followed_by_auto`, `join_windowed_self_auto`); (4)
+# changed-code rows (five operator-tier pattern rows + three
+# `windowed_stream_join` callers); (5) the r8-stale backlog balance
+# (window_timebatch … tpch_q2).  Left r8-stale = 32, max staleness 6
+# — retired by the r14 window above.
 #
 # (Archive) Round-13 rotation as pre-staged in r12: lead with any r12
 # reds, then the TWENTY-SEVEN r7-stale rows (multimodal quartet,

@@ -98,6 +98,82 @@ def siddhiql_pattern(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "siddhiql_pattern_auto",
+    oracle="""
+    SELECT signup_id, purchase_id
+    FROM (
+      SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("siddhiql", "pattern"),
+)
+def siddhiql_pattern_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """r14 (r13 verdict #1): the derived pattern regime pick is
+    reachable from the QL front end — `@plan(impl='auto')` routes this
+    query through `choose_pattern_impl` (one memoized stats job; at
+    driver-gate density it picks the join tier, on a pathologically
+    dense key it picks the fanout-free scan —
+    `tests/test_siddhiql.py` pins both plan shapes). Output must be
+    row-identical to `siddhiql_pattern` — same oracle."""
+    app = (
+        _EVENTS_DEF
+        + """
+    @plan(impl='auto')
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase']
+         within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Conversions;
+    """
+    )
+    return run_app(
+        app, {"events": load(spark, sf, "events")}, pattern_key="user_id"
+    )["Conversions"]
+
+
+@register(
+    "siddhiql_join_windowed_auto",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+    tags=("siddhiql", "join"),
+)
+def siddhiql_join_windowed_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """r14 (r13 verdict #1): the derived join regime pick is reachable
+    from the QL front end — `@plan(bucket='auto')` routes this
+    windowed self-join through `derive_join_bucket` (one memoized
+    stats job; at driver-gate density it stays on the plain keyed
+    join, on a pathologically dense key it widens the equi keys with
+    `within`-wide epochs — `tests/test_siddhiql.py` pins both plan
+    shapes). Same oracle as the streaming twin
+    `streaming_join_windowed`."""
+    app = (
+        _EVENTS_DEF
+        + """
+    @plan(bucket='auto')
+    from events[event_type == 'click']#window.time(5 min) as a
+      join events[event_type == 'view']#window.time(5 min) as b
+      on a.user_id == b.user_id
+    select a.user_id as user_id, a.event_id as click_id,
+           b.event_id as view_id
+    insert into Pairs;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Pairs"]
+
+
+@register(
     "siddhiql_join",
     oracle="""
     SELECT e.event_id, c.c_mktsegment AS segment, e.value

@@ -373,6 +373,52 @@ def streaming_join_windowed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_join_windowed_bucket",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_join_windowed_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming hot-key insurance tier (r14): the SAME watermarked
+    stream-stream join with `bucket=True` — join keys widened with
+    `within`-wide time epochs so the symmetric-hash join's per-key
+    state probes stay bounded on a pathologically dense key (the
+    streaming analog of the batch pair-production blowup; measured
+    SCALEBENCH r14). Output must be row-identical to
+    `streaming_join_windowed` — same oracle: the epoch keys only
+    partition the state, the raw time-range condition still decides
+    membership and state eviction."""
+    from ..streaming import joins as SJ
+
+    s1 = _events_stream(spark, sf)
+    clicks = s1.filter(F.col("event_type") == "click")
+    views = _events_stream(spark, sf).filter(F.col("event_type") == "view")
+    joined = SJ.stream_stream_join(
+        clicks,
+        views,
+        left_ts="ts",
+        right_ts="ts",
+        equi_keys=[("user_id", "user_id")],
+        within_seconds=300,
+        watermark="10 minutes",
+        bucket=True,
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+    )
+    name = _materialize(out, "append")
+    return spark.table(name)
+
+
+@register(
     "streaming_dedup_watermark",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events

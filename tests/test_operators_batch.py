@@ -219,12 +219,24 @@ def test_pattern_impl_auto_derives_regime(spark, events_df):
     j = P.followed_by(events_df, impl="join", **fb)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, j.collect()))
     # auto on the hot-key shape actually EXECUTES via the scan tier
-    hot_rows = P.followed_by(
-        hot.limit(200), key="user_id", ts="ts",
+    # (ADVICE r13: run impl='auto' END-TO-END and assert the physical
+    # plan has the scan shape — WindowExec, no join — not just that
+    # choose_pattern_impl returns 'scan')
+    auto_hot_df = P.followed_by(
+        hot, key="user_id", ts="ts",
+        first_pred=sig, second_pred=pur, within_seconds=10, impl="auto",
+    )
+    auto_plan = auto_hot_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in auto_plan  # no SMJ/BHJ/BNLJ — the scan tier
+    assert "Window" in auto_plan  # the keyed running-min pass
+    # and it is row-identical to the explicit scan tier on that shape
+    scan_hot_df = P.followed_by(
+        hot, key="user_id", ts="ts",
         first_pred=sig, second_pred=pur, within_seconds=10, impl="scan",
     )
-    auto_hot = P.choose_pattern_impl(hot, "user_id", sig, pur)
-    assert auto_hot == "scan" and hot_rows.count() > 0
+    assert sorted(map(tuple, auto_hot_df.collect())) == sorted(
+        map(tuple, scan_hot_df.collect())
+    )
     # inexpressible shapes: auto falls back to join instead of raising
     nf = P.followed_by(events_df, impl="auto", every=False, **fb)
     assert nf.count() >= 0  # plan builds and runs on the join tier
@@ -712,4 +724,103 @@ def test_join_bucket_auto_derives_regime(spark, events_df):
         J.windowed_stream_join(
             clicks, other, "ts", "ts", keys, within_seconds=60,
             bucket="atuo",
+        )
+
+
+def test_derived_pick_memo_stats_and_guards(spark):
+    """r14: the derived regime picks are MEMOIZED (second construction
+    of the same auto query runs zero extra Spark jobs), accept a
+    precomputed stats row, exclude NULL keys from the stats scan
+    (ADVICE r13 — a join emits nothing for NULL keys, so a null-heavy
+    input must not flip the pick), and raise a clear ValueError on
+    streaming inputs instead of an opaque AnalysisException."""
+    import pytest
+
+    from siddhi_operator_spark.operators import joins as J
+    from siddhi_operator_spark.operators import patterns as P
+
+    def mk(n_keys: int, per_key: int, null_key: bool = False):
+        n = n_keys * per_key * 2
+        uid = F.lit(None).cast("long") if null_key else (F.col("id") % n_keys)
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            uid.alias("user_id"),
+            F.when((F.col("id") % 2) == 0, "signup")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+
+    sig = F.col("event_type") == "signup"
+    pur = F.col("event_type") == "purchase"
+    keys = [("user_id", "user_id")]
+
+    # --- memoization: same (plan, shape) -> one stats job total
+    P.clear_decision_cache()
+    J.clear_decision_cache()
+    hot = mk(1, 1200)
+    before = P.STATS_JOBS_RUN
+    assert P.choose_pattern_impl(hot, "user_id", sig, pur) == "scan"
+    assert P.STATS_JOBS_RUN == before + 1
+    assert P.choose_pattern_impl(hot, "user_id", sig, pur) == "scan"
+    assert P.STATS_JOBS_RUN == before + 1  # cache hit, zero extra jobs
+    hs, hp = hot.filter(sig), hot.filter(pur)
+    jb = J.STATS_JOBS_RUN
+    assert J.derive_join_bucket(hs, hp, keys) is True
+    assert J.STATS_JOBS_RUN == jb + 1
+    assert J.derive_join_bucket(hs, hp, keys) is True
+    assert J.STATS_JOBS_RUN == jb + 1  # cache hit
+    # a DIFFERENT predicate/plan is a different cache key
+    assert P.choose_pattern_impl(mk(1000, 2), "user_id", sig, pur) == "join"
+    assert P.STATS_JOBS_RUN == before + 2
+    P.clear_decision_cache()
+    J.clear_decision_cache()
+
+    # --- precomputed stats skip the job entirely
+    b2 = P.STATS_JOBS_RUN
+    assert P.choose_pattern_impl(hot, "user_id", sig, pur, stats=(2_000_000, 100)) == "scan"
+    assert P.choose_pattern_impl(hot, "user_id", sig, pur, stats=(10, 100)) == "join"
+    assert J.derive_join_bucket(hs, hp, keys, stats=(2_000_000, 100)) is True
+    assert J.derive_join_bucket(hs, hp, keys, stats=(10, 100)) is False
+    assert P.STATS_JOBS_RUN == b2 and J.STATS_JOBS_RUN == jb + 1
+
+    # --- NULL keys never flip the pick: ALL the density lives on a
+    # NULL key, which the join would emit nothing for
+    nullhot = mk(1, 1200, null_key=True)
+    assert P.choose_pattern_impl(nullhot, "user_id", sig, pur) == "join"
+    assert (
+        J.derive_join_bucket(nullhot.filter(sig), nullhot.filter(pur), keys)
+        is False
+    )
+
+    # --- streaming guard: clear ValueError, not an AnalysisException
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 10).alias("user_id"),
+            F.when((F.col("value") % 2) == 0, "signup")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        P.followed_by(
+            rate, key="user_id", ts="ts", first_pred=sig, second_pred=pur,
+            within_seconds=10, impl="auto",
+        )
+    with pytest.raises(ValueError, match="batch-only"):
+        J.windowed_stream_join(
+            rate, rate, "ts", "ts", keys, within_seconds=10, bucket="auto",
+        )
+    # but precomputed stats ARE usable for streaming regime planning
+    assert P.choose_pattern_impl(rate, "user_id", sig, pur, stats=(10, 100)) == "join"
+    # the streaming twin rejects 'auto' at its own door too
+    from siddhi_operator_spark.streaming import joins as SJ
+
+    with pytest.raises(ValueError, match="batch-only"):
+        SJ.stream_stream_join(
+            rate, rate, "ts", "ts", keys, within_seconds=10,
+            watermark="1 minute", bucket="auto",
         )

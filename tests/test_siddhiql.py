@@ -1856,3 +1856,124 @@ def test_ql_reorder_batch_routes(spark, events_df):
         ).collect()
     )
     assert got_k == want_k and got_k
+
+
+def test_ql_plan_hints_route_derived_picks(spark):
+    """r14 (r13 verdict #1): `@plan(impl='auto')` / `@plan(bucket=
+    'auto')` route the derived hot-key regime picks through the QL
+    front end — the hot-key fixture flips the PHYSICAL PLAN (scan
+    shape / epoch Generate), constant density stays on the plain
+    join, outputs are row-identical either way, and a typo'd hint
+    raises instead of silently running the unprotected plan."""
+    from siddhi_operator_spark.operators import joins as J
+    from siddhi_operator_spark.operators import patterns as P
+
+    P.clear_decision_cache()
+    J.clear_decision_cache()
+
+    def mk(n_keys: int, per_key: int):
+        n = n_keys * per_key * 2
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            (F.col("id") % n_keys).alias("user_id"),
+            F.when((F.col("id") % 2) == 0, "signup")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+
+    defs = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string);
+    """
+    pat = """
+    @plan(impl='auto')
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase'] within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Conv;
+    """
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    hot, flat = mk(1, 1200), mk(1000, 2)
+    # hot key -> the scan shape: the nearest-probe Window pass (its
+    # `_probe` struct is the tier's plan signature). The only joins
+    # left are the payload re-attach joins on the globally UNIQUE
+    # event id (`__id1`/`__id2` — fanout 1, key density irrelevant);
+    # no join on the pattern key remains (the join tier's `k`/`k2`
+    # equi pair is what blows up on a dense key).
+    hot_out = run_app(defs + pat, {"events": hot}, pattern_key="user_id")["Conv"]
+    hp = plan_of(hot_out)
+    assert "_probe" in hp and "Window" in hp
+    assert "[k2#" not in hp  # the join tier's pattern-key equi pair
+    # constant density -> the join tier
+    flat_out = run_app(defs + pat, {"events": flat}, pattern_key="user_id")["Conv"]
+    assert "_probe" not in plan_of(flat_out)
+    assert "Join" in plan_of(flat_out)
+    # row-identity: auto == no-hint join tier on both fixtures
+    for src in (hot, flat):
+        a = run_app(defs + pat, {"events": src}, pattern_key="user_id")["Conv"]
+        b = run_app(
+            defs + pat.replace("@plan(impl='auto')", ""),
+            {"events": src},
+            pattern_key="user_id",
+        )["Conv"]
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # explicit scan on an inexpressible shape raises; auto falls back
+    three_step = """
+    @plan(impl='scan')
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase']
+         -> e3=events[event_type == 'signup'] within 1 hour
+    select e1.event_id as a, e3.event_id as b
+    insert into Conv;
+    """
+    with pytest.raises(ValueError, match="two-step"):
+        run_app(defs + three_step, {"events": hot}, pattern_key="user_id")
+    auto3 = run_app(
+        defs + three_step.replace("impl='scan'", "impl='auto'"),
+        {"events": flat},
+        pattern_key="user_id",
+    )["Conv"]
+    assert "Join" in plan_of(auto3)  # fell back to the join chain
+
+    # --- windowed join: bucket hint
+    jq = """
+    @plan(bucket='auto')
+    from events[event_type == 'signup']#window.time(1 min) as a
+      join events[event_type == 'purchase']#window.time(1 min) as b
+      on a.user_id == b.user_id
+    select a.user_id as user_id, a.event_id as l_id, b.event_id as r_id
+    insert into Pairs;
+    """
+    hot_j = run_app(defs + jq, {"events": hot})["Pairs"]
+    assert "Generate" in plan_of(hot_j)  # the epoch explode
+    flat_j = run_app(defs + jq, {"events": flat})["Pairs"]
+    assert "Generate" not in plan_of(flat_j)
+    plain_j = run_app(
+        defs + jq.replace("@plan(bucket='auto')", ""), {"events": hot}
+    )["Pairs"]
+    assert sorted(map(tuple, hot_j.collect())) == sorted(
+        map(tuple, plain_j.collect())
+    )
+
+    # --- hint validation
+    for bad in (
+        "@plan(impl='scna')",
+        "@plan(bucket='maybe')",
+        "@plan(shuffle='auto')",
+    ):
+        with pytest.raises(ValueError, match="@plan"):
+            run_app(
+                defs + pat.replace("@plan(impl='auto')", bad),
+                {"events": flat},
+                pattern_key="user_id",
+            )
+    # bucket hint on a join without an equi term raises
+    no_equi = jq.replace(
+        "on a.user_id == b.user_id", "on a.event_id > b.event_id"
+    )
+    with pytest.raises(ValueError, match="equi"):
+        run_app(defs + no_equi, {"events": hot})
