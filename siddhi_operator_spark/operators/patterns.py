@@ -107,7 +107,11 @@ def _nearest_probe_scan(
 # source, distinct across different filters) + the predicate/key text +
 # a rule-version tag so a rule change can never serve a stale pick.
 # In-process only, so no module-code hash is needed (the process IS the
-# code version); `clear_decision_cache()` resets it for tests.
+# code version); `clear_decision_cache()` resets it for tests.  A
+# source whose FILES changed under an unchanged plan (e.g. a parquet
+# dir rewritten in place) serves the cached pick — staleness is
+# perf-only (the pick never changes rows), and clear_decision_cache()
+# is the refresh lever.
 _RULE_VERSION = 2  # v2: null-key rows excluded from the stats scan
 _DECISION_CACHE: dict[tuple, str] = {}
 STATS_JOBS_RUN = 0  # incremented per executed stats job (test hook)
