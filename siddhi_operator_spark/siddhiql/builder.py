@@ -1042,6 +1042,55 @@ def _run_pattern_or_chain(
     return _rewrite_pattern_select(out, q)
 
 
+def _absence_scan_single(
+    df: DataFrame,
+    q: QueryDef,
+    s1,
+    last,
+    budget: float,
+    ts_col: str,
+    id_col: str,
+    key: str,
+    impl_hint: str,
+) -> DataFrame | None:
+    """The QL absence scan tier (r14): `e1=S[p1] -> not S[p2] for t`
+    via one fanout-free keyed window pass — "no p2 in (e1.ts,
+    e1.ts + t]" IS "the nearest later p2 is absent or past the
+    budget" (`operators/patterns.py::absence(impl='scan')`), with
+    payload re-attached by an equi-join on the unique event id.
+    Returns None when the prefix predicate needs a deferred filter or
+    when ``impl_hint='auto'`` measures the join tier faster."""
+    pre1 = None
+    if s1.predicate:
+        pre1, d1 = _classify_step_predicate(s1.predicate, s1.alias, [], df.columns)
+        if d1:
+            return None
+    p1 = F.expr(pre1) if pre1 else F.lit(True)
+    pab = F.expr(last.predicate) if last.predicate else F.lit(True)
+    from ..operators.patterns import _nearest_probe_scan, choose_pattern_impl
+
+    if impl_hint == "auto" and choose_pattern_impl(df, key, p1, pab) == "join":
+        return None
+    scanned = _nearest_probe_scan(df, key, ts_col, p1, pab, id_col=id_col)
+    kept = scanned.filter(
+        F.col("_probe").isNull()
+        | (
+            F.col("_probe.p_ts")
+            > F.col("e1_ts") + F.expr(f"INTERVAL {budget} SECONDS")
+        )
+    )
+    payload = df.select(
+        F.col(id_col).alias("__id1"),
+        *[F.col(c).alias(f"{s1.alias}_{c}") for c in df.columns],
+    )
+    out = (
+        kept.select(F.col("k").alias("__k"), F.col("e1_id").alias("__id1"))
+        .join(payload, "__id1")
+        .select("__k", *[f"{s1.alias}_{c}" for c in df.columns])
+    )
+    return _rewrite_pattern_select(out, q)
+
+
 def _run_pattern_special(
     df: DataFrame, q: QueryDef, inp: PatternInput, ts_col: str, id_col: str, key: str
 ) -> DataFrame:
@@ -1073,6 +1122,16 @@ def _run_pattern_special(
         ):
             return _run_pattern_or_chain(df, q, inp, ts_col, id_col, key)
     if len(steps) == 1 and isinstance(steps[0], LogicalStep):
+        if _plan_hints(q).get("impl") == "scan":
+            # never silently run the unprotected plan under an explicit
+            # scan request — the logical and/backward-absence forms are
+            # join-tier only today (auto falls back without the hint)
+            raise ValueError(
+                "@plan(impl='scan') is not expressible for logical "
+                "and/or pattern forms — supported are the two-step "
+                "followed-by and single-prefix trailing absence "
+                "(impl='auto' falls back to the join tier silently)"
+            )
         ls = steps[0]
         a, b = ls.a, ls.b
         if ls.op == "or":
@@ -1164,6 +1223,28 @@ def _run_pattern_special(
         budget = last.for_seconds or inp.within_seconds
         if budget is None:
             raise ValueError("trailing absence needs `for t` or `within t`")
+        # `@plan(impl='scan'|'auto')` (r14): the absence anti-join is
+        # ALSO per-key quadratic on a dense key — left-anti with a
+        # range residual scans the key's matched group per probe row,
+        # and absence output means the scan never short-circuits.  The
+        # single-prefix-step form IS `operators.patterns.absence`,
+        # whose scan tier ("nearest later absent-candidate is null or
+        # past the budget") is fanout-free; route it the same way.
+        impl_hint = _plan_hints(q).get("impl")
+        if impl_hint in ("scan", "auto") and (
+            len(prefix) == 1 and not inp.strict and not _quant(prefix[0])
+        ):
+            scan_df = _absence_scan_single(
+                df, q, prefix[0], last, budget, ts_col, id_col, key, impl_hint
+            )
+            if scan_df is not None:
+                return scan_df
+        if impl_hint == "scan":
+            raise ValueError(
+                "@plan(impl='scan') on an absence pattern expresses the "
+                "single plain prefix step `e1=S[p] -> not S[q] for t` "
+                "only (use impl='auto' to fall back silently)"
+            )
         pre_inp = dataclasses.replace(inp, steps=prefix)
         pre_q = dataclasses.replace(q, select=[])
         partial = _run_pattern(df, pre_q, pre_inp, ts_col, id_col, key)

@@ -51,8 +51,8 @@ from . import sources_suite  # noqa: E402,F401
 # `_run_join` / `_run_pattern_simple` grew the `@plan` hint routing
 # (→ every QL row that executes them: the join pair and the
 # simple/or-chain/special pattern rows not already in group 2);
-# (5) the r9-stale backlog in registry order — 3 of the 41 fit.
-# After this window: never-checked = 0, r8-stale = 0, r9-stale = 38,
+# (5) the r9-stale backlog in registry order — 2 of the 41 fit.
+# After this window: never-checked = 0, r8-stale = 0, r9-stale = 39,
 # max staleness = 5.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
@@ -93,6 +93,7 @@ _FRONT_NAMES = (
     "siddhiql_pattern_auto",
     "siddhiql_join_windowed_auto",
     "streaming_join_windowed_bucket",
+    "siddhiql_absence_auto",
     # (4) executed code changed in r14
     "pattern_followed_by_auto",
     "join_windowed_self_auto",
@@ -106,16 +107,16 @@ _FRONT_NAMES = (
     "siddhiql_logical_or_pattern",
     "siddhiql_absence_pattern",
     "siddhiql_logical_and_pattern",
-    # (5) r9-stale backlog, registry order (3 of 41)
+    # (5) r9-stale backlog, registry order (2 of 41 — the third
+    # filler slot went to `siddhiql_absence_auto`, added mid-round)
     "window_externaltimebatch",
     "window_sliding_time",
-    "window_sort_topk",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
 # Round-15 rotation, pre-staged: lead with any r14 reds, then the
-# THIRTY-EIGHT remaining r9-stale rows this window displaced, in
-# registry order (window_frequent, window_unique_last,
+# THIRTY-NINE remaining r9-stale rows this window displaced, in
+# registry order (window_sort_topk, window_frequent, window_unique_last,
 # window_timelength, window_delay, window_lossy_frequent,
 # window_expression_batch, window_unique_first,
 # window_extrema_by_time, window_expression, window_cron,

@@ -541,6 +541,41 @@ def siddhiql_absence_pattern(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "siddhiql_absence_auto",
+    oracle="""
+    SELECT a.user_id, a.event_id AS signup_id
+    FROM events a
+    WHERE a.event_type = 'signup'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      )
+    """,
+    tags=("siddhiql", "pattern", "absence"),
+)
+def siddhiql_absence_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """r14: the absence pattern's regime pick is QL-reachable too —
+    the anti-join is ALSO per-key quadratic on a dense key (absence
+    output means the per-probe group scan never short-circuits);
+    `@plan(impl='auto')` routes the single-prefix form through
+    `choose_pattern_impl` and, on a hot key, the fanout-free
+    nearest-probe scan (`tests/test_siddhiql.py` pins the plan flip).
+    Same oracle as `siddhiql_absence_pattern` — row-identical."""
+    app = (
+        _EVENTS_DEF
+        + """
+    @plan(impl='auto')
+    from e1=events[event_type == 'signup']
+         -> not events[event_type == 'purchase'] for 1 hour
+    select e1.user_id as user_id, e1.event_id as signup_id
+    insert into Quiet;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Quiet"]
+
+
+@register(
     "siddhiql_logical_and_pattern",
     oracle="""
     SELECT user_id, a_id AS error_id, b_id AS purchase_id

@@ -1977,3 +1977,96 @@ def test_ql_plan_hints_route_derived_picks(spark):
     )
     with pytest.raises(ValueError, match="equi"):
         run_app(defs + no_equi, {"events": hot})
+
+
+def test_ql_absence_scan_tier(spark):
+    """r14: `@plan(impl='auto'|'scan')` routes the trailing-absence
+    pattern through the fanout-free nearest-probe scan on a hot key
+    (the anti-join's per-probe group scan never short-circuits on
+    absence output); row-identical to the join tier; explicit scan on
+    inexpressible shapes raises."""
+    from siddhi_operator_spark.operators import patterns as P
+
+    P.clear_decision_cache()
+
+    def mk(n_keys: int, per_key: int):
+        n = n_keys * per_key * 2
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 7).alias("ts"),
+            (F.col("id") % n_keys).alias("user_id"),
+            F.when((F.col("id") % 2) == 0, "signup")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+
+    defs = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string);
+    """
+    ab = """
+    @plan(impl='auto')
+    from e1=events[event_type == 'signup']
+         -> not events[event_type == 'purchase'] for 10 sec
+    select e1.user_id as user_id, e1.event_id as signup_id
+    insert into Quiet;
+    """
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    hot, flat = mk(1, 1200), mk(1000, 2)
+    hot_out = run_app(defs + ab, {"events": hot}, pattern_key="user_id")["Quiet"]
+    hp = plan_of(hot_out)
+    assert "_probe" in hp  # the scan tier's nearest-probe struct
+    assert "LeftAnti" not in hp
+    flat_out = run_app(defs + ab, {"events": flat}, pattern_key="user_id")["Quiet"]
+    assert "_probe" not in plan_of(flat_out)  # join tier at low density
+    # row-identity auto vs join tier on both fixtures
+    for src in (hot, flat):
+        a = run_app(defs + ab, {"events": src}, pattern_key="user_id")["Quiet"]
+        b = run_app(
+            defs + ab.replace("@plan(impl='auto')", ""),
+            {"events": src},
+            pattern_key="user_id",
+        )["Quiet"]
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # forced scan == join as well (the explicit tier, not just auto)
+    s = run_app(
+        defs + ab.replace("impl='auto'", "impl='scan'"),
+        {"events": hot},
+        pattern_key="user_id",
+    )["Quiet"]
+    assert sorted(map(tuple, s.collect())) == sorted(
+        map(
+            tuple,
+            run_app(
+                defs + ab.replace("@plan(impl='auto')", ""),
+                {"events": hot},
+                pattern_key="user_id",
+            )["Quiet"].collect(),
+        )
+    )
+    # explicit scan on a multi-step-prefix absence raises
+    multi = """
+    @plan(impl='scan')
+    from e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase']
+         -> not events[event_type == 'signup'] for 10 sec
+    within 1 hour
+    select e1.event_id as a, e2.event_id as b
+    insert into Quiet;
+    """
+    with pytest.raises(ValueError, match="absence"):
+        run_app(defs + multi, {"events": flat}, pattern_key="user_id")
+    # explicit scan on a logical form raises rather than silently
+    # running the unprotected join
+    logical = """
+    @plan(impl='scan')
+    from e1=events[event_type == 'signup'] and e2=events[event_type == 'purchase']
+    within 1 hour
+    select e1.event_id as a, e2.event_id as b
+    insert into Both;
+    """
+    with pytest.raises(ValueError, match="logical"):
+        run_app(defs + logical, {"events": flat}, pattern_key="user_id")
