@@ -1122,21 +1122,17 @@ def _run_pattern_special(
         ):
             return _run_pattern_or_chain(df, q, inp, ts_col, id_col, key)
     if len(steps) == 1 and isinstance(steps[0], LogicalStep):
-        if _plan_hints(q).get("impl") == "scan":
-            # never silently run the unprotected plan under an explicit
-            # scan request — the logical and/backward-absence forms are
-            # join-tier only today (auto falls back without the hint)
-            raise ValueError(
-                "@plan(impl='scan') is not expressible for logical "
-                "and/or pattern forms — supported are the two-step "
-                "followed-by and single-prefix trailing absence "
-                "(impl='auto' falls back to the join tier silently)"
-            )
         ls = steps[0]
         a, b = ls.a, ls.b
         if ls.op == "or":
             if a.negated or b.negated:
                 raise ValueError("`not … or …` has no match semantics")
+            if _plan_hints(q).get("impl") == "scan":
+                raise ValueError(
+                    "@plan(impl='scan') is not expressible for the "
+                    "logical `or` form (a tagged union has no join to "
+                    "protect; drop the hint or use impl='auto')"
+                )
             dtypes = dict(df.dtypes)
             pa = F.expr(a.predicate) if a.predicate else F.lit(True)
             pb = F.expr(b.predicate) if b.predicate else F.lit(True)
@@ -1169,6 +1165,63 @@ def _run_pattern_special(
                     "logical absence needs `for t` on the not-side or a "
                     "pattern `within t`"
                 )
+            # `@plan(impl='scan'|'auto')` (r14): backward absence is the
+            # mirrored nearest-probe shape (`operators.patterns.
+            # absence_logical(impl='scan')`) — "no p_absent in
+            # [e.ts − t, e.ts)" IS "the nearest EARLIER p_absent is
+            # null or before the window"; same anti-join hot-key
+            # quadratic, same fanout-free insurance.
+            impl_hint = _plan_hints(q).get("impl")
+            if impl_hint in ("scan", "auto"):
+                pp = (
+                    F.expr(present.predicate)
+                    if present.predicate
+                    else F.lit(True)
+                )
+                pa = (
+                    F.expr(absent.predicate) if absent.predicate else F.lit(True)
+                )
+                from ..operators.patterns import (
+                    _nearest_probe_scan,
+                    choose_pattern_impl,
+                )
+
+                pick = (
+                    choose_pattern_impl(df, key, pp, pa)
+                    if impl_hint == "auto"
+                    else "scan"
+                )
+                if pick == "scan":
+                    scanned = _nearest_probe_scan(
+                        df, key, ts_col, pp, pa, backwards=True, id_col=id_col
+                    )
+                    kept = scanned.filter(
+                        F.col("_probe").isNull()
+                        | (
+                            F.col("_probe.p_ts")
+                            < F.col("e1_ts")
+                            - F.expr(f"INTERVAL {budget} SECONDS")
+                        )
+                    )
+                    payload = df.select(
+                        F.col(id_col).alias("__id1"),
+                        *[
+                            F.col(c).alias(f"{present.alias}_{c}")
+                            for c in df.columns
+                        ],
+                    )
+                    out = (
+                        kept.select(
+                            F.col("k").alias("__k"),
+                            F.col("e1_id").alias("__id1"),
+                        )
+                        .join(payload, "__id1")
+                        .select(
+                            "__k",
+                            *[f"{present.alias}_{c}" for c in df.columns],
+                        )
+                    )
+                    return _rewrite_pattern_select(out, q)
             pres = df
             if present.predicate:
                 pres = pres.filter(F.expr(present.predicate))
@@ -1186,6 +1239,13 @@ def _run_pattern_special(
             out = pres.join(ab, on=cond, how="left_anti")
             return _rewrite_pattern_select(out, q)
         # both present: nearest-pair within the pattern budget
+        if _plan_hints(q).get("impl") == "scan":
+            raise ValueError(
+                "@plan(impl='scan') is not expressible for the logical "
+                "`and` form (nearest-by-|distance| pairing needs both "
+                "directions; the scan pass is one-directional) — "
+                "impl='auto' falls back to the join tier silently"
+            )
         if inp.within_seconds is None:
             raise ValueError("logical `and` pattern needs `within t`")
         pa_rows = df.filter(F.expr(a.predicate)) if a.predicate else df
@@ -2521,11 +2581,34 @@ def _run_join_streaming(
             "probe shuffles everything everywhere)"
         )
     extra = F.expr(" AND ".join(residual)) if residual else None
+    # `@plan(bucket='true')` (r14): the streaming hot-key insurance
+    # tier from QL text — epoch-widened equi keys bound per-key state
+    # probes (SCALEBENCH r14: plain DNFs on a 400 k-event key where
+    # the bucketed join takes 28.6 s). 'auto' is batch-only (the pick
+    # needs a stats job): derive it offline on a batch sample via
+    # `operators.joins.derive_join_bucket` and write bucket='true'.
+    bucket_hint = _plan_hints(q).get("bucket")
+    bucket = False
+    if bucket_hint == "auto":
+        raise ValueError(
+            "@plan(bucket='auto') is batch-only — derive the pick on a "
+            "batch sample via operators.joins.derive_join_bucket and "
+            "use @plan(bucket='true') in the streaming app"
+        )
+    if bucket_hint == "true":
+        if how != "inner":
+            raise ValueError(
+                "@plan(bucket='true') applies to inner stream-stream "
+                "joins (the epoch explode would fabricate multiplicity "
+                "on outer rows)"
+            )
+        bucket = True
     j = SJ.stream_stream_join(
         left, right,
         left_ts=ts_col, right_ts=ts_col,
         equi_keys=equi, within_seconds=within,
         watermark=watermark, extra_cond=extra, how=how,
+        bucket=bucket,
     )
     if q.select:
         sel = []

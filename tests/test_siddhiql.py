@@ -2070,3 +2070,107 @@ def test_ql_absence_scan_tier(spark):
     """
     with pytest.raises(ValueError, match="logical"):
         run_app(defs + logical, {"events": flat}, pattern_key="user_id")
+
+
+def test_ql_backward_absence_scan_tier(spark):
+    """r14: the backward (logical) absence `not S[p] for t and
+    e2=S[q]` reaches the mirrored nearest-probe scan under
+    `@plan(impl='auto'|'scan')`, row-identical to the anti-join."""
+    from siddhi_operator_spark.operators import patterns as P
+
+    P.clear_decision_cache()
+
+    def mk(n_keys: int, per_key: int):
+        n = n_keys * per_key * 2
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 7).alias("ts"),
+            (F.col("id") % n_keys).alias("user_id"),
+            F.when((F.col("id") % 2) == 0, "signup")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+
+    defs = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string);
+    """
+    ab = """
+    @plan(impl='auto')
+    from not events[event_type == 'signup'] for 10 sec
+         and e2=events[event_type == 'purchase']
+    select e2.user_id as user_id, e2.event_id as purchase_id
+    insert into Cold;
+    """
+    hot, flat = mk(1, 1200), mk(1000, 2)
+    hp = run_app(defs + ab, {"events": hot}, pattern_key="user_id")["Cold"]
+    assert "_probe" in hp._jdf.queryExecution().executedPlan().toString()
+    for src, tag in ((hot, "hot"), (flat, "flat")):
+        a = run_app(defs + ab, {"events": src}, pattern_key="user_id")["Cold"]
+        j = run_app(
+            defs + ab.replace("@plan(impl='auto')", ""),
+            {"events": src},
+            pattern_key="user_id",
+        )["Cold"]
+        s = run_app(
+            defs + ab.replace("impl='auto'", "impl='scan'"),
+            {"events": src},
+            pattern_key="user_id",
+        )["Cold"]
+        ja = sorted(map(tuple, j.collect()))
+        assert sorted(map(tuple, a.collect())) == ja, tag
+        assert sorted(map(tuple, s.collect())) == ja, tag
+
+
+def test_run_app_streaming_join_bucket_hint(spark):
+    """r14: `@plan(bucket='true')` in a STREAMING QL app routes the
+    stream-stream join through the epoch-widened hot-key tier —
+    row-identical to the plain streaming join; `bucket='auto'` raises
+    (batch-only stats job)."""
+    import uuid
+
+    from siddhi_operator_spark.catalog import load, load_events_stream
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+
+    app = """
+    define stream Clicks (event_id long, ts string, user_id long, event_type string, value double);
+    define stream Views (event_id long, ts string, user_id long, event_type string, value double);
+    @plan(bucket='true')
+    from Clicks#window.time(12 hour) join Views#window.time(12 hour)
+      on Clicks.user_id == Views.user_id
+    select Clicks.user_id as user_id, Clicks.event_id as click_id, Views.event_id as view_id
+    insert into Pairs;
+    """
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "events")
+    want = sorted(
+        tuple(r)
+        for r in run_app(
+            app.replace("@plan(bucket='true')", ""),
+            {
+                "Clicks": e.filter(F.col("event_type") == "click"),
+                "Views": e.filter(F.col("event_type") == "view"),
+            },
+        )["Pairs"].collect()
+    )
+    assert want
+    cs = load_events_stream(spark, sf).filter(F.col("event_type") == "click")
+    vs = load_events_stream(spark, sf).filter(F.col("event_type") == "view")
+    outs = run_app_streaming(
+        app, {"Clicks": cs, "Views": vs}, watermark="13 hours"
+    )
+    name = f"sjb_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Pairs"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    assert got == want
+    with pytest.raises(ValueError, match="batch-only"):
+        run_app_streaming(
+            app.replace("bucket='true'", "bucket='auto'"),
+            {"Clicks": cs, "Views": vs},
+            watermark="13 hours",
+        )
