@@ -51,8 +51,8 @@ from . import sources_suite  # noqa: E402,F401
 # `_run_join` / `_run_pattern_simple` grew the `@plan` hint routing
 # (→ every QL row that executes them: the join pair and the
 # simple/or-chain/special pattern rows not already in group 2);
-# (5) the r9-stale backlog in registry order — 2 of the 41 fit.
-# After this window: never-checked = 0, r8-stale = 0, r9-stale = 39,
+# (5) the r9-stale backlog in registry order — 1 of the 41 fits.
+# After this window: never-checked = 0, r8-stale = 0, r9-stale = 40,
 # max staleness = 5.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
@@ -94,6 +94,7 @@ _FRONT_NAMES = (
     "siddhiql_join_windowed_auto",
     "streaming_join_windowed_bucket",
     "siddhiql_absence_auto",
+    "siddhiql_streaming_join_bucket",
     # (4) executed code changed in r14
     "pattern_followed_by_auto",
     "join_windowed_self_auto",
@@ -107,16 +108,17 @@ _FRONT_NAMES = (
     "siddhiql_logical_or_pattern",
     "siddhiql_absence_pattern",
     "siddhiql_logical_and_pattern",
-    # (5) r9-stale backlog, registry order (2 of 41 — the third
-    # filler slot went to `siddhiql_absence_auto`, added mid-round)
+    # (5) r9-stale backlog, registry order (1 of 41 — the other two
+    # filler slots went to `siddhiql_absence_auto` and
+    # `siddhiql_streaming_join_bucket`, added mid-round)
     "window_externaltimebatch",
-    "window_sliding_time",
 )
 _R3_MODULES: tuple[str, ...] = ()
 
 # Round-15 rotation, pre-staged: lead with any r14 reds, then the
-# THIRTY-NINE remaining r9-stale rows this window displaced, in
-# registry order (window_sort_topk, window_frequent, window_unique_last,
+# FORTY remaining r9-stale rows this window displaced, in registry
+# order (window_sliding_time, window_sort_topk, window_frequent,
+# window_unique_last,
 # window_timelength, window_delay, window_lossy_frequent,
 # window_expression_batch, window_unique_first,
 # window_extrema_by_time, window_expression, window_cron,

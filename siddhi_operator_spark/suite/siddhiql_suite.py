@@ -919,6 +919,58 @@ def siddhiql_streaming_filter_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "siddhiql_streaming_join_bucket",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 5 MINUTES
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+    tags=("siddhiql", "streaming", "join"),
+)
+def siddhiql_streaming_join_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """r14: the streaming hot-key insurance tier from QL TEXT —
+    `@plan(bucket='true')` in a streaming app widens the
+    stream-stream join's state keys with `within`-wide epochs
+    (SCALEBENCH r14: plain DNFs on a 400 k-event key, the bucketed
+    join takes 28.6 s). Output must match the plain range-join oracle
+    — the epoch keys only partition the state; the raw time-range
+    condition still decides membership and eviction."""
+    import uuid
+
+    from ..catalog import load_events_stream
+    from ..siddhiql import run_app_streaming
+
+    app = """
+    define stream Clicks (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    define stream Views (event_id long, ts string, user_id long,
+                         event_type string, value double);
+    @plan(bucket='true')
+    from Clicks#window.time(5 min) join Views#window.time(5 min)
+      on Clicks.user_id == Views.user_id
+    select Clicks.user_id as user_id, Clicks.event_id as click_id,
+           Views.event_id as view_id
+    insert into Pairs;
+    """
+    cs = load_events_stream(spark, sf).filter(F.col("event_type") == "click")
+    vs = load_events_stream(spark, sf).filter(F.col("event_type") == "view")
+    outs = run_app_streaming(
+        app, {"Clicks": cs, "Views": vs}, watermark="10 minutes"
+    )
+    name = f"sjbq_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Pairs"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@register(
     "siddhiql_bucketed_length_window",
     oracle="""
     SELECT user_id, event_id,
