@@ -774,26 +774,30 @@ def _run_join(
     bucket_hint = _plan_hints(q).get("bucket")
     coarsen = False
     if bucket_hint in ("true", "auto"):
-        if inp.kind != "inner" or within is None or inp.per is not None:
-            raise ValueError(
-                "@plan(bucket=...) applies to inner stream-stream "
-                "joins with a time window (`within t` or time windows "
-                "on both sides)"
-            )
-        equi = _equi_pairs(inp.on_expr, lname, rname)
-        if not equi:
-            raise ValueError(
-                "@plan(bucket=...) needs at least one `L.x == R.y` "
-                "equi term in the on condition (the epoch key widens "
-                "the equi keys; a pure range join has none to widen)"
-            )
-        from ..operators.joins import derive_join_bucket
-
-        coarsen = (
-            derive_join_bucket(left, right, equi)
-            if bucket_hint == "auto"
-            else True
+        applicable = (
+            inp.kind == "inner" and within is not None and inp.per is None
         )
+        equi = _equi_pairs(inp.on_expr, lname, rname) if applicable else []
+        if not (applicable and equi):
+            # 'auto' is lenient — the operator tier resolves
+            # bucket='auto' to plain for non-inner joins too, and an
+            # app-level plan_default must be safe on every query shape;
+            # an EXPLICIT bucket='true' that cannot apply raises.
+            if bucket_hint == "true":
+                raise ValueError(
+                    "@plan(bucket='true') applies to inner stream-"
+                    "stream joins with a time window and at least one "
+                    "`L.x == R.y` equi term (the epoch key widens the "
+                    "equi keys)"
+                )
+        else:
+            from ..operators.joins import derive_join_bucket
+
+            coarsen = (
+                derive_join_bucket(left, right, equi)
+                if bucket_hint == "auto"
+                else True
+            )
     if coarsen:
         w_us = int(within * 1_000_000)
         right = right.withColumn(
@@ -1862,6 +1866,23 @@ def _trigger_ticks(spark, td, env, ts_col: str) -> DataFrame:
     )
 
 
+def _apply_plan_defaults(model: AppModel, plan_defaults: dict[str, str]) -> None:
+    """Attach an app-wide `@plan(...)` default to every query that has
+    no explicit one (explicit wins).  Keys/values are validated up
+    front through the same `_plan_hints` rules, so a typo'd default
+    fails at submit time rather than silently planning unprotected.
+    Only 'auto' values make safe blanket defaults — 'scan'/'true'
+    raise on queries whose shape cannot express them."""
+    ann = "@plan(" + ", ".join(
+        f"{k}='{v}'" for k, v in sorted(plan_defaults.items())
+    ) + ")"
+    probe = QueryDef(input=None, select=[], annotations=[ann])
+    _plan_hints(probe)  # validate keys and values once, loudly
+    for q in model.queries:
+        if not any(_PLAN_ANN_RE.match(a.strip()) for a in q.annotations):
+            q.annotations = [*q.annotations, ann]
+
+
 def run_app(
     app: str | AppModel,
     sources: dict[str, DataFrame] | None = None,
@@ -1870,6 +1891,7 @@ def run_app(
     pattern_key: str = "user_id",
     spark: SparkSession | None = None,
     write_sinks: bool = False,
+    plan_defaults: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a SiddhiQL app in batch/analytics mode.
 
@@ -1879,7 +1901,15 @@ def run_app(
     declared with `@source(type='file', @map(...))` load themselves
     (SURVEY.md §3.1) when not passed explicitly; with
     ``write_sinks=True``, outputs whose stream carries
-    `@sink(type='file', @map(...))` are also written out."""
+    `@sink(type='file', @map(...))` are also written out.
+
+    ``plan_defaults`` (r14): engine-level hot-key insurance — e.g.
+    ``{"impl": "auto", "bucket": "auto"}`` applies the derived regime
+    picks to EVERY pattern/join query that carries no explicit
+    ``@plan`` annotation (explicit annotations win; 'auto' is lenient
+    on shapes it cannot express, so a blanket default is always
+    safe). The Siddhi analog is an app-level `@app:` annotation
+    changing planner behavior for the whole app."""
     from ..sources import (
         has_on_error_stream,
         load_file_source,
@@ -1888,6 +1918,8 @@ def run_app(
     )
 
     model = parse_app(app) if isinstance(app, str) else app
+    if plan_defaults:
+        _apply_plan_defaults(model, plan_defaults)
     env: dict[str, DataFrame] = dict(sources or {})
     outputs: dict[str, DataFrame] = {}
     if spark is None:
@@ -2886,6 +2918,7 @@ def run_app_streaming(
     pattern_key: str = "user_id",
     spark: SparkSession | None = None,
     watermark: str = "1 minute",
+    plan_defaults: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a SiddhiQL app in STREAMING mode (entry point A on
     Structured Streaming): returns {output stream: unbounded DataFrame}
@@ -2907,6 +2940,11 @@ def run_app_streaming(
     from ..sources import stream_file_source, stream_http_source
 
     model = parse_app(app) if isinstance(app, str) else app
+    if plan_defaults:
+        # streaming twin: bucket='auto' would raise at build time (the
+        # stats job is batch-only), so the only safe streaming blanket
+        # is bucket='true' / impl hints; validated the same way
+        _apply_plan_defaults(model, plan_defaults)
     env: dict[str, DataFrame] = dict(sources or {})
     if spark is None:
         if not env:

@@ -1971,12 +1971,19 @@ def test_ql_plan_hints_route_derived_picks(spark):
                 {"events": flat},
                 pattern_key="user_id",
             )
-    # bucket hint on a join without an equi term raises
+    # EXPLICIT bucket='true' on a join without an equi term raises;
+    # 'auto' is lenient (safe as an app-level default on every shape)
+    # and silently stays on the plain join
     no_equi = jq.replace(
         "on a.user_id == b.user_id", "on a.event_id > b.event_id"
     )
     with pytest.raises(ValueError, match="equi"):
-        run_app(defs + no_equi, {"events": hot})
+        run_app(
+            defs + no_equi.replace("bucket='auto'", "bucket='true'"),
+            {"events": hot},
+        )
+    lenient = run_app(defs + no_equi, {"events": flat.limit(40)})["Pairs"]
+    assert "Generate" not in plan_of(lenient)
 
 
 def test_ql_absence_scan_tier(spark):
@@ -2174,3 +2181,83 @@ def test_run_app_streaming_join_bucket_hint(spark):
             {"Clicks": cs, "Views": vs},
             watermark="13 hours",
         )
+
+
+def test_ql_plan_defaults(spark):
+    """r14: `plan_defaults` gives app-level hot-key insurance — every
+    pattern/join query without an explicit @plan gets the derived
+    picks; explicit annotations win; non-pattern/join queries are
+    unaffected; inapplicable shapes stay plain ('auto' leniency); a
+    typo'd default raises at submit time."""
+    from siddhi_operator_spark.operators import patterns as P
+
+    P.clear_decision_cache()
+
+    def mk(n_keys: int, per_key: int):
+        n = n_keys * per_key * 2
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            (F.col("id") % n_keys).alias("user_id"),
+            F.when((F.col("id") % 2) == 0, "signup")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+
+    defs = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string);
+    """
+    app = defs + """
+    from events[event_type == 'signup']
+    select event_id, user_id
+    insert into Plain;
+
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase'] within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Conv;
+
+    @plan(impl='join')
+    from every a=events[event_type == 'signup']
+         -> b=events[event_type == 'purchase'] within 1 hour
+    select a.event_id as signup_id, b.event_id as purchase_id
+    insert into Explicit;
+    """
+    hot = mk(1, 1200)
+    outs = run_app(
+        app, {"events": hot}, pattern_key="user_id",
+        plan_defaults={"impl": "auto", "bucket": "auto"},
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "_probe" in plan_of(outs["Conv"])  # default routed to scan
+    assert "_probe" not in plan_of(outs["Explicit"])  # explicit wins
+    assert outs["Plain"].count() == 1200  # filter query unaffected
+    # default == no-default row identity on the pattern output
+    base = run_app(app, {"events": hot}, pattern_key="user_id")
+    assert sorted(map(tuple, outs["Conv"].collect())) == sorted(
+        map(tuple, base["Conv"].collect())
+    )
+    # typo'd default raises before any query builds
+    with pytest.raises(ValueError, match="@plan"):
+        run_app(
+            app, {"events": hot}, pattern_key="user_id",
+            plan_defaults={"impl": "atuo"},
+        )
+    # bucket default on an inapplicable join shape stays plain: a
+    # stream-table broadcast probe has no within -> leniency, no raise
+    tbl_app = defs + """
+    define table vip (user_id long, tier string);
+    from events join vip on events.user_id == vip.user_id
+    select events.event_id as event_id, vip.tier as tier
+    insert into Enriched;
+    """
+    vip = spark.createDataFrame([(0, "gold")], "user_id long, tier string")
+    out2 = run_app(
+        tbl_app, {"events": hot.limit(50), "vip": vip},
+        plan_defaults={"bucket": "auto", "impl": "auto"},
+    )
+    assert out2["Enriched"].count() == 50
