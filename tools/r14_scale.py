@@ -183,6 +183,9 @@ def main() -> None:
     from siddhi_operator_spark.session import build_session
 
     leg = sys.argv[1]
+    if leg == "session_ab":
+        session_ab()
+        return
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -285,6 +288,57 @@ def main() -> None:
         return
 
     raise SystemExit(f"unknown leg {leg!r}")
+
+
+def session_ab() -> None:
+    """Gap-island vs native session_window at ×1000 (100 M events) —
+    re-run of the r4 A/B that picked gap-island (2× faster then, on
+    the Spark-3-era measurement): window_session is ~half the ×1000
+    suite and the r14 gate missed by 0.2 %, so the alternative gets
+    re-measured on Spark 4.1.2 before the plan ships another round.
+    Alternating g,n,n,g,g,n in one fresh process, noop sink, plus a
+    row-count cross-check (full row equality at 954 M output rows is
+    its own leg's cost; count + the sf0.1 oracle row pin semantics)."""
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.operators.windows import session as gap_island
+    from siddhi_operator_spark.session import build_session
+
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = spark.read.parquet("/tmp/spark_graft_scale/x1000/events.parquet")
+    ev.write.format("noop").mode("overwrite").save()  # warm
+
+    def gap():
+        return gap_island(
+            ev, "ts", "30 minutes", keys=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")],
+        )
+
+    def native():
+        return (
+            ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "user_id", "n", "sv",
+            )
+        )
+
+    cg, cn = gap().count(), native().count()
+    print(f"counts: gap_island={cg} native={cn} equal={cg == cn}", flush=True)
+    walls = {"g": [], "n": []}
+    for arm in ("g", "n", "n", "g", "g", "n"):
+        t0 = time.monotonic()
+        (gap() if arm == "g" else native()).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls[arm].append(time.monotonic() - t0)
+        print(f"{arm}[{len(walls[arm])-1}]: {walls[arm][-1]:.1f}s", flush=True)
+    mg, mn = statistics.median(walls["g"]), statistics.median(walls["n"])
+    print(f"medians: gap_island={mg:.1f}s native={mn:.1f}s "
+          f"native/gap={mn/mg:.2f}", flush=True)
 
 
 if __name__ == "__main__":
