@@ -71,6 +71,10 @@ def clear_decision_cache() -> None:
 
 
 def _plan_token(df: DataFrame) -> int | None:
+    # `_jdf` is a private JVM handle absent under Spark Connect — there
+    # every `auto` call silently degrades to re-running the (correct)
+    # stats job per construction; see the twin in operators/patterns.py
+    # for the Connect-safe fallback-token sketch.
     try:
         return df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:

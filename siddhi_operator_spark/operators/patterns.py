@@ -60,6 +60,14 @@ def _nearest_probe_scan(
     deterministic and equal to the join path's (e2_ts, e2_id)
     ordering.
 
+    NULL keys: the join tier never matches them (`k == k2` is null),
+    but `Window.partitionBy` groups all NULL keys into ONE partition,
+    which would let a NULL-key arm see a NULL-key probe here and
+    silently change results between tiers (r14 advice, medium).  The
+    probe scan therefore drops NULL-key PROBE rows — a NULL-key arm
+    then gets `_probe = null`, which reproduces join-tier semantics
+    exactly: followed-by drops the arm, absence keeps it.
+
     Returns: k, e1_ts, e1_id, _probe (struct p_ts/p_id — null when no
     probe exists on that side of the arm event)."""
     arm = df.filter(arm_pred).select(
@@ -68,7 +76,7 @@ def _nearest_probe_scan(
         F.col(id_col).alias("_id"),
         F.lit(0).alias("_p"),
     )
-    probe = df.filter(probe_pred).select(
+    probe = df.filter(probe_pred & F.col(key).isNotNull()).select(
         F.col(key).alias("k"),
         F.col(ts).alias("_ts"),
         F.col(id_col).alias("_id"),
@@ -124,7 +132,15 @@ def clear_decision_cache() -> None:
 def _plan_token(df: DataFrame) -> int | None:
     """Semantic identity of a DataFrame's analyzed plan, or None when
     the backend doesn't expose it (then callers skip memoization rather
-    than risk a wrong cache hit)."""
+    than risk a wrong cache hit).
+
+    `_jdf` is a private JVM handle that does NOT exist under Spark
+    Connect — there every `auto` call silently degrades to re-running
+    the (correct) stats job per construction.  If Connect ever matters
+    here, a Connect-safe fallback token is a hash of the plan text
+    (`df._explain_string()` / explain output); keyed with
+    `_RULE_VERSION` it can only trade a cache miss for a cache hit on
+    an identical plan string — never a wrong pick."""
     try:
         return df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:

@@ -85,12 +85,20 @@ def _plan_hints(q: QueryDef) -> dict[str, str]:
         if not m:
             continue
         body = m.group(1)
-        pairs = _PLAN_KV_RE.findall(body)
-        if not pairs and body.strip():
-            raise ValueError(
-                f"@plan annotation needs key='value' pairs, got {body!r}"
-            )
-        for k, v in pairs:
+        # The WHOLE body must be consumed by key='value' pairs (r14
+        # advice): `@plan(impl='auto', bucket=true)` once parsed impl
+        # and silently dropped the unquoted bucket=true — the exact
+        # "typo'd hint runs the unprotected plan" failure this
+        # validation exists to prevent.
+        for seg in body.split(","):
+            if not seg.strip():
+                continue
+            if not _PLAN_KV_RE.fullmatch(seg.strip()):
+                raise ValueError(
+                    "@plan annotation needs key='value' pairs "
+                    f"(values single-quoted), got {seg.strip()!r} in {body!r}"
+                )
+        for k, v in _PLAN_KV_RE.findall(body):
             hints[k.lower()] = v.lower()
     bad = sorted(set(hints) - {"impl", "bucket"})
     if bad:
@@ -111,9 +119,33 @@ def _equi_pairs(on_expr: str, lname: str, rname: str) -> list[tuple[str, str]]:
     join condition — top-level AND conjuncts of the form
     `L.x = R.y` (either side order).  Non-equi conjuncts (the time
     residual, value comparisons) are fine — they stay in the join
-    condition; they just don't contribute keys."""
+    condition; they just don't contribute keys.
+
+    The `and`-split is syntactic, so a part whose parentheses (or
+    quotes) don't balance came from INSIDE a nested group or string
+    literal — e.g. ``C or (a.k = b.k and a.j = b.j)`` splits into
+    ``… (a.k = b.k`` / ``a.j = b.j)`` — and must contribute no key
+    (r14 advice): it is not a top-level conjunct, so treating it as
+    an equi key would accept explicit ``bucket='true'`` (and measure
+    density) on keys the join doesn't actually require."""
     pairs: list[tuple[str, str]] = []
-    for part in re.split(r"\band\b", on_expr, flags=re.I):
+    expr = on_expr.strip()
+    # strip redundant OUTER parens (the whole condition wrapped once)
+    # so `(a.k = b.k and t-range)` still yields its top-level keys
+    while expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(expr):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0 and i < len(expr) - 1:
+                break
+        else:
+            expr = expr[1:-1].strip()
+            continue
+        break
+    for part in re.split(r"\band\b", expr, flags=re.I):
+        if part.count("(") != part.count(")") or part.count("'") % 2:
+            continue
         m = re.fullmatch(
             r"\s*\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?\s*", part
         )
@@ -1866,21 +1898,115 @@ def _trigger_ticks(spark, td, env, ts_col: str) -> DataFrame:
     )
 
 
-def _apply_plan_defaults(model: AppModel, plan_defaults: dict[str, str]) -> None:
-    """Attach an app-wide `@plan(...)` default to every query that has
-    no explicit one (explicit wins).  Keys/values are validated up
-    front through the same `_plan_hints` rules, so a typo'd default
-    fails at submit time rather than silently planning unprotected.
-    Only 'auto' values make safe blanket defaults — 'scan'/'true'
-    raise on queries whose shape cannot express them."""
+def _apply_plan_defaults(
+    model: AppModel, plan_defaults: dict[str, str]
+) -> AppModel:
+    """Return a COPY of the model with an app-wide `@plan(...)` default
+    attached to every query that has no explicit one (explicit wins).
+    Keys/values are validated up front through the same `_plan_hints`
+    rules, so a typo'd default fails at submit time rather than
+    silently planning unprotected.  Only 'auto' values make safe
+    blanket defaults — 'scan'/'true' raise on queries whose shape
+    cannot express them.
+
+    Copying (r14 advice): a caller-supplied parsed AppModel must stay
+    call-scoped — mutating it in place made the injected annotations
+    persist, so a later `run_app(model)` WITHOUT plan_defaults still
+    carried them, and a later run with DIFFERENT defaults was silently
+    blocked (the injected annotation counted as 'explicit')."""
+    import dataclasses
+
     ann = "@plan(" + ", ".join(
         f"{k}='{v}'" for k, v in sorted(plan_defaults.items())
     ) + ")"
     probe = QueryDef(input=None, select=[], annotations=[ann])
     _plan_hints(probe)  # validate keys and values once, loudly
+    queries = [
+        q
+        if any(_PLAN_ANN_RE.match(a.strip()) for a in q.annotations)
+        else dataclasses.replace(q, annotations=[*q.annotations, ann])
+        for q in model.queries
+    ]
+    return dataclasses.replace(model, queries=queries)
+
+
+_INFO_ANN_RE = re.compile(r"@info\s*\(\s*name\s*=\s*'([^']*)'\s*\)\s*$", re.I)
+
+
+def _query_info_name(q: QueryDef) -> str | None:
+    """The query's `@info(name='…')` annotation value, if any — the
+    reference's query-naming surface (`[qapi] annotation` `@info`)."""
+    for a in q.annotations:
+        m = _INFO_ANN_RE.match(a.strip())
+        if m:
+            return m.group(1)
+    return None
+
+
+def _apply_plan_stats(
+    model: AppModel, plan_stats: dict[str, tuple[int, int]]
+) -> AppModel:
+    """Pin the derived regime picks from PRECOMPUTED corpus stats —
+    zero Spark jobs at submit time (r15, closing the r14 verdict's
+    "QL-tier `auto` cannot take precomputed stats").
+
+    ``plan_stats`` maps a query's `@info(name='…')` to the
+    ``(max_pairs, total_rows)`` pair the operator tier's ``stats=``
+    parameter takes (`operators/patterns.py::choose_pattern_impl`,
+    `operators/joins.py::derive_join_bucket`).  Derive it offline ONCE
+    on a batch sample of the same bytes:
+
+        max_pairs = worst single key's arm_count × probe_count
+        total    = total (non-null-key) rows
+
+    then submit the app — batch or STREAMING — with the pick pinned.
+    The stats resolve through the same anchored decision rule the
+    'auto' tier uses, and land as an explicit `@plan(...)` annotation
+    on a COPY of the query (caller's model untouched): an existing
+    explicit non-'auto' hint wins; 'auto' or absent hints take the
+    pinned pick.  Naming a query that doesn't exist raises — a typo'd
+    name must not silently leave the hot-key query unprotected."""
+    import dataclasses
+
+    from ..operators.joins import derive_join_bucket
+    from ..operators.patterns import choose_pattern_impl
+
+    matched: set[str] = set()
+    queries: list[QueryDef] = []
     for q in model.queries:
-        if not any(_PLAN_ANN_RE.match(a.strip()) for a in q.annotations):
-            q.annotations = [*q.annotations, ann]
+        name = _query_info_name(q)
+        if name is None or name not in plan_stats:
+            queries.append(q)
+            continue
+        matched.add(name)
+        stats = tuple(plan_stats[name])
+        pinned_impl = choose_pattern_impl(None, "", None, None, stats=stats)
+        pinned_bucket = (
+            "true" if derive_join_bucket(None, None, (), stats=stats) else "false"
+        )
+        hints = _plan_hints(q)
+        new = {
+            "impl": hints.get("impl")
+            if hints.get("impl") not in (None, "auto")
+            else pinned_impl,
+            "bucket": hints.get("bucket")
+            if hints.get("bucket") not in (None, "auto")
+            else pinned_bucket,
+        }
+        ann = "@plan(" + ", ".join(
+            f"{k}='{v}'" for k, v in sorted(new.items())
+        ) + ")"
+        anns = [
+            a for a in q.annotations if not _PLAN_ANN_RE.match(a.strip())
+        ] + [ann]
+        queries.append(dataclasses.replace(q, annotations=anns))
+    unknown = sorted(set(plan_stats) - matched)
+    if unknown:
+        raise ValueError(
+            f"plan_stats names unknown queries {unknown} — match the "
+            "app's @info(name='…') annotations"
+        )
+    return dataclasses.replace(model, queries=queries)
 
 
 def run_app(
@@ -1892,6 +2018,7 @@ def run_app(
     spark: SparkSession | None = None,
     write_sinks: bool = False,
     plan_defaults: dict[str, str] | None = None,
+    plan_stats: dict[str, tuple[int, int]] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a SiddhiQL app in batch/analytics mode.
 
@@ -1909,7 +2036,15 @@ def run_app(
     ``@plan`` annotation (explicit annotations win; 'auto' is lenient
     on shapes it cannot express, so a blanket default is always
     safe). The Siddhi analog is an app-level `@app:` annotation
-    changing planner behavior for the whole app."""
+    changing planner behavior for the whole app.
+
+    ``plan_stats`` (r15): precomputed regime-pick stats, keyed by the
+    query's `@info(name='…')` — derive ``(max_pairs, total)`` offline
+    ONCE (`choose_pattern_impl(stats=…)` / `derive_join_bucket(stats=…)`
+    on a batch sample of the same bytes) and submit with the pick
+    pinned; ZERO stats jobs run at submit time.  Explicit non-'auto'
+    `@plan` hints win over stats; 'auto' hints and un-annotated named
+    queries take the pinned pick.  See :func:`_apply_plan_stats`."""
     from ..sources import (
         has_on_error_stream,
         load_file_source,
@@ -1918,8 +2053,10 @@ def run_app(
     )
 
     model = parse_app(app) if isinstance(app, str) else app
+    if plan_stats:
+        model = _apply_plan_stats(model, plan_stats)
     if plan_defaults:
-        _apply_plan_defaults(model, plan_defaults)
+        model = _apply_plan_defaults(model, plan_defaults)
     env: dict[str, DataFrame] = dict(sources or {})
     outputs: dict[str, DataFrame] = {}
     if spark is None:
@@ -2919,6 +3056,7 @@ def run_app_streaming(
     spark: SparkSession | None = None,
     watermark: str = "1 minute",
     plan_defaults: dict[str, str] | None = None,
+    plan_stats: dict[str, tuple[int, int]] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a SiddhiQL app in STREAMING mode (entry point A on
     Structured Streaming): returns {output stream: unbounded DataFrame}
@@ -2936,15 +3074,52 @@ def run_app_streaming(
     Joins and count-based windows have dedicated streaming operators
     (`..streaming.joins`, `..streaming.windows`) with semantics a
     generic translation would get wrong — the runner raises and points
-    there."""
+    there.
+
+    ``plan_defaults`` / ``@plan`` per-runner contract (r15): this
+    runner honors ``bucket='true'`` on stream-stream joins (the epoch
+    insurance tier).  ``bucket='auto'`` is batch-only (the stats job
+    cannot run on a streaming plan) — as an app-level DEFAULT it is
+    downgraded to plain with a `UserWarning` so the same blanket
+    ``{'impl': 'auto', 'bucket': 'auto'}`` dict works in both
+    runners; an EXPLICIT per-query ``@plan(bucket='auto')`` still
+    raises (the user named a specific query; silence would fake
+    protection).  ``impl=`` hints are a NO-OP for streaming pattern
+    queries: the streaming NFA has its own derived per-key
+    `state_buckets` tier (`..streaming.cep`), which IS the streaming
+    pattern hot-key answer — there is no scan/join regime to pick.
+
+    ``plan_stats`` (r15): the streaming story for precomputed picks —
+    derive ``(max_pairs, total)`` offline on a batch sample, key by
+    `@info(name='…')`, and the pick lands pinned (bucket='true' /
+    'false'); ZERO stats jobs at submit time, no batch-only 'auto'
+    error.  See :func:`_apply_plan_stats` and :func:`run_app`."""
+    import warnings
+
     from ..sources import stream_file_source, stream_http_source
 
     model = parse_app(app) if isinstance(app, str) else app
+    if plan_stats:
+        model = _apply_plan_stats(model, plan_stats)
     if plan_defaults:
-        # streaming twin: bucket='auto' would raise at build time (the
-        # stats job is batch-only), so the only safe streaming blanket
-        # is bucket='true' / impl hints; validated the same way
-        _apply_plan_defaults(model, plan_defaults)
+        if plan_defaults.get("bucket") == "auto":
+            # downgrade, loudly: 'auto' needs a batch stats job. The
+            # derive-offline recipe: run derive_join_bucket on a batch
+            # sample of the same bytes, then pass bucket='true'.
+            warnings.warn(
+                "plan_defaults bucket='auto' is batch-only; the "
+                "streaming runner downgrades it to the plain join. "
+                "Derive the pick offline (operators.joins."
+                "derive_join_bucket on a batch sample) and pass "
+                "bucket='true' to protect streaming joins.",
+                UserWarning,
+                stacklevel=2,
+            )
+            plan_defaults = {
+                k: v for k, v in plan_defaults.items() if k != "bucket"
+            }
+        if plan_defaults:
+            model = _apply_plan_defaults(model, plan_defaults)
     env: dict[str, DataFrame] = dict(sources or {})
     if spark is None:
         if not env:

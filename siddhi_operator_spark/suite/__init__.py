@@ -28,118 +28,120 @@ from . import ml_suite  # noqa: E402,F401
 from . import sources_suite  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation, round 14.  The per-round correctness gate
+# Driver-window rotation, round 15.  The per-round correctness gate
 # records only the FIRST 50 registry entries in registration order.
-# This window executes the r13-pre-staged plan exactly: (1) r13 reds
-# — there were none; (2) the THIRTY-TWO r8-stale rows the r13 window
-# displaced (tpch tail, similarity/MIPS tail, decontaminate /
-# domain-mix / curation rows, streaming text twins, collections and
-# sketch-bound rows — the oldest ledger tail at 6 rounds); (3) every
-# row ADDED in round 14 (never-checked): the QL front-door routing of
-# the derived regime picks (`siddhiql_pattern_auto`,
-# `siddhiql_join_windowed_auto` — r13 verdict #1: `@plan(impl=...)`
-# / `@plan(bucket=...)` now reach `choose_pattern_impl` /
-# `derive_join_bucket` from entry A) and the streaming hot-key
-# insurance tier (`streaming_join_windowed_bucket` — epoch-widened
-# join keys bound per-key state probes; r13 verdict #3); (4) rows
-# whose EXECUTED CODE changed in r14: `choose_pattern_impl` /
-# `derive_join_bucket` grew the decision memo + null-key filter +
-# streaming guard (→ the two r13 auto rows), `_nearest_probe_scan`
-# grew the id_col parameter (→ the two scan-tier rows),
-# `streaming.joins.stream_stream_join` grew the bucket passthrough
-# (→ `streaming_join_windowed`), and `siddhiql/builder.py`'s
-# `_run_join` / `_run_pattern_simple` grew the `@plan` hint routing
-# (→ every QL row that executes them: the join pair and the
-# simple/or-chain/special pattern rows not already in group 2);
-# (5) the r9-stale backlog in registry order — 1 of the 41 fits.
-# After this window: never-checked = 0, r8-stale = 0, r9-stale = 40,
-# max staleness = 5.
+# This window executes the r14-pre-staged plan: (1) r14 reds — there
+# were none; (2) the FORTY r9-stale rows the r14 window displaced
+# (window family tail, join family tail, ratelimit trio, incremental
+# retrieval, multimodal features, the streaming CEP tail, QL
+# trigger/bucketed-length, CDC feed, kmeans — the oldest ledger tail
+# at 5 rounds, re-verified by folding CORRECTNESS_r01..r14 against
+# the registry this round); (3) rows ADDED in r15 (never-checked):
+# `siddhiql_plan_stats_pinned` (r14 verdict #3 — precomputed stats
+# pin the regime pick through the QL front end, zero submit-time
+# jobs) and `pattern_scan_null_keys` (r14 advice medium — NULL keys
+# behave identically across pattern tiers, null-heavy derived-key
+# oracle); (4) rows whose EXECUTED CODE changed in r15:
+# `_nearest_probe_scan` grew the NULL-key probe filter (→ the two
+# scan-tier rows), and the QL builder's `_plan_hints` grew the
+# strict whole-body parse / `_equi_pairs` grew paren-balance
+# rejection / `run_app` grew the `plan_stats` door (→ the
+# @plan-carrying QL rows and the join-door `siddhiql_join`);
+# (5) the r10-stale backlog in registry order — 1 of the 40 fits
+# (`filter_project`).  After this window: never-checked = 0,
+# r9-stale = 0, r10-stale = 39, max staleness = 5.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
-    # (2) the thirty-two r8-stale rows (oldest ledger tail)
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    "dedup_simhash",
-    "similarity_ivfpq",
-    "sample_hash_split",
-    "similarity_ann_recall",
-    "pii_mask",
-    "quality_repetition",
-    "decontaminate_ngram",
-    "domain_mix_sample",
-    "seq_pack_bins",
-    "text_winnow_fingerprint",
-    "corpus_weighted_sample",
-    "text_tfidf_top_terms",
-    "embedding_centroids",
-    "text_pretokenize_bpe",
-    "text_classifier_train",
-    "text_dedup_lines",
-    "similarity_int8_recall",
-    "similarity_mips",
-    "similarity_mips_ann_recall",
-    "streaming_incr_agg_replay",
-    "streaming_text_dedup_lines",
-    "streaming_text_remove_spans",
-    "siddhiql_star_quantifier",
-    "list_fns",
-    "map_fns",
-    "approx_distinct_bound",
-    "sketch_count_min",
-    "approx_percentile_bound",
-    # (3) new in r14 — never checked
-    "siddhiql_pattern_auto",
-    "siddhiql_join_windowed_auto",
-    "streaming_join_windowed_bucket",
-    "siddhiql_absence_auto",
-    "siddhiql_streaming_join_bucket",
-    # (4) executed code changed in r14
-    "pattern_followed_by_auto",
-    "join_windowed_self_auto",
+    # (2) the forty r9-stale rows (oldest ledger tail)
+    "window_sliding_time",
+    "window_sort_topk",
+    "window_frequent",
+    "window_unique_last",
+    "window_timelength",
+    "window_delay",
+    "window_lossy_frequent",
+    "window_expression_batch",
+    "window_unique_first",
+    "window_extrema_by_time",
+    "window_expression",
+    "window_cron",
+    "window_unique_timebatch",
+    "window_unique_dedup",
+    "window_extrema_by_length",
+    "window_expired_events",
+    "join_stream_table",
+    "join_outer_stream_table",
+    "join_theta_residual",
+    "join_stream_aggregation",
+    "join_asof",
+    "join_range_interval",
+    "agg_ts_regress_forecast",
+    "ratelimit_first",
+    "ratelimit_last",
+    "ratelimit_snapshot",
+    "incr_agg_day_retrieval",
+    "multimodal_features",
+    "streaming_timebatch",
+    "streaming_cep_followed_by",
+    "streaming_length_window",
+    "streaming_session_window",
+    "streaming_cep_absence",
+    "streaming_cep_count_quantifier",
+    "streaming_cep_logical_and",
+    "pattern_optional_step",
+    "siddhiql_trigger",
+    "siddhiql_bucketed_length_window",
+    "table_cdc_feed",
+    "ml_kmeans",
+    # (3) new in r15 — never checked
+    "siddhiql_plan_stats_pinned",
+    "pattern_scan_null_keys",
+    # (4) executed code changed in r15
     "pattern_followed_by_scan",
     "pattern_absence_scan",
-    "streaming_join_windowed",
+    "siddhiql_pattern_auto",
+    "siddhiql_join_windowed_auto",
+    "siddhiql_absence_auto",
+    "siddhiql_streaming_join_bucket",
     "siddhiql_join",
-    "siddhiql_join_aggregation",
-    "siddhiql_pattern",
-    "siddhiql_sequence",
-    "siddhiql_logical_or_pattern",
-    "siddhiql_absence_pattern",
-    "siddhiql_logical_and_pattern",
-    # (5) r9-stale backlog, registry order (1 of 41 — the other two
-    # filler slots went to `siddhiql_absence_auto` and
-    # `siddhiql_streaming_join_bucket`, added mid-round)
-    "window_externaltimebatch",
+    # (5) r10-stale backlog, registry order (1 of 40)
+    "filter_project",
 )
+
+# (Archive) Round-14 rotation as executed: (1) no r13 reds; (2) the
+# thirty-two r8-stale rows (tpch tail, similarity/MIPS tail,
+# curation/decontaminate rows, streaming text twins, collections and
+# sketch-bound rows); (3) r14 additions (the four QL @plan rows +
+# the streaming bucket row); (4) changed-code rows (auto picks,
+# scan tiers, streaming join passthrough, QL @plan routing); (5) 1
+# r9-stale filler (window_externaltimebatch).  Left r9-stale = 40,
+# max staleness 5 — retired by the r15 window above.
+
 _R3_MODULES: tuple[str, ...] = ()
 
-# Round-15 rotation, pre-staged: lead with any r14 reds, then the
-# FORTY remaining r9-stale rows this window displaced, in registry
-# order (window_sliding_time, window_sort_topk, window_frequent,
-# window_unique_last,
-# window_timelength, window_delay, window_lossy_frequent,
-# window_expression_batch, window_unique_first,
-# window_extrema_by_time, window_expression, window_cron,
-# window_unique_timebatch, window_unique_dedup,
-# window_extrema_by_length, window_expired_events,
-# join_stream_table, join_outer_stream_table, join_theta_residual,
-# join_stream_aggregation, join_asof, join_range_interval,
-# agg_ts_regress_forecast, ratelimit_first, ratelimit_last,
-# ratelimit_snapshot, incr_agg_day_retrieval, multimodal_features,
-# streaming_timebatch, streaming_cep_followed_by,
-# streaming_length_window, streaming_session_window,
-# streaming_cep_absence, streaming_cep_count_quantifier,
-# streaming_cep_logical_and, pattern_optional_step,
-# siddhiql_trigger, siddhiql_bucketed_length_window, table_cdc_feed,
-# ml_kmeans — re-verify by folding CORRECTNESS_r01..r14 against the
-# registry before staging), then every
-# row added in round 15 (never-checked), then rows whose code changes
-# in r15, then the r10-stale backlog in registry order (43 rows last
-# checked r10) with the balance of 50.  New registry rows displace
-# the NEWEST-checked tail entries, never the stale/never-checked
-# groups.
+# Round-16 rotation, pre-staged: lead with any r15 reds, then the
+# THIRTY-NINE remaining r10-stale rows this window displaced, in
+# registry order (named_window_fanout, agg_basic,
+# agg_forever_extrema, agg_unionset, agg_bool,
+# agg_having_orderby_limit, agg_multikey, agg_rollup_cube, tpch_q1,
+# agg_group_concat, tpch_q6, tpch_q3, tpch_q5, agg_udaf_custom,
+# pattern_sequence_adjacent, pattern_count_quantifier,
+# pattern_logical_and, pattern_logical_or, dedup_minhash_lsh,
+# dedup_minhash_lsh_capped, similarity_bruteforce,
+# similarity_knn_graph, similarity_lsh, similarity_ivf,
+# text_chunk_dedup_ratio, corpus_token_budget,
+# text_remove_repeated_spans, text_remove_spans_bloom,
+# streaming_reorder_akslack, siddhiql_filter, siddhiql_timebatch_agg,
+# siddhiql_partition, siddhiql_output_rate_last,
+# siddhiql_named_window, siddhiql_define_aggregation,
+# siddhiql_table_upsert, siddhiql_bucketed_pattern,
+# siddhiql_bucketed_expression_window, ml_perceptron_online —
+# re-verify by folding CORRECTNESS_r01..r15 against the registry
+# before staging), then every row added in round 16 (never-checked),
+# then rows whose code changes in r16, then the r11-stale backlog in
+# registry order (39 rows last checked r11) with the balance of 50.
+# New registry rows displace the NEWEST-checked tail entries, never
+# the stale/never-checked groups.
 #
 # (Archive) Round-13 rotation as executed: (1) no r12 reds; (2) the
 # twenty-seven r7-stale rows (multimodal quartet, text tail,

@@ -435,3 +435,51 @@ def pattern_followed_by_auto(spark: SparkSession, sf: str) -> DataFrame:
         F.col("e2_id").alias("purchase_id"),
         F.col("e2_ts").alias("purchase_ts"),
     )
+
+
+@register(
+    "pattern_scan_null_keys",
+    oracle="""
+    SELECT k AS bucket_key, e1_id AS signup_id
+    FROM (
+      SELECT nullif(a.user_id % 10, 0) AS k, a.event_id AS e1_id
+      FROM events a
+      WHERE a.event_type = 'signup'
+        AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE nullif(b.user_id % 10, 0) = nullif(a.user_id % 10, 0)
+            AND b.event_type = 'purchase'
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        )
+    )
+    """,
+    tags=("pattern", "absence", "scan-tier", "null-keys"),
+)
+def pattern_scan_null_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """r15 (r14 advice, medium): NULL pattern keys must behave
+    identically across tiers.  SQL equality never matches NULL
+    (`k = k2` is null), but `Window.partitionBy` groups all NULLs
+    into one partition — so the scan tier drops NULL-key PROBE rows,
+    making NULL-key arm events behave exactly as in the join tier
+    (absence KEEPS them — no purchase can ever match a NULL key).
+    This row derives a null-heavy key (`nullif(user_id % 10, 0)` —
+    ~10 % of arms NULL) and runs the SCAN tier against the plain
+    relational NOT EXISTS oracle, where NULL-no-match is native SQL
+    semantics; a regression to NULL∼NULL matching shows up as
+    missing arm rows."""
+    e = load(spark, sf, "events").withColumn(
+        "bucket_key", F.expr("nullif(user_id % 10, 0)")
+    )
+    out = P.absence(
+        e,
+        key="bucket_key",
+        ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        absent_pred=F.col("event_type") == "purchase",
+        within_seconds=3600,
+        impl="scan",
+    )
+    return out.select(
+        "bucket_key",
+        F.col("e1_id").alias("signup_id"),
+    )

@@ -1427,3 +1427,47 @@ def siddhiql_playback(spark: SparkSession, sf: str) -> DataFrame:
     if cfg != {"idle.time": 0.1, "increment": 1.0}:  # gate contract
         raise RuntimeError(f"playback annotations mis-parsed: {cfg}")
     return run_app(model, {"events": load(spark, sf, "events")})["Hourly"]
+
+
+@register(
+    "siddhiql_plan_stats_pinned",
+    oracle="""
+    SELECT signup_id, purchase_id
+    FROM (
+      SELECT a.event_id AS signup_id, b.event_id AS purchase_id,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("siddhiql", "pattern", "plan-stats"),
+)
+def siddhiql_plan_stats_pinned(spark: SparkSession, sf: str) -> DataFrame:
+    """r15 (r14 verdict #3): `plan_stats` pins the derived regime pick
+    from stats computed OFFLINE — this row submits the canonical
+    followed-by with hot-key stats (`max_pairs` far above the anchored
+    threshold) so the SCAN tier plans with ZERO stats jobs at submit
+    time (`tests/test_siddhiql.py::test_ql_plan_stats_pins_picks_zero_
+    jobs` pins the job count; this row pins the tier's OUTPUT against
+    the join-tier relational oracle — the row-identical contract the
+    tiers must keep under every routing door)."""
+    app = (
+        _EVENTS_DEF
+        + """
+    @info(name='conv')
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase']
+         within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Conversions;
+    """
+    )
+    return run_app(
+        app,
+        {"events": load(spark, sf, "events")},
+        pattern_key="user_id",
+        plan_stats={"conv": (10_000_000, 1_000)},
+    )["Conversions"]

@@ -169,6 +169,46 @@ def test_pattern_scan_tier_row_identical(events_df):
         )
 
 
+def test_pattern_scan_tier_null_keys_match_join(spark):
+    """r15 (r14 advice, medium): NULL pattern keys must behave
+    identically across tiers.  The join tier never matches them
+    (`k == k2` is null) while `Window.partitionBy` groups all NULLs
+    into one partition — so the scan tier drops NULL-key PROBE rows,
+    giving NULL-key arms `_probe = null` (followed-by drops the arm,
+    absence keeps it), row-identical to the join."""
+    rows = [
+        (1, "2024-01-01 00:00:01", None, "signup", 1.0),
+        (2, "2024-01-01 00:00:02", None, "purchase", 2.0),
+        (3, "2024-01-01 00:00:03", 7, "signup", 3.0),
+        (4, "2024-01-01 00:00:04", 7, "purchase", 4.0),
+        (5, "2024-01-01 00:00:05", None, "signup", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    fb = dict(
+        key="user_id", ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        second_pred=F.col("event_type") == "purchase",
+    )
+    a = P.followed_by(df, within_seconds=60, **fb)
+    b = P.followed_by(df, within_seconds=60, impl="scan", **fb)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # only the non-NULL key pairs up
+    assert [r.e1_id for r in b.collect()] == [3]
+    ab = dict(
+        key="user_id", ts="ts",
+        first_pred=F.col("event_type") == "signup",
+        absent_pred=F.col("event_type") == "purchase",
+    )
+    a = P.absence(df, within_seconds=60, **ab)
+    b = P.absence(df, within_seconds=60, impl="scan", **ab)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # NULL-key signups have no matching purchase in EITHER tier
+    assert sorted(r.e1_id for r in b.collect()) == [1, 5]
+
+
 def test_pattern_impl_auto_derives_regime(spark, events_df):
     """r13: the pattern-tier regime pick is DERIVED from measured key
     density (`choose_pattern_impl`) — the hot-key shape auto-picks the

@@ -2261,3 +2261,282 @@ def test_ql_plan_defaults(spark):
         plan_defaults={"bucket": "auto", "impl": "auto"},
     )
     assert out2["Enriched"].count() == 50
+
+
+def test_ql_plan_stats_pins_picks_zero_jobs(spark):
+    """r15 (r14 verdict #3): `plan_stats` pins the derived regime
+    picks from stats computed OFFLINE — keyed by @info(name), zero
+    stats jobs at submit time, row-identical output, explicit
+    non-'auto' hints win, a typo'd name raises."""
+    from siddhi_operator_spark.operators import joins as J
+    from siddhi_operator_spark.operators import patterns as P
+
+    P.clear_decision_cache()
+    J.clear_decision_cache()
+
+    def mk(n_keys: int, per_key: int):
+        n = n_keys * per_key * 2
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            (F.col("id") % n_keys).alias("user_id"),
+            F.when((F.col("id") % 2) == 0, "signup")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+
+    defs = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string);
+    """
+    app = defs + """
+    @info(name='conv')
+    @plan(impl='auto')
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase'] within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Conv;
+
+    @info(name='pairs')
+    from events[event_type == 'signup']#window.time(1 min) as a
+      join events[event_type == 'purchase']#window.time(1 min) as b
+      on a.user_id == b.user_id
+    select a.user_id as user_id, a.event_id as l_id, b.event_id as r_id
+    insert into Pairs;
+    """
+    hot = mk(1, 1200)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # hot stats pin scan + epoch tiers with ZERO stats jobs
+    hot_stats = (1200 * 1200, 2400)
+    before_p, before_j = P.STATS_JOBS_RUN, J.STATS_JOBS_RUN
+    outs = run_app(
+        app, {"events": hot}, pattern_key="user_id",
+        plan_stats={"conv": hot_stats, "pairs": hot_stats},
+    )
+    assert (P.STATS_JOBS_RUN, J.STATS_JOBS_RUN) == (before_p, before_j)
+    assert "_probe" in plan_of(outs["Conv"])
+    assert "Generate" in plan_of(outs["Pairs"])
+    # cold stats pin the plain tiers, still zero jobs
+    cold = run_app(
+        app, {"events": hot}, pattern_key="user_id",
+        plan_stats={"conv": (10, 2400), "pairs": (10, 2400)},
+    )
+    assert (P.STATS_JOBS_RUN, J.STATS_JOBS_RUN) == (before_p, before_j)
+    assert "_probe" not in plan_of(cold["Conv"])
+    assert "Generate" not in plan_of(cold["Pairs"])
+    # row identity across the pinned tiers
+    for k in ("Conv", "Pairs"):
+        assert sorted(map(tuple, outs[k].collect())) == sorted(
+            map(tuple, cold[k].collect())
+        )
+    # explicit non-auto hint wins over stats
+    exp = run_app(
+        app.replace("@plan(impl='auto')", "@plan(impl='join')"),
+        {"events": hot}, pattern_key="user_id",
+        plan_stats={"conv": hot_stats},
+    )
+    assert "_probe" not in plan_of(exp["Conv"])
+    # typo'd / unknown name raises at submit time
+    with pytest.raises(ValueError, match="plan_stats"):
+        run_app(
+            app, {"events": hot}, pattern_key="user_id",
+            plan_stats={"convv": hot_stats},
+        )
+    # plan_stats composes with plan_defaults: stats-pinned query keeps
+    # its pin, the unnamed remainder still gets the blanket default
+    both = run_app(
+        app, {"events": hot}, pattern_key="user_id",
+        plan_stats={"conv": (10, 2400)},
+        plan_defaults={"impl": "auto", "bucket": "auto"},
+    )
+    assert "_probe" not in plan_of(both["Conv"])  # pinned join wins
+
+
+def test_ql_plan_stats_streaming_zero_jobs(spark):
+    """r15: `plan_stats` is the streaming story for precomputed picks
+    — a hot-stats pin routes the streaming stream-stream join through
+    the epoch tier with zero stats jobs and no batch-only error,
+    row-identical to plain."""
+    import uuid
+
+    from siddhi_operator_spark.catalog import load, load_events_stream
+    from siddhi_operator_spark.operators import joins as J
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+
+    app = """
+    define stream Clicks (event_id long, ts string, user_id long, event_type string, value double);
+    define stream Views (event_id long, ts string, user_id long, event_type string, value double);
+    @info(name='pairs')
+    from Clicks#window.time(12 hour) join Views#window.time(12 hour)
+      on Clicks.user_id == Views.user_id
+    select Clicks.user_id as user_id, Clicks.event_id as click_id, Views.event_id as view_id
+    insert into Pairs;
+    """
+    sf = "/root/testdata/sf0.001"
+    e = load(spark, sf, "events")
+    want = sorted(
+        tuple(r)
+        for r in run_app(
+            app,
+            {
+                "Clicks": e.filter(F.col("event_type") == "click"),
+                "Views": e.filter(F.col("event_type") == "view"),
+            },
+        )["Pairs"].collect()
+    )
+    assert want
+    cs = load_events_stream(spark, sf).filter(F.col("event_type") == "click")
+    vs = load_events_stream(spark, sf).filter(F.col("event_type") == "view")
+    before = J.STATS_JOBS_RUN
+    outs = run_app_streaming(
+        app, {"Clicks": cs, "Views": vs}, watermark="13 hours",
+        plan_stats={"pairs": (10_000_000, 1_000)},
+    )
+    assert J.STATS_JOBS_RUN == before
+    name = f"sjs_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Pairs"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    assert got == want
+
+
+def test_ql_plan_defaults_streaming_leniency(spark):
+    """r15 (r14 verdict #4): the same blanket plan_defaults dict works
+    in BOTH runners — the streaming runner downgrades bucket='auto'
+    to plain with a UserWarning instead of raising; an EXPLICIT
+    per-query @plan(bucket='auto') still raises."""
+    import uuid
+    import warnings as W
+
+    from siddhi_operator_spark.catalog import load_events_stream
+    from siddhi_operator_spark.siddhiql.builder import run_app_streaming
+
+    app = """
+    define stream Clicks (event_id long, ts string, user_id long, event_type string, value double);
+    define stream Views (event_id long, ts string, user_id long, event_type string, value double);
+    from Clicks#window.time(12 hour) join Views#window.time(12 hour)
+      on Clicks.user_id == Views.user_id
+    select Clicks.user_id as user_id, Clicks.event_id as click_id, Views.event_id as view_id
+    insert into Pairs;
+    """
+    sf = "/root/testdata/sf0.001"
+    cs = load_events_stream(spark, sf).filter(F.col("event_type") == "click")
+    vs = load_events_stream(spark, sf).filter(F.col("event_type") == "view")
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        outs = run_app_streaming(
+            app, {"Clicks": cs, "Views": vs}, watermark="13 hours",
+            plan_defaults={"impl": "auto", "bucket": "auto"},
+        )
+    assert any("batch-only" in str(w.message) for w in rec)
+    name = f"sjl_{uuid.uuid4().hex[:8]}"
+    q = (
+        outs["Pairs"].writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.table(name).count() > 0
+    # explicit per-query auto still raises — the user named THIS query
+    with pytest.raises(ValueError, match="batch-only"):
+        run_app_streaming(
+            app.replace("from Clicks#", "@plan(bucket='auto')\n    from Clicks#"),
+            {"Clicks": cs, "Views": vs}, watermark="13 hours",
+        )
+
+
+def test_ql_plan_defaults_do_not_mutate_model(spark):
+    """r15 (r14 advice): plan_defaults stay call-scoped — a parsed
+    AppModel passed to run_app is NOT annotated in place, so a later
+    run without defaults plans unhinted and a later run with different
+    defaults is not blocked."""
+    from siddhi_operator_spark.siddhiql import parse_app
+
+    defs = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string);
+    """
+    app = defs + """
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase'] within 1 hour
+    select e1.event_id as signup_id, e2.event_id as purchase_id
+    insert into Conv;
+    """
+    hot = spark.range(2400).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.lit(0).alias("user_id"),
+        F.when((F.col("id") % 2) == 0, "signup")
+        .otherwise("purchase")
+        .alias("event_type"),
+    )
+    model = parse_app(app)
+    before = [list(q.annotations) for q in model.queries]
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    out = run_app(
+        model, {"events": hot}, pattern_key="user_id",
+        plan_defaults={"impl": "auto"},
+    )["Conv"]
+    assert "_probe" in plan_of(out)  # default took effect this call
+    assert [list(q.annotations) for q in model.queries] == before
+    # a later run WITHOUT defaults plans unhinted (join tier)
+    out2 = run_app(model, {"events": hot}, pattern_key="user_id")["Conv"]
+    assert "_probe" not in plan_of(out2)
+
+
+def test_ql_plan_hint_strict_parse(spark):
+    """r15 (r14 advice): a @plan body mixing one valid pair with a
+    malformed token raises instead of silently dropping the typo'd
+    hint — e.g. an unquoted bucket=true must not run unprotected."""
+    defs = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string);
+    """
+    pat = """
+    @plan(impl='auto', bucket=true)
+    from every e1=events[event_type == 'signup']
+         -> e2=events[event_type == 'purchase'] within 1 hour
+    select e1.event_id as a, e2.event_id as b
+    insert into Conv;
+    """
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 1, "signup")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="@plan"):
+        run_app(defs + pat, {"events": src}, pattern_key="user_id")
+
+
+def test_equi_pairs_paren_and_quote_balance():
+    """r15 (r14 advice): _equi_pairs must not extract 'equi terms'
+    from inside OR-nested groups or string literals; a redundant
+    outer paren around a genuine top-level conjunction still yields
+    its keys."""
+    from siddhi_operator_spark.siddhiql.builder import _equi_pairs
+
+    # OR-nested group: neither fragment is a top-level conjunct
+    assert _equi_pairs(
+        "a.c > 1 or (a.k = b.k and a.j = b.j)", "a", "b"
+    ) == []
+    # string literal containing ' and ' must not corrupt extraction
+    assert _equi_pairs(
+        "a.k = b.k and a.s = 'x and y'", "a", "b"
+    ) == [("k", "k")]
+    # redundant outer parens around top-level ANDs still work
+    assert _equi_pairs(
+        "(a.k = b.k and a.ts > b.ts)", "a", "b"
+    ) == [("k", "k")]
+    # plain top-level conjunction unchanged
+    assert _equi_pairs(
+        "a.k = b.k and a.j = b.j", "a", "b"
+    ) == [("k", "k"), ("j", "j")]
