@@ -124,7 +124,7 @@ def session(
     ts: str,
     gap: str,
     keys: Sequence[str] = (),
-    aggs: Sequence[Column] = (),
+    aggs: Sequence[Column] | Sequence[tuple] = (),
 ) -> DataFrame:
     """Session window: Siddhi `session(gap, key)`
     (`SessionWindowProcessor.java`). Events merge while the gap to the
@@ -134,9 +134,25 @@ def session(
     Batch formulation: gap-island (lag → running session id → one keyed
     agg) instead of native `session_window` — same shuffle+sort, but
     2× faster at 100M rows (native session-merge machinery costs the
-    difference; measured in SCALEBENCH.md round 4). The STREAMING twin
-    (`streaming.windows.session_agg`) keeps native `session_window`,
-    which is what makes incremental stateful merging possible there."""
+    difference; measured in SCALEBENCH.md round 4; re-confirmed on
+    Spark 4.1.2 in round 14 — native still 1.52× worse). The STREAMING
+    twin (`streaming.windows.session_agg`) keeps native
+    `session_window`, which is what makes incremental stateful merging
+    possible there.
+
+    ``aggs`` takes either arbitrary aggregate ``Column``s (this
+    gap-island tier: two window passes + one keyed hash aggregate) or
+    STRUCTURED ``(op, col, alias)`` tuples with op ∈ {count, sum,
+    avg}, which route to :func:`session_prefix` — the r15 prefix-sum
+    tier that removes the aggregate entirely (the ×1000 profile
+    attributed +8.7 s of the 24 s wall to a back-to-back
+    partial+final HashAggregate over ~45 M (key, session) groups with
+    a reduction factor of only ~2.2; the prefix tier's per-session
+    values are differences of running sums read at session-boundary
+    rows, so the group hash table never exists — and at 100 TB scale
+    neither does its memory)."""
+    if aggs and all(isinstance(a, (tuple, list)) for a in aggs):
+        return session_prefix(df, ts, gap, keys=keys, agg_specs=aggs)
     w = Window.partitionBy(*keys).orderBy(ts)
     # timestamp_seconds(0) is the epoch INSTANT (tz-independent), unlike
     # a string literal cast, which parses in the session timezone and
@@ -164,6 +180,127 @@ def session(
         *keys,
         *[c for c in out.columns if c not in ("session_start", "session_end", "_sid", *keys)],
     )
+
+
+def session_prefix(
+    df: DataFrame,
+    ts: str,
+    gap: str,
+    keys: Sequence[str] = (),
+    agg_specs: Sequence[tuple] = (),
+) -> DataFrame:
+    """Prefix-sum session window (r15) — same semantics as
+    :func:`session`, ZERO aggregate operators.
+
+    The gap-island tier pays a partial+final HashAggregate pair over
+    (key, session_id) right after the window stage — at events ×1000
+    that is ~45 M groups from 100 M rows (reduction factor ~2.2, so
+    the partial pass is almost pure overhead) and the measured +8.7 s
+    of a 24 s wall.  Sessions are CONTIGUOUS runs in the (key, ts)
+    sort order the window stage already produced, so per-session
+    count/sum/avg are differences of per-key RUNNING sums evaluated
+    at the session's last row:
+
+      pass 1 (one WindowExec — shared spec, offset + growing frames):
+        lag(ts)   → session-start flag (same expression as gap-island)
+        lead(ts)  → session-LAST flag (the next gap breaks, or no next)
+        row_number, and per agg column: running sum + running count
+      pass 2 (second WindowExec, depends on pass 1):
+        running max of struct(rn, ts, base_run_values…) over the
+        start-flagged rows = the CURRENT session's start snapshot
+        (struct compares rn first — max picks the latest start ≤ row;
+        monotone rn makes this exact even for negative values, where
+        a max of the running sums themselves would pick a wrong row)
+      then: filter the last rows, project  count = rn − start.rn + 1,
+        sum = run − start.base  (null-exact: a per-column non-null
+        running count emits NULL when the session saw no non-null
+        values, matching the aggregate tier), session_start =
+        start.ts, session_end = ts + gap.
+
+    Two WindowExecs, one exchange, one sort — identical to gap-island
+    up to the window stage, nothing after it but a filter.  The
+    difference-of-prefix-sums float error is ≤ ~1e-11 at 1e5-row key
+    prefixes of 2-decimal data — absorbed by the suite's epsilon-bias
+    rounding (`fpround.r4`, 1e-9).
+
+    ``agg_specs``: (op, col, alias) with op ∈ {"count", "sum",
+    "avg"}; col None (or "*") for count(*).  min/max are not
+    prefix-differenceable — use :func:`session` with Column aggs.
+    """
+    ops = {s[0] for s in agg_specs}
+    bad = ops - {"count", "sum", "avg"}
+    if bad:
+        raise ValueError(
+            f"session_prefix supports count/sum/avg, got {sorted(bad)} — "
+            "pass Column aggs to session() for other aggregates"
+        )
+    w = Window.partitionBy(*keys).orderBy(ts)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros(
+        F.timestamp_seconds(F.lit(0)) + F.expr(f"INTERVAL {gap}")
+    )
+    us = F.unix_micros(F.col(ts))
+    prev = F.lag(F.col(ts)).over(w)
+    nxt = F.lead(F.col(ts)).over(w)
+    new_s = F.when(
+        prev.isNull() | (us - F.unix_micros(prev) > gap_us), 1
+    ).otherwise(0)
+    is_last = nxt.isNull() | (F.unix_micros(nxt) - us > gap_us)
+
+    val_cols: list[str] = []
+    for op, col, _alias in agg_specs:
+        if op in ("sum", "avg") and col is None:
+            raise ValueError(f"{op} needs a column")
+        if col not in (None, "*") and col not in val_cols:
+            val_cols.append(col)
+
+    base = df.withColumn("_rn", F.row_number().over(w))
+    base = base.withColumn("_new_s", new_s).withColumn("_is_last", is_last)
+    for i, c in enumerate(val_cols):
+        base = base.withColumn(
+            f"_rs{i}", F.sum(F.coalesce(F.col(c), F.lit(0))).over(run)
+        ).withColumn(f"_rc{i}", F.count(F.col(c)).over(run))
+
+    start_fields = [F.col("_rn").alias("rn"), F.col(ts).alias("st")]
+    for i, c in enumerate(val_cols):
+        start_fields.append(
+            (F.col(f"_rs{i}") - F.coalesce(F.col(c), F.lit(0))).alias(f"bs{i}")
+        )
+        start_fields.append(
+            (
+                F.col(f"_rc{i}")
+                - F.when(F.col(c).isNotNull(), 1).otherwise(0)
+            ).alias(f"bc{i}")
+        )
+    start = F.max(
+        F.when(F.col("_new_s") == 1, F.struct(*start_fields))
+    ).over(run)
+
+    last = base.withColumn("_st", start).filter(F.col("_is_last"))
+    n_rows = F.col("_rn") - F.col("_st.rn") + F.lit(1)
+    out_cols = [
+        F.col("_st.st").alias("session_start"),
+        (F.col(ts) + F.expr(f"INTERVAL {gap}")).alias("session_end"),
+        *[F.col(k) for k in keys],
+    ]
+    for op, col, alias in agg_specs:
+        if op == "count" and col in (None, "*"):
+            out_cols.append(n_rows.alias(alias))
+            continue
+        i = val_cols.index(col)
+        if op == "count":
+            # count(col): non-null count difference
+            out_cols.append(
+                (F.col(f"_rc{i}") - F.col(f"_st.bc{i}")).alias(alias)
+            )
+            continue
+        nn = F.col(f"_rc{i}") - F.col(f"_st.bc{i}")
+        diff = F.col(f"_rs{i}") - F.col(f"_st.bs{i}")
+        if op == "sum":
+            out_cols.append(F.when(nn > 0, diff).alias(alias))
+        else:  # avg
+            out_cols.append(F.when(nn > 0, diff / nn).alias(alias))
+    return last.select(*out_cols)
 
 
 def sort_topk(

@@ -46,10 +46,12 @@ from . import sources_suite  # noqa: E402,F401
 # scan-tier rows), and the QL builder's `_plan_hints` grew the
 # strict whole-body parse / `_equi_pairs` grew paren-balance
 # rejection / `run_app` grew the `plan_stats` door (→ the
-# @plan-carrying QL rows and the join-door `siddhiql_join`);
-# (5) the r10-stale backlog in registry order — 1 of the 40 fits
-# (`filter_project`).  After this window: never-checked = 0,
-# r9-stale = 0, r10-stale = 39, max staleness = 5.
+# @plan-carrying QL rows and the join-door `siddhiql_join`), and
+# `window_session` routes through the new PREFIX-SUM session tier
+# (`operators/windows.py::session_prefix` — the ×1000 gate recovery;
+# it displaced the one r10-stale filler this window had room for).
+# After this window: never-checked = 0, r9-stale = 0, r10-stale =
+# 40, max staleness = 5.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
     # (2) the forty r9-stale rows (oldest ledger tail)
@@ -104,8 +106,7 @@ _FRONT_NAMES = (
     "siddhiql_absence_auto",
     "siddhiql_streaming_join_bucket",
     "siddhiql_join",
-    # (5) r10-stale backlog, registry order (1 of 40)
-    "filter_project",
+    "window_session",
 )
 
 # (Archive) Round-14 rotation as executed: (1) no r13 reds; (2) the
@@ -120,8 +121,8 @@ _FRONT_NAMES = (
 _R3_MODULES: tuple[str, ...] = ()
 
 # Round-16 rotation, pre-staged: lead with any r15 reds, then the
-# THIRTY-NINE remaining r10-stale rows this window displaced, in
-# registry order (named_window_fanout, agg_basic,
+# FORTY remaining r10-stale rows this window displaced, in
+# registry order (filter_project, named_window_fanout, agg_basic,
 # agg_forever_extrema, agg_unionset, agg_bool,
 # agg_having_orderby_limit, agg_multikey, agg_rollup_cube, tpch_q1,
 # agg_group_concat, tpch_q6, tpch_q3, tpch_q5, agg_udaf_custom,

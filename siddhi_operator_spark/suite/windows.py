@@ -195,22 +195,33 @@ def window_lengthbatch(spark: SparkSession, sf: str) -> DataFrame:
     tags=("window", "session"),
 )
 def window_session(spark: SparkSession, sf: str) -> DataFrame:
-    """`session(30 min, user_id)` (`SessionWindowProcessor.java`) via
-    native `session_window` — works identically in batch and streaming.
+    """`session(30 min, user_id)` (`SessionWindowProcessor.java`).
     Oracle reconstructs sessions with lag+cumsum (events merge when the
-    gap is < 30 min; session_end = last event + gap)."""
+    gap is < 30 min; session_end = last event + gap).
+
+    r15: the structured (op, col, alias) agg form routes through the
+    PREFIX-SUM tier (`operators/windows.py::session_prefix`) — two
+    window passes, zero aggregate operators; the ×1000 profile showed
+    the gap-island tier's partial+final HashAggregate pair was +8.7 s
+    of a 24 s wall at ~45 M (key, session) groups.  Row-identity vs
+    the Column-aggs tier is pinned by
+    `tests/test_operators_batch.py::test_session_prefix_tier_matches_agg_tier`;
+    this row keeps the tier under the DuckDB value-hash gate."""
     e = load(spark, sf, "events")
     out = W.session(
         e,
         "ts",
         "30 minutes",
         keys=["user_id"],
-        aggs=[
-            F.count(F.lit(1)).alias("n"),
-            r4(F.sum("value"), 4).alias("sum_value"),
-        ],
+        aggs=[("count", None, "n"), ("sum", "value", "sv_raw")],
     )
-    return out.select("user_id", "session_start", "session_end", "n", "sum_value")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n",
+        r4(F.col("sv_raw"), 4).alias("sum_value"),
+    )
 
 
 @register(

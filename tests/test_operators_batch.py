@@ -864,3 +864,75 @@ def test_derived_pick_memo_stats_and_guards(spark):
             rate, rate, "ts", "ts", keys, within_seconds=10,
             watermark="1 minute", bucket="auto",
         )
+
+
+def test_session_prefix_tier_matches_agg_tier(spark):
+    """r15: structured (op, col, alias) aggs route session() through
+    the prefix-sum tier (zero aggregate operators — the x1000 profile
+    attributed ~36% of the wall to a redundant partial+final hash
+    agg). Must be row-identical to the Column-aggs gap-island tier on
+    adversarial data: negative values (a running-sum max would pick a
+    wrong start), NULL values (null-exact sums), equal timestamps,
+    single-event sessions, and multiple keys."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for uid in range(1, 20):
+        t = 1700000000
+        for _ in range(rng.randint(1, 60)):
+            t += rng.choice([1, 5, 30, 100, 2000, 0])  # 0 = equal ts ties
+            v = rng.choice([None, -5.25, 3.5, 100.0, -0.125])
+            rows.append((eid, t, uid, v))
+            eid += 1
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, tsec long, user_id long, value double"
+        )
+        .withColumn("ts", F.timestamp_seconds(F.col("tsec")))
+        .drop("tsec")
+    )
+    a = W.session(
+        df, "ts", "10 minutes", keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.avg("value").alias("av"),
+            F.count("value").alias("nv"),
+        ],
+    )
+    b = W.session(
+        df, "ts", "10 minutes", keys=["user_id"],
+        aggs=[
+            ("count", None, "n"),
+            ("sum", "value", "sv"),
+            ("avg", "value", "av"),
+            ("count", "value", "nv"),
+        ],
+    )
+    assert a.columns == b.columns
+    ra = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n,
+         None if r.sv is None else round(r.sv, 9),
+         None if r.av is None else round(r.av, 9), r.nv)
+        for r in a.collect()
+    )
+    rb = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n,
+         None if r.sv is None else round(r.sv, 9),
+         None if r.av is None else round(r.av, 9), r.nv)
+        for r in b.collect()
+    )
+    assert ra == rb
+    # the prefix plan must carry NO aggregate operator
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert plan.count("Window") >= 1
+    # unsupported ops raise with a pointer
+    import pytest as _pt
+    with _pt.raises(ValueError, match="count/sum/avg"):
+        W.session(
+            df, "ts", "10 minutes", keys=["user_id"],
+            aggs=[("min", "value", "mn")],
+        )
