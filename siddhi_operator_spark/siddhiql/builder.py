@@ -178,8 +178,6 @@ def _apply_window_groupby(
         extra = ["window_start"]
     elif kind == "session":
         dur = _duration_str(win.args[0])
-        df = df.withColumn("session_w", F.session_window(ts_col, dur))
-        extra = ["session_w"]
         if len(win.args) > 1:
             # session(gap, key): the key argument IS the partition —
             # no explicit `group by` required (reference session
@@ -187,6 +185,53 @@ def _apply_window_groupby(
             skey = win.args[1].strip("'\" ")
             if skey not in q.group_by:
                 q.group_by = [skey] + q.group_by
+        if df.isStreaming:
+            # streaming keeps native session_window — it is what makes
+            # incremental stateful session merging possible
+            df = df.withColumn("session_w", F.session_window(ts_col, dur))
+            extra = ["session_w"]
+        else:
+            # batch: gap-island session ids (r15) — native
+            # session_window measured 1.52× worse at ×1000 on Spark
+            # 4.1.2 (SCALEBENCH r14), and its merge is strict (`gap <
+            # dur`) where the reference merges boundary-touching
+            # events (`gap <= dur`) like the lag formulation here;
+            # bounds come back as min(ts) / max(ts)+gap aggregates in
+            # the group-by tail (`_run_single`), output identical.
+            w = (
+                Window.partitionBy(*q.group_by)
+                if q.group_by
+                else Window.partitionBy(F.lit(1))
+            ).orderBy(ts_col)
+            gap_us = F.unix_micros(
+                F.timestamp_seconds(F.lit(0)) + F.expr(f"INTERVAL {dur}")
+            )
+            prev = F.lag(F.col(ts_col)).over(w)
+            df = (
+                df.withColumn(
+                    "_new_s",
+                    F.when(
+                        prev.isNull()
+                        | (
+                            F.unix_micros(F.col(ts_col))
+                            - F.unix_micros(prev)
+                            > gap_us
+                        ),
+                        1,
+                    ).otherwise(0),
+                )
+                .withColumn(
+                    "_sid",
+                    F.sum("_new_s").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                )
+                .withColumn(
+                    "_sess_end", F.col(ts_col) + F.expr(f"INTERVAL {dur}")
+                )
+                .drop("_new_s")
+            )
+            extra = ["_sid"]
     elif kind == "delay":
         df = df.withColumn(
             ts_col, F.col(ts_col) + F.expr(f"INTERVAL {_duration_str(win.args[0])}")
@@ -743,6 +788,14 @@ def _run_single(
             (i, it) for i, it in enumerate(q.select) if _AGG_RE.search(it.expr)
         ]
         aggs = [F.expr(it.expr).alias(_auto_alias(it, i)) for i, it in agg_items]
+        if "_sid" in extra:
+            # gap-island batch session: bounds are aggregates over the
+            # island (min event / max event + gap), not a group column
+            aggs = [
+                F.min(ts_col).alias("session_start"),
+                F.max("_sess_end").alias("session_end"),
+                *aggs,
+            ]
         out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
         order = []
         for i, it in enumerate(q.select):
@@ -751,11 +804,17 @@ def _run_single(
         # a partition instance's identity (its key) is part of its
         # emission in the reference
         missing_keys = [k for k in q.group_by if k not in order]
-        keep = [c for c in (extra + missing_keys + order) if c != "session_w"]
+        keep = [
+            c
+            for c in (extra + missing_keys + order)
+            if c not in ("session_w", "_sid")
+        ]
         if "session_w" in extra:
             out = out.withColumn("session_start", F.col("session_w.start")).withColumn(
                 "session_end", F.col("session_w.end")
             )
+            keep = ["session_start", "session_end"] + order
+        elif "_sid" in extra:
             keep = ["session_start", "session_end"] + order
         return out.select(*keep)
     if q.select:

@@ -48,10 +48,16 @@ from . import sources_suite  # noqa: E402,F401
 # rejection / `run_app` grew the `plan_stats` door (→ the
 # @plan-carrying QL rows and the join-door `siddhiql_join`), and
 # `window_session` routes through the new PREFIX-SUM session tier
-# (`operators/windows.py::session_prefix` — the ×1000 gate recovery;
-# it displaced the one r10-stale filler this window had room for).
-# After this window: never-checked = 0, r9-stale = 0, r10-stale =
-# 40, max staleness = 5.
+# (`operators/windows.py::session_prefix` — the ×1000 gate recovery)
+# and `siddhiql_session_window` is NEW (the batch QL session door,
+# previously oracle-less, now on gap-island ids).  These displaced
+# the one r10-stale filler this window had room for AND
+# `siddhiql_join` (newest-checked r14 row in the window; its r15
+# changed lines — the `_plan_hints` strict parse and the
+# `plan_stats` door — are executed by four other window rows and
+# `siddhiql_plan_stats_pinned` respectively).  After this window:
+# never-checked = 0, r9-stale = 0, r10-stale = 40, max staleness
+# = 5.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
     # (2) the forty r9-stale rows (oldest ledger tail)
@@ -105,8 +111,8 @@ _FRONT_NAMES = (
     "siddhiql_join_windowed_auto",
     "siddhiql_absence_auto",
     "siddhiql_streaming_join_bucket",
-    "siddhiql_join",
     "window_session",
+    "siddhiql_session_window",
 )
 
 # (Archive) Round-14 rotation as executed: (1) no r13 reds; (2) the

@@ -1471,3 +1471,50 @@ def siddhiql_plan_stats_pinned(spark: SparkSession, sf: str) -> DataFrame:
         pattern_key="user_id",
         plan_stats={"conv": (10_000_000, 1_000)},
     )["Conversions"]
+
+
+@register(
+    "siddhiql_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT min(ts)                          AS session_start,
+           max(ts) + INTERVAL 30 MINUTES    AS session_end,
+           user_id,
+           count(*)                         AS n,
+           round(1e-9 + sum(value), 4)      AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("siddhiql", "window", "session"),
+)
+def siddhiql_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: `#window.session(gap, key)` through the BATCH QL runner —
+    previously the only batch session door with no oracle row, and it
+    ran native `session_window` (measured 1.52× slower than gap-island
+    at ×1000, SCALEBENCH r14, with a strict-gap merge where the
+    reference merges boundary-touching events).  The runner now routes
+    batch session windows through the gap-island island ids
+    (`builder.py::_apply_window_groupby`), bounds re-derived as
+    min/max aggregates; streaming keeps native `session_window` (the
+    incremental-merge requirement).  Same oracle as `window_session`
+    with the bounds leading (the runner's output column order)."""
+    app = (
+        _EVENTS_DEF
+        + """
+    from events#window.session(30 min, user_id)
+    select user_id, count() as n, round(1e-9 + sum(value), 4) as sum_value
+    insert into Sessions;
+    """
+    )
+    return run_app(app, {"events": load(spark, sf, "events")})["Sessions"]
