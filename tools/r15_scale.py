@@ -153,19 +153,21 @@ def session_conf_ab(confs: dict[str, str]) -> None:
     )
 
 
-def session_prefix_ab() -> None:
+def session_prefix_ab(path: str = X1000, reps: int = 3) -> None:
     """Gap-island (hash-agg) vs prefix-sum session tier at ×1000 —
     the r15 candidate recovery for the gate miss: the profile leg
     attributed +8.7 s of the 24 s wall to the redundant
     partial+final HashAggregate; the prefix tier deletes it.
     Alternating a,p,p,a,a,p in one fresh process + a row-count and
-    sample-equality cross-check."""
+    sample-equality cross-check.  ``path`` overrides the fixture
+    (the ×10000 leg passes the 1 B-event dir); ``reps`` trims the
+    alternation for the decade leg."""
     from pyspark.sql import functions as F
 
     from siddhi_operator_spark.operators.windows import session
 
     spark = _spark()
-    ev = spark.read.parquet(X1000).select("user_id", "ts", "value")
+    ev = spark.read.parquet(path).select("user_id", "ts", "value")
     ev.write.format("noop").mode("overwrite").save()
 
     def agg_arm():
@@ -180,8 +182,9 @@ def session_prefix_ab() -> None:
             aggs=[("count", None, "n"), ("sum", "value", "sv")],
         )
 
-    ca, cp = agg_arm().count(), prefix_arm().count()
-    print(f"counts: agg={ca} prefix={cp} equal={ca == cp}", flush=True)
+    if reps >= 3:
+        ca, cp = agg_arm().count(), prefix_arm().count()
+        print(f"counts: agg={ca} prefix={cp} equal={ca == cp}", flush=True)
     # value-level spot check on a deterministic key slice — sums
     # compared at 6 dp: difference-of-prefix-sums deviates from the
     # direct sum in the last float bits (measured max 4.4e-13 on this
@@ -193,10 +196,12 @@ def session_prefix_ab() -> None:
             for r in df.filter("user_id % 100000 = 7").collect()
         )
 
-    sa, sp = slc(agg_arm()), slc(prefix_arm())
-    print(f"slice rows: {len(sa)} identical@6dp={sa == sp}", flush=True)
+    if reps >= 3:
+        sa, sp = slc(agg_arm()), slc(prefix_arm())
+        print(f"slice rows: {len(sa)} identical@6dp={sa == sp}", flush=True)
     walls = {"a": [], "p": []}
-    for tag in ("a", "p", "p", "a", "a", "p"):
+    plan = ("a", "p", "p", "a", "a", "p")[: 2 * reps]
+    for tag in plan:
         walls[tag].append(_noop(agg_arm() if tag == "a" else prefix_arm()))
         print(f"{tag}[{len(walls[tag])-1}]: {walls[tag][-1]:.1f}s", flush=True)
     ma, mp = statistics.median(walls["a"]), statistics.median(walls["p"])
@@ -218,7 +223,9 @@ def main() -> None:
         session_conf_ab(kvs)
         return
     if leg == "session_prefix_ab":
-        session_prefix_ab()
+        path = sys.argv[2] if len(sys.argv) > 2 else X1000
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        session_prefix_ab(path, reps)
         return
     raise SystemExit(f"unknown leg {leg!r}")
 
