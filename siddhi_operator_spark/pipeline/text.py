@@ -647,3 +647,106 @@ def refold_dropped_lines(base: DataFrame, drops: DataFrame) -> DataFrame:
         F.size("_drop").cast("long").alias("n_removed"),
         F.concat_ws("\n", kept).alias("text_clean"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 3,
+    passes: int = 3,
+) -> DataFrame:
+    """BPE tokenizer TRAINING — learn the first ``merges`` byte-pair
+    merges from a corpus (the missing half of the tokenizer story:
+    :func:`pretokenize_stats` counts with a FIXED vocab; a training
+    pipeline also has to BUILD one from its own bytes).
+
+    Classic BPE (Sennrich et al. 2016, public alg.): start from
+    characters, repeatedly (1) count adjacent token pairs across the
+    corpus, (2) merge the most frequent pair, K times.  The Spark
+    shape is the iterative-algorithm pattern (same class as
+    `operators/ml.py` kmeans): the WORD-FREQUENCY table is the state
+    — vocabulary-bounded, NOT corpus-bounded, so at 100 TB the loop
+    aggregates the corpus once into |vocab| rows and iterates on
+    that — and each merge round is ONE keyed aggregation (explode
+    adjacent pairs weighted by word count → sum → 1-row argmax) plus
+    a per-row string rewrite.  K driver-side 1-row `.first()` reads,
+    K fixed and data-independent (the adjudicated exception class —
+    same as the derived regime picks).
+
+    Determinism: words are lowercase ASCII letter runs; the argmax
+    tie-break is (count DESC, left ASC, right ASC); merge application
+    is non-overlapping left-to-right `replace` on a '|'-separator
+    encoding, applied ``passes`` times (a single pass misses
+    same-pair runs that share a separator — ' a a a a ' leaves
+    ' aa a a ' — so the bounded fix-point covers runs ≤ 2^passes;
+    the DuckDB oracle unrolls the SAME replace chain, so the two
+    engines agree by construction even on that corner).
+
+    Returns (merge_rank, left_tok, right_tok, pair_count) — one row
+    per learned merge, rank 1-based in learn order."""
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # '|h|e|l|l|o|' — every token wrapped in separators so a merge is
+    # one literal replace of '|a|b|' with '|ab|'
+    enc = words.select(
+        F.concat(
+            F.lit("|"), F.regexp_replace(F.col("w"), "(.)", "$1|")
+        ).alias("toks"),
+        "cnt",
+    )
+    # the word-frequency state is small (vocab-bounded) and hit K+1
+    # times — persist it once
+    enc = enc.persist()
+    learned: list[tuple[int, str, str, int]] = []
+    cur = enc
+    for rank in range(1, merges + 1):
+        pairs = (
+            cur.select(
+                F.expr(
+                    "filter(split(toks, '\\\\|'), x -> x != '')"
+                ).alias("t"),
+                "cnt",
+            )
+            # guard: Spark sequence(1, 0) steps DOWNWARD ([1, 0]) —
+            # single-char words must contribute no pairs
+            .filter(F.size("t") > 1)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), i -> "
+                        "struct(element_at(t, i) AS a, "
+                        "element_at(t, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.desc("c"), F.asc("a"), F.asc("b")
+        ).first()
+        if best is None:
+            break
+        a, b, c = best["a"], best["b"], int(best["c"])
+        learned.append((rank, a, b, c))
+        col = F.col("toks")
+        for _ in range(passes):
+            col = F.replace(
+                col, F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+            )
+        cur = cur.select(col.alias("toks"), "cnt")
+    enc.unpersist()
+    return spark.createDataFrame(
+        learned,
+        "merge_rank int, left_tok string, right_tok string, pair_count bigint",
+    )

@@ -48,9 +48,14 @@ from . import sources_suite  # noqa: E402,F401
 # rejection / `run_app` grew the `plan_stats` door (→ the
 # @plan-carrying QL rows and the join-door `siddhiql_join`), and
 # `window_session` routes through the new PREFIX-SUM session tier
-# (`operators/windows.py::session_prefix` — the ×1000 gate recovery)
-# and `siddhiql_session_window` is NEW (the batch QL session door,
-# previously oracle-less, now on gap-island ids).  These displaced
+# (`operators/windows.py::session_prefix` — the ×1000 gate recovery),
+# `siddhiql_session_window` is NEW (the batch QL session door,
+# previously oracle-less, now on gap-island ids), and
+# `text_bpe_train` is NEW (BPE tokenizer training — the iterative
+# vocab-state fold; it displaced `pattern_absence_scan`, r14-checked,
+# whose r15 code change — the NULL-key probe filter — is covered by
+# the NEW null-heavy absence-scan row `pattern_scan_null_keys` in
+# this same window).  These displaced
 # the one r10-stale filler this window had room for AND
 # `siddhiql_join` (newest-checked r14 row in the window; its r15
 # changed lines — the `_plan_hints` strict parse and the
@@ -104,9 +109,9 @@ _FRONT_NAMES = (
     # (3) new in r15 — never checked
     "siddhiql_plan_stats_pinned",
     "pattern_scan_null_keys",
+    "text_bpe_train",
     # (4) executed code changed in r15
     "pattern_followed_by_scan",
-    "pattern_absence_scan",
     "siddhiql_pattern_auto",
     "siddhiql_join_windowed_auto",
     "siddhiql_absence_auto",

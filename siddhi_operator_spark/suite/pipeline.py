@@ -2576,3 +2576,64 @@ def similarity_mips_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         F.count("an").alias("n_hit"),
         r4(F.count("an") / F.lit(3.0), 4).alias("recall_at_3"),
     )
+
+
+_BPE_STAGE = """
+p{i} AS (
+  SELECT t[i] AS a, t[i+1] AS b, sum(cnt) AS c
+  FROM (SELECT list_filter(string_split(toks, '|'), x -> x <> '') AS t, cnt
+        FROM enc{i}) s,
+       UNNEST(generate_series(1, len(s.t) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+enc{j} AS (
+  SELECT replace(replace(replace(toks,
+           (SELECT '|'||a||'|'||b||'|' FROM m{i}),
+           (SELECT '|'||a||b||'|' FROM m{i})),
+           (SELECT '|'||a||'|'||b||'|' FROM m{i}),
+           (SELECT '|'||a||b||'|' FROM m{i})),
+           (SELECT '|'||a||'|'||b||'|' FROM m{i}),
+           (SELECT '|'||a||b||'|' FROM m{i})) AS toks,
+         cnt
+  FROM enc{i}
+)"""
+
+
+@register(
+    "text_bpe_train",
+    oracle="""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    enc0 AS (
+      SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS toks, cnt
+      FROM words
+    ),"""
+    + ",".join(_BPE_STAGE.format(i=i, j=i + 1) for i in range(3))
+    + """
+    SELECT * FROM (
+      SELECT 1 AS merge_rank, a AS left_tok, b AS right_tok,
+             CAST(c AS BIGINT) AS pair_count FROM m0
+      UNION ALL SELECT 2, a, b, CAST(c AS BIGINT) FROM m1
+      UNION ALL SELECT 3, a, b, CAST(c AS BIGINT) FROM m2
+    ) ORDER BY merge_rank
+    """,
+    tags=("pipeline", "text", "bpe", "iterative"),
+)
+def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: BPE tokenizer TRAINING (Sennrich et al. 2016) — learn the
+    first 3 merges from the documents corpus.  The iterative-algorithm
+    pattern at 100 TB scale: the corpus folds ONCE into a
+    vocabulary-bounded word-frequency state table; each merge round is
+    one keyed aggregation over that state (explode adjacent pairs
+    weighted by word count) plus a 1-row argmax read and a per-row
+    string rewrite — K fixed driver reads, zero corpus-sized loops.
+    The oracle unrolls the same three stages (pair count → argmax with
+    the (count DESC, left, right) tie-break → bounded-fixpoint replace
+    chain), so both engines execute identical merge semantics by
+    construction (`pipeline/text.py::bpe_train`)."""
+    return X.bpe_train(load(spark, sf, "documents"))

@@ -1837,3 +1837,38 @@ def test_ivfpq_probe_geometry_guard(spark, tmp_path):
         )
     )
     assert free == chunked and free
+
+
+def test_bpe_train_known_merges(spark):
+    """r15: the BPE trainer learns the textbook merge sequence on a
+    corpus with a known pair distribution, applies merges
+    left-to-right (same-pair runs via the bounded fix-point), breaks
+    count ties lexicographically, and contributes no pairs from
+    single-char words."""
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.pipeline.text import bpe_train
+
+    rows = [
+        # 'erer' x3 -> pair (e,r) dominates (2 per word = 6);
+        # after merging to '|er|er|', (er, er) counts 3
+        (1, "erer erer erer"),
+        # tie-break fodder: (a,b) and (a,c) both occur twice -> after
+        # (e,r) and (er,er), the lexicographically smaller (a,b) wins
+        (2, "ab ab ac ac"),
+        # single-char words must contribute nothing
+        (3, "a a a a a a a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(map(tuple, bpe_train(df, merges=3).collect()))
+    assert out == [
+        (1, "e", "r", 6),
+        (2, "er", "er", 3),
+        (3, "a", "b", 2),
+    ]
+    # same-pair run: 'aaaa' has pairs (a,a) x3; one merge pass leaves
+    # '|aa|a|a|' but the bounded fix-point folds it to '|aa|aa|' —
+    # the SECOND merge must therefore see (aa, aa), not (aa, a)
+    df2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    out2 = sorted(map(tuple, bpe_train(df2, merges=2).collect()))
+    assert out2 == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
