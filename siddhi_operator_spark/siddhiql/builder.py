@@ -589,6 +589,71 @@ def _normalize_expr_group_keys(df: DataFrame, q: QueryDef) -> DataFrame:
     return df
 
 
+def _try_session_prefix(
+    df: DataFrame, q: QueryDef, win, ts_col: str
+) -> DataFrame | None:
+    """Route a batch QL session query onto the PREFIX-SUM tier
+    (`operators/windows.py::session_prefix` — zero aggregate
+    operators, the r15 ×1000 gate recovery) when every aggregate in
+    the select is count()/sum(x)/avg(x), optionally inside the
+    suite's epsilon-bias rounding wrapper `round(1e-9 + agg, n)`
+    (re-applied post-tier).  Any other shape returns None and the
+    caller falls back to gap-island ids + hash aggregate — never a
+    behavior change, only a plan change (row-identity pinned by the
+    `siddhiql_session_window` oracle row and the operator-tier parity
+    test)."""
+    dur = _duration_str(win.args[0])
+    group_by = list(q.group_by)
+    if len(win.args) > 1:
+        skey = win.args[1].strip("'\" ")
+        if skey not in group_by:
+            group_by = [skey] + group_by
+    specs: list[tuple] = []
+    posts: dict[str, tuple[str, int]] = {}
+    order: list[str] = []
+    for i, it in enumerate(q.select):
+        alias = _auto_alias(it, i)
+        e = it.expr.strip()
+        if not _AGG_RE.search(e):
+            if e not in group_by:
+                return None
+            order.append(e)
+            continue
+        if re.fullmatch(r"count\(\s*\*?\s*\)", e):
+            specs.append(("count", None, alias))
+            order.append(alias)
+            continue
+        m = re.fullmatch(r"(sum|avg)\(\s*(\w+)\s*\)", e)
+        if m:
+            specs.append((m.group(1), m.group(2), alias))
+            order.append(alias)
+            continue
+        m = re.fullmatch(
+            r"round\(\s*1e-9\s*\+\s*(sum|avg)\(\s*(\w+)\s*\)\s*,\s*(\d+)\s*\)",
+            e,
+        )
+        if m:
+            raw = f"__raw_{alias}"
+            specs.append((m.group(1), m.group(2), raw))
+            posts[alias] = (raw, int(m.group(3)))
+            order.append(alias)
+            continue
+        return None
+    if not specs:
+        return None
+    from ..operators.windows import session as _session_op
+
+    out = _session_op(df, ts_col, dur, keys=group_by, aggs=specs)
+    cols = [F.col("session_start"), F.col("session_end")]
+    for name in order:
+        if name in posts:
+            raw, nd = posts[name]
+            cols.append(F.round(F.lit(1e-9) + F.col(raw), nd).alias(name))
+        else:
+            cols.append(F.col(name))
+    return out.select(*cols)
+
+
 def _run_single(
     df: DataFrame, q: QueryDef, inp: SingleInput, ts_col: str, id_col: str
 ) -> DataFrame:
@@ -597,6 +662,11 @@ def _run_single(
     df = _normalize_expr_group_keys(df, q)
     win = inp.window
     has_agg = any(_AGG_RE.search(it.expr) for it in q.select)
+
+    if win and win.kind == "session" and has_agg and not df.isStreaming:
+        routed = _try_session_prefix(df, q, win, ts_col)
+        if routed is not None:
+            return routed
 
     if win and (
         ":" in win.kind

@@ -2540,3 +2540,42 @@ def test_equi_pairs_paren_and_quote_balance():
     assert _equi_pairs(
         "a.k = b.k and a.j = b.j", "a", "b"
     ) == [("k", "k"), ("j", "j")]
+
+
+def test_ql_session_prefix_routing(spark):
+    """r15: batch QL session queries whose aggregates are
+    count/sum/avg (incl. the suite's round(1e-9 + agg, n) wrapper)
+    plan through the prefix-sum tier — NO aggregate operator; shapes
+    the tier cannot express (min/max) fall back to gap-island ids +
+    hash aggregate with identical rows; streaming is untouched."""
+    from siddhi_operator_spark.catalog import load
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    defs = """
+    define stream events (event_id long, ts string, user_id long,
+                          event_type string, value double);
+    """
+    prefix_app = defs + """
+    from events#window.session(30 min, user_id)
+    select user_id, count() as n, round(1e-9 + sum(value), 4) as sum_value
+    insert into Sessions;
+    """
+    fallback_app = defs + """
+    from events#window.session(30 min, user_id)
+    select user_id, count() as n, min(value) as mn
+    insert into Sessions;
+    """
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    a = run_app(prefix_app, {"events": e})["Sessions"]
+    assert "HashAggregate" not in plan_of(a)
+    assert a.columns == ["session_start", "session_end", "user_id", "n", "sum_value"]
+    b = run_app(fallback_app, {"events": e})["Sessions"]
+    assert "HashAggregate" in plan_of(b)
+    assert b.columns == ["session_start", "session_end", "user_id", "n", "mn"]
+    # (key, bounds, n) agree between the two routings
+    ka = sorted((r.user_id, r.session_start, r.session_end, r.n) for r in a.collect())
+    kb = sorted((r.user_id, r.session_start, r.session_end, r.n) for r in b.collect())
+    assert ka == kb
