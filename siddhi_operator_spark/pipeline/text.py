@@ -750,3 +750,36 @@ def bpe_train(
         learned,
         "merge_rank int, left_tok string, right_tok string, pair_count bigint",
     )
+
+
+def bpe_encode_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    passes: int = 3,
+) -> DataFrame:
+    """BPE ENCODE with a learned merge table → per-document REAL
+    token counts (closing the tokenizer loop: :func:`bpe_train`
+    learns the merges, this applies them — the per-doc count a
+    packing/budgeting pipeline needs is the post-merge one, which the
+    chars/4 proxy and the fixed-vocab pre-tokenizer both misestimate).
+
+    Single in-row expression per document — zero shuffle at any
+    corpus size: the document's words are '|'-encoded in place
+    (words separated by a space TOKEN, which no letter-only merge
+    pair can ever match across), each merge is the same
+    bounded-fixpoint separator replace as training, and the count is
+    the number of letter segments left.  ``merges`` is the tiny
+    driver-side list collected from :func:`bpe_train`'s output —
+    vocab-bounded, never corpus-bounded."""
+    s = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "))
+    toks = F.concat(F.lit("|"), F.regexp_replace(s, "(.)", "$1|"))
+    for a, b in merges:
+        for _ in range(passes):
+            toks = F.replace(toks, F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|"))
+    n = F.size(
+        F.filter(
+            F.split(toks, r"\|"), lambda x: x.rlike("^[a-z]+$")
+        )
+    )
+    return df.select("doc_id", n.alias("n_bpe_tokens"))

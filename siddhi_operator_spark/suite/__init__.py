@@ -51,11 +51,14 @@ from . import sources_suite  # noqa: E402,F401
 # (`operators/windows.py::session_prefix` — the ×1000 gate recovery),
 # `siddhiql_session_window` is NEW (the batch QL session door,
 # previously oracle-less, now on gap-island ids), and
-# `text_bpe_train` is NEW (BPE tokenizer training — the iterative
-# vocab-state fold; it displaced `pattern_absence_scan`, r14-checked,
-# whose r15 code change — the NULL-key probe filter — is covered by
-# the NEW null-heavy absence-scan row `pattern_scan_null_keys` in
-# this same window).  These displaced
+# `text_bpe_train` + `text_bpe_encode` are NEW (BPE tokenizer
+# training — the iterative vocab-state fold — and encoding with the
+# learned merges; they displaced `pattern_absence_scan` and
+# `pattern_followed_by_scan`, both r14-checked, whose r15 code
+# change — the NULL-key probe filter in `_nearest_probe_scan` — is
+# covered by the NEW null-heavy scan row `pattern_scan_null_keys`
+# in this same window plus the tier-parity unit tests).  These
+# displaced
 # the one r10-stale filler this window had room for AND
 # `siddhiql_join` (newest-checked r14 row in the window; its r15
 # changed lines — the `_plan_hints` strict parse and the
@@ -110,8 +113,8 @@ _FRONT_NAMES = (
     "siddhiql_plan_stats_pinned",
     "pattern_scan_null_keys",
     "text_bpe_train",
+    "text_bpe_encode",
     # (4) executed code changed in r15
-    "pattern_followed_by_scan",
     "siddhiql_pattern_auto",
     "siddhiql_join_windowed_auto",
     "siddhiql_absence_auto",

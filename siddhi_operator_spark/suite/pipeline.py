@@ -2637,3 +2637,66 @@ def text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     chain), so both engines execute identical merge semantics by
     construction (`pipeline/text.py::bpe_train`)."""
     return X.bpe_train(load(spark, sf, "documents"))
+
+
+_BPE_APPLY = """d{j} AS (
+  SELECT doc_id, replace(replace(replace(toks,
+           (SELECT '|'||a||'|'||b||'|' FROM m{i}),
+           (SELECT '|'||a||b||'|' FROM m{i})),
+           (SELECT '|'||a||'|'||b||'|' FROM m{i}),
+           (SELECT '|'||a||b||'|' FROM m{i})),
+           (SELECT '|'||a||'|'||b||'|' FROM m{i}),
+           (SELECT '|'||a||b||'|' FROM m{i})) AS toks
+  FROM d{i}
+)"""
+
+
+@register(
+    "text_bpe_encode",
+    oracle="""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    enc0 AS (
+      SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS toks, cnt
+      FROM words
+    ),"""
+    + ",".join(_BPE_STAGE.format(i=i, j=i + 1) for i in range(3))
+    + """,
+    d0 AS (
+      SELECT doc_id,
+             '|' || regexp_replace(
+                 trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                 '(.)', '\\1|', 'g') AS toks
+      FROM documents
+    ),"""
+    + ",".join(_BPE_APPLY.format(i=i, j=i + 1) for i in range(3))
+    + """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(toks, '|'),
+                                x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM d3
+    """,
+    tags=("pipeline", "text", "bpe"),
+)
+def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: BPE ENCODE with the corpus's own learned merges → per-doc
+    REAL token counts (the number a packing/budgeting pipeline needs;
+    chars/4 and the fixed-vocab pre-tokenizer both misestimate it).
+    Train (3 merges, driver-side tiny collect) then count via ONE
+    in-row expression per document — zero shuffle at any corpus
+    size; words separated by a space TOKEN no letter-only merge can
+    cross.  The oracle re-derives the same merges and unrolls the
+    same replace chain (`pipeline/text.py::bpe_encode_count`)."""
+    docs = load(spark, sf, "documents")
+    merges = [
+        (r.left_tok, r.right_tok)
+        for r in X.bpe_train(docs).orderBy("merge_rank").collect()
+    ]
+    return X.bpe_encode_count(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )

@@ -1872,3 +1872,24 @@ def test_bpe_train_known_merges(spark):
     df2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
     out2 = sorted(map(tuple, bpe_train(df2, merges=2).collect()))
     assert out2 == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+
+def test_bpe_encode_count_applies_merges(spark):
+    """r15: the encoder applies learned merges in rank order with the
+    same bounded fix-point as training, never merges across word
+    boundaries, and counts letter tokens only."""
+    from siddhi_operator_spark.pipeline.text import bpe_encode_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "erer er, 123 x!"),   # 'erer'->2 toks after (e,r); 'er'->1; 'x'->1
+            (2, "re re"),             # (e,r) never matches 're' -> 4 char toks
+            (3, ""),                  # empty -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_bpe_tokens for r in
+           bpe_encode_count(df, [("e", "r"), ("er", "er")]).collect()}
+    # doc1: 'erer er x' -> |e|r|e|r| |e|r| |x| -> (e,r): |er|er| |er| |x|
+    #       -> (er,er): |erer| |er| |x| => 3 tokens
+    assert out == {1: 3, 2: 4, 3: 0}
