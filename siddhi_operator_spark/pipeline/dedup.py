@@ -221,6 +221,17 @@ def lsh_candidate_pairs(
     materialize the signature table before pairing; swap `.cache()`
     for a parquet checkpoint there).
 
+    Pair dedup (r15): a pair that collides in k bands comes out of the
+    band self-join k times (1.64× duplication measured at sf0.1). The
+    uncapped tier removes the duplicates WITHOUT a pair-stream
+    `distinct` — the formerly-dominant shuffle (+2.2 s of the 3.8 s
+    row wall) — via OWNER-BAND dedup: the colliding-band set is a
+    row-local function of the two documents' band-hash vectors, so
+    each pair is kept only at its first colliding band (see the inline
+    comment for the measured A/B, 0.79–0.86× end-to-end). The capped
+    tier keeps the explicit distinct: a dropped super-bucket can own a
+    pair's first band, which signatures alone cannot see.
+
     ``max_bucket``: deterministic super-bucket guard. Candidate pairs
     grow quadratically in bucket size, so ONE degenerate bucket
     (boilerplate, empty docs, a template repeated millions of times)
@@ -277,9 +288,67 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.band").alias("_band"),
         )
-        .distinct()
     )
+    if max_bucket is not None:
+        # Capped tier: a pair's FIRST colliding band may have been a
+        # dropped super-bucket, so ownership is not derivable from the
+        # two documents' signatures alone — dedup with an explicit
+        # distinct.
+        pairs = pairs.drop("_band").distinct()
+    else:
+        # Uncapped tier: OWNER-BAND dedup replaces the pair DISTINCT —
+        # the dominant shuffle (r15 profile at sf0.1, arrow tier:
+        # distinct +2.2 s of the 3.8 s wall on 4.76 M raw / 2.90 M
+        # unique pairs). A pair collides in band b iff the band's
+        # `band_size` signatures all agree (band_hash is md5 of
+        # exactly those sigs), so its colliding-band SET is a
+        # row-local function of the two documents' band-hash vectors:
+        # join the pair stream against a NARROW (id, 4-hash array)
+        # side table for both endpoints and keep the pair only where
+        # the join's own band is the FIRST colliding band — each pair
+        # survives exactly once BY CONSTRUCTION, and the pair-stream
+        # exchange + two-phase hash agg disappear at any corpus size.
+        n_bands = n_hashes // band_size
+        bh_arr = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{i}")
+                            for i in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    )
+                )
+                for b in range(n_bands)
+            ]
+        )
+        key_tbl = sig_table.select(F.col(id_col), bh_arr.alias("_bhs"))
+        first_band = F.lit(None).cast("int")
+        for b in range(n_bands - 1, -1, -1):
+            first_band = F.when(
+                F.col("ba._bhs")[b] == F.col("bb._bhs")[b], F.lit(b)
+            ).otherwise(first_band)
+        pairs = (
+            pairs.join(
+                key_tbl.alias("ba"), F.col("id_a") == F.col(f"ba.{id_col}")
+            )
+            .join(key_tbl.alias("bb"), F.col("id_b") == F.col(f"bb.{id_col}"))
+            .filter(F.col("_band") == first_band)
+            .select("id_a", "id_b")
+            # Deliberate narrow exchange: without it the scoring joins
+            # fuse into one mega-stage with the pair generation, and
+            # the 32-comparison n_match expression inside that stage
+            # measured ~8 s instead of ~1 s (r15 A/B — giant generated
+            # method; an array zip_with/aggregate n_match was 2× worse
+            # still, interpreted HOFs). The exchange carries 2.9 M
+            # 16-byte rows here vs the deleted distinct's 4.76 M-row
+            # exchange PLUS two-phase hash agg — strictly less shuffle
+            # at every corpus size.
+            .repartition(F.col("id_a"))
+        )
     n_match = sum(
         F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
         for i in range(n_hashes)

@@ -48,6 +48,54 @@ def test_minhash_identical_docs_full_band_collision(docs):
     assert (0, 3) not in got
 
 
+def test_minhash_owner_band_dedup_matches_distinct(spark):
+    """r15: the uncapped tier's owner-band dedup (each pair kept only
+    at its FIRST colliding band — no pair-stream distinct) must be
+    row-identical to an explicit distinct over the band join, on data
+    where pairs collide in MANY bands (identical docs collide in all)
+    and where partial collisions pick interior first-bands."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "common boilerplate template text repeated") for i in range(8)]
+    rows += [(20, "alpha beta gamma delta"), (21, "alpha beta gamma delta x"),
+             (22, "unrelated text entirely different")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signature(docs, n_hashes=8)
+    got = D.lsh_candidate_pairs(
+        sigs, n_hashes=8, band_size=2, max_bucket=None, cache=False
+    )
+    # reference: explicit distinct over the same band join + scoring
+    st = sigs.select("doc_id", *[f"sig_{i}" for i in range(8)])
+    banded = D.band_table(st, n_hashes=8, band_size=2)
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    nm = sum(
+        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    want = (
+        pairs.join(st.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(st.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", nm.alias("n_sig_match"))
+        .withColumn("jaccard_est", F.col("n_sig_match") / F.lit(8.0))
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b
+    assert len(a) == len({(x[0], x[1]) for x in a})  # no duplicate pairs
+
+
 def test_simhash_deterministic_and_content_keyed(spark, docs):
     a = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
     b = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
