@@ -783,3 +783,106 @@ def bpe_encode_count(
         )
     )
     return df.select("doc_id", n.alias("n_bpe_tokens"))
+
+
+def word_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    cache: bool = True,
+) -> DataFrame:
+    """Word-bigram LM perplexity score — the CCNet-style quality
+    filter (Wenzek et al. 2020, public alg.: score each document's
+    perplexity under an LM trained on the corpus's own distribution;
+    high perplexity = boilerplate/gibberish/keyword-stuffing that the
+    char tier in :func:`char_lm_score` cannot see because its
+    CHARACTER statistics are normal). KenLM's 5-gram is approximated
+    by an add-1-smoothed word BIGRAM over a top-``vocab_size``
+    vocabulary with ``<unk>``, which keeps every model artifact
+    SQL-expressible (the oracle re-derives the identical model) and
+    vocab-bounded.
+
+    Scale shape: the per-doc stream folds to (doc, left, right,
+    count) FIRST — one keyed shuffle, persisted, shared by the model
+    build and the scoring (the :func:`char_lm_score` lifecycle). The
+    VOCAB (top-V by corpus count, ties broken by word ASC) is ≤ V
+    rows and the BIGRAM MODEL is ≤ V²-bounded (in practice bounded
+    by observed bigrams): both broadcast by construction —
+    vocab-bounded, never corpus-bounded, so the broadcasts are legal
+    at any corpus size. OOV words map to ``<unk>`` via two
+    vocab-sized left joins; P(r|l) = (c(l,r)+1)/(ctx(l)+V_eff) with
+    ctx(l) = Σ_r c(l,r) and V_eff = |vocab|+1.
+
+    Output: (id, n_bigrams, avg_neg_log2p), docs with ≥ 2 letter
+    words only — epsilon-bias rounded like every float row."""
+    c = F.col(text_col)
+    arr = F.split(
+        F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " ")), " "
+    )
+    words = df.select(F.col(id_col), arr.alias("_w")).filter(
+        F.size(F.col("_w")) >= 1
+    )
+    bg = (
+        words.filter(F.size(F.col("_w")) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("_w")) - 2),
+                    lambda i: F.struct(
+                        F.col("_w")[i].alias("l"),
+                        F.col("_w")[i + 1].alias("r"),
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .select(F.col(id_col), F.col("_b.l").alias("l"), F.col("_b.r").alias("r"))
+        .groupBy(id_col, "l", "r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if cache:
+        bg = bg.persist()  # shared by the model build AND the scoring
+    vocab = (
+        words.select(F.explode(F.col("_w")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w")
+    )
+    unk = F.lit("<unk>")  # non-letter chars: can never collide
+    mapped = (
+        bg.join(
+            F.broadcast(vocab.select(F.col("w").alias("_vl"))),
+            F.col("l") == F.col("_vl"),
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("w").alias("_vr"))),
+            F.col("r") == F.col("_vr"),
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("_vl"), unk).alias("lv"),
+            F.coalesce(F.col("_vr"), unk).alias("rv"),
+            "cnt",
+        )
+    )
+    model = mapped.groupBy("lv", "rv").agg(F.sum("cnt").alias("c"))
+    ctx = model.groupBy("lv").agg(F.sum("c").alias("cl"))
+    veff = vocab.agg((F.count(F.lit(1)) + 1).cast("double").alias("v"))
+    nll = -F.log2((F.col("c") + 1.0) / (F.col("cl") + F.col("v")))
+    scored = (
+        mapped.join(F.broadcast(model), on=["lv", "rv"])
+        .join(F.broadcast(ctx), on=["lv"])
+        .crossJoin(F.broadcast(veff))
+        .select(id_col, "cnt", nll.alias("_nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        r4(F.sum(F.col("cnt") * F.col("_nll")) / F.sum("cnt"), 4).alias(
+            "avg_neg_log2p"
+        ),
+    )

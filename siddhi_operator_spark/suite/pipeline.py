@@ -2700,3 +2700,59 @@ def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     return X.bpe_encode_count(docs, merges).select(
         "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
     )
+
+
+@register(
+    "text_word_lm",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    uni AS (
+      SELECT u AS wd, count(*) AS c
+      FROM (SELECT unnest(l) AS u FROM w)
+      GROUP BY 1
+    ),
+    vocab AS (SELECT wd FROM uni ORDER BY c DESC, wd ASC LIMIT 1024),
+    bgraw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                    i -> struct_pack(a := l[i], b := l[i + 1]))) AS u
+      FROM w WHERE len(l) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, u.a AS lw, u.b AS rw, count(*) AS cnt
+      FROM bgraw GROUP BY 1, 2, 3
+    ),
+    mapped AS (
+      SELECT doc_id, coalesce(va.wd, '<unk>') AS lv,
+             coalesce(vb.wd, '<unk>') AS rv, cnt
+      FROM bg
+      LEFT JOIN vocab va ON bg.lw = va.wd
+      LEFT JOIN vocab vb ON bg.rw = vb.wd
+    ),
+    model AS (SELECT lv, rv, sum(cnt) AS c FROM mapped GROUP BY 1, 2),
+    ctx AS (SELECT lv, sum(c) AS cl FROM model GROUP BY 1),
+    veff AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           round(1e-9 + sum(cnt * -log2((c + 1.0) / (cl + v))) / sum(cnt), 4)
+             AS avg_neg_log2p
+    FROM mapped JOIN model USING (lv, rv) JOIN ctx USING (lv) CROSS JOIN veff
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_word_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: WORD-bigram LM perplexity score over a top-1024 vocab with
+    <unk> — the CCNet-style quality filter (corpus-trained LM; high
+    perplexity = gibberish/keyword-stuffing whose CHARACTER stats look
+    normal to `text_char_lm_score`). Vocab and model are vocab-bounded
+    broadcasts; the per-doc stream folds to (doc, l, r, cnt) once.
+    Oracle re-derives the identical model in SQL
+    (`pipeline/text.py::word_lm_score`)."""
+    # cache=False: registry entries run repeatedly (oracle gate, bench)
+    return X.word_lm_score(load(spark, sf, "documents"), cache=False)

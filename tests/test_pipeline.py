@@ -1941,3 +1941,24 @@ def test_bpe_encode_count_applies_merges(spark):
     # doc1: 'erer er x' -> |e|r|e|r| |e|r| |x| -> (e,r): |er|er| |er| |x|
     #       -> (er,er): |erer| |er| |x| => 3 tokens
     assert out == {1: 3, 2: 4, 3: 0}
+
+
+def test_word_lm_score_hand_computed(spark):
+    """r15: top-V vocab with <unk>, add-1 bigram model, per-doc mean
+    nll — verified against hand-computed probabilities; docs without
+    two letter words drop."""
+    from siddhi_operator_spark.pipeline.text import word_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c!"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_log2p)
+        for r in word_lm_score(docs, vocab_size=2).collect()
+    }
+    # vocab (cnt desc, word asc) = {a, b}; V_eff = 3; c maps to <unk>
+    # model: (a,b):2 (b,a):1 (a,<unk>):1; ctx: a:3, b:1
+    # doc1: P(b|a)=3/6, P(a|b)=2/4 -> nll 1.0 each -> avg 1.0, n=3
+    # doc2: P(<unk>|a)=2/6 -> nll log2(3)=1.585, n=1
+    assert out == {1: (3, 1.0), 2: (1, 1.585)}
