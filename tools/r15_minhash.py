@@ -188,9 +188,58 @@ def owner_band_ab(sf_dir: str = SF_DIR) -> None:
     print(f"medians: old={mo:.2f}s new={mn:.2f}s new/old={mn/mo:.3f}", flush=True)
 
 
+def build_docs_scale(n: int, out_dir: str) -> None:
+    """Docs ×n replica fixture for the owner-band decade check.
+
+    The bench's events/lineitem replicator can't be reused for docs:
+    byte-identical replicas COLLIDE in every LSH band, so the
+    degenerate buckets merge across replicas and the uncapped pair
+    count grows QUADRATICALLY in n — that benches the pathology the
+    `max_bucket` cap exists for, not the formulation under test.
+    Instead each replica prefixes EVERY word with a replica tag:
+    within-replica duplicate structure is preserved exactly
+    (identical docs stay identical, near-dups stay near-dups), token
+    spaces are disjoint across replicas, buckets never merge, and
+    pair volume scales linearly — the horizontal-growth direction a
+    100 TB corpus actually has."""
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.session import build_session
+
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    reps = []
+    for i in range(n):
+        tag = f"r{i}x"
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs * 10)).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), r"(^|\s)", f"$1{tag}"
+                ).alias("text"),
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    print(f"wrote {n_docs * n} docs to {out_dir}/documents.parquet", flush=True)
+
+
 def main() -> None:
-    if len(sys.argv) < 2 or sys.argv[1] not in ("profile", "owner_band_ab"):
+    if len(sys.argv) < 2 or sys.argv[1] not in (
+        "profile",
+        "owner_band_ab",
+        "build_docs_scale",
+    ):
         raise SystemExit(__doc__)
+    if sys.argv[1] == "build_docs_scale":
+        build_docs_scale(int(sys.argv[2]), sys.argv[3])
+        return
     fn = profile if sys.argv[1] == "profile" else owner_band_ab
     fn(sys.argv[2] if len(sys.argv) > 2 else SF_DIR)
 
