@@ -886,3 +886,86 @@ def word_lm_score(
             "avg_neg_log2p"
         ),
     )
+
+
+def dsir_logweight(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    cache: bool = True,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weight (Xie et al. 2023,
+    public alg.: Data Selection with Importance Resampling) — score
+    every document by how much more likely its content is under a
+    TARGET domain's distribution than under the raw corpus's, using
+    hashed n-gram bucket models. The standard recipe for "give me
+    more documents like this high-quality subset" at corpus scale:
+    rank/sample by the returned log weight.
+
+    Model: unigram + bigram features, hashed into 256 buckets by md5
+    hex prefix (the repo's engine-portable hash idiom —
+    `sample_hash_split`); bucket distributions are add-``alpha``
+    smoothed. ``log2 w(doc) = Σ_f cnt_f · log2( p_target(f) /
+    p_raw(f) )`` with ``p(f) = (c_f + α) / (C + 256α)``.
+
+    Scale shape: the per-doc stream folds to (doc, bucket, cnt) once
+    — ONE keyed shuffle, persisted, shared by both model builds and
+    the scoring (the :func:`char_lm_score` lifecycle). Both models
+    are 256-row broadcasts BY CONSTRUCTION (bucket-count-bounded,
+    never corpus-bounded). The target subset is a filter of the same
+    fold — no second pass over the corpus.
+
+    Output: (id, n_feats, dsir_logweight) — docs with ≥ 1 letter
+    word; positive = more target-like."""
+    c = F.col(text_col)
+    arr = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " ")), " "),
+        lambda x: x != "",
+    )
+    uni = F.transform(arr, lambda w: F.substring(F.md5(w), 1, 2))
+    big = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(arr) - 2, F.lit(-1))),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", arr[i], arr[i + 1])), 1, 2
+        ),
+    )
+    feats = F.when(F.size(arr) >= 2, F.concat(uni, big)).otherwise(uni)
+    fold = (
+        df.withColumn("_t", target_pred)
+        .select(F.col(id_col), F.col("_t"), F.explode(feats).alias("b"))
+        .groupBy(id_col, "_t", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if cache:
+        fold = fold.persist()  # shared by both model builds + scoring
+    raw = fold.groupBy("b").agg(F.sum("cnt").alias("rc"))
+    tgt = (
+        fold.filter(F.col("_t"))
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    totals = raw.crossJoin(tgt.select(F.sum("tc").alias("T"))).agg(
+        F.sum("rc").cast("double").alias("R"),
+        F.first("T").cast("double").alias("T"),
+    )
+    lw = F.col("cnt") * (
+        F.log2(
+            (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+            / (F.col("T") + F.lit(256 * alpha))
+        )
+        - F.log2(
+            (F.col("rc") + F.lit(alpha)) / (F.col("R") + F.lit(256 * alpha))
+        )
+    )
+    scored = (
+        fold.join(F.broadcast(raw), on="b")
+        .join(F.broadcast(tgt), on="b", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, "cnt", lw.alias("_lw"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_feats"),
+        r4(F.sum("_lw"), 4).alias("dsir_logweight"),
+    )

@@ -2756,3 +2756,52 @@ def text_word_lm(spark: SparkSession, sf: str) -> DataFrame:
     (`pipeline/text.py::word_lm_score`)."""
     # cache=False: registry entries run repeatedly (oracle gate, bench)
     return X.word_lm_score(load(spark, sf, "documents"), cache=False)
+
+
+@register(
+    "text_dsir_weight",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             unnest(list_concat(
+               list_transform(l, x -> substr(md5(x), 1, 2)),
+               list_transform(range(1, len(l)),
+                              i -> substr(md5(l[i] || ' ' || l[i + 1]), 1, 2))
+             )) AS b
+      FROM w WHERE len(l) >= 1
+    ),
+    fold AS (SELECT doc_id, is_t, b, count(*) AS cnt FROM f GROUP BY 1, 2, 3),
+    raw AS (SELECT b, sum(cnt) AS rc FROM fold GROUP BY 1),
+    tgt AS (SELECT b, sum(cnt) AS tc FROM fold WHERE is_t GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM raw) AS rtot,
+                   (SELECT CAST(sum(tc) AS DOUBLE) FROM tgt) AS ttot)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_feats,
+           round(1e-9 + sum(cnt * (log2((coalesce(tc, 0) + 0.5) / (ttot + 128.0))
+                                 - log2((rc + 0.5) / (rtot + 128.0)))), 4)
+             AS dsir_logweight
+    FROM fold JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "sampling", "quality"),
+)
+def text_dsir_weight(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: DSIR hashed n-gram importance weight — rank every document
+    by log2(p_target/p_raw) under 256-bucket hashed unigram+bigram
+    models (target = lang='en' here; the "more documents like this
+    subset" sampler). Both models are 256-row broadcasts by
+    construction; one doc-keyed fold feeds model builds AND scoring.
+    Oracle re-derives the identical models in SQL
+    (`pipeline/text.py::dsir_logweight`)."""
+    # cache=False: registry entries run repeatedly (oracle gate)
+    return X.dsir_logweight(
+        load(spark, sf, "documents"),
+        target_pred=F.col("lang") == "en",
+        cache=False,
+    )

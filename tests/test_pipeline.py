@@ -1962,3 +1962,28 @@ def test_word_lm_score_hand_computed(spark):
     # doc1: P(b|a)=3/6, P(a|b)=2/4 -> nll 1.0 each -> avg 1.0, n=3
     # doc2: P(<unk>|a)=2/6 -> nll log2(3)=1.585, n=1
     assert out == {1: (3, 1.0), 2: (1, 1.585)}
+
+
+def test_dsir_logweight_orders_target_like_docs(spark):
+    """r15: DSIR importance weight must (a) count uni+bigram features,
+    (b) give identical docs identical weights, and (c) rank a
+    target-vocabulary doc strictly above a raw-only-vocabulary doc."""
+    from siddhi_operator_spark.pipeline.text import dsir_logweight
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "aa bb", "t"), (2, "aa bb", "t"), (3, "aa bb", "t"),
+        (4, "cc dd", "r"), (5, "cc dd", "r"), (6, "cc dd", "r"),
+        (7, "aa bb", "r"),   # target-like doc in the raw pool
+        (8, "cc dd", "r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: (r.n_feats, r.dsir_logweight)
+        for r in dsir_logweight(
+            docs, target_pred=F.col("source") == "t"
+        ).collect()
+    }
+    assert all(out[d][0] == 3 for d in out)  # 2 unigrams + 1 bigram
+    assert out[7] == out[1]                  # same text, same weight
+    assert out[7][1] > out[8][1]             # target-like ranks higher
