@@ -817,8 +817,12 @@ def word_lm_score(
     Output: (id, n_bigrams, avg_neg_log2p), docs with ≥ 2 letter
     words only — epsilon-bias rounded like every float row."""
     c = F.col(text_col)
-    arr = F.split(
-        F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " ")), " "
+    # the empty-token filter is load-bearing: a letterless doc splits
+    # to [''] and would otherwise put '' INTO the vocab (caught by the
+    # property cross-check; the oracle filters '' explicitly)
+    arr = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " ")), " "),
+        lambda x: x != "",
     )
     words = df.select(F.col(id_col), arr.alias("_w")).filter(
         F.size(F.col("_w")) >= 1

@@ -317,3 +317,166 @@ def test_bloom_filter_no_false_negatives(spark, grams, probes):
             ).collect()
         }
         assert member_set <= hits, f"{hash_fn}: false negative"
+
+
+# ---- r15 text-op cross-checks: random tiny corpora vs pure-Python
+# models of the exact semantics (separator-encoded BPE replace chain,
+# top-V vocab tie-breaks, md5 bucket hashing). Catches the class of
+# bug the fixed corpus can miss: empty docs, single-word docs,
+# same-pair runs, vocab ties, all-OOV docs.
+
+word_strategy = st.text(alphabet="ab", min_size=1, max_size=4)
+docs_strategy = st.lists(
+    st.lists(word_strategy, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _words(text):
+    import re
+
+    return [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_bpe_encode_count_matches_bruteforce(spark, texts):
+    """bpe_encode_count == the same separator replace chain run in
+    Python (str.replace is the same non-overlapping left-to-right
+    scan as Spark's replace)."""
+    from siddhi_operator_spark.pipeline.text import bpe_encode_count
+
+    merges = [("a", "b"), ("b", "a"), ("ab", "a")]
+
+    def model(text):
+        toks = "|" + "".join(ch + "|" for ch in " ".join(_words(text)))
+        if toks == "|":
+            return 0
+        for a, b in merges:
+            for _ in range(3):
+                toks = toks.replace(f"|{a}|{b}|", f"|{a}{b}|")
+        return sum(1 for seg in toks.split("|") if seg.isalpha())
+
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_encode_count(_docs_df(spark, texts), merges).collect()
+    }
+    want = {i: model(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_word_lm_score_matches_bruteforce(spark, texts):
+    """word_lm_score == a pure-Python add-1 bigram model with the
+    same top-V (count desc, word asc) vocab tie-break."""
+    import math
+    from collections import Counter
+
+    from siddhi_operator_spark.pipeline.text import word_lm_score
+
+    V = 2
+    uni = Counter(w for t in texts for w in _words(t))
+    vocab = set(w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    mapped = {
+        i: [(w if w in vocab else "<unk>") for w in _words(t)]
+        for i, t in enumerate(texts)
+    }
+    model = Counter()
+    for ws in mapped.values():
+        for a, b in zip(ws, ws[1:]):
+            model[(a, b)] += 1
+    ctx = Counter()
+    for (a, _), c in model.items():
+        ctx[a] += c
+    veff = len(vocab) + 1
+    want = {}
+    for i, ws in mapped.items():
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            continue
+        nll = [
+            -math.log2((model[bg] + 1.0) / (ctx[bg[0]] + veff)) for bg in bgs
+        ]
+        want[i] = (len(bgs), sum(nll) / len(bgs))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_log2p)
+        for r in word_lm_score(_docs_df(spark, texts), vocab_size=V).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) <= 1e-4 + 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy, flags=st.lists(st.booleans(), min_size=10, max_size=10))
+def test_dsir_logweight_matches_bruteforce(spark, texts, flags):
+    """dsir_logweight == a pure-Python 256-bucket hashed uni+bigram
+    importance model (md5 hex-prefix buckets, add-0.5 smoothing)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from siddhi_operator_spark.pipeline.text import dsir_logweight
+
+    tflags = {i: flags[i] for i in range(len(texts))}
+    if not any(tflags[i] for i in range(len(texts))):
+        tflags[0] = True  # ensure a non-empty target pool
+
+    def buckets(t):
+        ws = _words(t)
+        h = lambda s: hashlib.md5(s.encode()).hexdigest()[:2]
+        return [h(w) for w in ws] + [
+            h(f"{a} {b}") for a, b in zip(ws, ws[1:])
+        ]
+
+    raw, tgt = Counter(), Counter()
+    for i, t in enumerate(texts):
+        bs = buckets(t)
+        raw.update(bs)
+        if tflags[i]:
+            tgt.update(bs)
+    R, T = float(sum(raw.values())), float(sum(tgt.values()))
+    want = {}
+    for i, t in enumerate(texts):
+        bs = buckets(t)
+        if not bs:
+            continue
+        lw = sum(
+            math.log2((tgt[b] + 0.5) / (T + 128.0))
+            - math.log2((raw[b] + 0.5) / (R + 128.0))
+            for b in bs
+        )
+        want[i] = (len(bs), lw)
+    df = _docs_df(spark, texts).withColumn(
+        "src",
+        F.col("doc_id").isin([i for i, v in tflags.items() if v]),
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logweight)
+        for r in dsir_logweight(df, target_pred=F.col("src")).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) <= 1e-4 + 1e-9
