@@ -923,19 +923,7 @@ def dsir_logweight(
 
     Output: (id, n_feats, dsir_logweight) — docs with ≥ 1 letter
     word; positive = more target-like."""
-    c = F.col(text_col)
-    arr = F.filter(
-        F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " ")), " "),
-        lambda x: x != "",
-    )
-    uni = F.transform(arr, lambda w: F.substring(F.md5(w), 1, 2))
-    big = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(arr) - 2, F.lit(-1))),
-        lambda i: F.substring(
-            F.md5(F.concat_ws(" ", arr[i], arr[i + 1])), 1, 2
-        ),
-    )
-    feats = F.when(F.size(arr) >= 2, F.concat(uni, big)).otherwise(uni)
+    feats = _dsir_feat_array(text_col)
     fold = (
         df.withColumn("_t", target_pred)
         .select(F.col(id_col), F.col("_t"), F.explode(feats).alias("b"))
@@ -972,4 +960,108 @@ def dsir_logweight(
     return scored.groupBy(id_col).agg(
         F.sum("cnt").alias("n_feats"),
         r4(F.sum("_lw"), 4).alias("dsir_logweight"),
+    )
+
+
+def _dsir_feat_array(text_col: str) -> Column:
+    """Hashed uni+bigram bucket array for one document — the shared
+    feature definition of :func:`dsir_logweight` / :func:`dsir_apply`
+    (md5 hex-prefix 256 buckets)."""
+    c = F.col(text_col)
+    arr = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " ")), " "),
+        lambda x: x != "",
+    )
+    uni = F.transform(arr, lambda w: F.substring(F.md5(w), 1, 2))
+    big = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(arr) - 2, F.lit(-1))),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", arr[i], arr[i + 1])), 1, 2
+        ),
+    )
+    return F.when(F.size(arr) >= 2, F.concat(uni, big)).otherwise(uni)
+
+
+def dsir_model(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> dict:
+    """Derive the frozen DSIR bucket model offline — the
+    derive-once/serve-forever half of the DSIR story: two 256-row
+    bucket-count tables (raw corpus, target subset) + totals,
+    collected driver-side (bucket-count-BOUNDED — 256 rows regardless
+    of corpus size, the legal collect class). Feed the result to
+    :func:`dsir_apply` to score any batch OR stream without touching
+    the training corpus again."""
+    fold = (
+        df.withColumn("_t", target_pred)
+        .select(F.col("_t"), F.explode(_dsir_feat_array(text_col)).alias("b"))
+        .groupBy("_t", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    raw: dict[str, int] = {}
+    tgt: dict[str, int] = {}
+    for r in fold:
+        raw[r.b] = raw.get(r.b, 0) + r.cnt
+        if r._t:
+            tgt[r.b] = tgt.get(r.b, 0) + r.cnt
+    return {
+        "raw": raw,
+        "tgt": tgt,
+        "R": float(sum(raw.values())),
+        "T": float(sum(tgt.values())),
+        "alpha": alpha,
+    }
+
+
+def dsir_apply(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a FROZEN DSIR model from
+    :func:`dsir_model` — pure per-row expressions, STATELESS, so the
+    same call scores a batch frame or a Structured Streaming frame
+    (the serving deployment: derive the model once offline, score the
+    ingest stream forever; no shuffle, no state store). Per-bucket
+    log-ratios are precomputed driver-side into a 256-entry map
+    literal; buckets unseen at train time fall back to the
+    zero-count ratio. The in-row aggregate is a higher-order function
+    (interpreted — the r15 mega-stage lesson), which is the right
+    trade here: the alternative explode+groupBy re-shuffles every
+    scored batch, while this stays a map-only stage."""
+    import math
+
+    a, R, T = model["alpha"], model["R"], model["T"]
+
+    def lr(b: str) -> float:
+        return math.log2((model["tgt"].get(b, 0) + a) / (T + 256 * a)) - math.log2(
+            (model["raw"].get(b, 0) + a) / (R + 256 * a)
+        )
+
+    default_lr = math.log2(a / (T + 256 * a)) - math.log2(a / (R + 256 * a))
+    entries: list[Column] = []
+    for b in sorted(model["raw"]):
+        entries.append(F.lit(b))
+        entries.append(F.lit(lr(b)))
+    lrmap = F.create_map(*entries) if entries else F.create_map()
+    bkts = _dsir_feat_array(text_col)
+    w = F.aggregate(
+        bkts,
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.coalesce(F.element_at(lrmap, b), F.lit(default_lr)),
+    )
+    return (
+        df.select(F.col(id_col), bkts.alias("_bk"), w.alias("_w"))
+        .filter(F.size(F.col("_bk")) >= 1)
+        .select(
+            id_col,
+            F.size(F.col("_bk")).cast("long").alias("n_feats"),
+            r4(F.col("_w"), 4).alias("dsir_logweight"),
+        )
     )

@@ -66,19 +66,21 @@ from . import sources_suite  # noqa: E402,F401
 # `siddhiql_plan_stats_pinned` respectively).
 #
 # Late-r15 additions (second session): `text_word_lm` (CCNet-style
-# word-bigram LM perplexity filter) and `text_dsir_weight` (DSIR
-# hashed n-gram importance weight) are NEW, and
+# word-bigram LM perplexity filter), `text_dsir_weight` (DSIR
+# hashed n-gram importance weight) and `streaming_text_dsir` (its
+# frozen-model serving twin) are NEW, and
 # `dedup_minhash_lsh` + `dedup_connected_components` join group (4)
 # — their executed code changed when the uncapped LSH tier moved to
 # OWNER-BAND pair dedup (pipeline/dedup.py; SCALEBENCH r15 cont.).
 # `dedup_minhash_lsh_capped`'s one changed line (explicit `_band`
 # drop before its distinct) is covered by the capped-tier unit tests
-# and this session's local oracle run.  The four slots came from
+# and this session's local oracle run.  The five slots came from
 # the TAIL of the r9-stale group (`siddhiql_bucketed_length_window`,
-# `table_cdc_feed`, `ml_kmeans`, `siddhiql_trigger`) — they LEAD the
-# r16 window below at staleness 6 (precedent: r13 left an r8-stale
-# tail at 6, retired first in r14).  After this window:
-# never-checked = 0, r9-stale = 4, r10-stale = 40, max staleness
+# `table_cdc_feed`, `ml_kmeans`, `siddhiql_trigger`,
+# `pattern_optional_step`) — they LEAD the r16 window below at
+# staleness 6 (precedent: r13 left an r8-stale tail at 6, retired
+# first in r14).  After this window:
+# never-checked = 0, r9-stale = 5, r10-stale = 40, max staleness
 # = 6.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
@@ -118,7 +120,6 @@ _FRONT_NAMES = (
     "streaming_cep_absence",
     "streaming_cep_count_quantifier",
     "streaming_cep_logical_and",
-    "pattern_optional_step",
     # (3) new in r15 — never checked
     "siddhiql_plan_stats_pinned",
     "pattern_scan_null_keys",
@@ -126,6 +127,7 @@ _FRONT_NAMES = (
     "text_bpe_encode",
     "text_word_lm",
     "text_dsir_weight",
+    "streaming_text_dsir",
     # (4) executed code changed in r15
     "siddhiql_pattern_auto",
     "siddhiql_join_windowed_auto",
@@ -149,9 +151,10 @@ _FRONT_NAMES = (
 _R3_MODULES: tuple[str, ...] = ()
 
 # Round-16 rotation, pre-staged: lead with any r15 reds, then the
-# FOUR r9-stale rows the late-r15 additions displaced
+# FIVE r9-stale rows the late-r15 additions displaced
 # (siddhiql_bucketed_length_window, table_cdc_feed, ml_kmeans,
-# siddhiql_trigger — staleness 6, oldest in the ledger), then the
+# siddhiql_trigger, pattern_optional_step — staleness 6, oldest in
+# the ledger), then the
 # FORTY remaining r10-stale rows this window displaced, in
 # registry order (filter_project, named_window_fanout, agg_basic,
 # agg_forever_extrema, agg_unionset, agg_bool,

@@ -1639,3 +1639,35 @@ def streaming_text_remove_spans(spark: SparkSession, sf: str) -> DataFrame:
 _REG["streaming_text_remove_spans"].oracle = _REG[
     "text_remove_repeated_spans"
 ].oracle
+
+
+@register(
+    "streaming_text_dsir",
+    oracle=None,  # set right below to the batch DSIR oracle
+    tags=("streaming", "text", "sampling"),
+)
+def streaming_text_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: DSIR importance scoring as a RESIDENT serving stream —
+    the deploy shape of `text_dsir_weight`: the 256-bucket model is
+    derived ONCE offline (`pipeline/text.py::dsir_model`, a
+    bucket-count-bounded collect), frozen into a map literal, and the
+    document stream is scored STATELESSLY (`dsir_apply` — map-only
+    stage, no shuffle, no state store, so micro-batch boundaries
+    cannot change any row). The corpus replays in 3 micro-batches;
+    the union equals the batch operator output, so the batch DuckDB
+    oracle proves the serving path end to end."""
+    import tempfile
+
+    from ..pipeline import text as X
+    from ..streaming import sources as SRC
+
+    docs = load(spark, sf, "documents")
+    model = X.dsir_model(docs, F.col("lang") == "en")
+    d = tempfile.mkdtemp(prefix="dsir_replay_")
+    SRC.replay_dir(docs, d, "doc_id", 3)
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    name = _materialize(X.dsir_apply(s, model), "append")
+    return spark.table(name)
+
+
+_REG["streaming_text_dsir"].oracle = _REG["text_dsir_weight"].oracle

@@ -1987,3 +1987,26 @@ def test_dsir_logweight_orders_target_like_docs(spark):
     assert all(out[d][0] == 3 for d in out)  # 2 unigrams + 1 bigram
     assert out[7] == out[1]                  # same text, same weight
     assert out[7][1] > out[8][1]             # target-like ranks higher
+
+
+def test_dsir_model_apply_matches_corpus_scorer(spark):
+    """r15: dsir_apply(df, dsir_model(df, pred)) — the frozen-model
+    serving path — must reproduce dsir_logweight(df, pred) exactly,
+    including docs containing buckets absent from the target pool."""
+    from pyspark.sql import functions as F
+
+    from siddhi_operator_spark.pipeline.text import (
+        dsir_apply,
+        dsir_logweight,
+        dsir_model,
+    )
+
+    rows = [
+        (1, "aa bb aa", "t"), (2, "cc dd", "r"), (3, "aa bb", "r"),
+        (4, "ee ff gg", "r"), (5, "", "r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pred = F.col("source") == "t"
+    want = sorted(map(tuple, dsir_logweight(docs, target_pred=pred).collect()))
+    got = sorted(map(tuple, dsir_apply(docs, dsir_model(docs, pred)).collect()))
+    assert got == want
