@@ -401,6 +401,143 @@ def seq_pack_bins(
     )
 
 
+def shard_offsets(df: DataFrame, text_col: str = "text") -> list[tuple[str, int]]:
+    """Per-``source`` global token offsets for GLOBAL shard numbering:
+    the cumulative token count of every source that sorts before this
+    one (lexicographic ``source`` order, ``doc_id`` order within).
+
+    One keyed aggregation produces #sources rows; the driver cumsum
+    over them is source-count-bounded (corpus geometry, not corpus
+    size — the same bounded-collect class as ``domain_mix_sample``'s
+    rate table), so this is NOT a data-proportional collect. The
+    offsets are the frozen "model" the streaming twin serves with."""
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+    totals = (
+        df.select("source", toks.alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+        .collect()
+    )
+    out: list[tuple[str, int]] = []
+    off = 0
+    for row in sorted(totals, key=lambda r: r["source"]):
+        out.append((row["source"], off))
+        off += row["src_tokens"]
+    return out
+
+
+def shard_assign(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    offsets: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """GLOBAL deterministic token-budget shard assignment — the
+    corpus-materialization step that turns a curated corpus into
+    contiguous, reproducibly numbered training shards (shard =
+    floor(global-preceding-cumulative-tokens / budget) over the
+    canonical (source, doc_id) order).
+
+    ``seq_pack_bins`` above numbers bins per source; a training run
+    that resumes from shard N needs ONE global numbering.  The naive
+    formulation — a single global ``Window.orderBy(source, doc_id)``
+    cumsum — serializes the whole corpus through one partition (one
+    task sorts and scans 100 TB).  This is the two-level equivalent:
+
+    - level 1: per-source token totals → driver cumsum → per-source
+      global offsets (``shard_offsets``: #sources rows, bounded by
+      corpus geometry) broadcast back;
+    - level 2: per-source keyed window cumsum (parallel across
+      sources, the same shape ``seq_pack_bins`` already pays) plus
+      the broadcast offset.
+
+    Identical output to the global window (unit-pinned), but the only
+    corpus-sized exchange is the keyed window's partition-by-source —
+    the largest source bounds a task, never the corpus."""
+    if offsets is None:
+        offsets = shard_offsets(df, text_col)
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+    d = df.select("source", "doc_id", toks.cast("bigint").alias("n_tokens"))
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "source string, src_offset bigint"
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(win)
+    return (
+        d.join(F.broadcast(off_df), "source")
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("src_offset") + cum - F.col("n_tokens")) / budget
+            ).alias("shard_id"),
+        )
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    offsets: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """The shard manifest a sharded loader consumes: per global shard,
+    document count, token fill, and how many sources it spans.  One
+    keyed aggregation over ``shard_assign``; shard ids are dense
+    0..N so every shard except the last fills to ≥ ``budget`` −
+    (largest document − 1) tokens."""
+    return (
+        shard_assign(df, budget, text_col, offsets)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def token_set_canon(text_col: str = "text") -> Column:
+    """Canonical content signature: case-fold, strip non-alphanumerics
+    to spaces, then hash the SORTED DISTINCT token set — invariant to
+    case, punctuation, word order, and repetition.  The exact-match
+    tier of token-set (Jaccard = 1.0) near-dup detection, and the
+    normalize-before-hash step every exact-dedup pass should run
+    (RefinedWeb/Dolma-style canonicalization).  Pure codegen'd
+    expressions; the charset is anchored so the same chain drives the
+    DuckDB oracle."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]+", " ")),
+            " ",
+        ),
+        lambda w: w != "",
+    )
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def token_set_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-set canonical dedup: group documents by
+    ``token_set_canon`` and mark the minimum-``doc_id`` member of each
+    group canonical (the row an order/punctuation/case-insensitive
+    exact dedup keeps).  One keyed window over the canon hash — hash
+    keys stay uniform at 100 TB, and a pathological single-key pileup
+    is exactly a duplicate cluster the pass exists to collapse."""
+    d = df.select("doc_id", token_set_canon(text_col).alias("canon_hash"))
+    w = Window.partitionBy("canon_hash")
+    return d.select(
+        "doc_id",
+        "canon_hash",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
 def _winnow_fps(k: int, w: int):
     """Per-document winnowing fingerprints as array expressions — no
     explode, no window, no shuffle: the corpus-sized exchange+sort of

@@ -79,9 +79,27 @@ from . import sources_suite  # noqa: E402,F401
 # `table_cdc_feed`, `ml_kmeans`, `siddhiql_trigger`,
 # `pattern_optional_step`) — they LEAD the r16 window below at
 # staleness 6 (precedent: r13 left an r8-stale tail at 6, retired
-# first in r14).  After this window:
-# never-checked = 0, r9-stale = 5, r10-stale = 40, max staleness
-# = 6.
+# first in r14).
+#
+# Later-r15 additions (third session): `corpus_shard_manifest`
+# (global two-level token-budget shard numbering),
+# `dedup_token_set` (canonical token-set dedup) and
+# `streaming_shard_assign` (the shard service twin) are NEW.  Per
+# the displacement rule (newest-checked tail, never stale /
+# never-checked groups) they displace `siddhiql_pattern_auto` and
+# `siddhiql_absence_auto` (both r14-first-check — the newest rows
+# in the window; their r15 changed surface — the `_plan_hints`
+# strict parse and the scan tier's NULL-key probe filter — is
+# executed in-window by `siddhiql_plan_stats_pinned`,
+# `siddhiql_join_windowed_auto` and the NEW null-heavy scan row
+# `pattern_scan_null_keys`, plus the tier-parity unit tests) and
+# `dedup_connected_components` (r13-checked; its r15 changed code
+# is the owner-band pair feed shared with `dedup_minhash_lsh`,
+# which stays in-window, and pair-set equality across the change
+# is asserted by unit test AND the SCALEBENCH ×10 decade check).
+# All three displaced rows lead the r16 window below.  After this
+# window: never-checked = 0, r9-stale = 5, r10-stale = 40, max
+# staleness = 6.
 # ---------------------------------------------------------------------------
 _FRONT_NAMES = (
     # (2) the forty r9-stale rows (oldest ledger tail)
@@ -128,15 +146,15 @@ _FRONT_NAMES = (
     "text_word_lm",
     "text_dsir_weight",
     "streaming_text_dsir",
+    "corpus_shard_manifest",
+    "dedup_token_set",
+    "streaming_shard_assign",
     # (4) executed code changed in r15
-    "siddhiql_pattern_auto",
     "siddhiql_join_windowed_auto",
-    "siddhiql_absence_auto",
     "siddhiql_streaming_join_bucket",
     "window_session",
     "siddhiql_session_window",
     "dedup_minhash_lsh",
-    "dedup_connected_components",
 )
 
 # (Archive) Round-14 rotation as executed: (1) no r13 reds; (2) the
@@ -154,7 +172,9 @@ _R3_MODULES: tuple[str, ...] = ()
 # FIVE r9-stale rows the late-r15 additions displaced
 # (siddhiql_bucketed_length_window, table_cdc_feed, ml_kmeans,
 # siddhiql_trigger, pattern_optional_step — staleness 6, oldest in
-# the ledger), then the
+# the ledger), then the THREE rows the third-session additions
+# displaced (siddhiql_pattern_auto, siddhiql_absence_auto — r14 —
+# and dedup_connected_components — r13), then the
 # FORTY remaining r10-stale rows this window displaced, in
 # registry order (filter_project, named_window_fanout, agg_basic,
 # agg_forever_extrema, agg_unionset, agg_bool,

@@ -2805,3 +2805,74 @@ def text_dsir_weight(spark: SparkSession, sf: str) -> DataFrame:
         target_pred=F.col("lang") == "en",
         cache=False,
     )
+
+
+SHARD_MANIFEST_ORACLE = """
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+               ORDER BY source, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens) / 512) AS BIGINT) AS shard_id
+      FROM d
+    )
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM b GROUP BY 1
+"""
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle=SHARD_MANIFEST_ORACLE,
+    tags=("pipeline", "curation", "packing"),
+)
+def corpus_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: GLOBAL deterministic token-budget shard manifest (budget
+    512) — the corpus-materialization step after curation: contiguous,
+    reproducibly numbered shards over the canonical (source, doc_id)
+    order.  The oracle is the naive single global window cumsum; the
+    Spark side is the two-level formulation (per-source offsets from a
+    source-count-bounded census + per-source keyed windows) that never
+    serializes the corpus through one partition
+    (`pipeline/curation.py::shard_assign`)."""
+    return C.shard_manifest(load(spark, sf, "documents"), budget=512)
+
+
+TOKEN_SET_DEDUP_ORACLE = """
+    WITH n AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(list_filter(
+               string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ',
+                                                 'g')), ' '),
+               x -> x != ''))), ' ')) AS canon_hash
+      FROM documents
+    )
+    SELECT doc_id, canon_hash,
+           CAST(count(*) OVER (PARTITION BY canon_hash) AS BIGINT)
+             AS group_size,
+           doc_id = min(doc_id) OVER (PARTITION BY canon_hash)
+             AS is_canonical
+    FROM n
+"""
+
+
+@register(
+    "dedup_token_set",
+    oracle=TOKEN_SET_DEDUP_ORACLE,
+    tags=("pipeline", "dedup", "canonical"),
+)
+def dedup_token_set(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: token-set canonical dedup — case-fold, strip punctuation,
+    hash the sorted distinct token set, keep the min-doc_id member of
+    each group (the Jaccard=1.0 tier of near-dup detection, and the
+    normalize-before-hash pass exact dedup should front-end).  One
+    keyed window over the canon hash
+    (`pipeline/curation.py::token_set_dedup`)."""
+    return C.token_set_dedup(load(spark, sf, "documents"))

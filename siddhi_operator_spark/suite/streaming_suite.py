@@ -1671,3 +1671,52 @@ def streaming_text_dsir(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _REG["streaming_text_dsir"].oracle = _REG["text_dsir_weight"].oracle
+
+
+@register(
+    "streaming_shard_assign",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+             ORDER BY source, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / 512) AS BIGINT) AS shard_id
+    FROM d
+    """,
+    tags=("streaming", "curation", "packing"),
+)
+def streaming_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """r15: global shard assignment as a RESIDENT ingest service
+    (`streaming/curation.py::incremental_shard_sink` — the streaming
+    twin of `corpus_shard_manifest`'s assignment stage): the
+    per-source offset table is derived ONCE offline
+    (`pipeline.curation.shard_offsets`, source-count-bounded — the
+    frozen-serving shape of the DSIR twin), the corpus replays in 3
+    micro-batches in doc_id order, per-source running token totals
+    accumulate epoch-idempotently, and every doc receives its FINAL
+    global shard id at arrival.  The read face is per-doc assignment —
+    pinned row-for-row against the naive single-global-window SQL."""
+    import tempfile
+
+    from ..pipeline import curation as C
+    from ..streaming import curation as SC
+    from ..streaming import sources as SRC
+
+    docs = load(spark, sf, "documents")
+    offsets = C.shard_offsets(docs)
+    d = tempfile.mkdtemp(prefix="shard_replay_")
+    SRC.replay_dir(docs, d, "doc_id", 3)
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    state = tempfile.mkdtemp(prefix="shard_state_")
+    q = SC.incremental_shard_sink(
+        s, state, f"{state}/ckpt", offsets, budget=512
+    )
+    q.processAllAvailable()
+    q.stop()
+    return SC.read_shard_assign(spark, state)

@@ -2010,3 +2010,92 @@ def test_dsir_model_apply_matches_corpus_scorer(spark):
     want = sorted(map(tuple, dsir_logweight(docs, target_pred=pred).collect()))
     got = sorted(map(tuple, dsir_apply(docs, dsir_model(docs, pred)).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r15: global shard manifest + token-set canonical dedup
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assign_equals_global_window(spark):
+    """The two-level formulation (per-source offsets + keyed windows)
+    must be row-identical to the naive single global-window cumsum it
+    replaces — the scale claim is a pure-plan win, never a semantics
+    change."""
+    from pyspark.sql import Window
+
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import curation as C
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.source, r.doc_id): (r.n_tokens, r.shard_id)
+        for r in C.shard_assign(docs, budget=512).collect()
+    }
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+    d = docs.select(
+        "source", "doc_id", toks.cast("bigint").alias("n_tokens")
+    )
+    gw = (
+        Window.orderBy("source", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(gw) - F.col("n_tokens")) / 512).alias(
+            "shard_id"
+        ),
+    )
+    want = {
+        (r.source, r.doc_id): (r.n_tokens, r.shard_id)
+        for r in naive.collect()
+    }
+    assert got == want and len(got) == docs.count()
+
+
+def test_shard_manifest_conservation_properties(spark):
+    """Shard ids are dense 0..N; token totals are conserved; every
+    shard but the last fills past budget − (max doc − 1); frozen
+    offsets reproduce the derive-inline output."""
+    from siddhi_operator_spark.catalog import load
+    from siddhi_operator_spark.pipeline import curation as C
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    man = C.shard_manifest(docs, budget=512).collect()
+    ids = sorted(r.shard_id for r in man)
+    assert ids == list(range(len(ids)))
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+    total = docs.select(F.sum(toks)).first()[0]
+    assert sum(r.shard_tokens for r in man) == total
+    max_doc = docs.select(F.max(toks)).first()[0]
+    for r in man:
+        if r.shard_id != ids[-1]:
+            assert r.shard_tokens >= 512 - (max_doc - 1)
+    offs = C.shard_offsets(docs)
+    pinned = C.shard_manifest(docs, budget=512, offsets=offs).collect()
+    assert sorted(map(tuple, pinned)) == sorted(map(tuple, man))
+
+
+def test_token_set_dedup_invariance(spark):
+    """Canonical grouping is invariant to case, punctuation, word
+    order, and repetition; distinct content splits; the canonical
+    member is the group's min doc_id."""
+    from siddhi_operator_spark.pipeline import curation as C
+
+    rows = [
+        (1, "The quick brown fox"),
+        (2, "quick, brown... THE FOX!!"),  # punct/case/order variant
+        (3, "fox fox the the quick brown"),  # repetition variant
+        (4, "a different document entirely"),
+        (5, "the quick brown foxes"),  # distinct token ('foxes')
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in C.token_set_dedup(df).collect()}
+    assert got[1].canon_hash == got[2].canon_hash == got[3].canon_hash
+    assert got[4].canon_hash != got[1].canon_hash
+    assert got[5].canon_hash != got[1].canon_hash
+    assert got[1].group_size == 3 and got[1].is_canonical
+    assert not got[2].is_canonical and not got[3].is_canonical
+    assert got[4].is_canonical and got[4].group_size == 1

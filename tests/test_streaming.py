@@ -1336,3 +1336,89 @@ def test_ql_reorder_kslack_arg_validation(spark, events_df):
             run_app(app, {"E": events_df})
         with pytest.raises(ValueError, match=msg):
             run_app_streaming(app, {"E": events_df})
+
+
+def test_streaming_shard_assign_equals_batch(spark, tmp_path):
+    """Shard-assignment service semantics: docs arriving across
+    micro-batches get the SAME final global shard ids as the batch
+    operator — the per-source running totals stitch the cumsum across
+    the batch boundary exactly."""
+    from siddhi_operator_spark.pipeline import curation as C
+    from siddhi_operator_spark.streaming import curation as SC
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    rows = [
+        (i, " ".join(["w"] * (3 + (i * 7) % 5)), "s%d" % (i % 3))
+        for i in range(1, 31)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    offsets = C.shard_offsets(docs)
+    d = str(tmp_path / "replay")
+    SRC.replay_dir(docs, d, "doc_id", 3)
+    s = SRC.file_stream(spark, d, docs.schema, max_files_per_trigger=1)
+    state = str(tmp_path / "state")
+    q = SC.incremental_shard_sink(
+        s, state, str(tmp_path / "ckpt"), offsets, budget=8
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.source, r.doc_id): (r.n_tokens, r.shard_id)
+        for r in SC.read_shard_assign(spark, state).collect()
+    }
+    want = {
+        (r.source, r.doc_id): (r.n_tokens, r.shard_id)
+        for r in C.shard_assign(docs, budget=8, offsets=offsets).collect()
+    }
+    assert got == want and len(got) == 30
+    # state really is per-epoch additive: three committed epochs
+    assert len(SC._epoch_dirs(spark, f"{state}/running")) == 3
+
+
+def test_streaming_shard_assign_replay_idempotent(spark, tmp_path):
+    """Crash-replay of the last epoch (commit marker deleted, restart
+    from the same checkpoint) must not shift any shard id — the
+    per-epoch overwrite layout recomputes the epoch byte-identically."""
+    import os
+
+    from siddhi_operator_spark.pipeline import curation as C
+    from siddhi_operator_spark.streaming import curation as SC
+    from siddhi_operator_spark.streaming import sources as SRC
+
+    rows = [
+        (i, " ".join(["w"] * (2 + (i * 5) % 7)), "s%d" % (i % 2))
+        for i in range(1, 21)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    offsets = C.shard_offsets(docs)
+    d = str(tmp_path / "replay")
+    SRC.replay_dir(docs, d, "doc_id", 2)
+    schema = docs.schema
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    s = SRC.file_stream(spark, d, schema, max_files_per_trigger=1)
+    q = SC.incremental_shard_sink(s, state, ckpt, offsets, budget=8)
+    q.processAllAvailable()
+    q.stop()
+    # crash-replay the last epoch: delete its streaming commit marker
+    # and restart from the same checkpoint (the at-least-once path)
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    s2 = SRC.file_stream(spark, d, schema, max_files_per_trigger=1)
+    q2 = SC.incremental_shard_sink(s2, state, ckpt, offsets, budget=8)
+    q2.processAllAvailable()
+    q2.stop()
+    got = {
+        (r.source, r.doc_id): r.shard_id
+        for r in SC.read_shard_assign(spark, state).collect()
+    }
+    want = {
+        (r.source, r.doc_id): r.shard_id
+        for r in C.shard_assign(docs, budget=8, offsets=offsets).collect()
+    }
+    assert got == want and len(got) == 20
