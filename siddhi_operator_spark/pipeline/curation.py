@@ -467,15 +467,29 @@ def shard_assign(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(win)
+    # LEFT join + raise_error on a missing offset: a doc whose source
+    # is absent from a PINNED offset table is a frozen-model contract
+    # violation — it must fail the job, never silently drop (the
+    # inner-join formulation would vanish it).  The guard feeds the
+    # shard_id expression, so column pruning cannot elide it.
+    off_checked = F.when(
+        F.col("src_offset").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("shard_assign: source absent from offset table: "),
+                F.col("source"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("src_offset"))
     return (
-        d.join(F.broadcast(off_df), "source")
+        d.join(F.broadcast(off_df), "source", "left")
         .select(
             "source",
             "doc_id",
             "n_tokens",
-            F.floor(
-                (F.col("src_offset") + cum - F.col("n_tokens")) / budget
-            ).alias("shard_id"),
+            F.floor((off_checked + cum - F.col("n_tokens")) / budget).alias(
+                "shard_id"
+            ),
         )
     )
 

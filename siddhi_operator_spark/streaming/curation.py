@@ -88,8 +88,24 @@ def incremental_shard_sink(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         cum = F.sum("n_tokens").over(win)
+        # LEFT join + raise_error: a doc arriving from a source absent
+        # from the frozen offset table poisons the query loudly — the
+        # inner-join formulation would silently drop it from every
+        # shard (same guard as the batch tier).
+        off_checked = F.when(
+            F.col("src_offset").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_shard_sink: source absent from "
+                        "frozen offset table: "
+                    ),
+                    F.col("source"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("src_offset"))
         assign = (
-            d.join(F.broadcast(off_df), "source")
+            d.join(F.broadcast(off_df), "source", "left")
             .join(F.broadcast(prior), "source", "left")
             .withColumn(
                 "prior_tokens", F.coalesce(F.col("prior_tokens"), F.lit(0))
@@ -99,12 +115,7 @@ def incremental_shard_sink(
                 "doc_id",
                 "n_tokens",
                 F.floor(
-                    (
-                        F.col("src_offset")
-                        + F.col("prior_tokens")
-                        + cum
-                        - F.col("n_tokens")
-                    )
+                    (off_checked + F.col("prior_tokens") + cum - F.col("n_tokens"))
                     / budget
                 ).alias("shard_id"),
             )

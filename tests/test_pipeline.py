@@ -2099,3 +2099,19 @@ def test_token_set_dedup_invariance(spark):
     assert got[1].group_size == 3 and got[1].is_canonical
     assert not got[2].is_canonical and not got[3].is_canonical
     assert got[4].is_canonical and got[4].group_size == 1
+
+
+def test_shard_assign_unknown_source_raises(spark):
+    """A doc whose source is absent from a PINNED offset table is a
+    frozen-model contract violation: the job must fail loudly, never
+    silently drop the doc from every shard."""
+    import pytest
+
+    from siddhi_operator_spark.pipeline import curation as C
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "known"), (2, "d e f", "surprise")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(Exception, match="surprise"):
+        C.shard_assign(df, budget=8, offsets=[("known", 0)]).collect()

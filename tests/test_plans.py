@@ -849,3 +849,19 @@ def test_join_bucket_tiers_plan_shapes(spark):
     assert "Generate" not in plan_for(flat, "auto").split("\n\n")[0]
     hot = mk(1, 1200)
     assert "Generate" in plan_for(hot, "auto").split("\n\n")[0]
+
+
+def test_shard_assign_never_single_partition(spark):
+    """The global shard numbering's corpus-sized work must stay keyed:
+    the cumsum window hash-partitions by source and the offset table
+    joins broadcast — the naive global-window formulation's
+    SinglePartition exchange (one task sorts the corpus) must not
+    appear anywhere in the plan."""
+    from siddhi_operator_spark.pipeline import curation as C
+
+    docs = load(spark, SF, "documents")
+    plan = _fmt(C.shard_assign(docs, budget=512))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
