@@ -480,3 +480,78 @@ def test_dsir_logweight_matches_bruteforce(spark, texts, flags):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) <= 1e-4 + 1e-9
+
+
+sourced_docs_strategy = st.lists(
+    st.tuples(
+        st.lists(word_strategy, min_size=0, max_size=8).map(" ".join),
+        st.sampled_from(["s0", "s1", "s2"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=sourced_docs_strategy)
+def test_shard_assign_matches_bruteforce(spark, docs):
+    """Two-level global shard numbering == the Python cumsum over the
+    canonical (source, doc_id) order, for any corpus shape (empty
+    docs, single-source, unbalanced sources)."""
+    from siddhi_operator_spark.pipeline.curation import shard_assign
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    budget = 7
+    got = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in shard_assign(df, budget=budget).collect()
+    }
+    cum = 0
+    want = {}
+    for i, (t, s) in sorted(enumerate(docs), key=lambda p: (p[1][1], p[0])):
+        n = len([w for w in t.split() if w])
+        want[i] = (n, cum // budget)
+        cum += n
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy, perm_seed=st.integers(0, 2**16))
+def test_token_set_canon_invariants(spark, texts, perm_seed):
+    """Canon hash is invariant under word shuffling, duplication, and
+    case-flipping; two docs share a hash iff their normalized token
+    SETS are equal (bruteforce set comparison)."""
+    import random
+
+    from siddhi_operator_spark.pipeline.curation import token_set_dedup
+
+    rng = random.Random(perm_seed)
+    variants = []
+    for t in texts:
+        ws = t.split()
+        rng.shuffle(ws)
+        dup = ws + ([rng.choice(ws)] if ws else [])
+        variants.append(" ".join(w.upper() if rng.random() < 0.5 else w for w in dup))
+    both = texts + variants
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(both)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.canon_hash for r in token_set_dedup(df).collect()}
+    n = len(texts)
+    for i in range(n):
+        assert got[i] == got[n + i], f"variant {i} broke canon invariance"
+    sets = {i: frozenset(t.lower().split()) for i, t in enumerate(both)}
+    for i in sets:
+        for j in sets:
+            assert (got[i] == got[j]) == (sets[i] == sets[j]), (i, j)
