@@ -18,6 +18,35 @@ from ..fpround import r4
 TOKEN_SPLIT = r"\s+"
 
 
+def _ensure_input_parallelism(df: DataFrame) -> DataFrame:
+    """Spread an under-parallel scan across the cluster before
+    CPU-heavy per-row work (guide §2.5 "input skew": one small or
+    unsplittable file yields one scan task — a single parquet row
+    group cannot be split by `minPartitionNum`, only moved).
+
+    The minhash corpus fixture is one 584 KB file = ONE scan task, so
+    the signature kernel AND every pre-exchange stage built on the
+    cached signature table (band explode, broadcast-join probe of the
+    LSH pair generation, owner-band filter) ran serially regardless of
+    core count — measured r15: repartitioning the signature table to
+    ``defaultParallelism`` took the bench row 2.61 → 1.07 s at 32
+    cores, identical 2 904 768 pairs (`tools/r15_lsh_ab.py`).
+
+    Scale-adaptive by construction: at corpus scale the scan already
+    carries ≥ cores partitions and this is a no-op; the repartition
+    only fires when the input is narrower than the cluster, and then
+    it moves only the narrow input once. Called on raw scan inputs
+    only (no upstream exchanges), so the partition-count probe plans
+    but never launches a job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        p = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — parallelism probe is best-effort
+        return df
+    return df.repartition(target) if p < target else df
+
+
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", F.split(F.col(text_col), TOKEN_SPLIT))
 
@@ -67,6 +96,7 @@ def minhash_signature(
     bytes-min per document. Same hash family, same output (pinned by
     test + the unchanged oracle); kept opt-in like the other Arrow
     tiers."""
+    df = _ensure_input_parallelism(df)
     if impl == "arrow":
         return _minhash_signature_arrow(df, n_hashes, text_col)
     toks = with_tokens(df, text_col)
