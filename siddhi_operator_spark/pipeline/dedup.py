@@ -368,16 +368,17 @@ def lsh_candidate_pairs(
             .join(key_tbl.alias("bb"), F.col("id_b") == F.col(f"bb.{id_col}"))
             .filter(F.col("_band") == first_band)
             .select("id_a", "id_b")
-            # Deliberate narrow exchange: without it the scoring joins
-            # fuse into one mega-stage with the pair generation, and
-            # the 32-comparison n_match expression inside that stage
-            # measured ~8 s instead of ~1 s (r15 A/B — giant generated
-            # method; an array zip_with/aggregate n_match was 2× worse
-            # still, interpreted HOFs). The exchange carries 2.9 M
-            # 16-byte rows here vs the deleted distinct's 4.76 M-row
-            # exchange PLUS two-phase hash agg — strictly less shuffle
-            # at every corpus size.
-            .repartition(F.col("id_a"))
+            # r15 OPT: the deliberate narrow exchange that used to sit
+            # here (repartition(id_a), added to break the pair-gen +
+            # scoring mega-stage) was a serial-task artifact: with the
+            # input now guaranteed ≥ defaultParallelism partitions
+            # (_ensure_input_parallelism) the fused stage is parallel
+            # and the exchange is pure cost — measured 0.78 s fused vs
+            # 1.08 s with-exchange at sf0.1 (4.76 M raw pairs) and
+            # 40.4 s vs 76.5 s at docs ×10 (53 M raw pairs, sig table
+            # above the broadcast threshold, where the scoring joins
+            # plan their own exchanges anyway). Row-identity pinned by
+            # the unchanged oracle.
         )
     n_match = sum(
         F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)

@@ -2115,3 +2115,37 @@ def test_shard_assign_unknown_source_raises(spark):
     )
     with pytest.raises(Exception, match="surprise"):
         C.shard_assign(df, budget=8, offsets=[("known", 0)]).collect()
+
+
+def test_minhash_input_parallelism_and_fused_pair_stage(spark):
+    """r15 OPT: (a) minhash_signature spreads an under-parallel input
+    (one scan task — the single-row-group fixture file) across
+    defaultParallelism partitions before the kernel, and is a no-op on
+    an already-parallel input; (b) the uncapped LSH tier plans NO
+    exchange between pair generation and scoring (the old deliberate
+    repartition(id_a) — a serial-task artifact — measured 1.4-1.9x
+    worse once the input is parallel)."""
+    target = spark.sparkContext.defaultParallelism
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(50)]
+    one = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    sigs = one.select("doc_id", "text")
+    out = D.minhash_signature(sigs, n_hashes=4)
+    assert out.rdd.getNumPartitions() == target
+
+    wide = spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        target + 3
+    )
+    out_wide = D.minhash_signature(wide, n_hashes=4)
+    assert out_wide.rdd.getNumPartitions() == target + 3
+
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_signature(one, n_hashes=8),
+        n_hashes=8,
+        band_size=2,
+        max_bucket=None,
+        cache=False,
+    )
+    # the explicit repartition showed up as a RepartitionByExpression
+    # logical node; join-required exchanges (EnsureRequirements) do not
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan
