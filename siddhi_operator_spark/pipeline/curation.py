@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from . import ensure_input_parallelism as _par
 from ..fpround import r4
 
 # Redaction patterns (RE2- and java.util.regex-compatible — the same
@@ -789,6 +790,10 @@ def remove_repeated_spans(
     # unconditionally, so a fused call cannot leak a prior probe
     # call's persisted tail across the session
     release_span_tail_cache()
+    # narrow-scan guard: the winnow kernel + position explode are the
+    # heaviest in-row work in curation (7.38 → 4.69 s probe, 7.89 →
+    # 4.19 s bloom at sf0.1, r15 — guide §2.5)
+    df = _par(df)
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     _, hs, _, fps = _winnow_fps(k, w)
     span = w + k - 1  # tokens covered by one window: pos .. pos+span-1

@@ -13,38 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import ensure_input_parallelism as _ensure_input_parallelism
 from ..fpround import r4
 
 TOKEN_SPLIT = r"\s+"
-
-
-def _ensure_input_parallelism(df: DataFrame) -> DataFrame:
-    """Spread an under-parallel scan across the cluster before
-    CPU-heavy per-row work (guide §2.5 "input skew": one small or
-    unsplittable file yields one scan task — a single parquet row
-    group cannot be split by `minPartitionNum`, only moved).
-
-    The minhash corpus fixture is one 584 KB file = ONE scan task, so
-    the signature kernel AND every pre-exchange stage built on the
-    cached signature table (band explode, broadcast-join probe of the
-    LSH pair generation, owner-band filter) ran serially regardless of
-    core count — measured r15: repartitioning the signature table to
-    ``defaultParallelism`` took the bench row 2.61 → 1.07 s at 32
-    cores, identical 2 904 768 pairs (`tools/r15_lsh_ab.py`).
-
-    Scale-adaptive by construction: at corpus scale the scan already
-    carries ≥ cores partitions and this is a no-op; the repartition
-    only fires when the input is narrower than the cluster, and then
-    it moves only the narrow input once. Called on raw scan inputs
-    only (no upstream exchanges), so the partition-count probe plans
-    but never launches a job."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        p = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — parallelism probe is best-effort
-        return df
-    return df.repartition(target) if p < target else df
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -406,6 +378,9 @@ def token_jaccard_pairs(
     shared, jaccard = |∩| / (|A| + |B| − |∩|). The block column bounds
     the candidate space (at 100 TB you always block — by source,
     shard, or an LSH band as above)."""
+    # narrow-scan guard: the token explode + self-join probe otherwise
+    # run in the scan's task count (5.28 → 1.36 s at sf0.1, r15)
+    df = _ensure_input_parallelism(df)
     toks = with_tokens(df, text_col).select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
@@ -754,6 +729,9 @@ def semantic_dedup_pairs(
     partition-pruned; raise n_cells so cells stay ~√corpus."""
     from .similarity import _dot
 
+    # narrow-scan guard (4.97 → 3.78 s at sf0.1, r15); applied before
+    # the seed filter so the centroid probe shares the parallel scan
+    embeddings = _ensure_input_parallelism(embeddings)
     cent = embeddings.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cent_vec"),

@@ -245,6 +245,12 @@ def _brute_force_topk_cogroup(
     import numpy as np
     import pandas as pd
 
+    # narrow-scan guard: the query-side ×n_blocks explode otherwise
+    # runs as one task (1.45 → 1.23 s at sf0.1, r15 — guide §2.5)
+    from . import ensure_input_parallelism as _par
+
+    corpus = _par(corpus)
+    queries = _par(queries)
     c = corpus.select(
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
         F.col(id_col),

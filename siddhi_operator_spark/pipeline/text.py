@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import ensure_input_parallelism as _par
 from ..fpround import r4
 
 STOPWORDS_EN = ("the", "a", "of", "and", "in", "to", "is")
@@ -103,6 +104,9 @@ def shingle_stats(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     """k-token shingle statistics (the input to fingerprinting /
     minhash): number of shingles and distinct shingles per doc, via
     array expressions (sequence + transform + slice), no explode."""
+    # narrow-scan guard: the per-row shingle kernel is CPU-heavy
+    # (3.02 → 0.41 s at sf0.1, r15 — guide §2.5)
+    df = _par(df)
     toks = F.split(F.col(text_col), r"\s+")
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
@@ -316,6 +320,9 @@ def char_lm_score(
     ``spark.catalog.clearCache()`` once the result is materialized.
     """
     c = F.col(text_col)
+    # narrow-scan guard: the char-bigram explode otherwise runs in the
+    # scan's task count (3.21 → 1.14 s at sf0.1, r15 — guide §2.5)
+    df = _par(df)
     bigrams = df.filter(F.length(c) >= 2).select(
         F.col(id_col),
         F.explode(
@@ -484,6 +491,9 @@ def classifier_train(
     fixed-iteration unrolled DuckDB oracle; output weights at 4 dp."""
     from pyspark.storagelevel import StorageLevel
 
+    # narrow-scan guard: the feature explode + slot hashing otherwise
+    # run in the scan's task count (5.24 → 3.23 s at sf0.1, r15)
+    df = _par(df)
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     slot = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast(
         "long"
@@ -824,6 +834,8 @@ def word_lm_score(
         F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " ")), " "),
         lambda x: x != "",
     )
+    # narrow-scan guard (1.70 → 1.38 s at sf0.1, r15 — guide §2.5)
+    df = _par(df)
     words = df.select(F.col(id_col), arr.alias("_w")).filter(
         F.size(F.col("_w")) >= 1
     )
@@ -924,6 +936,10 @@ def dsir_logweight(
     Output: (id, n_feats, dsir_logweight) — docs with ≥ 1 letter
     word; positive = more target-like."""
     feats = _dsir_feat_array(text_col)
+    # narrow-scan guard: the unigram+bigram feature explode is the
+    # heaviest per-row kernel in the text family (10.13 → 1.92 s at
+    # sf0.1, r15 — guide §2.5)
+    df = _par(df)
     fold = (
         df.withColumn("_t", target_pred)
         .select(F.col(id_col), F.col("_t"), F.explode(feats).alias("b"))
@@ -995,6 +1011,8 @@ def dsir_model(
     of corpus size, the legal collect class). Feed the result to
     :func:`dsir_apply` to score any batch OR stream without touching
     the training corpus again."""
+    # narrow-scan guard: same feature-explode kernel as dsir_logweight
+    df = _par(df)
     fold = (
         df.withColumn("_t", target_pred)
         .select(F.col("_t"), F.explode(_dsir_feat_array(text_col)).alias("b"))

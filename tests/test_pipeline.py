@@ -2149,3 +2149,58 @@ def test_minhash_input_parallelism_and_fused_pair_stage(spark):
     # logical node; join-required exchanges (EnsureRequirements) do not
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
     assert "RepartitionByExpression" not in plan
+
+
+def test_document_pipeline_input_parallelism(spark):
+    """r15 OPT: every CPU-heavy document/embedding operator spreads an
+    under-parallel scan to defaultParallelism before its per-row
+    kernel (`pipeline.ensure_input_parallelism`, guide §2.5) and
+    leaves an already-parallel input untouched. Pinned via the logical
+    plan: the helper's round-robin repartition appears exactly when
+    the input is narrower than the cluster. Result identity per
+    operator is pinned by the DuckDB oracle rows + the r15 A/B
+    (`tools/r15_docpar_ab.py`, sorted collects equal on all arms)."""
+    from siddhi_operator_spark.pipeline import text as X
+
+    target = spark.sparkContext.defaultParallelism
+    doc_rows = [(i, f"tok{i} tok{i % 7} tok{i % 3} x y", "s") for i in range(40)]
+    emb_rows = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)]
+    docs1 = spark.createDataFrame(
+        doc_rows, "doc_id long, text string, source string"
+    ).coalesce(1)
+    docsw = spark.createDataFrame(
+        doc_rows, "doc_id long, text string, source string"
+    ).repartition(target + 3)
+    emb1 = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+
+    builders = {
+        "dsir": lambda d: X.dsir_logweight(
+            d, target_pred=F.col("doc_id") < 20, cache=False
+        ),
+        "word_lm": lambda d: X.word_lm_score(d, cache=False),
+        "char_lm": lambda d: X.char_lm_score(d, cache=False),
+        "classifier_train": lambda d: X.classifier_train(
+            d, n_buckets=64, iters=1, label_min_tokens=3
+        ),
+        "shingles": lambda d: X.shingle_stats(d, k=2),
+        "spans": lambda d: C.remove_repeated_spans(d, k=2, w=2, min_docs=2),
+        "jaccard": lambda d: D.token_jaccard_pairs(d, min_jaccard=0.1),
+    }
+
+    def has_rr(df) -> bool:
+        # the helper's round-robin node prints as "Repartition <target>,
+        # true"; the wide arm's own input repartition (target + 3) does
+        # not match. Analyzed plan, not optimized: cache substitution
+        # (classifier_train persists its feature matrix) would hide the
+        # node behind an InMemoryRelation in the optimized tree.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return f"Repartition {target}, true" in plan
+
+    for name, build in builders.items():
+        assert has_rr(build(docs1)), f"{name}: narrow input not spread"
+        assert not has_rr(build(docsw)), f"{name}: wide input repartitioned"
+
+    assert has_rr(D.semantic_dedup_pairs(emb1, min_cos=0.1, n_cells=2))
+    assert has_rr(S.brute_force_topk(emb1, emb1, k=2, impl="cogroup"))
