@@ -2579,3 +2579,41 @@ def test_ql_session_prefix_routing(spark):
     ka = sorted((r.user_id, r.session_start, r.session_end, r.n) for r in a.collect())
     kb = sorted((r.user_id, r.session_start, r.session_end, r.n) for r in b.collect())
     assert ka == kb
+
+
+def test_quantifier_run_collapse_plan_shape(spark):
+    """r15 OPT: the unrolled quantifier chain is gone — a length-L run
+    is contiguous on its adjacency axis, so each variant carries ONE
+    lead() window instead of L-1 adjacency self-joins. For `*` with
+    UNROLL_CAP 8 the old plan held 36 intra-run joins (72 join nodes
+    physical); now joins appear only BETWEEN steps: one per non-empty
+    variant. Semantics pinned by the greedy tests above + the DuckDB
+    oracle rows (`siddhiql_star_quantifier`, `siddhiql_count_quantifier`,
+    `pattern_optional_step`, `streaming_cep_count_quantifier`)."""
+    app = (
+        _QDEF
+        + """
+    from every e=events[event_type == 'click']*
+         -> f=events[event_type == 'purchase']
+    select f.user_id as user_id, e[0].event_id as first_id,
+           e[last].event_id as last_id, e__count as n,
+           f.event_id as purchase_id
+    insert into Out;
+    """
+    )
+    out = run_app(app, {"events": _quant_df(spark)})["Out"]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = plan.count("Join ")
+    # lengths 1..8 each join the run frame to the purchase step; the
+    # zero-length variant is purchase-only (no join)
+    assert n_joins == 8, f"expected 8 between-step joins, saw {n_joins}"
+    # greedy semantics survive the collapse (user 1: three clicks then
+    # purchase -> longest run wins; zero-length variant emits the
+    # purchase with NULL bounds only where no run precedes it)
+    got = sorted(
+        ((r.user_id, r.first_id, r.last_id, r.n, r.purchase_id)
+         for r in out.collect()),
+        key=lambda t: tuple(-1 if v is None else v for v in t),
+    )
+    assert (1, 1, 3, 3, 4) in got
+    assert (2, 10, 11, 2, 12) in got
