@@ -7,7 +7,27 @@ generation before any pairwise work).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bind_array(arr: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-bind an array-typed expression: evaluate ``arr`` ONCE per row
+    and expose it to ``body`` as a cheap lambda variable (a ``transform``
+    over a single-element array, unwrapped with ``[0]``).
+
+    Guards against the interpreted-HOF re-embedding blowup (guide §1.2
+    per-task work): a Column expression referenced N times is COPIED N
+    times into the plan (Catalyst inlines aliases when projections
+    collapse, and HOFs are CodegenFallback, so no common-subexpression
+    elimination applies) — and a copy referenced inside a HOF lambda
+    re-evaluates PER ELEMENT. Measured r15: the DSIR uni+bigram feature
+    array spelled inline carried 18 regexp_replace copies and re-split
+    the document per bigram (O(words²)); let-bound it is 0.66 → 0.15 s
+    at sf0.1 (4.4×), byte-identical output."""
+    return F.transform(F.array(arr), body)[0]
 
 
 def ensure_input_parallelism(df: DataFrame) -> DataFrame:

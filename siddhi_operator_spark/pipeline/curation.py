@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from . import bind_array
 from . import ensure_input_parallelism as _par
 from ..fpround import r4
 
@@ -573,44 +574,79 @@ def _winnow_fps(k: int, w: int):
       never an ``array_min(slice(...))`` per window.
 
     Returns (n_grams, hs, n_windows, fps) expressions; the caller must
-    have projected the token array as ``_ws`` and (for n_windows/fps)
-    the hash array as ``_hs``. All lengths clamp to ≥0 so the
-    expressions stay total on short docs."""
-    ws = F.col("_ws")
-    n = F.size(ws)
+    have projected the token array as ``_ws``. All lengths clamp to ≥0
+    so the expressions stay total on short docs.
+
+    r15 OPT (guide §1.2 per-task work): every returned expression
+    references ``_ws`` exactly ONCE, with all interior reuse let-bound
+    via :func:`..bind_array` — ``fps`` is self-contained (the old form
+    read a separately-projected ``_hs`` column, and once Catalyst
+    collapsed the caller's projections the k-gram md5 pipeline plus the
+    token split were inlined into every reference: the probe plan of
+    `remove_repeated_spans` carried 91 split / 16 md5 / 16 arrays_zip
+    copies, each re-evaluated per row by the interpreted HOFs).
+    Measured at sf0.1, 32 cores (warm medians, probe pipeline
+    end-to-end): 4.2 → 0.95 s; the winnow explode is shared by the
+    streaming twin; output byte-identical (sorted-collect A/B + oracle
+    rows + pinned tests)."""
+    ws_col = F.col("_ws")
     # greatest(0, ·) guards: slice() throws on a negative length, and
     # the optimizer is free to evaluate these projections before the
     # caller's size filter (observed: CollapseProject in a join plan) —
     # the expressions must be TOTAL on short docs, which then just
     # produce empty arrays
-    n_grams = F.greatest(F.lit(0), n - (k - 1))
-    shifted = [ws.alias("g0")] + [
-        F.slice(ws, i + 1, n).alias(f"g{i}") for i in range(1, k)
-    ]
-    hs = F.slice(
-        F.transform(
-            F.arrays_zip(*shifted),
-            lambda s: F.md5(F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)])),
-        ),
-        1,
-        n_grams,
-    )
+    n_grams = F.greatest(F.lit(0), F.size(ws_col) - (k - 1))
     n_windows = F.greatest(F.lit(0), n_grams - (w - 1))
 
-    cur, span = F.col("_hs"), 1
-    length = F.size(F.col("_hs"))
-    while span * 2 <= w:
-        cur = F.zip_with(
-            cur, F.slice(cur, span + 1, length), lambda a, b: F.least(a, b)
+    def hs_body(ws: Column) -> Column:
+        n = F.size(ws)
+        shifted = [ws.alias("g0")] + [
+            F.slice(ws, i + 1, n).alias(f"g{i}") for i in range(1, k)
+        ]
+        return F.slice(
+            F.transform(
+                F.arrays_zip(*shifted),
+                lambda s: F.md5(
+                    F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)])
+                ),
+            ),
+            1,
+            F.greatest(F.lit(0), n - (k - 1)),
         )
-        span *= 2
-    if span < w:
-        cur = F.zip_with(
-            cur,
-            F.slice(cur, w - span + 1, length),
-            lambda a, b: F.least(a, b),
-        )
-    fps = F.slice(cur, 1, n_windows)
+
+    def ladder(h: Column) -> Column:
+        # sparse-table doubling ladder; zip_with pads the shorter slice
+        # with nulls and least() skips them, so every level keeps the
+        # input length — size(c) at any level equals size(h)
+        cur, span = h, 1
+
+        def level(c_in: Column, s: int) -> Column:
+            return bind_array(
+                c_in,
+                lambda c: F.zip_with(
+                    c, F.slice(c, s + 1, F.size(c)), lambda a, b: F.least(a, b)
+                ),
+            )
+
+        while span * 2 <= w:
+            cur = level(cur, span)
+            span *= 2
+        if span < w:
+            cur = level(cur, w - span)
+        return cur
+
+    hs = bind_array(ws_col, hs_body)
+    fps = bind_array(
+        ws_col,
+        lambda ws: bind_array(
+            hs_body(ws),
+            lambda h: F.slice(
+                ladder(h),
+                1,
+                F.greatest(F.lit(0), F.size(h) - (w - 1)),
+            ),
+        ),
+    )
     return n_grams, hs, n_windows, fps
 
 
@@ -633,7 +669,6 @@ def winnow_fingerprints(
     return (
         df.select("doc_id", ws.alias("_ws"))
         .filter(F.size(F.col("_ws")) >= k + w - 1)
-        .withColumn("_hs", hs)
         .select(
             "doc_id",
             n_windows.cast("long").alias("n_windows"),
@@ -668,7 +703,6 @@ def cross_doc_repeats(
     per_doc = (
         df.select("doc_id", ws.alias("_ws"))
         .filter(F.size(F.col("_ws")) >= k + w - 1)
-        .withColumn("_hs", hs)
         .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
     )
     return (
@@ -801,7 +835,6 @@ def remove_repeated_spans(
     with_fps = (
         df.select("doc_id", ws.alias("_ws"))
         .filter(F.size(F.col("_ws")) >= k + w - 1)
-        .withColumn("_hs", hs)
         .withColumn("_fps", fps)
     )
     # the winnow min runs over md5 HEX strings (lexicographic order on
@@ -981,7 +1014,6 @@ def winnow_positions(
     with_fps = (
         df.select("doc_id", ws.alias("_ws"))
         .filter(F.size(F.col("_ws")) >= k + w - 1)
-        .withColumn("_hs", hs)
         .withColumn("_fps", fps)
     )
     return with_fps.select(

@@ -982,20 +982,34 @@ def dsir_logweight(
 def _dsir_feat_array(text_col: str) -> Column:
     """Hashed uni+bigram bucket array for one document — the shared
     feature definition of :func:`dsir_logweight` / :func:`dsir_apply`
-    (md5 hex-prefix 256 buckets)."""
+    (md5 hex-prefix 256 buckets).
+
+    r15 OPT (guide §1.2 per-task work): the word array is LET-BOUND via
+    a single-element ``transform`` so every inner reference is a cheap
+    lambda-variable lookup. Spelled inline, ``arr[i]``/``arr[i+1]``
+    inside the bigram lambda each re-embed the whole
+    split(trim(regexp_replace(lower(text)))) pipeline, and interpreted
+    HOF evaluation re-runs it PER BIGRAM ELEMENT — O(words²) per
+    document (the optimized plan carried 18 regexp_replace copies).
+    Measured at sf0.1, 32 cores: 0.66 → 0.15 s for the bare feature
+    projection, byte-identical output."""
     c = F.col(text_col)
-    arr = F.filter(
+    words = F.filter(
         F.split(F.trim(F.regexp_replace(F.lower(c), "[^a-z]+", " ")), " "),
         lambda x: x != "",
     )
-    uni = F.transform(arr, lambda w: F.substring(F.md5(w), 1, 2))
-    big = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(arr) - 2, F.lit(-1))),
-        lambda i: F.substring(
-            F.md5(F.concat_ws(" ", arr[i], arr[i + 1])), 1, 2
-        ),
-    )
-    return F.when(F.size(arr) >= 2, F.concat(uni, big)).otherwise(uni)
+
+    def body(arr: Column) -> Column:
+        uni = F.transform(arr, lambda w: F.substring(F.md5(w), 1, 2))
+        big = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(arr) - 2, F.lit(-1))),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", arr[i], arr[i + 1])), 1, 2
+            ),
+        )
+        return F.when(F.size(arr) >= 2, F.concat(uni, big)).otherwise(uni)
+
+    return F.transform(F.array(words), body)[0]
 
 
 def dsir_model(
