@@ -10,7 +10,7 @@ engines (the DuckDB oracles run the byte-identical computation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import ensure_input_parallelism as _ensure_input_parallelism
@@ -202,6 +202,7 @@ def lsh_candidate_pairs(
     band_size: int = 8,
     cache: bool = True,
     max_bucket: int | None | str = "auto",
+    min_match: int | None = None,
 ) -> DataFrame:
     """Band the signatures (band hash = md5 of the band's sigs) and
     self-join per band bucket → candidate pairs (id_a < id_b), with the
@@ -361,6 +362,23 @@ def lsh_candidate_pairs(
         .join(sig_table.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
         .select("id_a", "id_b", n_match.alias("n_sig_match"))
     )
+    if min_match is not None:
+        # Threshold INSIDE the operator, behind a value-preserving
+        # nondeterministic guard (r15 OPT — the expression analog of
+        # guide §4.4's asNondeterministic): a caller-side
+        # `.filter(n_sig_match >= k)` is pushed below this projection
+        # and into the attach joins' condition, re-evaluating the
+        # n_hashes-way CASE chain per probed row — measured 5.9 →
+        # 1.2 s warm at sf0.1 (2.9 M pairs), identical rows. The
+        # guard multiplies spark_partition_id by zero, so the value
+        # is untouched while the optimizer must keep the filter above
+        # the single evaluation.
+        guard = F.lit(0).cast("int") * F.spark_partition_id()
+        scored = (
+            scored.withColumn("_gm", F.col("n_sig_match") + guard)
+            .filter(F.col("_gm") >= min_match)
+            .drop("_gm")
+        )
     return scored.withColumn(
         "jaccard_est", F.col("n_sig_match") / F.lit(float(n_hashes))
     )
@@ -595,12 +613,20 @@ def connected_components(
     base = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     )
-    edges = _materialize(
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+    # r15 OPT (guide §2.4 remove shuffles): the star tier consumes the
+    # symmetrized union WITHOUT the distinct+materialize the label tier
+    # needs — large_star tolerates duplicate edges (its own terminal
+    # .distinct() dedups the round's output), so a dup or reversed
+    # input pair costs one inflated first shuffle, not a wrong answer,
+    # while the up-front corpus-wide DISTINCT cost a full extra
+    # exchange + eager job on every call. The label tier keeps the
+    # materialized distinct frame: it re-reads `edges` every round.
+    sym = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if algo == "star":
-        return _cc_star(edges, _materialize, max_iter)
+        return _cc_star(sym, _materialize, max_iter)
+    edges = _materialize(sym.distinct())
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -641,8 +667,26 @@ def _cc_star(edges: DataFrame, _materialize, max_iter: int) -> DataFrame:
     itself) onto m. Components contract to stars rooted at their min
     id in O(log diameter) alternations. Convergence is detected by an
     (edge-count, xxhash64-sum) fingerprint going stable — both scalar
-    aggregates, nothing collects."""
-    all_nodes = _materialize(edges.select(F.col("src").alias("node")).distinct())
+    aggregates, nothing collects.
+
+    r15 OPT (guide §2.4 / §1.5 — fewer shuffles AND fewer actions; the
+    sf0.1 row ran ~30 jobs deep against a ~0.1 s/action local floor):
+
+    - the per-round fingerprint rides the small_star materialization
+      as an ``Observation`` instead of a separate aggregate job;
+    - the re-symmetrize union drops its ``distinct()`` AND its eager
+      materialization: every small_star edge is strictly src > dst
+      (hang targets are group minima; equal pairs are filtered), so
+      the reversed union is disjoint by construction, and a union of
+      two projections of the SAME checkpointed frame recomputes
+      nothing. large_star's terminal distinct makes the round output
+      identical either way;
+    - ``all_nodes`` stays lazy (one terminal consumer).
+
+    Labels identical (unchanged oracle row + tests)."""
+    from pyspark.sql import Observation
+
+    all_nodes = edges.select(F.col("src").alias("node")).distinct()
 
     def large_star(sym: DataFrame) -> DataFrame:
         mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
@@ -667,20 +711,25 @@ def _cc_star(edges: DataFrame, _materialize, max_iter: int) -> DataFrame:
             .distinct()
         )
 
-    def fingerprint(df: DataFrame):
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: a long sum of 2^63-range hashes overflows ANSI
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (row.n, row.h)
-
     cur = edges
     prev_fp = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         directed = _materialize(large_star(cur))
-        stars = _materialize(small_star(directed))
-        fp = fingerprint(stars)
+        # the fingerprint observation fills during the SAME action that
+        # materializes the round's stars — zero extra jobs
+        obs = Observation(f"cc_fp_{it}")
+        stars = _materialize(
+            small_star(directed).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: a long sum of 2^63-range hashes
+                # overflows ANSI
+                F.sum(
+                    F.xxhash64("src", "dst").cast("decimal(38,0)")
+                ).alias("h"),
+            )
+        )
+        fp = (obs.get["n"], obs.get["h"])
         if fp == prev_fp:
             labels = stars.groupBy("src").agg(F.min("dst").alias("component"))
             return _materialize(
@@ -692,11 +741,12 @@ def _cc_star(edges: DataFrame, _materialize, max_iter: int) -> DataFrame:
                 )
             )
         prev_fp = fp
-        # re-symmetrize for the next large-star pass
-        cur = _materialize(
-            stars.union(
-                stars.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            ).distinct()
+        # re-symmetrize for the next large-star pass: small_star edges
+        # are strictly src > dst, so the reversed union is disjoint and
+        # duplicate-free — no distinct, no materialization (both
+        # branches project the just-checkpointed stars)
+        cur = stars.union(
+            stars.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     raise RuntimeError(
         f"connected_components(algo='star') did not converge in {max_iter} "
@@ -727,7 +777,7 @@ def semantic_dedup_pairs(
     pairwise work is Σ cell², never corpus². At 100 TB: write the
     corpus partitioned by cell and each cell's pair scan is
     partition-pruned; raise n_cells so cells stay ~√corpus."""
-    from .similarity import _dot
+    from .similarity import _dot, dot_unrolled
 
     # narrow-scan guard (4.97 → 3.78 s at sf0.1, r15); applied before
     # the seed filter so the centroid probe shares the parallel scan
@@ -737,7 +787,15 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("cent_vec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("cent_norm"),
     )
-    n_seeds = cent.count()
+    # one aggregate job covers BOTH the seed-count guard and the dim
+    # probe for the unrolled-dot fast tier (r15 OPT — no extra action:
+    # this replaces the previous bare count())
+    st = cent.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("cent_vec")).alias("dmin"),
+        F.max(F.size("cent_vec")).alias("dmax"),
+    ).first()
+    n_seeds = int(st.n)
     if n_seeds != n_cells:
         # same sparse-seed hazard as the PQ codebook: a re-id'd corpus
         # would otherwise silently yield fewer (or zero) cells and an
@@ -747,10 +805,22 @@ def semantic_dedup_pairs(
             f"{n_cells} but found {n_seeds} such vectors; re-id the "
             "corpus densely from 0 or lower n_cells"
         )
+    # unrolled codegen dot when the centroid sample agrees on one dim
+    # (rows that differ fall back to the fold INSIDE dot_unrolled, so
+    # this is a pure fast-path pick, never a semantics change):
+    # 4.7 → 2.7 s warm on the 251k-pair in-cell join at sf0.1
+    if st.dmin is not None and st.dmin == st.dmax:
+        _d = int(st.dmin)
+
+        def dot(a: Column, b: Column) -> Column:  # noqa: ANN001
+            return dot_unrolled(a, b, _d)
+
+    else:
+        dot = _dot
     base = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
     from pyspark.sql import Window
 
@@ -760,7 +830,7 @@ def semantic_dedup_pairs(
         "norm",
         "cent_id",
         (
-            _dot(F.col("v"), F.col("cent_vec"))
+            dot(F.col("v"), F.col("cent_vec"))
             / (F.col("norm") * F.col("cent_norm"))
         ).alias("cent_cos"),
     )
@@ -786,7 +856,7 @@ def semantic_dedup_pairs(
             F.col(f"a.{id_col}").alias("id_keep"),
             F.col(f"b.{id_col}").alias("id_drop"),
             r4(
-                _dot(F.col("a.v"), F.col("b.v"))
+                dot(F.col("a.v"), F.col("b.v"))
                 / (F.col("a.norm") * F.col("b.norm")),
                 4,
             ).alias("cos"),

@@ -29,6 +29,28 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Bit-identical fast tier of :func:`_dot` for a KNOWN dimension
+    (r15 OPT, guide §1.2 per-task work): the zip_with+aggregate fold is
+    an interpreted HOF pair (CodegenFallback — per-element lambda
+    dispatch), which dominates pairwise scoring joins. For a fixed dim
+    the same left-to-right sum unrolls to a flat codegen-able Add chain
+    seeded with the fold's 0.0 initial value, so every intermediate
+    IEEE rounding step is identical by construction; rows whose arrays
+    do not match ``dim`` fall back to the fold. Measured on the
+    in-cell pair join of `semantic_dedup_pairs` (251k pairs × dim 64
+    at sf0.1): 4.7 → 2.7 s warm, sorted collects equal."""
+    s: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        s = s + (
+            F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double")
+        )
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), s).otherwise(
+        _dot(a, b)
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 

@@ -211,10 +211,13 @@ def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     is the 100 TB path)."""
     docs = load(spark, sf, "documents")
     sigs = D.minhash_signature(docs, n_hashes=N_HASHES, impl="arrow")
-    pairs = D.lsh_candidate_pairs(
-        sigs, n_hashes=N_HASHES, band_size=BAND_SIZE, max_bucket=None
-    )  # None: parity with the oracle's exhaustive transitive closure
-    strong = pairs.filter(F.col("n_sig_match") >= CC_THRESHOLD)
+    strong = D.lsh_candidate_pairs(
+        sigs, n_hashes=N_HASHES, band_size=BAND_SIZE, max_bucket=None,
+        min_match=CC_THRESHOLD,
+    )  # max_bucket None: parity with the oracle's exhaustive closure;
+    # min_match inside the operator keeps the threshold filter above
+    # the scoring projection (r15 OPT: a pushed filter re-evaluated
+    # the 32-way agreement chain inside the attach joins, 5.9 → 1.2 s)
     cc = D.connected_components(strong)
     return cc.select(
         F.col("node").alias("doc_id"),
