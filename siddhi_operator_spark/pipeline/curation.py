@@ -1008,7 +1008,13 @@ def winnow_positions(
     STREAMING twin (`streaming.dedup.incremental_span_removal_sink`)
     shares the exact fingerprint semantics with the batch operator.
     ``fp`` is the unhexed 16-byte binary (the shuffle-key discipline
-    measured in SCALEBENCH r8); ``pos`` is 1-based."""
+    measured in SCALEBENCH r8); ``pos`` is 1-based.
+
+    Deliberately NO narrow-scan guard here (r15 OPT, measured
+    negative): the streaming twin feeds single-file micro-batches, and
+    after the let-bound winnow rewrite the kernel is cheap enough that
+    the per-batch repartition exchange costs more than the spread buys
+    (sink A/B: 5.0–5.4 s unguarded vs 5.6–6.1 s guarded per replay)."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     _, hs, _, fps = _winnow_fps(k, w)
     with_fps = (

@@ -695,6 +695,10 @@ def bpe_train(
     Returns (merge_rank, left_tok, right_tok, pair_count) — one row
     per learned merge, rank 1-based in learn order."""
     spark = df.sparkSession
+    # narrow-scan guard (r15 OPT, guide §2.5): the corpus-wide word
+    # explode+count otherwise runs in the fixture scan's single task
+    # (measured 5.0 s cold → 0.5 s at sf0.1)
+    df = _par(df)
     words = (
         df.select(
             F.explode(
@@ -714,8 +718,10 @@ def bpe_train(
         "cnt",
     )
     # the word-frequency state is small (vocab-bounded) and hit K+1
-    # times — persist it once
-    enc = enc.persist()
+    # times — persist ONE partition: the per-merge argmax jobs
+    # otherwise launch shuffle.partitions near-empty tasks per round
+    # over a vocab-bounded table (r15 OPT, guide §2.2 fewer/larger)
+    enc = enc.coalesce(1).persist()
     learned: list[tuple[int, str, str, int]] = []
     cur = enc
     for rank in range(1, merges + 1):

@@ -96,14 +96,20 @@ def replay_dir(
     w = Window.orderBy(split_col)
     ranked = df.withColumn("_rk", F.ntile(n_splits).over(w))
     now = time.time()
+    # ONE partitioned write instead of n_splits filter+write jobs (r15
+    # OPT, guide §2.4): the old loop re-ran the global ntile sort once
+    # per split (measured: the 3-split replay of sf0.1 events cost
+    # ~2.5 s/split, serially, in EVERY streaming row's setup). A
+    # single-task dynamic-partition write pays the sort once and emits
+    # the same one-file-per-split layout (partitionBy drops _rk from
+    # the files, same as the old .drop); per-file row order is the
+    # same split_col window order either way.
+    tmp = f"{out_dir}/_stage_all"
+    ranked.coalesce(1).write.partitionBy("_rk").mode("overwrite").parquet(tmp)
     for i in range(1, n_splits + 1):
-        tmp = f"{out_dir}/_stage_{i}"
-        ranked.filter(F.col("_rk") == i).drop("_rk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        (src,) = glob.glob(f"{tmp}/_rk={i}/part-*.parquet")
         dst = f"{out_dir}/batch_{i:04d}.parquet"
         shutil.move(src, dst)
-        shutil.rmtree(tmp)
         os.utime(dst, (now + i, now + i))
+    shutil.rmtree(tmp)
     return out_dir
