@@ -82,6 +82,21 @@ def build_session(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # Without changelog checkpointing RocksDB commits a FULL state
+        # snapshot per store per micro-batch — commit cost O(state size)
+        # every batch. With it the commit writes only the batch's
+        # changelog and snapshots amortise in the background maintenance
+        # thread: the right regime whenever state ≫ batch delta (the
+        # 100 TB case). At fixture scale the interleaved fresh-process
+        # A/B measured it NEUTRAL (state is ~10²–10⁴ rows/store, so the
+        # snapshot is as cheap as the changelog; a naive warm-vs-cold
+        # comparison shows a fake 2–3× — OPTIMIZATION_r15.md Part III)
+        # and output row-identical, so the production default costs the
+        # local bench nothing.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            os.environ.get("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -749,3 +749,23 @@ def test_derive_state_buckets_geometry():
         reorder.akslack_bucketed(df_dummy, approx_keys=0)
     with pytest.raises(ValueError, match="n_keys"):
         reorder.kslack_bucketed(df_dummy, approx_keys=0)
+
+
+def test_state_store_session_defaults(spark):
+    """The streaming state contract (OPTIMIZATION_r15.md Part III):
+    RocksDB provider (state ≫ heap at scale) WITH changelog
+    checkpointing — commit cost O(batch delta), not O(state size); a
+    full-snapshot-per-commit default is the scale-killer at 100 TB
+    state. Parameterised via SPARK_GRAFT_ROCKSDB_CHANGELOG; measured
+    output-identical and wall-neutral at fixture scale, so the
+    production default is also the local default."""
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    ).endswith("RocksDBStateStoreProvider")
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+        == "true"
+    )
