@@ -10,6 +10,8 @@ engines (the DuckDB oracles run the byte-identical computation).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -166,11 +168,17 @@ def band_table(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     band_size: int = 8,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """(id, band, band_hash) rows for a signature frame — ONE explode
     over an array of per-band structs (band hash = md5 of the band's
     sigs). Shared by the batch LSH pairing and the streaming
-    incremental dedup service so their band geometry cannot drift."""
+    incremental dedup service so their band geometry cannot drift.
+
+    ``carry_cols`` are passed through the explode unchanged (r15 OPT:
+    the batch pairing tier rides the signature payload itself through
+    banding so pair scoring happens inside the bucket self-join — see
+    `lsh_candidate_pairs`)."""
     n_bands = n_hashes // band_size
     band_structs = F.array(
         *[
@@ -189,10 +197,36 @@ def band_table(
             for b in range(n_bands)
         ]
     )
-    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col), F.col("bb.band"), F.col("bb.band_hash")
-    )
+    carried = [F.col(c) for c in carry_cols]
+    return sigs.select(
+        F.col(id_col), *carried, F.explode(band_structs).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.band_hash"), *carried)
 
+
+
+def _est_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for a frame (bytes) — the SAME
+    number the planner compares to autoBroadcastJoinThreshold at join
+    planning, read with zero jobs. None when the private API is
+    unavailable (e.g. Spark Connect): callers fall back to the
+    scale-safe choice."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _auto_broadcast_threshold(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (−1 =
+    broadcast disabled). Unit suffixes parsed by the same JVM helper
+    Spark uses; 10 MB default on any failure."""
+    try:
+        s = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+        )
+    except Exception:  # noqa: BLE001
+        return 10 * 1024 * 1024
 
 
 def lsh_candidate_pairs(
@@ -203,6 +237,7 @@ def lsh_candidate_pairs(
     cache: bool = True,
     max_bucket: int | None | str = "auto",
     min_match: int | None = None,
+    inline: bool | None = None,
 ) -> DataFrame:
     """Band the signatures (band hash = md5 of the band's sigs) and
     self-join per band bucket → candidate pairs (id_a < id_b), with the
@@ -218,20 +253,24 @@ def lsh_candidate_pairs(
 
     Plan shape matters here: bands are generated with ONE explode over
     an array of (band, hash) structs (not a per-band union, which would
-    recompute the md5 signature pipeline once per band), and the banded
-    frame is cached before the self-join (each join side would
+    recompute the md5 signature pipeline once per band), the signature
+    table is cached before the self-join (each join side would
     otherwise recompute the full minhash scan — at 100 TB you always
     materialize the signature table before pairing; swap `.cache()`
-    for a parquet checkpoint there).
+    for a parquet checkpoint there), and since r15 the SCORING
+    formulation is a two-regime pick (``inline=None`` = auto, see the
+    body comment): while the signature table is within broadcast reach
+    the narrow-bucket + attach-join shape is fastest; past it the
+    banded rows ride the signature payload through the explode and
+    scoring happens inside the bucket self-join, the only shape whose
+    cost stays linear at corpus scale.
 
     Pair dedup (r15): a pair that collides in k bands comes out of the
     band self-join k times (1.64× duplication measured at sf0.1). The
     uncapped tier removes the duplicates WITHOUT a pair-stream
-    `distinct` — the formerly-dominant shuffle (+2.2 s of the 3.8 s
-    row wall) — via OWNER-BAND dedup: the colliding-band set is a
+    `distinct` — via OWNER-BAND dedup: the colliding-band set is a
     row-local function of the two documents' band-hash vectors, so
-    each pair is kept only at its first colliding band (see the inline
-    comment for the measured A/B, 0.79–0.86× end-to-end). The capped
+    each pair is kept only at its first colliding band. The capped
     tier keeps the explicit distinct: a dropped super-bucket can own a
     pair's first band, which signatures alone cannot see.
 
@@ -261,60 +300,12 @@ def lsh_candidate_pairs(
     sig_table = sigs.select(F.col(id_col), *sig_cols)
     if cache:
         sig_table = sig_table.cache()
-    # bucket rows carry ONLY (id, band, hash): the band self-join and the
-    # pair-dedup shuffle stay narrow (the 16 signature strings would
-    # otherwise ride through join+distinct); signatures are re-attached
-    # afterwards via two joins against the (cached, broadcastable-when-
-    # small) signature table.
-    banded = band_table(sig_table, id_col=id_col, n_hashes=n_hashes, band_size=band_size)
     if max_bucket == "auto":
         max_bucket = 2000
-    if max_bucket is not None:
-        counts = banded.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        banded = (
-            banded.join(counts, on=["band", "band_hash"])
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.band").alias("_band"),
-        )
-    )
-    if max_bucket is not None:
-        # Capped tier: a pair's FIRST colliding band may have been a
-        # dropped super-bucket, so ownership is not derivable from the
-        # two documents' signatures alone — dedup with an explicit
-        # distinct.
-        pairs = pairs.drop("_band").distinct()
-    else:
-        # Uncapped tier: OWNER-BAND dedup replaces the pair DISTINCT —
-        # the dominant shuffle (r15 profile at sf0.1, arrow tier:
-        # distinct +2.2 s of the 3.8 s wall on 4.76 M raw / 2.90 M
-        # unique pairs). A pair collides in band b iff the band's
-        # `band_size` signatures all agree (band_hash is md5 of
-        # exactly those sigs), so its colliding-band SET is a
-        # row-local function of the two documents' band-hash vectors:
-        # join the pair stream against a NARROW (id, 4-hash array)
-        # side table for both endpoints and keep the pair only where
-        # the join's own band is the FIRST colliding band — each pair
-        # survives exactly once BY CONSTRUCTION, and the pair-stream
-        # exchange + two-phase hash agg disappear at any corpus size.
-        n_bands = n_hashes // band_size
-        bh_arr = F.array(
+    n_bands = n_hashes // band_size
+
+    def _band_hash_arr() -> Column:
+        return F.array(
             *[
                 F.md5(
                     F.concat_ws(
@@ -328,46 +319,155 @@ def lsh_candidate_pairs(
                 for b in range(n_bands)
             ]
         )
-        key_tbl = sig_table.select(F.col(id_col), bh_arr.alias("_bhs"))
-        first_band = F.lit(None).cast("int")
-        for b in range(n_bands - 1, -1, -1):
-            first_band = F.when(
-                F.col("ba._bhs")[b] == F.col("bb._bhs")[b], F.lit(b)
-            ).otherwise(first_band)
-        pairs = (
-            pairs.join(
-                key_tbl.alias("ba"), F.col("id_a") == F.col(f"ba.{id_col}")
-            )
-            .join(key_tbl.alias("bb"), F.col("id_b") == F.col(f"bb.{id_col}"))
-            .filter(F.col("_band") == first_band)
-            .select("id_a", "id_b")
-            # r15 OPT: the deliberate narrow exchange that used to sit
-            # here (repartition(id_a), added to break the pair-gen +
-            # scoring mega-stage) was a serial-task artifact: with the
-            # input now guaranteed ≥ defaultParallelism partitions
-            # (_ensure_input_parallelism) the fused stage is parallel
-            # and the exchange is pure cost — measured 0.78 s fused vs
-            # 1.08 s with-exchange at sf0.1 (4.76 M raw pairs) and
-            # 40.4 s vs 76.5 s at docs ×10 (53 M raw pairs, sig table
-            # above the broadcast threshold, where the scoring joins
-            # plan their own exchanges anyway). Row-identity pinned by
-            # the unchanged oracle.
+
+    # r15 OPT regime pick (decade profile, docs ×10 disjoint-token
+    # fixture). The two formulations and their measured regimes:
+    #
+    # ATTACH (broadcast regime): narrow (id, band, hash) bucket rows;
+    # pair dedup on narrow ids; signatures re-attached afterwards via
+    # two joins against the signature table. While the planner
+    # broadcasts those joins this is the fastest known shape (×10:
+    # 15–18 s fresh) — zero pair-stream exchanges, codegen CASE-chain
+    # scoring on flat columns. But the attach side is CORPUS-
+    # PROPORTIONAL: the moment its stats cross the broadcast
+    # threshold the same code silently degrades to pair-stream
+    # sort-merge joins — 74.7 s at ×10 with honest (cache-
+    # materialized) stats, the first attach join's 1 KB sig payload
+    # riding into the second join's exchange, pairs ≫ corpus on
+    # dup-dense data (55 M pairs from 50 k docs).
+    #
+    # INLINE (scale regime): banded rows RIDE the signature payload
+    # (one array column) through the band explode, pair scoring
+    # happens inside the bucket self-join projection
+    # (zip_with+aggregate: one interpreted traversal, measured 2.3 s
+    # per 4.76 M pairs vs 2.7 s codegen flat CASEs vs 8.6 s per-index
+    # getItems), and the uncapped owner-band filter reads both
+    # endpoints' inline band-hash vectors — signature bytes cross ONE
+    # exchange (4 band rows/doc, corpus-proportional) and the pair
+    # stream at most one (the capped tier's distinct): 56 s at ×10
+    # honest-stats, and the only shape whose cost stays linear past
+    # broadcast reach (guide §2.3 "shuffle keys and metadata, move
+    # heavy bytes once").
+    #
+    # The pick mirrors the planner exactly: ATTACH iff Catalyst's own
+    # size estimate of the signature table clears the session's
+    # autoBroadcastJoinThreshold (zero extra jobs — the same numbers
+    # the planner will compare at join planning), INLINE otherwise or
+    # when the private estimate API is unavailable (Spark Connect):
+    # the scale-safe default. Explicit ``inline=`` pins either form
+    # (both oracle-parity-pinned row-identical by tests).
+    if inline is None:
+        est = _est_size_bytes(sig_table)
+        thresh = _auto_broadcast_threshold(sig_table.sparkSession)
+        inline = est is None or thresh < 0 or est > thresh
+    carry_cols: list[str] = []
+    if inline:
+        carry = sig_table.withColumn("_sigs", F.array(*sig_cols))
+        carry_cols.append("_sigs")
+        if max_bucket is None:
+            carry = carry.withColumn("_bhs", _band_hash_arr())
+            carry_cols.append("_bhs")
+        banded = band_table(
+            carry,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            band_size=band_size,
+            carry_cols=carry_cols,
         )
-    n_match = sum(
-        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
-        for i in range(n_hashes)
+    else:
+        banded = band_table(
+            sig_table, id_col=id_col, n_hashes=n_hashes, band_size=band_size
+        )
+    if max_bucket is not None:
+        counts = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = (
+            banded.join(counts, on=["band", "band_hash"])
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    joined = banded.alias("a").join(
+        banded.alias("b"),
+        on=[
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
     )
-    scored = (
-        pairs.join(sig_table.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sig_table.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select("id_a", "id_b", n_match.alias("n_sig_match"))
-    )
+
+    def _first_band(lhs: str, rhs: str) -> Column:
+        # a pair collides in band b iff the band's `band_size` sigs
+        # all agree (band_hash is md5 of exactly those sigs), so its
+        # colliding-band SET is a row-local function of the two
+        # endpoints' band-hash vectors: each pair is kept only at its
+        # first colliding band — exactly once BY CONSTRUCTION, no
+        # pair-stream distinct.
+        fb = F.lit(None).cast("int")
+        for b in range(n_bands - 1, -1, -1):
+            fb = F.when(F.col(f"{lhs}._bhs")[b] == F.col(f"{rhs}._bhs")[b], F.lit(b)).otherwise(fb)
+        return fb
+
+    if inline:
+        n_match = F.aggregate(
+            F.zip_with(
+                F.col("a._sigs"),
+                F.col("b._sigs"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        scored_cols = [
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            n_match.alias("n_sig_match"),
+        ]
+        if max_bucket is not None:
+            # Capped tier: a pair's FIRST colliding band may have been
+            # a dropped super-bucket, so ownership is not derivable
+            # from signatures alone — dedup with an explicit distinct.
+            # n_sig_match is a pure function of the pair, so distinct
+            # over (id_a, id_b, n_sig_match) has exactly the
+            # (id_a, id_b) cardinality; scoring before the distinct
+            # pays the scorer on raw pairs (×1.6–1.9 duplication) to
+            # keep the distinct the ONLY pair-stream exchange.
+            scored = joined.select(*scored_cols).distinct()
+        else:
+            scored = joined.filter(F.col("a.band") == _first_band("a", "b")).select(
+                *scored_cols
+            )
+    else:
+        pairs = joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.band").alias("_band"),
+        )
+        if max_bucket is not None:
+            pairs = pairs.drop("_band").distinct()
+        else:
+            key_tbl = sig_table.select(F.col(id_col), _band_hash_arr().alias("_bhs"))
+            pairs = (
+                pairs.join(key_tbl.alias("ba"), F.col("id_a") == F.col(f"ba.{id_col}"))
+                .join(key_tbl.alias("bb"), F.col("id_b") == F.col(f"bb.{id_col}"))
+                .filter(F.col("_band") == _first_band("ba", "bb"))
+                .select("id_a", "id_b")
+            )
+        n_match = sum(
+            F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
+            for i in range(n_hashes)
+        )
+        scored = (
+            pairs.join(sig_table.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+            .join(sig_table.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+            .select("id_a", "id_b", n_match.alias("n_sig_match"))
+        )
     if min_match is not None:
         # Threshold INSIDE the operator, behind a value-preserving
         # nondeterministic guard (r15 OPT — the expression analog of
         # guide §4.4's asNondeterministic): a caller-side
         # `.filter(n_sig_match >= k)` is pushed below this projection
-        # and into the attach joins' condition, re-evaluating the
+        # and into the bucket self-join's condition, re-evaluating the
         # n_hashes-way CASE chain per probed row — measured 5.9 →
         # 1.2 s warm at sf0.1 (2.9 M pairs), identical rows. The
         # guard multiplies spark_partition_id by zero, so the value
