@@ -209,7 +209,18 @@ def _est_size_bytes(df: DataFrame) -> int | None:
     number the planner compares to autoBroadcastJoinThreshold at join
     planning, read with zero jobs. None when the private API is
     unavailable (e.g. Spark Connect): callers fall back to the
-    scale-safe choice."""
+    scale-safe choice.
+
+    Known Connect degradation (r15 verdict): because the fallback is
+    the scale-safe INLINE scoring regime, under Spark Connect every
+    corpus — including broadcast-sized ones — silently takes the
+    regime that is slower at small scale (correct results either way;
+    the failure direction is wall time, never memory). A Connect
+    deployment that cares can pin ``inline=False`` explicitly for
+    known-small corpora, or port this probe to a count()-based one
+    (one extra job per call — rejected here because the classic-mode
+    zero-job contract is what lets the suite build plans without
+    launching work)."""
     try:
         return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # noqa: BLE001
@@ -304,21 +315,19 @@ def lsh_candidate_pairs(
         max_bucket = 2000
     n_bands = n_hashes // band_size
 
-    def _band_hash_arr() -> Column:
-        return F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"sig_{i}")
-                            for i in range(b * band_size, (b + 1) * band_size)
-                        ],
-                    )
+    def _band_hashes() -> list[Column]:
+        return [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{i}")
+                        for i in range(b * band_size, (b + 1) * band_size)
+                    ],
                 )
-                for b in range(n_bands)
-            ]
-        )
+            )
+            for b in range(n_bands)
+        ]
 
     # r15 OPT regime pick (decade profile, docs ×10 disjoint-token
     # fixture). The two formulations and their measured regimes:
@@ -337,17 +346,19 @@ def lsh_candidate_pairs(
     # dup-dense data (55 M pairs from 50 k docs).
     #
     # INLINE (scale regime): banded rows RIDE the signature payload
-    # (one array column) through the band explode, pair scoring
-    # happens inside the bucket self-join projection
-    # (zip_with+aggregate: one interpreted traversal, measured 2.3 s
-    # per 4.76 M pairs vs 2.7 s codegen flat CASEs vs 8.6 s per-index
-    # getItems), and the uncapped owner-band filter reads both
-    # endpoints' inline band-hash vectors — signature bytes cross ONE
-    # exchange (4 band rows/doc, corpus-proportional) and the pair
-    # stream at most one (the capped tier's distinct): 56 s at ×10
-    # honest-stats, and the only shape whose cost stays linear past
-    # broadcast reach (guide §2.3 "shuffle keys and metadata, move
-    # heavy bytes once").
+    # (since r16 ONE packed binary column — see the carry comment
+    # below) through the band explode, pair scoring happens inside
+    # the bucket self-join projection (r16: flat codegen substring
+    # chunk compares; the r15 zip_with+aggregate fold was interpreted
+    # and dominated the regime's wall), and the uncapped owner-band
+    # filter reads both endpoints' inline band-hash vectors —
+    # signature bytes cross ONE exchange (4 band rows/doc, corpus-
+    # proportional) and the pair stream at most one (the capped
+    # tier's distinct). Measured at docs ×10: r15 form 13.97 s →
+    # r16 form 7.33 s vs attach 6.87 s — the only shape whose cost
+    # stays linear past broadcast reach (guide §2.3 "shuffle keys and
+    # metadata, move heavy bytes once") now runs at ~parity with the
+    # broadcast regime instead of 2× over it.
     #
     # The pick mirrors the planner exactly: ATTACH iff Catalyst's own
     # size estimate of the signature table clears the session's
@@ -362,10 +373,29 @@ def lsh_candidate_pairs(
         inline = est is None or thresh < 0 or est > thresh
     carry_cols: list[str] = []
     if inline:
-        carry = sig_table.withColumn("_sigs", F.array(*sig_cols))
+        # r16 OPT (guide §2.3 narrower types + §1.2 per-task work): the
+        # carried signature payload is ONE concatenated binary column —
+        # unhex(md5hex) halves every signature to its raw 16 bytes
+        # (unhex is injective on md5 hex, so all equality semantics are
+        # byte-identical), and packing the n_hashes values into a
+        # single buffer replaces the interpreted zip_with+aggregate
+        # scorer with a flat chain of codegen `substring` chunk
+        # compares. Measured at docs ×10 (34.17 M pairs, fingerprint-
+        # identical across arms): hex-array carry 13.97 s → unhex
+        # array 10.26 s → concat binary 7.33 s, vs the attach regime's
+        # 6.87 s — the inline (100 TB) regime now runs at ~parity with
+        # the broadcast regime instead of 2× over it.
+        carry = sig_table.withColumn(
+            "_sigs", F.concat(*[F.unhex(c) for c in sig_cols])
+        )
         carry_cols.append("_sigs")
         if max_bucket is None:
-            carry = carry.withColumn("_bhs", _band_hash_arr())
+            carry = carry.withColumn(
+                "_bhs",
+                F.array(
+                    *[F.unhex(h) for h in _band_hashes()]
+                ),
+            )
             carry_cols.append("_bhs")
         banded = band_table(
             carry,
@@ -409,14 +439,17 @@ def lsh_candidate_pairs(
         return fb
 
     if inline:
-        n_match = F.aggregate(
-            F.zip_with(
-                F.col("a._sigs"),
-                F.col("b._sigs"),
-                lambda x, y: F.when(x == y, 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
+        # flat codegen chunk compare over the packed binary payload
+        # (each signature is bytes [16i, 16i+16) of _sigs) — replaces
+        # the r15 interpreted zip_with+aggregate fold, which was ~2/3
+        # of the inline regime's wall at ×10 (see the carry comment)
+        n_match = sum(
+            F.when(
+                F.substring(F.col("a._sigs"), i * 16 + 1, 16)
+                == F.substring(F.col("b._sigs"), i * 16 + 1, 16),
+                1,
+            ).otherwise(0)
+            for i in range(n_hashes)
         )
         scored_cols = [
             F.col(f"a.{id_col}").alias("id_a"),
@@ -446,7 +479,9 @@ def lsh_candidate_pairs(
         if max_bucket is not None:
             pairs = pairs.drop("_band").distinct()
         else:
-            key_tbl = sig_table.select(F.col(id_col), _band_hash_arr().alias("_bhs"))
+            key_tbl = sig_table.select(
+                F.col(id_col), F.array(*_band_hashes()).alias("_bhs")
+            )
             pairs = (
                 pairs.join(key_tbl.alias("ba"), F.col("id_a") == F.col(f"ba.{id_col}"))
                 .join(key_tbl.alias("bb"), F.col("id_b") == F.col(f"bb.{id_col}"))
@@ -814,7 +849,22 @@ def _cc_star(edges: DataFrame, _materialize, max_iter: int) -> DataFrame:
     cur = edges
     prev_fp = None
     for it in range(max_iter):
-        directed = _materialize(large_star(cur))
+        # r16 OPT (guide §2.4/§1.5): large_star is no longer
+        # materialized separately — the round materializes ONCE, after
+        # small_star. small_star's two consumers of the large_star
+        # output (the groupBy mins and the hang join) both require
+        # hashpartitioning(src), so Catalyst plans one exchange over
+        # the lazy large_star subtree and reuses it: nothing is
+        # recomputed, and each round runs one action + one
+        # materialization instead of two. Honest measurement
+        # (tools/r16_cc_ab.py, order-controlled interleaved A/B,
+        # labels fingerprint-identical): WARM-NEUTRAL at sf0.1
+        # (loop 3.40 vs 3.44 s — localCheckpoint is near free
+        # locally); the win this ships for is the checkpoint_dir
+        # tier, where each round's materialization is a full
+        # parquet write+read of the edge list (241 M edges at the
+        # ×100 extreme) — halved per round by construction.
+        directed = large_star(cur)
         # the fingerprint observation fills during the SAME action that
         # materializes the round's stars — zero extra jobs
         obs = Observation(f"cc_fp_{it}")

@@ -2232,3 +2232,57 @@ def test_let_bound_hof_plans_carry_no_expression_copies(spark):
     plan = spans._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("arrays_zip") <= 6, plan.count("arrays_zip")
     assert plan.count("md5(") <= 6, plan.count("md5(")
+
+
+def test_min_match_filter_stays_above_scoring_projection(spark):
+    """r15 OPT guard, pinned per r15 verdict: `lsh_candidate_pairs(
+    min_match=)` keeps its threshold filter ABOVE the pair-scoring
+    projection via a value-preserving nondeterministic expression
+    (`n_sig_match + 0 * spark_partition_id()`). The guard works because
+    Catalyst refuses to push or constant-fold through nondeterministic
+    expressions; if a future optimizer folds `0 * x`, the filter would
+    be pushed into the bucket self-join's condition and the n_hashes-way
+    agreement chain would be re-evaluated per probed row (measured 5.9
+    vs 1.2 s warm at sf0.1 — never wrong results, 5x slower). Pin the
+    shape in BOTH scoring regimes so an upgrade that breaks the guard
+    fails loudly here instead of silently regressing."""
+    rows = [(i, f"t{i} t{i + 1} t{i + 2} t{i % 5}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signature(docs, n_hashes=8)
+    for inline in (True, False):
+        pairs = D.lsh_candidate_pairs(
+            sigs,
+            n_hashes=8,
+            band_size=2,
+            max_bucket=None,
+            min_match=3,
+            inline=inline,
+            cache=False,
+        )
+        lines = (
+            pairs._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+        guard = [
+            i for i, l in enumerate(lines) if "SPARK_PARTITION_ID" in l.upper()
+        ]
+        filt = [i for i, l in enumerate(lines) if "Filter" in l and "_gm" in l]
+        joins = [i for i, l in enumerate(lines) if "Join " in l or "Join(" in l]
+        assert guard, f"inline={inline}: nondeterministic guard folded away"
+        assert filt, f"inline={inline}: min_match filter gone"
+        assert joins, f"inline={inline}: no join in plan?"
+        # tree prints root-first: the threshold filter must sit ABOVE
+        # (before) the guard projection, which sits above every join —
+        # i.e. the filter was not pushed into a join condition
+        assert min(filt) < min(guard) < min(joins), (
+            f"inline={inline}: min_match filter pushed below the self-join"
+        )
+        # and the SCORING expression must not be duplicated into any
+        # join condition (the symptom the guard exists to prevent);
+        # the cheap row-local owner-band CASE may legitimately fold
+        # there, so match the scorer's shapes specifically
+        for j in joins:
+            assert (
+                "substring(_sigs" not in lines[j]
+                and "zip_with" not in lines[j]
+                and "= sig_" not in lines[j]
+            ), f"inline={inline}: scoring re-evaluated inside join condition"

@@ -1422,3 +1422,33 @@ def test_streaming_shard_assign_replay_idempotent(spark, tmp_path):
         for r in C.shard_assign(docs, budget=8, offsets=offsets).collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_replay_dir_per_split_row_order(spark, tmp_path):
+    """Pinned per the r15 verdict: `replay_dir`'s single dynamic-
+    partition write (r15 OPT) relies on the parquet writer preserving
+    the ntile window's per-partition row order — each batch file must
+    hold its rows in ascending split_col order (the old per-split
+    sorted writes guaranteed this by construction). Assert the FILE
+    CONTENT, not the Spark read: pyarrow reads the rows in physical
+    order, so a writer change that reorders rows fails here."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = [(int(v),) for v in [7, 1, 9, 3, 5, 2, 8, 6, 4, 10, 12, 11]]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    d = str(tmp_path / "replay_order")
+    sources.replay_dir(df, d, "k", 3)
+    files = sorted(glob.glob(f"{d}/batch_*.parquet"))
+    assert len(files) == 3
+    prev_max = None
+    seen = []
+    for f in files:
+        vals = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert vals == sorted(vals), f"{f}: rows not in split-col order"
+        if prev_max is not None:
+            assert vals[0] >= prev_max, f"{f}: split tiling broken"
+        prev_max = vals[-1]
+        seen.extend(vals)
+    assert sorted(seen) == [r[0] for r in sorted(rows)]
