@@ -31,30 +31,50 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _materialize(
-    stream: DataFrame, mode: str, expect_single_batch: bool = False
+    stream: DataFrame,
+    mode: str,
+    expect_single_batch: bool = False,
+    state_partitions: int | None = None,
 ) -> str:
     name = f"mq_{uuid.uuid4().hex[:10]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .start()
-    )
-    q.processAllAvailable()
-    if expect_single_batch:
-        # rows whose relational oracle is only valid for a one-trigger
-        # replay (e.g. akslack's per-batch quantile re-derivation)
-        # must FAIL LOUDLY if the fixture ever splits into multiple
-        # triggers (ADVICE r9) — a maxFilesPerTrigger option or a
-        # multi-part fixture would otherwise make a correct
-        # implementation gate red with no hint why
-        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        if len(fed) > 1:  # contract check — must survive python -O
-            raise RuntimeError(
-                f"oracle assumes a single-trigger replay; stream fed "
-                f"{len(fed)} non-empty micro-batches"
-            )
-    q.stop()
+    spark = stream.sparkSession
+    # r16 OPT (guide §5, r15 verdict item 6): state-heavy rows pass a
+    # corpus-stat-derived partition count
+    # (streaming.derived_state_partitions) so a small-state query does
+    # not open+commit 32 RocksDB stores per operator per micro-batch.
+    # shuffle.partitions is read at the query's FIRST batch and pinned
+    # by its checkpoint; restored right after start so nothing else in
+    # the session is affected.
+    prev = spark.conf.get("spark.sql.shuffle.partitions") if state_partitions else None
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+        )
+        # conf must stay set until the query drains: micro-batches plan
+        # asynchronously and each read the live session conf
+        q.processAllAvailable()
+        if expect_single_batch:
+            # rows whose relational oracle is only valid for a one-trigger
+            # replay (e.g. akslack's per-batch quantile re-derivation)
+            # must FAIL LOUDLY if the fixture ever splits into multiple
+            # triggers (ADVICE r9) — a maxFilesPerTrigger option or a
+            # multi-part fixture would otherwise make a correct
+            # implementation gate red with no hint why
+            fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(fed) > 1:  # contract check — must survive python -O
+                raise RuntimeError(
+                    f"oracle assumes a single-trigger replay; stream fed "
+                    f"{len(fed)} non-empty micro-batches"
+                )
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
@@ -349,6 +369,7 @@ def streaming_join_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """REAL watermarked stream-stream join (state bounded at the window
     span) must equal the batch windowed self-join / DuckDB range join —
     the `S1#window.time(5 min) join S2` streaming twin."""
+    from ..streaming import derived_state_partitions
     from ..streaming import joins as SJ
 
     s1 = _events_stream(spark, sf)
@@ -368,7 +389,10 @@ def streaming_join_windowed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l.event_id").alias("click_id"),
         F.col("r.event_id").alias("view_id"),
     )
-    name = _materialize(out, "append")
+    # state ≤ total replayed rows (both sides buffer within the window);
+    # parquet metadata count — no data scan
+    sp = derived_state_partitions(spark, load(spark, sf, "events").count())
+    name = _materialize(out, "append", state_partitions=sp)
     return spark.table(name)
 
 
@@ -414,7 +438,10 @@ def streaming_join_windowed_bucket(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l.event_id").alias("click_id"),
         F.col("r.event_id").alias("view_id"),
     )
-    name = _materialize(out, "append")
+    from ..streaming import derived_state_partitions
+
+    sp = derived_state_partitions(spark, load(spark, sf, "events").count())
+    name = _materialize(out, "append", state_partitions=sp)
     return spark.table(name)
 
 
@@ -683,6 +710,7 @@ def streaming_join_outer(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("m") - F.expr("INTERVAL 3 HOURS"))
         .first()[0]
     )
+    n_rows = e.count()  # parquet metadata count — state-size estimate
     full = e.select(*SCHEMAS["events"].fieldNames())
     d1 = tempfile.mkdtemp(prefix="replay_oj1_")
     SRC.replay_dir(full, d1, "ts", 3)
@@ -718,7 +746,12 @@ def streaming_join_outer(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l.event_id").alias("click_id"),
         F.col("r.event_id").alias("view_id"),
     )
-    name = _materialize(out, "append")
+    from ..streaming import derived_state_partitions
+
+    name = _materialize(
+        out, "append",
+        state_partitions=derived_state_partitions(spark, n_rows),
+    )
     return spark.table(name)
 
 
@@ -781,7 +814,12 @@ def streaming_join_unidirectional(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l.event_id").alias("click_id"),
         F.col("r.event_id").alias("view_id"),
     )
-    name = _materialize(out, "append")
+    from ..streaming import derived_state_partitions
+
+    name = _materialize(
+        out, "append",
+        state_partitions=derived_state_partitions(spark, e.count()),
+    )
     return spark.table(name)
 
 
@@ -1356,6 +1394,7 @@ def streaming_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("m") - F.expr("INTERVAL 3 HOURS"))
         .first()[0]
     )
+    n_rows = e.count()  # parquet metadata count — state-size estimate
     full = e.select(*SCHEMAS["events"].fieldNames())
     d1 = tempfile.mkdtemp(prefix="replay_foj1_")
     SRC.replay_dir(full, d1, "ts", 3)
@@ -1389,7 +1428,12 @@ def streaming_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l.event_id").alias("click_id"),
         F.col("r.event_id").alias("view_id"),
     )
-    name = _materialize(out, "append")
+    from ..streaming import derived_state_partitions
+
+    name = _materialize(
+        out, "append",
+        state_partitions=derived_state_partitions(spark, n_rows),
+    )
     return spark.table(name)
 
 
