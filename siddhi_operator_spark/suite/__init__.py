@@ -101,7 +101,103 @@ from . import sources_suite  # noqa: E402,F401
 # window: never-checked = 0, r9-stale = 5, r10-stale = 40, max
 # staleness = 6.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Driver-window rotation, round 16 — EXECUTES the r15 pre-staged plan
+# (see the "Round-16 rotation, pre-staged" note below) with the
+# staleness claims re-verified by folding CORRECTNESS_r01..r15 against
+# the registry this round: (1) r15 reds — none (50/50 green); (2) the
+# FIVE r9-stale rows (staleness 7, oldest in the ledger); (3) the
+# three displaced rows (siddhiql_pattern_auto / siddhiql_absence_auto
+# r14-checked; dedup_connected_components r12-checked per the fold —
+# even staler than the pre-stage's r13 claim — AND its r16 executed
+# code changed: the star loop's round fusion + the inline-regime
+# scoring it shares with the LSH rows); (4) the FORTY r10-stale rows
+# in the pre-staged registry order (fold-verified all r10 except
+# dedup_minhash_lsh, which r15's window re-checked — kept per the
+# pre-stage AND because its r16 executed code changed: packed-binary
+# inline carry + chunk scorer, auto-regime pick shared with _capped);
+# (5) no rows added in r16 (optimization round — no new features);
+# (6) r16 changed-code rows with the balance of 50: ALL five
+# stream-stream join rows changed (derived state partitions) — the
+# two slots go to `streaming_join_windowed` (plain symmetric join,
+# r14-checked) and `streaming_join_outer` (outer + cutoff path,
+# r12-checked); the other three (bucket, unidirectional, full_outer)
+# share the same derivation + _materialize seam, were oracle-checked
+# locally this round (tools/check_oracle.py streaming_join — all
+# green) and are pinned by the fingerprint-identical fresh-process
+# A/B (tools/r16_state_partitions_ab.py) + the conf-restore test.
+# After this window: r9/r10-stale = 0, max staleness = 7 (retired
+# here), r11-stale backlog = 39 remains for r17.
+# ---------------------------------------------------------------------------
 _FRONT_NAMES = (
+    # (2) the five r9-stale rows (oldest ledger tail, staleness 7)
+    "siddhiql_bucketed_length_window",
+    "table_cdc_feed",
+    "ml_kmeans",
+    "siddhiql_trigger",
+    "pattern_optional_step",
+    # (3) the three rows the late-r15 additions displaced
+    "siddhiql_pattern_auto",
+    "siddhiql_absence_auto",
+    "dedup_connected_components",
+    # (4) the forty r10-stale rows, pre-staged registry order
+    "filter_project",
+    "named_window_fanout",
+    "agg_basic",
+    "agg_forever_extrema",
+    "agg_unionset",
+    "agg_bool",
+    "agg_having_orderby_limit",
+    "agg_multikey",
+    "agg_rollup_cube",
+    "tpch_q1",
+    "agg_group_concat",
+    "tpch_q6",
+    "tpch_q3",
+    "tpch_q5",
+    "agg_udaf_custom",
+    "pattern_sequence_adjacent",
+    "pattern_count_quantifier",
+    "pattern_logical_and",
+    "pattern_logical_or",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "similarity_bruteforce",
+    "similarity_knn_graph",
+    "similarity_lsh",
+    "similarity_ivf",
+    "text_chunk_dedup_ratio",
+    "corpus_token_budget",
+    "text_remove_repeated_spans",
+    "text_remove_spans_bloom",
+    "streaming_reorder_akslack",
+    "siddhiql_filter",
+    "siddhiql_timebatch_agg",
+    "siddhiql_partition",
+    "siddhiql_output_rate_last",
+    "siddhiql_named_window",
+    "siddhiql_define_aggregation",
+    "siddhiql_table_upsert",
+    "siddhiql_bucketed_pattern",
+    "siddhiql_bucketed_expression_window",
+    "ml_perceptron_online",
+    # (6) r16 changed-code rows (derived state partitions)
+    "streaming_join_windowed",
+    "streaming_join_outer",
+)
+
+# Round-17 rotation, pre-staged: lead with any r16 reds, then the
+# THIRTY-NINE r11-stale rows (the backlog this window left — re-verify
+# by folding CORRECTNESS_r01..r16 against the registry before
+# staging), then every row added in round 17 (never-checked), then
+# rows whose code changes in r17, then the r12-stale backlog in
+# registry order with the balance of 50.  New registry rows displace
+# the NEWEST-checked tail entries, never the stale/never-checked
+# groups.
+
+# (Archive) Round-15 rotation as executed — retired by the r16 window
+# above:
+_R15_FRONT_NAMES_ARCHIVE = (
     # (2) the forty r9-stale rows (oldest ledger tail)
     "window_sliding_time",
     "window_sort_topk",
