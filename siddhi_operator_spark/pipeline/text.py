@@ -962,7 +962,12 @@ def dsir_logweight(
     )
     totals = raw.crossJoin(tgt.select(F.sum("tc").alias("T"))).agg(
         F.sum("rc").cast("double").alias("R"),
-        F.first("T").cast("double").alias("T"),
+        # T = 0.0 (not NULL) when the target pool contributes zero
+        # features (e.g. every flagged doc is empty) — sum() over an
+        # empty table is NULL in SQL but dsir_model and the reference
+        # recipe compute with T = 0; without the coalesce every
+        # weight in that regime silently went NULL (r16 fix)
+        F.coalesce(F.first("T").cast("double"), F.lit(0.0)).alias("T"),
     )
     lw = F.col("cnt") * (
         F.log2(
